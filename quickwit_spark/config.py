@@ -1,0 +1,153 @@
+"""Index configuration — the doc-mapper / indexing-settings surface of the
+reference (quickwit-doc-mapper/src/default_doc_mapper/*,
+quickwit-config/src/index_config.rs), reduced to what a Spark-native engine
+needs.
+
+A ``FieldMapping`` mirrors the reference FieldMappingEntry
+(field_mapping_entry.rs:43-48): name, type, tokenizer (text only), record
+option, fast/stored flags.  Validation rules mirror the reference:
+
+* timestamp_field must be a fast i64-like field (default_mapper.rs:208-245)
+* tag fields must be raw-tokenized text (default_mapper.rs:170-189)
+* text fields cannot be fast (field_mapping_entry.rs:596-601)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FieldMapping:
+    name: str
+    type: str  # text | i64 | u64 | f64 | datetime
+    tokenizer: str = "default"  # text only: default | raw  (stem_en unsupported here)
+    record: str = "basic"  # basic | freq | position
+    fast: bool = False
+    stored: bool = True
+
+    def __post_init__(self):
+        if self.type == "text" and self.fast:
+            raise ValueError(
+                f"field {self.name}: fast is not supported for text "
+                "(reference field_mapping_entry.rs:596-601)"
+            )
+        if self.tokenizer not in ("default", "raw"):
+            raise ValueError(f"field {self.name}: unknown tokenizer {self.tokenizer!r}")
+        if self.record not in ("basic", "freq", "position"):
+            raise ValueError(f"field {self.name}: unknown record option {self.record!r}")
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    index_id: str
+    field_mappings: tuple[FieldMapping, ...]
+    timestamp_field: str | None = None
+    tag_fields: tuple[str, ...] = ()
+    default_search_fields: tuple[str, ...] = ()
+    # scaled-down defaults (reference: 10M docs/split, index_config.rs:161-163;
+    # merge factor 10/12, index_config.rs:103-109)
+    split_num_docs_target: int = 5_000
+    segment_num_docs_target: int = 1_000
+    merge_factor: int = 3
+    max_merge_factor: int = 4
+    # reference packager caps tag cardinality at 1000 (packager.rs:36-40)
+    max_values_per_tag_field: int = 1_000
+
+    def __post_init__(self):
+        by_name = {m.name: m for m in self.field_mappings}
+        if self.timestamp_field is not None:
+            ts = by_name.get(self.timestamp_field)
+            if ts is None or ts.type not in ("i64", "u64", "datetime") or not ts.fast:
+                raise ValueError(
+                    "timestamp_field must be a fast i64/datetime field "
+                    "(reference default_mapper.rs:208-245)"
+                )
+        for tag in self.tag_fields:
+            tm = by_name.get(tag)
+            if tm is None or tm.type != "text" or tm.tokenizer != "raw":
+                raise ValueError(
+                    f"tag field {tag} must be raw-tokenized text "
+                    "(reference default_mapper.rs:170-189)"
+                )
+        for f in self.default_search_fields:
+            if f not in by_name:
+                raise ValueError(f"default search field {f} not in schema")
+
+    @property
+    def fields(self) -> dict[str, FieldMapping]:
+        return {m.name: m for m in self.field_mappings}
+
+    @property
+    def indexed_text_fields(self) -> list[FieldMapping]:
+        return [m for m in self.field_mappings if m.type == "text"]
+
+    def to_dict(self) -> dict:
+        return {
+            "index_id": self.index_id,
+            "field_mappings": [vars(m).copy() for m in self.field_mappings],
+            "timestamp_field": self.timestamp_field,
+            "tag_fields": list(self.tag_fields),
+            "default_search_fields": list(self.default_search_fields),
+            "split_num_docs_target": self.split_num_docs_target,
+            "segment_num_docs_target": self.segment_num_docs_target,
+            "merge_factor": self.merge_factor,
+            "max_merge_factor": self.max_merge_factor,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexConfig":
+        return IndexConfig(
+            index_id=d["index_id"],
+            field_mappings=tuple(FieldMapping(**m) for m in d["field_mappings"]),
+            timestamp_field=d.get("timestamp_field"),
+            tag_fields=tuple(d.get("tag_fields", ())),
+            default_search_fields=tuple(d.get("default_search_fields", ())),
+            split_num_docs_target=d.get("split_num_docs_target", 5_000),
+            segment_num_docs_target=d.get("segment_num_docs_target", 1_000),
+            merge_factor=d.get("merge_factor", 3),
+            max_merge_factor=d.get("max_merge_factor", 4),
+        )
+
+
+def transcripts_config(**overrides) -> IndexConfig:
+    """The FIXTURES.md F2 config: transcripts (conv_id, turn_idx, role, text, tool, ts)."""
+    defaults = dict(
+        index_id="transcripts",
+        field_mappings=(
+            FieldMapping("text", "text", tokenizer="default", record="position"),
+            FieldMapping("role", "text", tokenizer="raw"),
+            FieldMapping("tool", "text", tokenizer="raw"),
+            FieldMapping("conv_id", "text", tokenizer="raw"),
+            FieldMapping("turn_idx", "i64", fast=True),
+            FieldMapping("ts", "i64", fast=True),
+        ),
+        timestamp_field="ts",
+        tag_fields=("role",),
+        default_search_fields=("text",),
+    )
+    defaults.update(overrides)
+    return IndexConfig(**defaults)  # type: ignore[arg-type]
+
+
+def documents_config(**overrides) -> IndexConfig:
+    """Config for the driver's /root/testdata documents table
+    (doc_id, text, lang, source, n_chars) recast as transcript turns."""
+    defaults = dict(
+        index_id="documents",
+        field_mappings=(
+            FieldMapping("text", "text", tokenizer="default", record="position"),
+            FieldMapping("role", "text", tokenizer="raw"),  # carries `lang`
+            FieldMapping("tool", "text", tokenizer="raw"),  # carries `source`
+            FieldMapping("conv_id", "text", tokenizer="raw"),
+            FieldMapping("turn_idx", "i64", fast=True),
+            FieldMapping("ts", "i64", fast=True),  # carries doc_id (no real ts)
+        ),
+        timestamp_field="ts",
+        tag_fields=("role",),
+        default_search_fields=("text",),
+        split_num_docs_target=200,
+        segment_num_docs_target=64,
+    )
+    defaults.update(overrides)
+    return IndexConfig(**defaults)  # type: ignore[arg-type]

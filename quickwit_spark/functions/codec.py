@@ -1,0 +1,290 @@
+"""Posting-list codec: delta + per-block bitpacked (PFOR-style) encoding.
+
+Re-implements, natively in vectorized numpy, the posting-list layout of the
+reference's tantivy dependency (SURVEY.md §2.7; reference pins tantivy
+0.17.0-dev, Cargo.lock:3421-3423): per term, doc_ids are delta-encoded in
+128-doc blocks and bitpacked with a per-block bit width; term frequencies are
+bitpacked per block; a skip list records per-block last_doc and max_tf
+(block-max metadata for WAND pruning, quickwit-search/src/collector.rs top-k
++ SURVEY §2.7).
+
+Blob layout (little-endian):
+
+    u32 count | u32 nblocks | u8 w_doc[nblocks] | u8 w_tf[nblocks] | payload
+
+``payload`` is the concatenation, block by block, of the bitpacked doc-id
+gaps followed by the bitpacked tfs.  Blocks hold 128 values except the tail.
+Bit widths are per-block maxima, so the layout is frame-of-reference with
+per-block exception-free widths (PFOR without patching — simpler and still
+vectorizable with numpy ``packbits``/``unpackbits``).
+
+Everything here is pure numpy on whole arrays: no per-row Python, per the
+north rule ("vectorized pandas/Arrow UDFs (no per-row Python)").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+
+
+def _bit_width(max_val: int) -> int:
+    """Bits needed to represent max_val (>=1 so zero-width blocks can't occur)."""
+    return max(1, int(max_val).bit_length())
+
+
+def _pack(vals: np.ndarray, width: int) -> bytes:
+    """Bitpack a 1-D uint32 array at the given width (big-endian bit order)."""
+    n = len(vals)
+    if n == 0:
+        return b""
+    bits = np.unpackbits(
+        np.ascontiguousarray(vals.astype(">u4")).view(np.uint8).reshape(n, 4), axis=1
+    )[:, 32 - width :]
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+    """Inverse of :func:`_pack`: decode n uint32 values at the given width."""
+    if n == 0:
+        return np.empty(0, np.uint32)
+    bits = np.unpackbits(buf)[: n * width].reshape(n, width)
+    out = np.zeros((n, 32), np.uint8)
+    out[:, 32 - width :] = bits
+    return np.packbits(out, axis=1).view(">u4").ravel().astype(np.uint32)
+
+
+def _pack_full_blocks(blocks: np.ndarray, widths: np.ndarray) -> list[bytes]:
+    """Pack (k, BLOCK) uint32 rows, each at its own width, grouped by width.
+
+    128*w bits is always byte-aligned, so each block packs to exactly 16*w
+    bytes and same-width blocks can be packed in one vectorized pass.
+    """
+    k = blocks.shape[0]
+    out: list[bytes | None] = [None] * k
+    for w in np.unique(widths):
+        idx = np.nonzero(widths == w)[0]
+        sel = blocks[idx]  # (m, BLOCK)
+        m = len(idx)
+        bits = np.unpackbits(
+            np.ascontiguousarray(sel.astype(">u4")).view(np.uint8).reshape(m, BLOCK, 4),
+            axis=2,
+        )[:, :, 32 - w :]
+        packed = np.packbits(bits.reshape(m, BLOCK * w), axis=1)  # (m, 16*w)
+        for j, bi in enumerate(idx):
+            out[bi] = packed[j].tobytes()
+    return out  # type: ignore[return-value]
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Encode one posting list.
+
+    Args:
+        doc_ids: strictly-increasing uint32/int array of doc ids.
+        tfs: matching term frequencies (>=1).
+
+    Returns:
+        (blob, block_last_doc, block_max_tf) — blob per the module layout,
+        plus the skip-list arrays (one entry per block) used for block-max
+        WAND pruning and AND-skipping.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint32)
+    tfs = np.asarray(tfs, dtype=np.uint32)
+    n = len(doc_ids)
+    if n == 0:
+        return (
+            np.array([0, 0], dtype="<u4").tobytes(),
+            np.empty(0, np.uint32),
+            np.empty(0, np.uint32),
+        )
+    gaps = np.empty(n, np.uint32)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+
+    nblocks = (n + BLOCK - 1) // BLOCK
+    nfull = n // BLOCK
+
+    # per-block maxima (vectorized for the full blocks)
+    if nfull:
+        gf = gaps[: nfull * BLOCK].reshape(nfull, BLOCK)
+        tf_f = tfs[: nfull * BLOCK].reshape(nfull, BLOCK)
+        # exact vectorized bit_length: float64 represents uint32 exactly, and
+        # frexp's exponent is bit_length for positive ints
+        w_doc_full = np.maximum(1, np.frexp(gf.max(axis=1).astype(np.float64))[1]).astype(np.uint8)
+        w_tf_full = np.maximum(1, np.frexp(tf_f.max(axis=1).astype(np.float64))[1]).astype(np.uint8)
+        doc_chunks = _pack_full_blocks(gf, w_doc_full)
+        tf_chunks = _pack_full_blocks(tf_f, w_tf_full)
+    else:
+        w_doc_full = np.empty(0, np.uint8)
+        w_tf_full = np.empty(0, np.uint8)
+        doc_chunks, tf_chunks = [], []
+
+    w_doc = np.empty(nblocks, np.uint8)
+    w_tf = np.empty(nblocks, np.uint8)
+    w_doc[:nfull] = w_doc_full
+    w_tf[:nfull] = w_tf_full
+
+    parts: list[bytes] = []
+    for b in range(nfull):
+        parts.append(doc_chunks[b])
+        parts.append(tf_chunks[b])
+    if nblocks > nfull:  # tail block
+        tg = gaps[nfull * BLOCK :]
+        tt = tfs[nfull * BLOCK :]
+        wd = _bit_width(int(tg.max()))
+        wt = _bit_width(int(tt.max()))
+        w_doc[nfull] = wd
+        w_tf[nfull] = wt
+        parts.append(_pack(tg, wd))
+        parts.append(_pack(tt, wt))
+
+    header = np.array([n, nblocks], dtype="<u4").tobytes()
+    blob = header + w_doc.tobytes() + w_tf.tobytes() + b"".join(parts)
+
+    # skip data
+    csum = np.cumsum(gaps.astype(np.uint64)).astype(np.uint32)
+    ends = np.minimum(np.arange(1, nblocks + 1) * BLOCK, n) - 1
+    block_last_doc = csum[ends]
+    block_max_tf = np.maximum.reduceat(tfs, np.arange(0, n, BLOCK))
+    return blob, block_last_doc, block_max_tf
+
+
+def _parse_header(blob: bytes):
+    n, nblocks = np.frombuffer(blob, dtype="<u4", count=2)
+    n, nblocks = int(n), int(nblocks)
+    off = 8
+    w_doc = np.frombuffer(blob, dtype=np.uint8, count=nblocks, offset=off)
+    off += nblocks
+    w_tf = np.frombuffer(blob, dtype=np.uint8, count=nblocks, offset=off)
+    off += nblocks
+    # per-block value counts and payload byte offsets
+    counts = np.full(nblocks, BLOCK, dtype=np.int64)
+    if nblocks:
+        counts[-1] = n - BLOCK * (nblocks - 1)
+    doc_bytes = (counts * w_doc + 7) // 8
+    tf_bytes = (counts * w_tf + 7) // 8
+    sizes = doc_bytes + tf_bytes
+    starts = off + np.concatenate(([0], np.cumsum(sizes)[:-1])) if nblocks else np.empty(0, np.int64)
+    return n, nblocks, w_doc, w_tf, counts, doc_bytes, starts
+
+
+def decode_postings(blob: bytes, block_indices: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a posting blob back to (doc_ids, tfs).
+
+    With ``block_indices`` given, decodes only those blocks (block-max WAND /
+    skip path) — doc_ids stay absolute because each block's delta chain is
+    re-anchored from the previous block's last_doc, which we recover from the
+    cumulative gap structure… so for partial decode we must know the previous
+    block's last doc.  To keep partial decode self-contained, callers pass the
+    skip array: see :func:`decode_blocks`.
+    """
+    n, nblocks, w_doc, w_tf, counts, doc_bytes, starts = _parse_header(blob)
+    if n == 0:
+        return np.empty(0, np.uint32), np.empty(0, np.uint32)
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    gaps = np.empty(n, np.uint32)
+    tfs = np.empty(n, np.uint32)
+    pos = 0
+    for b in range(nblocks):
+        c = int(counts[b])
+        s = int(starts[b])
+        db = int(doc_bytes[b])
+        gaps[pos : pos + c] = _unpack(buf[s : s + db], c, int(w_doc[b]))
+        tfs[pos : pos + c] = _unpack(buf[s + db : s + db + ((c * int(w_tf[b]) + 7) // 8)], c, int(w_tf[b]))
+        pos += c
+    doc_ids = np.cumsum(gaps.astype(np.uint64)).astype(np.uint32)
+    if block_indices is not None:
+        keep = np.zeros(n, bool)
+        for b in block_indices:
+            keep[b * BLOCK : min((b + 1) * BLOCK, n)] = True
+        return doc_ids[keep], tfs[keep]
+    return doc_ids, tfs
+
+
+def decode_blocks(
+    blob: bytes, block_last_doc: np.ndarray, block_indices: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected blocks, without touching the others' payload.
+
+    ``block_last_doc`` is the skip array produced at encode time; block b's
+    delta chain re-anchors at block_last_doc[b-1].  This is the WAND /
+    skip-pointer fast path: non-competitive blocks are never unpacked.
+    """
+    n, nblocks, w_doc, w_tf, counts, doc_bytes, starts = _parse_header(blob)
+    if n == 0 or len(block_indices) == 0:
+        return np.empty(0, np.uint32), np.empty(0, np.uint32)
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    out_docs, out_tfs = [], []
+    for b in sorted(int(x) for x in block_indices):
+        c = int(counts[b])
+        s = int(starts[b])
+        db = int(doc_bytes[b])
+        gaps = _unpack(buf[s : s + db], c, int(w_doc[b]))
+        tfs = _unpack(buf[s + db : s + db + ((c * int(w_tf[b]) + 7) // 8)], c, int(w_tf[b]))
+        anchor = np.uint64(block_last_doc[b - 1]) if b > 0 else np.uint64(0)
+        docs = (np.cumsum(gaps.astype(np.uint64)) + anchor).astype(np.uint32)
+        out_docs.append(docs)
+        out_tfs.append(tfs)
+    return np.concatenate(out_docs), np.concatenate(out_tfs)
+
+
+# ---------------------------------------------------------------------------
+# position payloads (for phrase queries; record=position fields,
+# reference field_mapping_entry.rs:595-623)
+# ---------------------------------------------------------------------------
+
+
+def encode_positions(positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode the flat position array of a posting list.
+
+    ``positions`` concatenates, doc by doc (in doc_id order), the in-doc
+    token positions of each occurrence; ``tfs`` gives the per-doc run
+    lengths.  Within each doc the positions are delta-encoded (first
+    absolute), then the whole array is bitpacked at a single width.
+    Layout: u32 total | u8 width | packed bits.
+    """
+    positions = np.asarray(positions, dtype=np.uint32)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = len(positions)
+    if total == 0:
+        return np.array([0], dtype="<u4").tobytes() + b"\x01"
+    deltas = positions.copy()
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    deltas[1:] = positions[1:] - positions[:-1]
+    deltas[starts] = positions[starts]
+    w = _bit_width(int(deltas.max()))
+    return np.array([total], dtype="<u4").tobytes() + bytes([w]) + _pack(deltas, w)
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` → flat absolute position array."""
+    total = int(np.frombuffer(blob, dtype="<u4", count=1)[0])
+    if total == 0:
+        return np.empty(0, np.uint32)
+    w = blob[4]
+    deltas = _unpack(np.frombuffer(blob, dtype=np.uint8, offset=5), total, int(w))
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    # segmented cumsum: global cumsum minus the cumsum value at each run start
+    csum = np.cumsum(deltas.astype(np.uint64))
+    base = np.repeat(csum[starts] - deltas[starts], tfs)
+    return (csum - base).astype(np.uint32)
+
+
+def encode_u32_column(vals: np.ndarray) -> bytes:
+    """Pack a dense uint32 column (fast-field analog) at a single bit width."""
+    vals = np.asarray(vals, dtype=np.uint32)
+    n = len(vals)
+    if n == 0:
+        return np.array([0], dtype="<u4").tobytes() + b"\x01"
+    w = _bit_width(int(vals.max()))
+    return np.array([n], dtype="<u4").tobytes() + bytes([w]) + _pack(vals, w)
+
+
+def decode_u32_column(blob: bytes) -> np.ndarray:
+    n = int(np.frombuffer(blob, dtype="<u4", count=1)[0])
+    if n == 0:
+        return np.empty(0, np.uint32)
+    w = blob[4]
+    return _unpack(np.frombuffer(blob, dtype=np.uint8, offset=5), n, int(w))

@@ -1,0 +1,118 @@
+"""Index-build pipeline tests: stable docIDs, postings correctness vs a
+brute-force recount, split metadata, tags, invalid-row counters."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.fixtures.transcripts import corpus4, generate_transcripts
+from quickwit_spark.functions.codec import decode_positions, decode_postings
+from quickwit_spark.functions.tokenizer import tokenize_text
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.index.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def small_corpus():
+    return generate_transcripts(n_conversations=40, seed=42)
+
+
+def _build(spark, pdf, tmpdir, **kw):
+    cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
+    df = spark.createDataFrame(pdf)
+    report = build_index(spark, df, cfg, tmpdir, **kw)
+    return cfg, report
+
+
+def test_build_end_to_end(spark, small_corpus, tmp_index_dir):
+    cfg, report = _build(spark, small_corpus, tmp_index_dir)
+    assert report.total_docs == len(small_corpus)
+    assert report.invalid_docs == 0
+    cat = Catalog(tmp_index_dir)
+    splits = cat.splits()
+    assert sum(s.num_docs for s in splits) == len(small_corpus)
+    assert all(s.ts_min <= s.ts_max for s in splits)
+
+    # docs table: doc_id dense 0..n-1 per split, ordered by (conv_id, turn_idx)
+    docs = spark.read.parquet(f"{tmp_index_dir}/docs")
+    pdf = docs.toPandas()
+    for sid, g in pdf.groupby("split_id"):
+        g = g.sort_values(["conv_id", "turn_idx"])
+        assert list(g["doc_id"]) == list(range(len(g)))
+
+    # postings vs brute-force recount on the text field
+    postings = spark.read.parquet(f"{tmp_index_dir}/postings").filter(F.col("field") == "text").toPandas()
+    # pick one split, rebuild expected postings in pure python
+    sid = splits[0].split_id
+    sub = pdf[pdf["split_id"] == sid].sort_values("doc_id")
+    expected: dict[str, dict[int, list[int]]] = {}
+    for _, row in sub.iterrows():
+        for p, tok in enumerate(tokenize_text(row["text"])):
+            expected.setdefault(tok, {}).setdefault(row["doc_id"], []).append(p)
+    got = postings[postings["split_id"] == sid]
+    assert set(got["term"]) == set(expected)
+    for r in got.itertuples(index=False):
+        exp = expected[r.term]
+        d, t = decode_postings(r.blob)
+        assert list(d) == sorted(exp)
+        assert list(t) == [len(exp[k]) for k in sorted(exp)]
+        flat_pos = decode_positions(r.positions, t)
+        exp_pos = [p for k in sorted(exp) for p in exp[k]]
+        assert list(flat_pos) == exp_pos
+        assert r.doc_freq == len(exp)
+        # block metadata sanity
+        assert r.block_last_doc[-1] == d[-1]
+
+
+def test_docids_stable_across_parallelism(spark, small_corpus, tmp_index_dir):
+    """north rule: docID assignment independent of parallelism/scheduling."""
+    cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
+    df1 = spark.createDataFrame(small_corpus).repartition(7)
+    df2 = spark.createDataFrame(small_corpus.sample(frac=1.0, random_state=3)).repartition(2)
+    d1 = f"{tmp_index_dir}/a"
+    d2 = f"{tmp_index_dir}/b"
+    build_index(spark, df1, cfg, d1)
+    build_index(spark, df2, cfg, d2)
+    a = (
+        spark.read.parquet(f"{d1}/docs")
+        .select("split_id", "doc_id", "conv_id", "turn_idx")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(f"{d2}/docs")
+        .select("split_id", "doc_id", "conv_id", "turn_idx")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_invalid_rows_counted(spark, tmp_index_dir):
+    pdf = corpus4()
+    bad = pdf.copy()
+    bad.loc[1, "ts"] = pd.NaT  # missing required fast field → rejected
+    cfg = transcripts_config()
+    report = build_index(spark, spark.createDataFrame(bad), cfg, tmp_index_dir)
+    assert report.invalid_docs == 1
+    assert report.total_docs == 3
+
+
+def test_tags_and_field_stats(spark, small_corpus, tmp_index_dir):
+    _build(spark, small_corpus, tmp_index_dir)
+    cat = Catalog(tmp_index_dir)
+    for s in cat.splits():
+        assert "role!" in s.tags
+        assert any(t.startswith("role:") for t in s.tags)
+        assert s.field_len_sums["text"] > 0
+        assert s.field_len_sums["conv_id"] == s.num_docs
+        assert s.metrics["num_terms"] > 0
+        assert s.metrics["postings_bytes"] > 0
+        assert len(s.metrics["segments"]) >= 1
+    stats = cat.global_stats()
+    assert stats["num_docs"] == len(small_corpus)
+    assert stats["avg_len"]["text"] > 0

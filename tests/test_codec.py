@@ -1,0 +1,123 @@
+"""Codec round-trip tests: fixed fixtures (FIXTURES.md F5) + Hypothesis
+properties, mirroring the reference's unit+proptest strategy (SURVEY.md §5).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quickwit_spark.functions.codec import (
+    BLOCK,
+    decode_blocks,
+    decode_positions,
+    decode_postings,
+    decode_u32_column,
+    encode_positions,
+    encode_postings,
+    encode_u32_column,
+)
+
+
+def _roundtrip(doc_ids, tfs):
+    doc_ids = np.asarray(doc_ids, np.uint32)
+    tfs = np.asarray(tfs, np.uint32)
+    blob, last_doc, max_tf = encode_postings(doc_ids, tfs)
+    d, t = decode_postings(blob)
+    np.testing.assert_array_equal(d, doc_ids)
+    np.testing.assert_array_equal(t, tfs)
+    # skip-list invariants
+    nblocks = (len(doc_ids) + BLOCK - 1) // BLOCK
+    assert len(last_doc) == nblocks == len(max_tf)
+    for b in range(nblocks):
+        lo, hi = b * BLOCK, min((b + 1) * BLOCK, len(doc_ids))
+        assert last_doc[b] == doc_ids[hi - 1]
+        assert max_tf[b] == tfs[lo:hi].max()
+    return blob, last_doc
+
+
+@pytest.mark.parametrize(
+    "n",
+    [1, 2, BLOCK - 1, BLOCK, BLOCK + 1, 1000, 10_000],  # F5 codec fixtures
+)
+def test_fixed_sizes(n):
+    rng = np.random.RandomState(42)
+    gaps = rng.randint(1, 1000, size=n)
+    doc_ids = np.cumsum(gaps).astype(np.uint32) - 1
+    tfs = rng.randint(1, 50, size=n).astype(np.uint32)
+    _roundtrip(doc_ids, tfs)
+
+
+def test_empty():
+    blob, last_doc, max_tf = encode_postings(np.empty(0, np.uint32), np.empty(0, np.uint32))
+    d, t = decode_postings(blob)
+    assert len(d) == 0 and len(t) == 0 and len(last_doc) == 0
+
+
+def test_single_doc_zero():
+    _roundtrip([0], [1])
+
+
+def test_known_bytes():
+    """Hand-computed layout check: 2 docs, gaps (5, 2) width 3, tfs (1,3) width 2."""
+    blob, _, _ = encode_postings(np.array([5, 7], np.uint32), np.array([1, 3], np.uint32))
+    n, nblocks = np.frombuffer(blob, "<u4", count=2)
+    assert (n, nblocks) == (2, 1)
+    assert blob[8] == 3 and blob[9] == 2  # w_doc, w_tf
+    # doc bits: 101 010 -> 10101000 = 0xA8 ; tf bits: 01 11 -> 01110000 = 0x70
+    assert blob[10] == 0xA8 and blob[11] == 0x70
+
+
+def test_partial_block_decode():
+    rng = np.random.RandomState(7)
+    n = 5 * BLOCK + 17
+    doc_ids = np.cumsum(rng.randint(1, 9, size=n)).astype(np.uint32)
+    tfs = rng.randint(1, 5, size=n).astype(np.uint32)
+    blob, last_doc = _roundtrip(doc_ids, tfs)[:2]
+    for sel in ([0], [5], [1, 3], [0, 2, 5], list(range(6))):
+        d, t = decode_blocks(blob, last_doc, np.array(sel))
+        exp_d = np.concatenate([doc_ids[b * BLOCK : (b + 1) * BLOCK] for b in sel])
+        exp_t = np.concatenate([tfs[b * BLOCK : (b + 1) * BLOCK] for b in sel])
+        np.testing.assert_array_equal(d, exp_d)
+        np.testing.assert_array_equal(t, exp_t)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=2**20), min_size=1, max_size=700),
+    data=st.data(),
+)
+def test_property_roundtrip(gaps, data):
+    doc_ids = np.cumsum(np.array(gaps, np.uint64)).astype(np.uint32) - 1
+    tfs = np.array(
+        data.draw(st.lists(st.integers(1, 2**16), min_size=len(gaps), max_size=len(gaps))),
+        np.uint32,
+    )
+    _roundtrip(doc_ids, tfs)
+
+
+def test_positions_roundtrip():
+    # three docs with tfs 2, 1, 3; positions within each doc increasing
+    tfs = np.array([2, 1, 3], np.int64)
+    positions = np.array([4, 9, 0, 7, 7, 12], np.uint32)  # doc1:(4,9) doc2:(0) doc3:(7,7?,12)
+    positions = np.array([4, 9, 0, 7, 8, 12], np.uint32)
+    blob = encode_positions(positions, tfs)
+    out = decode_positions(blob, tfs)
+    np.testing.assert_array_equal(out, positions)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 500), min_size=1, max_size=20), min_size=1, max_size=50))
+def test_positions_property(doclists):
+    doclists = [sorted(d) for d in doclists]
+    tfs = np.array([len(d) for d in doclists], np.int64)
+    flat = np.array([p for d in doclists for p in d], np.uint32)
+    out = decode_positions(encode_positions(flat, tfs), tfs)
+    np.testing.assert_array_equal(out, flat)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**32 - 1), min_size=0, max_size=500))
+def test_u32_column_property(vals):
+    arr = np.array(vals, np.uint32)
+    np.testing.assert_array_equal(decode_u32_column(encode_u32_column(arr)), arr)
