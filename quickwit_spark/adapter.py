@@ -1,0 +1,62 @@
+"""Adapter: run the fulltext engine over the driver's ``documents`` table
+(/root/testdata/sf*/documents.parquet: doc_id, text, lang, source, n_chars).
+
+The table is recast as transcript turns — the engine's canonical input
+shape (BASELINE.json input_hint):
+
+    conv_id  = lpad(doc_id, 12)   (lexicographic == numeric order)
+    turn_idx = 0
+    role     = lang                (raw-tokenized tag field)
+    tool     = source              (raw-tokenized)
+    ts       = doc_id as epoch seconds  (deterministic fast field; the
+               table has no real timestamp, so doc_id doubles as one,
+               which also makes time-range pruning oracle-checkable)
+
+Indexes are built once per (sf_dir, config version) into a /tmp cache and
+reused across the driver's per-query invocations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import documents_config
+from .index.builder import build_index
+
+CACHE_ROOT = "/tmp/qwspark_index_cache"
+CONFIG_VERSION = "v1"
+
+
+def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        F.col("text"),
+        F.col("source").alias("tool"),
+        F.timestamp_seconds(F.col("doc_id")).alias("ts"),
+    )
+
+
+def documents_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the documents index for an sf dir; returns index_dir."""
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{CONFIG_VERSION}".encode()).hexdigest()[:12]
+    final = os.path.join(CACHE_ROOT, f"docs-{key}")
+    if os.path.exists(os.path.join(final, "catalog.json")):
+        return final
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = final + f".build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    cfg = documents_config()
+    build_index(spark, documents_as_transcripts(spark, sf_dir), cfg, tmp)
+    if os.path.exists(os.path.join(final, "catalog.json")):  # lost a race
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, final) if not os.path.exists(final) else shutil.rmtree(tmp)
+    return final

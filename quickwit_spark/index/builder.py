@@ -83,9 +83,12 @@ SEG_POSTINGS_SCHEMA = (
     "total_tf long, blob binary, positions binary, lens binary"
 )
 
+# `lens` stays in the final schema (per-posting doc lengths, the exact
+# fieldnorm data tantivy co-locates with segments) so split merges can
+# re-derive block_min_len without re-reading the doc store
 POSTINGS_SCHEMA = (
     "split_id string, field string, term string, doc_freq long, total_tf long, "
-    "blob binary, positions binary, block_last_doc array<long>, "
+    "blob binary, positions binary, lens binary, block_last_doc array<long>, "
     "block_max_tf array<long>, block_min_len array<long>"
 )
 
@@ -274,6 +277,7 @@ def merge_term_segments(pdf: pd.DataFrame) -> pd.DataFrame:
                 int(t.sum()),
                 blob,
                 positions,
+                encode_u32_column(ln),
                 last_doc.astype(np.int64).tolist(),
                 max_tf.astype(np.int64).tolist(),
                 min_len.astype(np.int64).tolist(),
@@ -281,7 +285,7 @@ def merge_term_segments(pdf: pd.DataFrame) -> pd.DataFrame:
         ],
         columns=[
             "split_id", "field", "term", "doc_freq", "total_tf", "blob",
-            "positions", "block_last_doc", "block_max_tf", "block_min_len",
+            "positions", "lens", "block_last_doc", "block_max_tf", "block_min_len",
         ],
     )
 

@@ -1,0 +1,258 @@
+"""Split merge / compaction pipeline — the MergePlanner + merge policy +
+MergeExecutor + GarbageCollector analog (SURVEY.md §2.4).
+
+* **Policy** (StableMultitenantWithTimestampMergePolicy,
+  quickwit-indexing/src/merge_policy.rs:415-493, scaled): young splits
+  (num_docs < split_num_docs_target → immature, merge_policy.rs:241-250)
+  are bucketed into 3×-log-scale size levels; a level with >= merge_factor
+  splits yields a merge op of merge_factor..max_merge_factor splits whose
+  doc sum stays under the target.  Pure driver-side Python over catalog
+  rows — exactly like the reference's planner, which never touches split
+  payloads.
+
+* **Executor** (merge_executor.rs:271-335): docID remap is additive offsets
+  in split order; postings of the inputs are re-grouped per (field, term)
+  and re-encoded (k-way concat — input doc_id ranges are disjoint and
+  offset-ordered, so no sort is needed); fast-field segments are re-based.
+  All per-term work happens in one ``applyInPandas`` over the union of the
+  input splits' posting rows — a single shuffle keyed by (field, term) with
+  compressed payloads.
+
+* **Publish**: new split staged then ``replace_splits`` (atomic swap,
+  publisher.rs:109-127).  **GC** deletes MarkedForDeletion split dirs
+  (garbage_collector.rs:56-146).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.codec import (
+    BLOCK,
+    decode_positions,
+    decode_postings,
+    decode_u32_column,
+    encode_positions,
+    encode_postings,
+    encode_u32_column,
+)
+from .builder import POSTINGS_SCHEMA, _paths
+from .catalog import MARKED_FOR_DELETION, PUBLISHED, Catalog, SplitMetadata
+
+# scaled default of the reference's min_level_num_docs (merge_policy.rs:169)
+MIN_LEVEL_NUM_DOCS = 100
+
+
+@dataclass
+class MergeOperation:
+    split_ids: list[str]
+    output_split_id: str
+
+
+def size_level(num_docs: int, min_level: int = MIN_LEVEL_NUM_DOCS) -> int:
+    """3×-log-scale level (merge_policy.rs:415-442): level 0 spans
+    [0, min_level), level 1 [min_level, 3*min_level), etc."""
+    level = 0
+    bound = min_level
+    while num_docs >= bound:
+        level += 1
+        bound *= 3
+    return level
+
+
+def build_merge_operations(
+    splits: list[SplitMetadata], config: IndexConfig, min_level: int = MIN_LEVEL_NUM_DOCS
+) -> list[MergeOperation]:
+    """The planner: pure function catalog rows → merge ops."""
+    young = [s for s in splits if s.num_docs < config.split_num_docs_target]
+    by_level: dict[int, list[SplitMetadata]] = {}
+    for s in young:
+        by_level.setdefault(size_level(s.num_docs, min_level), []).append(s)
+    ops = []
+    for level in sorted(by_level):
+        group = sorted(by_level[level], key=lambda s: (s.create_seq, s.split_id))
+        while len(group) >= config.merge_factor:
+            take = group[: config.max_merge_factor]
+            # stay under the mature-split target
+            while len(take) > config.merge_factor and sum(s.num_docs for s in take) > config.split_num_docs_target:
+                take = take[:-1]
+            group = group[len(take) :]
+            ops.append(
+                MergeOperation(
+                    [s.split_id for s in take],
+                    f"m-{uuid.uuid4().hex[:12]}",
+                )
+            )
+    return ops
+
+
+def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (field, term) across input splits → final merged posting row.
+    Input rows carry `ord` (split order) and `offset` (docID base)."""
+    pdf = pdf.sort_values("ord")
+    docs, tfs, lens, poss = [], [], [], []
+    want_pos = any(p is not None for p in pdf["positions"])
+    for r in pdf.itertuples(index=False):
+        d, t = decode_postings(r.blob)
+        docs.append(d.astype(np.int64) + int(r.offset))
+        tfs.append(t)
+        lens.append(decode_u32_column(r.lens))
+        if want_pos:
+            poss.append(decode_positions(r.positions, t))
+    d = np.concatenate(docs)
+    t = np.concatenate(tfs)
+    ln = np.concatenate(lens)
+    blob, last_doc, max_tf = encode_postings(d.astype(np.uint32), t)
+    min_len = np.minimum.reduceat(ln, np.arange(0, len(d), BLOCK))
+    positions = encode_positions(np.concatenate(poss), t) if want_pos else None
+    return pd.DataFrame(
+        [
+            (
+                pdf["out_split"].iloc[0],
+                pdf["field"].iloc[0],
+                pdf["term"].iloc[0],
+                int(len(d)),
+                int(t.sum()),
+                blob,
+                positions,
+                encode_u32_column(ln),
+                last_doc.astype(np.int64).tolist(),
+                max_tf.astype(np.int64).tolist(),
+                min_len.astype(np.int64).tolist(),
+            )
+        ],
+        columns=[
+            "split_id", "field", "term", "doc_freq", "total_tf", "blob",
+            "positions", "lens", "block_last_doc", "block_max_tf", "block_min_len",
+        ],
+    )
+
+
+def execute_merge(
+    spark: SparkSession, index_dir: str, op: MergeOperation, cat: Catalog | None = None
+) -> SplitMetadata:
+    """MergeExecutor::process_merge analog: k splits → 1, atomic replace."""
+    cat = cat or Catalog(index_dir)
+    config = IndexConfig.from_dict(cat.config_dict)
+    paths = _paths(index_dir)
+    metas = {s.split_id: s for s in cat.splits([PUBLISHED])}
+    inputs = [metas[sid] for sid in op.split_ids]
+    out_sid = op.output_split_id
+
+    # additive docID offsets in split order (merge_executor.rs doc mapping)
+    offsets: dict[str, int] = {}
+    acc = 0
+    for s in inputs:
+        offsets[s.split_id] = acc
+        acc += s.num_docs
+    ord_map = {s.split_id: i for i, s in enumerate(inputs)}
+
+    def read_split_dirs(table: str):
+        dirs = [os.path.join(paths[table], f"split_id={sid}") for sid in op.split_ids]
+        return spark.read.option("basePath", paths[table]).parquet(*dirs)
+
+    off_expr = F.coalesce(
+        *[F.when(F.col("split_id") == sid, F.lit(off)) for sid, off in offsets.items()]
+    ) if len(offsets) > 1 else F.lit(0)
+    ord_expr = F.coalesce(
+        *[F.when(F.col("split_id") == sid, F.lit(o)) for sid, o in ord_map.items()]
+    ) if len(ord_map) > 1 else F.lit(0)
+
+    # --- docs: remap doc_id, rewrite under the new split dir ---------------
+    docs = read_split_dirs("docs")
+    (
+        docs.withColumn("doc_id", F.col("doc_id") + off_expr)
+        .drop("split_id")
+        .sort("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(paths["docs"], f"split_id={out_sid}"))
+    )
+
+    # --- postings: k-way merge per (field, term) ----------------------------
+    postings = (
+        read_split_dirs("postings")
+        .withColumn("offset", off_expr)
+        .withColumn("ord", ord_expr)
+        .withColumn("out_split", F.lit(out_sid))
+    )
+    merged = postings.groupBy("field", "term").applyInPandas(_merge_term_group, POSTINGS_SCHEMA)
+    (
+        merged.drop("split_id")
+        .repartition(1)
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(paths["postings"], f"split_id={out_sid}"))
+    )
+
+    # --- fastfields: re-base segments (no repack needed) --------------------
+    ff = read_split_dirs("fastfields")
+    seg_off = F.coalesce(
+        *[F.when(F.col("split_id") == sid, F.lit(i * 1_000_000)) for sid, i in ord_map.items()]
+    ) if len(ord_map) > 1 else F.lit(0)
+    (
+        ff.withColumn("base_doc", F.col("base_doc") + off_expr)
+        .withColumn("seg_id", F.col("seg_id") + seg_off)
+        .drop("split_id")
+        .sort("seg_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(paths["fastfields"], f"split_id={out_sid}"))
+    )
+
+    # --- metadata + atomic replace ------------------------------------------
+    tags = sorted(set().union(*[set(s.tags) for s in inputs])) if inputs else []
+    len_sums: dict[str, int] = {}
+    for s in inputs:
+        for f_, v in s.field_len_sums.items():
+            len_sums[f_] = len_sums.get(f_, 0) + v
+    meta = SplitMetadata(
+        split_id=out_sid,
+        num_docs=sum(s.num_docs for s in inputs),
+        ts_min=min(s.ts_min for s in inputs),
+        ts_max=max(s.ts_max for s in inputs),
+        tags=tags,
+        num_merge_ops=max(s.num_merge_ops for s in inputs) + 1,
+        field_len_sums=len_sums,
+        metrics={"merged_from": op.split_ids},
+    )
+    cat.stage_split(meta)
+    cat.replace_splits([out_sid], op.split_ids)
+    return meta
+
+
+def run_merge_pipeline(spark: SparkSession, index_dir: str, max_rounds: int = 10) -> list[SplitMetadata]:
+    """MergePlanner loop: plan → execute until no more candidates
+    (indexing_pipeline.rs:202-350 analog)."""
+    produced = []
+    for _ in range(max_rounds):
+        cat = Catalog(index_dir)
+        config = IndexConfig.from_dict(cat.config_dict)
+        ops = build_merge_operations(cat.splits([PUBLISHED]), config)
+        if not ops:
+            break
+        for op in ops:
+            produced.append(execute_merge(spark, index_dir, op, cat))
+    return produced
+
+
+def garbage_collect(index_dir: str) -> list[str]:
+    """Delete data of MarkedForDeletion splits + drop their catalog rows
+    (garbage_collection.rs:34,76,156 analog)."""
+    cat = Catalog(index_dir)
+    dead = [s.split_id for s in cat.splits([MARKED_FOR_DELETION])]
+    paths = _paths(index_dir)
+    for sid in dead:
+        for table in paths.values():
+            d = os.path.join(table, f"split_id={sid}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+    cat.delete_splits(dead)
+    return dead

@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k, fully JVM-side: the dot
+  product is ``aggregate(zip_with(a, b, *), sum)`` (whole-stage codegen, no
+  Python), ranking via a window.  The correctness baseline; O(Q×N) — fine
+  when the query side is small and broadcast.
+* ``lsh_topk`` — random-hyperplane LSH bucketing: sign-bit sketch from a
+  seeded plane matrix (deterministic, no wall-clock), candidates restricted
+  to multiprobe-adjacent buckets, then exact cosine within candidates.  The
+  scale path: candidate generation is an equality join on bucket id, so the
+  shuffle is linear in rows×probes instead of Q×N.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_col(vec: str):
+    return F.sqrt(
+        F.aggregate(F.col(vec), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
+    neighbor_id asc (deterministic).  Self-matches (same id) excluded.
+    The query side is broadcast — at scale that is the right plan for a
+    bounded query batch against a huge corpus (no corpus shuffle at all)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = (_dot(F.col("qv"), F.col("cv")) / (_norm_col("qv") * _norm_col("cv"))).alias("cosine")
+    scored = joined.select("query_id", "neighbor_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def brute_force_topk_oracle_sql(table: str, k: int, n_queries: int) -> str:
+    """DuckDB twin: zipped-unnest dot product in double precision, identical
+    tie-break."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {table} WHERE vec_id < {n_queries}),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.qv) AS x, unnest(c.embedding) AS y)) /
+         (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(q.qv) AS x))) *
+          sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM (SELECT unnest(c.embedding) AS y))))
+         AS cosine
+  FROM {table} c, q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray):
+    """Sign-bit bucket id from literal plane arrays (pure codegen exprs)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        d = _dot(F.col(vec_col), plane)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 10,
+    seed: int = 42,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane buckets + multiprobe
+    (each query also probes buckets at Hamming distance <= multiprobe by
+    flipping one bit), exact cosine inside the candidate set.
+
+    Output schema matches brute_force_topk; recall < 1 by design (the
+    approximate scale path — benchmarked against brute force in tests)."""
+    planes = random_planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    probes = [q0]
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.append(
+                q0.withColumn("bucket", F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long"))
+            )
+    q = probes[0]
+    for p in probes[1:]:
+        q = q.unionByName(p)
+    cand = c.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = (_dot(F.col("qv"), F.col("cv")) / (_norm_col("qv") * _norm_col("cv"))).alias("cosine")
+    scored = cand.select("query_id", "neighbor_id", cos).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
+    Exact all-pairs — at scale swap the self-join for lsh bucketing first."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = (_dot(F.col("va"), F.col("vb")) / (_norm_col("va") * _norm_col("vb"))).alias("cosine")
+    return (
+        joined.select("id_a", "id_b", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,542 @@
+"""Distributed search path — the Spark-native analog of the reference's
+root/leaf search (quickwit-search/src/root.rs, leaf.rs, collector.rs).
+
+Plan shape (mirrors SURVEY.md §3.1, re-expressed for Catalyst):
+
+1. **Plan / prune** (list_relevant_splits analog, lib.rs:129-149): the split
+   catalog is filtered driver-side by state=Published, time-range overlap
+   and the tag predicate extracted from the query AST
+   (tag_pruning.rs:47-51).  Only surviving split dirs are ever read —
+   parquet partition pruning on ``split_id`` does the rest.
+
+2. **Warmup analog** (leaf.rs:125-193): the postings scan is filtered to
+   exactly the query's (field, term) pairs; with postings files sorted by
+   (field, term), Parquet row-group stats skip everything else.  Spark's
+   column pruning reads only the needed blob columns.
+
+3. **Leaf search** (leaf.rs:237-285 / collector.rs): a cogrouped
+   ``applyInPandas`` over ``split_id`` joins the term postings with the
+   split's fast-field blobs and runs the vectorized scorer: boolean set ops
+   on decoded doc arrays (AND = sorted intersect with block skips, OR =
+   union, NOT = setdiff), phrase verification via positions, per-doc
+   timestamp filtering with whole-segment skips (filters.rs:64-66 analog),
+   BM25 scoring with *global* collection stats, block-max WAND pruning for
+   single-term queries, and per-split top-(offset+k) selection — the
+   offset-rewrite of root.rs:286-301.
+
+4. **Root merge** (merge_fruits analog, collector.rs:283-302): a global
+   ``orderBy(...).offset(offset).limit(k)`` over the tiny per-split top-k
+   union — Catalyst's TakeOrderedAndProject.
+
+5. **Fetch docs** (fetch_docs.rs analog): broadcast-join the winners back
+   to the docs table (partition-pruned to the winning splits).
+
+At 100 TB the only data-sized work is step 3, which reads a few posting
+rows per split; everything the driver touches is O(splits + k).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.bm25 import idf as bm25_idf
+from ..functions.bm25 import tf_norm
+from ..functions.codec import decode_blocks, decode_positions, decode_postings, decode_u32_column
+from ..index.catalog import Catalog, SplitMetadata
+from .parser import (
+    BoolQuery,
+    PhraseQuery,
+    TermQuery,
+    collect_terms,
+    extract_tag_predicate,
+    parse_query,
+    positive_terms,
+)
+from .request import SearchRequest
+
+HITS_SCHEMA = "split_id string, doc_id long, score double, sort_value long, split_num_hits long"
+
+
+@dataclass
+class SearchResponse:
+    num_hits: int
+    hits: list[dict]
+    elapsed_time_micros: int
+
+
+def open_index(spark: SparkSession, index_dir: str) -> tuple[Catalog, IndexConfig]:
+    cat = Catalog(index_dir)
+    return cat, IndexConfig.from_dict(cat.config_dict)
+
+
+def prune_splits(
+    cat: Catalog, config: IndexConfig, ast, request: SearchRequest
+) -> list[SplitMetadata]:
+    """Driver-side split pruning: time-range overlap (lib.rs:100-119) + tag
+    predicate (tag_pruning.rs) over the published-split catalog."""
+    splits = cat.splits()
+    lo, hi = request.start_timestamp, request.end_timestamp
+    if lo is not None:
+        splits = [s for s in splits if s.ts_max is None or s.ts_max >= lo]
+    if hi is not None:
+        splits = [s for s in splits if s.ts_min is None or s.ts_min < hi]
+    pred = extract_tag_predicate(ast, config.tag_fields)
+    return [s for s in splits if pred(set(s.tags), bool(s.tags))]
+
+
+def global_term_stats(
+    spark: SparkSession, index_dir: str, cat: Catalog, terms: set[tuple[str, str]]
+) -> dict:
+    """Whole-index collection stats for BM25: N, per-field avg_len (from the
+    catalog) and global doc_freq per (field, term) — one tiny aggregate over
+    the term-dictionary rows of all published splits."""
+    stats = cat.global_stats()
+    df_map: dict[tuple[str, str], int] = {t: 0 for t in terms}
+    if terms:
+        published = [s.split_id for s in cat.splits()]
+        if published:
+            cond = None
+            for f_, t_ in terms:
+                c = (F.col("field") == f_) & (F.col("term") == t_)
+                cond = c if cond is None else (cond | c)
+            rows = (
+                spark.read.parquet(f"{index_dir}/postings")
+                .filter(F.col("split_id").isin(published))
+                .filter(cond)
+                .groupBy("field", "term")
+                .agg(F.sum("doc_freq").alias("df"))
+                .collect()
+            )
+            for r in rows:
+                df_map[(r["field"], r["term"])] = int(r["df"])
+    return {"num_docs": stats["num_docs"], "avg_len": stats["avg_len"], "df": df_map}
+
+
+# ---------------------------------------------------------------------------
+# the per-split scorer (runs inside applyInPandas — pure numpy)
+# ---------------------------------------------------------------------------
+
+
+class _SplitPostings:
+    """Decoded-on-demand posting lists of one split for the query terms."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self.rows = {}
+        for r in pdf.itertuples(index=False):
+            self.rows[(r.field, r.term)] = r
+        self._cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+
+    def has(self, key) -> bool:
+        return key in self.rows
+
+    def full(self, key) -> tuple[np.ndarray, np.ndarray]:
+        if key not in self._cache:
+            r = self.rows.get(key)
+            if r is None:
+                self._cache[key] = (np.empty(0, np.uint32), np.empty(0, np.uint32))
+            else:
+                self._cache[key] = decode_postings(r.blob)
+        return self._cache[key]
+
+    def candidates_only(self, key, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode only the blocks that can contain candidate docs — the
+        skip-pointer path (tantivy skip list analog, SURVEY.md §2.7)."""
+        if key in self._cache:
+            return self._cache[key]
+        r = self.rows.get(key)
+        if r is None or len(cand) == 0:
+            return np.empty(0, np.uint32), np.empty(0, np.uint32)
+        last_doc = np.asarray(r.block_last_doc, np.int64)
+        blocks = np.unique(np.searchsorted(last_doc, cand))
+        blocks = blocks[blocks < len(last_doc)]
+        if len(blocks) * 2 >= len(last_doc):
+            return self.full(key)
+        return decode_blocks(r.blob, last_doc.astype(np.uint32), blocks)
+
+    def positions_for(self, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, flat positions) for phrase verification."""
+        r = self.rows.get(key)
+        if r is None or r.positions is None:
+            d, t = self.full(key)
+            return d, t, np.empty(0, np.uint32)
+        d, t = self.full(key)
+        return d, t, decode_positions(r.positions, t)
+
+
+def _intersect_with_tfs(base: np.ndarray, postings: _SplitPostings, key) -> np.ndarray:
+    d, _ = postings.candidates_only(key, base)
+    return base[np.isin(base, d, assume_unique=True)]
+
+
+def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
+    """Boolean evaluation → sorted unique doc_id array."""
+    if isinstance(node, TermQuery):
+        return postings.full((node.field, node.term))[0].astype(np.int64)
+    if isinstance(node, PhraseQuery):
+        return _eval_phrase(node, postings)
+    assert isinstance(node, BoolQuery)
+    acc: np.ndarray | None = None
+    if node.must:
+        # smallest doc_freq first (cheapest driver of the intersection)
+        def est(c):
+            if isinstance(c, TermQuery) and postings.has((c.field, c.term)):
+                return postings.rows[(c.field, c.term)].doc_freq
+            return 1 << 60
+
+        for c in sorted(node.must, key=est):
+            if acc is None:
+                acc = _eval_node(c, postings)
+            elif len(acc) == 0:
+                return acc
+            elif isinstance(c, TermQuery):
+                # skip-aware: decode only blocks overlapping current candidates
+                d, _ = postings.candidates_only((c.field, c.term), acc)
+                acc = acc[np.isin(acc, d.astype(np.int64), assume_unique=True)]
+            else:
+                acc = np.intersect1d(acc, _eval_node(c, postings), assume_unique=True)
+    if node.should:
+        u = np.unique(np.concatenate([_eval_node(c, postings) for c in node.should]))
+        acc = u if acc is None else np.intersect1d(acc, u, assume_unique=True)
+    if acc is None:
+        acc = np.empty(0, np.int64)
+    for c in node.must_not:
+        if len(acc) == 0:
+            break
+        acc = np.setdiff1d(acc, _eval_node(c, postings), assume_unique=True)
+    return acc
+
+
+def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
+    keys = [(node.field, t) for t in node.terms]
+    decoded = [postings.positions_for(k) for k in keys]
+    if any(len(d[0]) == 0 for d in decoded):
+        return np.empty(0, np.int64)
+    cand = decoded[0][0].astype(np.int64)
+    for d, _, _ in decoded[1:]:
+        cand = cand[np.isin(cand, d.astype(np.int64), assume_unique=True)]
+        if len(cand) == 0:
+            return cand
+    # adjacency check per candidate: positions of term i must contain p0+i
+    # build per-doc position sets lazily for candidates only
+    pos_maps = []
+    for d, t, p in decoded:
+        starts = np.concatenate(([0], np.cumsum(t.astype(np.int64))[:-1]))
+        idx = {int(doc): (int(s), int(s + n)) for doc, s, n in zip(d, starts, t)}
+        pos_maps.append((idx, p))
+    out = []
+    for doc in cand:
+        idx0, p0 = pos_maps[0]
+        s, e = idx0[int(doc)]
+        base_positions = p0[s:e]
+        ok = False
+        for bp in base_positions:
+            hit = True
+            for i in range(1, len(decoded)):
+                idxi, pi = pos_maps[i]
+                s2, e2 = idxi[int(doc)]
+                seg = pi[s2:e2]
+                j = np.searchsorted(seg, bp + i)
+                if j >= len(seg) or seg[j] != bp + i:
+                    hit = False
+                    break
+            if hit:
+                ok = True
+                break
+        if ok:
+            out.append(doc)
+    return np.array(out, np.int64)
+
+
+def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND for a single-term query: decode blocks in descending
+    score-upper-bound order, stop once the running k-th best score beats the
+    next block's bound (SURVEY.md §2.7 block-max WAND; here the bound is
+    idf * tf_norm(block_max_tf, block_min_len), exact because tf_norm is
+    increasing in tf and decreasing in doc length)."""
+    last_doc = np.asarray(row.block_last_doc, np.int64)
+    bmax_tf = np.asarray(row.block_max_tf, np.int64)
+    bmin_len = np.maximum(np.asarray(row.block_min_len, np.int64), 1)
+    avg = gstats["avg_len"].get(field, 1.0) or 1.0
+    term_idf = bm25_idf(gstats["df"].get((field, term), row.doc_freq), gstats["num_docs"])
+    bounds = term_idf * tf_norm(bmax_tf.astype(np.float64), bmin_len, avg)
+    order = np.argsort(-bounds)
+    got_docs, got_scores = [], []
+    threshold = -np.inf
+    n_collected = 0
+    for rank, b in enumerate(order):
+        if n_collected >= n_top and bounds[b] <= threshold:
+            break
+        d, t = decode_blocks(row.blob, np.asarray(row.block_last_doc, np.uint32), np.array([b]))
+        dl = lens[d.astype(np.int64)]
+        sc = term_idf * tf_norm(t, dl, avg)
+        got_docs.append(d.astype(np.int64))
+        got_scores.append(sc)
+        n_collected += len(d)
+        if n_collected >= n_top:
+            allscores = np.concatenate(got_scores)
+            if len(allscores) >= n_top:
+                threshold = np.partition(allscores, -n_top)[-n_top]
+    return np.concatenate(got_docs), np.concatenate(got_scores)
+
+
+def make_split_scorer(
+    config: IndexConfig, gstats: dict, ast, request: SearchRequest, mode: str = "topk"
+):
+    """Build the cogrouped scorer function.  mode: 'topk' (per-split top
+    offset+max_hits) or 'stream' (emit every matching doc — the search-stream
+    fast-field export path, search_stream/leaf.rs analog)."""
+    n_top = request.start_offset + request.max_hits
+    pos_terms = sorted(positive_terms(ast))
+    ts_lo, ts_hi = request.start_timestamp, request.end_timestamp
+    sort_field = request.sort_by_field
+    single_term_wand = (
+        mode == "topk"
+        and sort_field is None
+        and ts_lo is None
+        and ts_hi is None
+        and isinstance(ast, TermQuery)
+    )
+
+    def score_split(key, postings_pdf: pd.DataFrame, ff_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "split_id": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.float64),
+                "sort_value": pd.Series(dtype=np.int64),
+                "split_num_hits": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(ff_pdf) == 0:
+            return empty
+        split_id = key[0]
+        ff_pdf = ff_pdf.sort_values("seg_id")
+        num_docs_split = int(ff_pdf["num_docs"].sum())
+        # fast fields: exact doc lengths (fieldnorm analog) + timestamps
+        lens = np.concatenate(
+            [decode_u32_column(b) for b in ff_pdf["doc_lens"]]
+        ).astype(np.int64)
+        postings = _SplitPostings(postings_pdf)
+
+        if single_term_wand and postings.has((ast.field, ast.term)):
+            docs, scores = _wand_single_term(
+                postings.rows[(ast.field, ast.term)], gstats, ast.field, ast.term, lens, n_top
+            )
+            num_hits = int(postings.rows[(ast.field, ast.term)].doc_freq)
+        else:
+            docs = _eval_node(ast, postings)
+            if len(docs) and (ts_lo is not None or ts_hi is not None):
+                docs = _ts_filter(docs, ff_pdf, ts_lo, ts_hi)
+            num_hits = len(docs)
+            if num_hits == 0:
+                return empty
+            scores = np.zeros(len(docs), np.float64)
+            for field, term in pos_terms:
+                d, t = postings.candidates_only((field, term), docs)
+                if len(d) == 0:
+                    continue
+                d = d.astype(np.int64)
+                member = np.isin(docs, d, assume_unique=True)
+                pos_in_d = np.searchsorted(d, docs[member])
+                tf = t[pos_in_d].astype(np.float64)
+                if field == "text":
+                    dl = lens[docs[member]]
+                else:
+                    dl = np.ones(member.sum(), np.int64)  # raw fields: len 1
+                avg = gstats["avg_len"].get(field, 1.0) or 1.0
+                term_idf = bm25_idf(gstats["df"].get((field, term), 0), gstats["num_docs"])
+                scores[member] += term_idf * tf_norm(tf, dl, avg)
+
+        if len(docs) == 0:
+            return empty
+
+        if sort_field is not None:
+            sv = _fast_field_values(sort_field, ff_pdf, lens, docs)
+        else:
+            sv = np.zeros(len(docs), np.int64)
+
+        if mode == "stream":
+            take = np.arange(len(docs))
+        elif sort_field is not None:
+            sgn = 1 if request.sort_asc else -1
+            take = np.lexsort((docs, sgn * sv))[:n_top]
+        else:
+            take = np.lexsort((docs, -scores))[:n_top]
+        return pd.DataFrame(
+            {
+                "split_id": split_id,
+                "doc_id": docs[take],
+                "score": scores[take],
+                "sort_value": sv[take],
+                "split_num_hits": num_hits,
+            }
+        )
+
+    return score_split
+
+
+def _ts_filter(docs: np.ndarray, ff_pdf: pd.DataFrame, lo, hi) -> np.ndarray:
+    """Per-doc timestamp filter with whole-segment skip (filters.rs:64-66,
+    92-97 analog): a segment fully inside the range is accepted without
+    decoding its ts column; fully outside is rejected wholesale."""
+    keep_parts = []
+    for r in ff_pdf.itertuples(index=False):
+        base, n = int(r.base_doc), int(r.num_docs)
+        seg_docs = docs[(docs >= base) & (docs < base + n)]
+        if len(seg_docs) == 0:
+            continue
+        inside_lo = lo is None or r.ts_min >= lo
+        inside_hi = hi is None or r.ts_max < hi
+        if inside_lo and inside_hi:
+            keep_parts.append(seg_docs)
+            continue
+        outside = (lo is not None and r.ts_max < lo) or (hi is not None and r.ts_min >= hi)
+        if outside:
+            continue
+        ts = decode_u32_column(r.ts).astype(np.int64)
+        vals = ts[seg_docs - base]
+        m = np.ones(len(seg_docs), bool)
+        if lo is not None:
+            m &= vals >= lo
+        if hi is not None:
+            m &= vals < hi
+        keep_parts.append(seg_docs[m])
+    if not keep_parts:
+        return np.empty(0, np.int64)
+    return np.concatenate(keep_parts)
+
+
+def _fast_field_values(field: str, ff_pdf: pd.DataFrame, lens: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    if field == "doc_len":
+        return lens[docs]
+    if field == "ts":
+        ts = np.concatenate([decode_u32_column(b) for b in ff_pdf["ts"]]).astype(np.int64)
+        return ts[docs]
+    raise ValueError(f"unsupported sort fast field: {field}")
+
+
+# ---------------------------------------------------------------------------
+# root search
+# ---------------------------------------------------------------------------
+
+
+def _leaf_hits_df(
+    spark: SparkSession, index_dir: str, request: SearchRequest, mode: str = "topk"
+) -> tuple[DataFrame, list[SplitMetadata], object, IndexConfig]:
+    cat, config = open_index(spark, index_dir)
+    ast = parse_query(request.query, config, request.search_fields)
+    splits = prune_splits(cat, config, ast, request)
+    terms = collect_terms(ast)
+    gstats = global_term_stats(spark, index_dir, cat, terms)
+    if not splits:
+        empty = spark.createDataFrame([], HITS_SCHEMA)
+        return empty, splits, ast, config
+
+    sids = [s.split_id for s in splits]
+    cond = None
+    for f_, t_ in terms:
+        c = (F.col("field") == f_) & (F.col("term") == t_)
+        cond = c if cond is None else (cond | c)
+    needed = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("split_id").isin(sids))
+        .filter(cond if cond is not None else F.lit(False))
+    )
+    ff = spark.read.parquet(f"{index_dir}/fastfields").filter(F.col("split_id").isin(sids))
+    scorer = make_split_scorer(config, gstats, ast, request, mode)
+    hits = (
+        needed.groupBy("split_id")
+        .cogroup(ff.groupBy("split_id"))
+        .applyInPandas(scorer, HITS_SCHEMA)
+    )
+    return hits, splits, ast, config
+
+
+def _order_cols(request: SearchRequest):
+    if request.sort_by_field is not None:
+        lead = F.col("sort_value").asc() if request.sort_asc else F.col("sort_value").desc()
+        return [lead, F.col("split_id").asc(), F.col("doc_id").asc()]
+    if request.tiebreak == "global_key":
+        return [F.col("score").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()]
+    # reference merge order: (Reverse(sort_value), split_id, doc_id), lib.rs:93-98
+    return [F.col("score").desc(), F.col("split_id").asc(), F.col("doc_id").asc()]
+
+
+def search_df(spark: SparkSession, index_dir: str, request: SearchRequest) -> DataFrame:
+    """Full search as a DataFrame of hits joined back to the doc store:
+    columns (conv_id, turn_idx, role, text, tool, ts_epoch, split_id,
+    doc_id, score), globally ordered and offset/limited."""
+    hits, splits, ast, config = _leaf_hits_df(spark, index_dir, request)
+    sids = [s.split_id for s in splits]
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    if sids:
+        docs = docs.filter(F.col("split_id").isin(sids))
+    fetched = docs.join(F.broadcast(hits), ["split_id", "doc_id"])
+    ordered = fetched.orderBy(*_order_cols(request))
+    if request.start_offset:
+        ordered = ordered.offset(request.start_offset)
+    return ordered.limit(request.max_hits).select(
+        "conv_id", "turn_idx", "role", "tool", "ts_epoch", "split_id", "doc_id", "score", "text"
+    )
+
+
+def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> SearchResponse:
+    """single_node_search analog (lib.rs:153-198): returns collected hits +
+    the total hit count (collector.rs:180-187)."""
+    t0 = time.monotonic()
+    hits, splits, ast, config = _leaf_hits_df(spark, index_dir, request)
+    hits = hits.persist()
+    try:
+        counts = hits.groupBy("split_id").agg(F.first("split_num_hits").alias("n")).collect()
+        num_hits = int(sum(r["n"] for r in counts))
+        sids = [s.split_id for s in splits]
+        docs = spark.read.parquet(f"{index_dir}/docs")
+        if sids:
+            docs = docs.filter(F.col("split_id").isin(sids))
+        fetched = docs.join(F.broadcast(hits), ["split_id", "doc_id"])
+        ordered = fetched.orderBy(*_order_cols(request))
+        if request.start_offset:
+            ordered = ordered.offset(request.start_offset)
+        rows = ordered.limit(request.max_hits).collect()
+    finally:
+        hits.unpersist()
+    out = [
+        {
+            "conv_id": r["conv_id"],
+            "turn_idx": r["turn_idx"],
+            "split_id": r["split_id"],
+            "doc_id": r["doc_id"],
+            "score": r["score"],
+            "sort_value": r["sort_value"],
+            "text": r["text"],
+        }
+        for r in rows
+    ]
+    return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
+
+
+def search_stream(
+    spark: SparkSession, index_dir: str, request: SearchRequest, fast_field: str
+) -> DataFrame:
+    """Search-stream fast-field export (search_stream/leaf.rs:71-255 analog):
+    the requested fast-field value of EVERY matching doc, no top-k."""
+    req = SearchRequest(
+        query=request.query,
+        max_hits=request.max_hits,
+        start_offset=0,
+        start_timestamp=request.start_timestamp,
+        end_timestamp=request.end_timestamp,
+        search_fields=request.search_fields,
+        sort_by_field=fast_field,
+    )
+    hits, splits, ast, config = _leaf_hits_df(spark, index_dir, req, mode="stream")
+    return hits.select(
+        "split_id", "doc_id", F.col("sort_value").alias(fast_field)
+    )

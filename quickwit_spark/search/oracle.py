@@ -1,0 +1,152 @@
+"""Pure-Python oracle index — the rank-identity reference for golden tests
+(FIXTURES.md F4).  Deliberately written with plain dicts/sets/lists — an
+independent implementation from the Spark executor (which works on decoded
+bitpacked blobs with numpy) so that agreement between the two is meaningful.
+BM25 is exact (k1=1.2, b=0.75, ln-idf; SURVEY.md §2.7) with exact doc
+lengths and *global* (whole-index) collection stats.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pandas as pd
+
+from ..config import IndexConfig
+from ..functions.bm25 import B, K1
+from ..functions.tokenizer import tokenize_text
+from .parser import BoolQuery, PhraseQuery, TermQuery, parse_query, positive_terms
+from .request import SearchRequest
+
+
+class OracleIndex:
+    """Brute-force in-memory index over the docs table of a built index
+    (or any frame with split_id, doc_id, conv_id, turn_idx, role, text,
+    tool, ts_epoch columns)."""
+
+    def __init__(self, docs: pd.DataFrame, config: IndexConfig):
+        self.config = config
+        self.docs = docs.reset_index(drop=True)
+        # postings[(field, term)] = {(split_id, doc_id): [positions]}
+        self.postings: dict[tuple[str, str], dict[tuple[str, int], list[int]]] = defaultdict(dict)
+        self.doc_lens: dict[str, dict[tuple[str, int], int]] = defaultdict(dict)
+        for row in self.docs.itertuples(index=False):
+            key = (row.split_id, int(row.doc_id))
+            for fm in config.indexed_text_fields:
+                val = getattr(row, fm.name)
+                if fm.tokenizer == "default":
+                    toks = tokenize_text(val if isinstance(val, str) else "")
+                    self.doc_lens[fm.name][key] = len(toks)
+                    for p, t in enumerate(toks):
+                        self.postings[(fm.name, t)].setdefault(key, []).append(p)
+                else:
+                    if isinstance(val, str) and val != "":
+                        self.doc_lens[fm.name][key] = 1
+                        self.postings[(fm.name, val)].setdefault(key, []).append(0)
+                    else:
+                        self.doc_lens[fm.name][key] = 0
+        self.num_docs = len(self.docs)
+        self.avg_len = {
+            f: (sum(lens.values()) / self.num_docs if self.num_docs else 0.0)
+            for f, lens in self.doc_lens.items()
+        }
+        self.by_key = {
+            (row.split_id, int(row.doc_id)): row for row in self.docs.itertuples(index=False)
+        }
+
+    # -- boolean evaluation (plain sets) ---------------------------------
+    def _eval(self, node) -> set[tuple[str, int]]:
+        if isinstance(node, TermQuery):
+            return set(self.postings.get((node.field, node.term), {}))
+        if isinstance(node, PhraseQuery):
+            lists = [self.postings.get((node.field, t), {}) for t in node.terms]
+            if any(not d for d in lists):
+                return set()
+            candidates = set(lists[0])
+            for d in lists[1:]:
+                candidates &= set(d)
+            out = set()
+            for key in candidates:
+                first_positions = lists[0][key]
+                for p in first_positions:
+                    if all((p + i) in lists[i][key] for i in range(1, len(lists))):
+                        out.add(key)
+                        break
+            return out
+        assert isinstance(node, BoolQuery)
+        if node.must:
+            acc = self._eval(node.must[0])
+            for c in node.must[1:]:
+                acc &= self._eval(c)
+        elif node.should:
+            acc = set()
+        else:
+            acc = set()
+        if node.should:
+            sh = set()
+            for c in node.should:
+                sh |= self._eval(c)
+            acc = (acc & sh) if node.must else sh
+        for c in node.must_not:
+            acc -= self._eval(c)
+        return acc
+
+    def _idf(self, field: str, term: str) -> float:
+        df = len(self.postings.get((field, term), {}))
+        return math.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5))
+
+    def _score(self, key, terms: set[tuple[str, str]]) -> float:
+        s = 0.0
+        for field, term in terms:
+            plist = self.postings.get((field, term), {})
+            if key not in plist:
+                continue
+            tf = float(len(plist[key]))
+            dlen = float(self.doc_lens[field][key])
+            avg = self.avg_len[field]
+            s += self._idf(field, term) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dlen / avg))
+        return s
+
+    def search(self, request: SearchRequest) -> dict:
+        ast = parse_query(request.query, self.config, request.search_fields)
+        matched = self._eval(ast)
+        if request.start_timestamp is not None or request.end_timestamp is not None:
+            lo = request.start_timestamp
+            hi = request.end_timestamp
+            matched = {
+                k
+                for k in matched
+                if (lo is None or self.by_key[k].ts_epoch >= lo)
+                and (hi is None or self.by_key[k].ts_epoch < hi)
+            }
+        num_hits = len(matched)
+        if request.sort_by_field is not None:
+            keyed = [(getattr(self.by_key[k], request.sort_by_field), k) for k in matched]
+            sign = 1 if request.sort_asc else -1
+            ordered = sorted(keyed, key=lambda kv: (sign * kv[0], kv[1][0], kv[1][1]))
+            hits = [
+                {"split_id": k[0], "doc_id": k[1], "score": float(v)} for v, k in ordered
+            ]
+        else:
+            terms = positive_terms(ast)
+            scored = [(self._score(k, terms), k) for k in matched]
+            if request.tiebreak == "global_key":
+                ordered = sorted(
+                    scored,
+                    key=lambda sk: (
+                        -sk[0],
+                        self.by_key[sk[1]].conv_id,
+                        int(self.by_key[sk[1]].turn_idx),
+                    ),
+                )
+            else:
+                ordered = sorted(scored, key=lambda sk: (-sk[0], sk[1][0], sk[1][1]))
+            hits = [{"split_id": k[0], "doc_id": k[1], "score": s} for s, k in ordered]
+        lo, hi = request.start_offset, request.start_offset + request.max_hits
+        hits = hits[lo:hi]
+        for h in hits:
+            row = self.by_key[(h["split_id"], h["doc_id"])]
+            h["conv_id"] = row.conv_id
+            h["turn_idx"] = int(row.turn_idx)
+        return {"num_hits": num_hits, "hits": hits}

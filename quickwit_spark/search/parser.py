@@ -1,0 +1,314 @@
+"""Query parser — a small recursive-descent parser for the reference's query
+language (docs/reference/query-language.md:8-42; semantics frozen against
+quickwit-doc-mapper/src/query_builder.rs):
+
+* terms, quoted phrases, field-scoped clauses ``field:term`` /
+  ``field:(sub query)``, grouping parens
+* ``AND`` is the default conjunction for bare clause sequences
+  (query_builder.rs:47-48 sets default occur = Must)
+* ``OR`` binds looser than the implicit/explicit AND
+* ``NOT x`` / ``-x`` → must_not; ``+x`` → must (the default)
+* range queries ``[a TO b]`` are **rejected** (query_builder.rs:36-39,53-66)
+* default-field resolution: unscoped clauses search the request's
+  search_fields or the config's default_search_fields
+  (query_builder.rs:41-45,68-77)
+
+Query terms are analyzed with the target field's tokenizer at parse-bind
+time: a ``default``-tokenized field lowercases the term, and a multi-token
+query term (e.g. ``spark-sql``) becomes a phrase if positions are recorded,
+else a conjunction of its tokens.  ``raw`` fields match the exact value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..config import IndexConfig
+from ..functions.tokenizer import tokenize_text
+
+
+class QueryParserError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    field: str
+    term: str
+
+
+@dataclass(frozen=True)
+class PhraseQuery:
+    field: str
+    terms: tuple[str, ...]
+
+
+@dataclass
+class BoolQuery:
+    must: list = field(default_factory=list)
+    should: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+
+
+@dataclass(frozen=True)
+class _RawClause:
+    """Pre-binding clause: fieldless text until schema resolution."""
+    field: str | None
+    text: str
+    phrase: bool = False
+
+
+# -- lexer -------------------------------------------------------------------
+
+_SPECIAL = set('()"')
+
+
+def _lex(q: str) -> list[str]:
+    tokens: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            tokens.append(c)
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j == -1:
+                raise QueryParserError(f"unterminated phrase in query: {q!r}")
+            tokens.append(q[i : j + 1])
+            i = j + 1
+        elif c == "[" or c == "{":
+            raise QueryParserError(
+                f"range queries are not supported (reference query_builder.rs:36-39): {q!r}"
+            )
+        elif c in "+-" and (i + 1 < n and not q[i + 1].isspace()):
+            tokens.append(c)
+            i += 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in _SPECIAL:
+                # field:"phrase" — stop before the quote so it lexes separately
+                if q[j] == ":" and j + 1 < n and q[j + 1] == '"':
+                    j += 1
+                    break
+                j += 1
+            tokens.append(q[i:j])
+            i = j
+    return tokens
+
+
+# -- parser ------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse_query(self):
+        """query := and_group (OR and_group)*  — OR binds loosest."""
+        groups = [self.parse_and_group()]
+        while self.peek() == "OR":
+            self.next()
+            groups.append(self.parse_and_group())
+        if len(groups) == 1:
+            return groups[0]
+        return BoolQuery(should=groups)
+
+    def parse_and_group(self):
+        """and_group := (AND? signed_clause)+  — implicit AND = Must."""
+        node = BoolQuery()
+        first = True
+        while True:
+            t = self.peek()
+            if t is None or t == ")" or t == "OR":
+                break
+            if t == "AND":
+                if first:
+                    raise QueryParserError("query starts with AND")
+                self.next()
+                continue
+            sign, clause = self.parse_signed_clause()
+            if sign == "-":
+                node.must_not.append(clause)
+            else:
+                node.must.append(clause)
+            first = False
+        if not node.must and not node.must_not and not node.should:
+            raise QueryParserError("empty query group")
+        if not node.must and node.must_not:
+            raise QueryParserError("pure-negation query is not supported")
+        if len(node.must) == 1 and not node.must_not and not node.should:
+            return node.must[0]
+        return node
+
+    def parse_signed_clause(self):
+        t = self.peek()
+        if t == "NOT":
+            self.next()
+            _, clause = self.parse_signed_clause()
+            return "-", clause
+        if t in ("+", "-"):
+            self.next()
+            _, clause = self.parse_signed_clause()
+            return t, clause
+        return "+", self.parse_clause(None)
+
+    def parse_clause(self, bound_field: str | None):
+        t = self.next()
+        if t == "(":
+            inner = self.parse_query()
+            if self.peek() != ")":
+                raise QueryParserError("unbalanced parens")
+            self.next()
+            return inner if bound_field is None else _bind_field(inner, bound_field)
+        if t.startswith('"'):
+            return _RawClause(bound_field, t[1:-1], phrase=True)
+        if t.endswith(":") and bound_field is None:
+            fieldname = t[:-1]
+            if not fieldname:
+                raise QueryParserError("empty field name")
+            return self.parse_clause(fieldname)
+        if ":" in t and bound_field is None:
+            fieldname, text = t.split(":", 1)
+            if "[" in text or "{" in text:
+                raise QueryParserError("range queries are not supported")
+            return _RawClause(fieldname, text)
+        return _RawClause(bound_field, t)
+
+
+def _bind_field(node, fieldname: str):
+    if isinstance(node, _RawClause):
+        return _RawClause(fieldname, node.text, node.phrase)
+    if isinstance(node, BoolQuery):
+        return BoolQuery(
+            must=[_bind_field(c, fieldname) for c in node.must],
+            should=[_bind_field(c, fieldname) for c in node.should],
+            must_not=[_bind_field(c, fieldname) for c in node.must_not],
+        )
+    return node
+
+
+# -- schema binding ------------------------------------------------------------
+
+
+def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
+    """Bind raw clauses to schema fields, analyzing terms with the field's
+    tokenizer; expand unscoped clauses over the default search fields."""
+    if isinstance(node, BoolQuery):
+        return BoolQuery(
+            must=[_resolve(c, config, default_fields) for c in node.must],
+            should=[_resolve(c, config, default_fields) for c in node.should],
+            must_not=[_resolve(c, config, default_fields) for c in node.must_not],
+        )
+    assert isinstance(node, _RawClause)
+    if node.field is None:
+        if not default_fields:
+            raise QueryParserError("no default search field configured")
+        alts = [
+            _resolve(_RawClause(f, node.text, node.phrase), config, default_fields)
+            for f in default_fields
+        ]
+        return alts[0] if len(alts) == 1 else BoolQuery(should=alts)
+    fm = config.fields.get(node.field)
+    if fm is None:
+        raise QueryParserError(f"field does not exist in schema: {node.field}")
+    if fm.type != "text":
+        # numeric term query on i64 fast fields: exact value match
+        return TermQuery(node.field, node.text)
+    if fm.tokenizer == "raw":
+        return TermQuery(node.field, node.text)
+    toks = tokenize_text(node.text)
+    if not toks:
+        raise QueryParserError(f"query term analyzes to nothing: {node.text!r}")
+    if node.phrase or len(toks) > 1:
+        if len(toks) == 1:
+            return TermQuery(node.field, toks[0])
+        if fm.record != "position":
+            raise QueryParserError(
+                f"phrase query on field {node.field} requires record=position "
+                "(reference docs/reference/index-config.md:123-142)"
+            )
+        return PhraseQuery(node.field, tuple(toks))
+    return TermQuery(node.field, toks[0])
+
+
+def parse_query(
+    q: str, config: IndexConfig, search_fields: tuple[str, ...] | None = None
+):
+    """Parse + schema-bind a query string → TermQuery | PhraseQuery | BoolQuery."""
+    tokens = _lex(q)
+    if not tokens:
+        raise QueryParserError("empty query")
+    ast = _Parser(tokens).parse_query()
+    default_fields = tuple(search_fields) if search_fields else config.default_search_fields
+    return _resolve(ast, config, default_fields)
+
+
+def collect_terms(node) -> set[tuple[str, str]]:
+    """All (field, term) pairs referenced by the query (warmup analog —
+    exactly the posting lists the leaf search needs, leaf.rs:173-193)."""
+    out: set[tuple[str, str]] = set()
+    if isinstance(node, TermQuery):
+        out.add((node.field, node.term))
+    elif isinstance(node, PhraseQuery):
+        out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, BoolQuery):
+        for c in node.must + node.should + node.must_not:
+            out |= collect_terms(c)
+    return out
+
+
+def positive_terms(node) -> set[tuple[str, str]]:
+    """(field, term) pairs in non-negated positions — the ones BM25 scores."""
+    out: set[tuple[str, str]] = set()
+    if isinstance(node, TermQuery):
+        out.add((node.field, node.term))
+    elif isinstance(node, PhraseQuery):
+        out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, BoolQuery):
+        for c in node.must + node.should:
+            out |= positive_terms(c)
+    return out
+
+
+def extract_tag_predicate(node, tag_fields: tuple[str, ...]):
+    """Simplified tag-pruning AST (reference tag_pruning.rs:47-51,151-205):
+    returns a function(tags: set[str], has_tags: bool) -> bool deciding
+    whether a split may contain matches.  Clauses not scoped to a tag field
+    are 'uninformative' and collapse to True."""
+
+    def uninformative(_tags, _has):
+        return True
+
+    if isinstance(node, TermQuery):
+        if node.field in tag_fields:
+            marker = f"{node.field}!"
+            want = f"{node.field}:{node.term}"
+            return lambda tags, _has: (marker not in tags) or (want in tags)
+        return uninformative
+    if isinstance(node, PhraseQuery):
+        return uninformative
+    if isinstance(node, BoolQuery):
+        must_preds = [extract_tag_predicate(c, tag_fields) for c in node.must]
+        should_preds = [extract_tag_predicate(c, tag_fields) for c in node.should]
+
+        def pred(tags, has):
+            if must_preds and not all(p(tags, has) for p in must_preds):
+                return False
+            if should_preds and not any(p(tags, has) for p in should_preds):
+                return False
+            return True
+
+        return pred
+    return uninformative

@@ -1,0 +1,27 @@
+"""SearchRequest — the engine's analog of the reference SearchRequest proto
+(quickwit-proto/src/quickwit.rs:6-37; REST params docs/reference/rest-api.md:47-57).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SearchRequest:
+    query: str
+    max_hits: int = 10
+    start_offset: int = 0
+    # half-open [start, end) epoch-second range (reference lib.rs:100-119)
+    start_timestamp: int | None = None
+    end_timestamp: int | None = None
+    search_fields: tuple[str, ...] | None = None
+    # None → BM25 score (north rule); otherwise a fast field name
+    # (reference collector sorts by fast field / DocId, collector.rs:47-64)
+    sort_by_field: str | None = None
+    sort_asc: bool = False
+    # 'reference' → tie-break (sort desc, split_id asc, doc_id asc), the
+    # merge order of lib.rs:93-98; 'global_key' → tie-break on
+    # (conv_id, turn_idx) so results are split-layout independent (used for
+    # the DuckDB driver oracle where the SQL knows nothing about splits)
+    tiebreak: str = "reference"

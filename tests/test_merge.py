@@ -1,0 +1,151 @@
+"""Merge pipeline tests: policy leveling, k-way merge with docID remap,
+atomic replace, GC — and rank-identity of search before/after merging."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.fixtures.transcripts import generate_transcripts
+from quickwit_spark.functions.codec import decode_postings
+from quickwit_spark.functions.tokenizer import tokenize_text
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.index.catalog import MARKED_FOR_DELETION, PUBLISHED, Catalog, SplitMetadata
+from quickwit_spark.index.merge import (
+    build_merge_operations,
+    execute_merge,
+    garbage_collect,
+    run_merge_pipeline,
+    size_level,
+)
+from quickwit_spark.search.executor import search
+from quickwit_spark.search.oracle import OracleIndex
+from quickwit_spark.search.request import SearchRequest
+
+CFG = transcripts_config(
+    split_num_docs_target=2000, segment_num_docs_target=64, merge_factor=3, max_merge_factor=4
+)
+
+
+def test_size_levels():
+    assert size_level(0) == 0
+    assert size_level(99) == 0
+    assert size_level(100) == 1
+    assert size_level(299) == 1
+    assert size_level(300) == 2
+    assert size_level(900) == 3
+
+
+def _meta(sid, n, seq):
+    return SplitMetadata(split_id=sid, state=PUBLISHED, num_docs=n, ts_min=0, ts_max=1, create_seq=seq)
+
+
+def test_policy_merges_same_level_only():
+    splits = [_meta(f"s{i}", 150, i) for i in range(3)] + [_meta("big", 1500, 9)]
+    ops = build_merge_operations(splits, CFG)
+    assert len(ops) == 1
+    assert sorted(ops[0].split_ids) == ["s0", "s1", "s2"]
+
+
+def test_policy_respects_maturity():
+    splits = [_meta(f"s{i}", 2500, i) for i in range(5)]  # all >= target → mature
+    assert build_merge_operations(splits, CFG) == []
+
+
+def test_policy_merge_factor_bounds():
+    splits = [_meta(f"s{i}", 150, i) for i in range(9)]
+    ops = build_merge_operations(splits, CFG)
+    # 9 splits, max factor 4 → ops of 4 + 4 (leftover 1 waits)
+    assert [len(o.split_ids) for o in ops] == [4, 4]
+    # oldest first within the level
+    assert ops[0].split_ids == ["s0", "s1", "s2", "s3"]
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, tmp_path_factory):
+    pdf = generate_transcripts(n_conversations=50, seed=7)
+    index_dir = str(tmp_path_factory.mktemp("merge-idx"))
+    cfg = transcripts_config(
+        split_num_docs_target=5000,  # every small split immature → mergeable
+        segment_num_docs_target=64,
+        merge_factor=3,
+        max_merge_factor=4,
+    )
+    build_index(spark, spark.createDataFrame(pdf), cfg, index_dir, n_splits=6)
+    produced = run_merge_pipeline(spark, index_dir)
+    return index_dir, cfg, pdf, produced
+
+
+def test_merge_end_to_end(spark, merged_index):
+    index_dir, cfg, pdf, produced = merged_index
+    assert produced, "expected at least one merge op"
+    cat = Catalog(index_dir)
+    pub = cat.splits([PUBLISHED])
+    assert sum(s.num_docs for s in pub) == len(pdf)
+    assert any(s.num_merge_ops >= 1 for s in pub)
+    # merged postings match a brute-force recount
+    merged_sid = produced[-1].split_id
+    if any(s.split_id == merged_sid for s in pub):
+        docs = (
+            spark.read.parquet(f"{index_dir}/docs")
+            .filter(F.col("split_id") == merged_sid)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        # docIDs dense after remap
+        assert list(docs["doc_id"]) == list(range(len(docs)))
+        postings = (
+            spark.read.parquet(f"{index_dir}/postings")
+            .filter((F.col("split_id") == merged_sid) & (F.col("field") == "text"))
+            .toPandas()
+        )
+        expected: dict[str, dict[int, int]] = {}
+        for r in docs.itertuples(index=False):
+            for tok in tokenize_text(r.text):
+                expected.setdefault(tok, {})
+                expected[tok][r.doc_id] = expected[tok].get(r.doc_id, 0) + 1
+        assert set(postings["term"]) == set(expected)
+        for r in postings.itertuples(index=False):
+            d, t = decode_postings(r.blob)
+            exp = expected[r.term]
+            assert list(d) == sorted(exp)
+            assert list(t) == [exp[k] for k in sorted(exp)]
+
+
+def test_search_after_merge_matches_oracle(spark, merged_index):
+    index_dir, cfg, pdf, _ = merged_index
+    docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+    # drop rows of dead splits (docs dir still holds MarkedForDeletion data pre-GC)
+    cat = Catalog(index_dir)
+    live = {s.split_id for s in cat.splits([PUBLISHED])}
+    docs = docs[docs["split_id"].isin(live)]
+    oracle = OracleIndex(docs, cfg)
+    for q in ["error", "deploy failure", "the OR deploy", "role:assistant error"]:
+        req = SearchRequest(q, max_hits=10)
+        resp = search(spark, index_dir, req)
+        exp = oracle.search(req)
+        assert resp.num_hits == exp["num_hits"], q
+        assert [(h["split_id"], h["doc_id"]) for h in resp.hits] == [
+            (h["split_id"], h["doc_id"]) for h in exp["hits"]
+        ], q
+        for g, w in zip(resp.hits, exp["hits"]):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-6)
+
+
+def test_gc(spark, merged_index):
+    index_dir, *_ = merged_index
+    cat = Catalog(index_dir)
+    dead = [s.split_id for s in cat.splits([MARKED_FOR_DELETION])]
+    assert dead
+    removed = garbage_collect(index_dir)
+    assert set(removed) == set(dead)
+    cat2 = Catalog(index_dir)
+    assert cat2.splits([MARKED_FOR_DELETION]) == []
+    # data files gone
+    import os
+
+    for sid in dead:
+        assert not os.path.exists(f"{index_dir}/docs/split_id={sid}")
+    # search still works post-GC
+    resp = search(spark, index_dir, SearchRequest("error"))
+    assert resp.num_hits >= 0

@@ -1,0 +1,111 @@
+"""Query grammar tests — semantics frozen against the reference
+(query_builder.rs:29-77 incl. rejection cases, docs/reference/query-language.md)."""
+
+import pytest
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.search.parser import (
+    BoolQuery,
+    PhraseQuery,
+    QueryParserError,
+    TermQuery,
+    collect_terms,
+    extract_tag_predicate,
+    parse_query,
+)
+
+CFG = transcripts_config()
+
+
+def test_single_term():
+    ast = parse_query("deploy", CFG)
+    assert ast == TermQuery("text", "deploy")
+
+
+def test_implicit_and_is_default():
+    ast = parse_query("deploy failure", CFG)  # query_builder.rs:47-48
+    assert isinstance(ast, BoolQuery)
+    assert ast.must == [TermQuery("text", "deploy"), TermQuery("text", "failure")]
+    assert parse_query("deploy AND failure", CFG) == ast
+
+
+def test_or_binds_loosest():
+    ast = parse_query("a OR b c", CFG)
+    assert isinstance(ast, BoolQuery) and len(ast.should) == 2
+    right = ast.should[1]
+    assert isinstance(right, BoolQuery) and len(right.must) == 2
+
+
+def test_not_and_minus():
+    for q in ["deploy NOT failure", "deploy -failure"]:
+        ast = parse_query(q, CFG)
+        assert ast.must == [TermQuery("text", "deploy")]
+        assert ast.must_not == [TermQuery("text", "failure")]
+
+
+def test_field_scoped():
+    assert parse_query("role:assistant", CFG) == TermQuery("role", "assistant")
+    # raw tokenizer: value not lowercased
+    assert parse_query("role:Assistant", CFG) == TermQuery("role", "Assistant")
+    # default tokenizer: query term analyzed (lowercased)
+    assert parse_query("text:Deploy", CFG) == TermQuery("text", "deploy")
+
+
+def test_field_group():
+    ast = parse_query("text:(alpha OR beta)", CFG)
+    assert isinstance(ast, BoolQuery)
+    assert ast.should == [TermQuery("text", "alpha"), TermQuery("text", "beta")]
+
+
+def test_phrase():
+    ast = parse_query('"exact words here"', CFG)
+    assert ast == PhraseQuery("text", ("exact", "words", "here"))
+
+
+def test_multi_token_term_becomes_phrase():
+    assert parse_query("spark-sql", CFG) == PhraseQuery("text", ("spark", "sql"))
+
+
+def test_range_rejected():
+    for q in ["ts:[1 TO 5]", "[a TO b]", "x {1 TO 2}"]:
+        with pytest.raises(QueryParserError):
+            parse_query(q, CFG)  # query_builder.rs:36-39
+
+
+def test_unknown_field_rejected():
+    with pytest.raises(QueryParserError):
+        parse_query("nosuchfield:x", CFG)
+
+
+def test_empty_rejected():
+    with pytest.raises(QueryParserError):
+        parse_query("   ", CFG)
+
+
+def test_collect_terms():
+    ast = parse_query('deploy role:tool "a b"', CFG)
+    assert collect_terms(ast) == {
+        ("text", "deploy"),
+        ("role", "tool"),
+        ("text", "a"),
+        ("text", "b"),
+    }
+
+
+def test_tag_predicate():
+    ast = parse_query("deploy role:assistant", CFG)
+    pred = extract_tag_predicate(ast, ("role",))
+    # split with the tag recorded and value present → keep
+    assert pred({"role!", "role:assistant", "role:user"}, True)
+    # tag recorded, value absent → prune (tag_pruning.rs:151-205)
+    assert not pred({"role!", "role:user"}, True)
+    # tags not recorded for the field (cardinality cap) → cannot prune
+    assert pred(set(), False)
+    # non-tag query is uninformative → keep
+    ast2 = parse_query("deploy", CFG)
+    assert extract_tag_predicate(ast2, ("role",))({"role!"}, True)
+    # OR: keep if any branch may match
+    ast3 = parse_query("role:alpha OR role:beta", CFG)
+    p3 = extract_tag_predicate(ast3, ("role",))
+    assert p3({"role!", "role:beta"}, True)
+    assert not p3({"role!", "role:gamma"}, True)

@@ -1,0 +1,171 @@
+"""End-to-end search tests: rank-identity of the Spark engine vs the
+pure-Python oracle (FIXTURES.md F3/F4 query classes), micro-fixture
+reproductions of the reference's own search tests, time filtering, offsets,
+tag pruning, and the search-stream export."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.fixtures.transcripts import generate_transcripts, snoopy, timefilter30
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.search.executor import search, search_df, search_stream
+from quickwit_spark.search.oracle import OracleIndex
+from quickwit_spark.search.request import SearchRequest
+
+CFG = transcripts_config(split_num_docs_target=250, segment_num_docs_target=64)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    """One shared index over the t1-smoke-scale corpus + its oracle."""
+    pdf = generate_transcripts(n_conversations=60, seed=42)
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    build_index(spark, spark.createDataFrame(pdf), CFG, index_dir)
+    docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+    oracle = OracleIndex(docs, CFG)
+    return index_dir, oracle, docs
+
+
+def _assert_rank_identical(resp, expected, check_scores=True):
+    assert resp.num_hits == expected["num_hits"]
+    got = [(h["split_id"], h["doc_id"]) for h in resp.hits]
+    want = [(h["split_id"], h["doc_id"]) for h in expected["hits"]]
+    assert got == want, f"\ngot:  {resp.hits}\nwant: {expected['hits']}"
+    if check_scores:
+        for g, w in zip(resp.hits, expected["hits"]):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-6)
+
+
+# the FIXTURES.md F3 query classes
+QUERY_CASES = [
+    SearchRequest("deploy"),
+    SearchRequest("deploy failure"),  # implicit AND
+    SearchRequest("deploy AND failure"),
+    SearchRequest("deploy OR failure"),
+    SearchRequest("error NOT timeout"),
+    SearchRequest("error -timeout"),
+    SearchRequest("role:assistant deploy"),  # field-scoped raw term
+    SearchRequest('"the error"'),  # phrase
+    SearchRequest("text:(deploy OR failure) error"),  # grouping
+    SearchRequest("the", max_hits=20),  # hot stopword-class term
+    SearchRequest("zzznotaword"),  # zero hits
+    SearchRequest("deploy", start_offset=5, max_hits=5),  # offset rewrite path
+    SearchRequest("error", max_hits=7, start_timestamp=1767225600 + 40 * 86400),
+    SearchRequest("the error OR deploy", max_hits=15),
+]
+
+
+@pytest.mark.parametrize("req", QUERY_CASES, ids=[r.query + f"@{r.start_offset}" for r in QUERY_CASES])
+def test_rank_identity_vs_oracle(spark, built, req):
+    index_dir, oracle, _ = built
+    resp = search(spark, index_dir, req)
+    _assert_rank_identical(resp, oracle.search(req))
+
+
+def test_singleton_term(spark, built):
+    """>=5% of turns carry a unique token (FIXTURES F1) — df=1 top-k."""
+    index_dir, oracle, docs = built
+    uniq = None
+    for t in docs["text"]:
+        for tok in t.split():
+            if tok.startswith("tok_"):
+                uniq = tok
+                break
+        if uniq:
+            break
+    assert uniq is not None
+    req = SearchRequest(uniq)
+    resp = search(spark, index_dir, req)
+    assert resp.num_hits == 1
+    _assert_rank_identical(resp, oracle.search(req))
+
+
+def test_snoopy(spark, tmp_index_dir):
+    """Reference test_single_node_simple (quickwit-search/src/lib.rs:224-252)."""
+    cfg = transcripts_config()
+    build_index(spark, spark.createDataFrame(snoopy()), cfg, tmp_index_dir)
+    resp = search(spark, tmp_index_dir, SearchRequest("anthropomorphic"))
+    assert resp.num_hits == 1
+    assert resp.hits[0]["turn_idx"] == 0
+    resp2 = search(spark, tmp_index_dir, SearchRequest("beagle"))
+    assert resp2.num_hits == 2
+
+
+def test_timefilter30(spark, tmp_index_dir):
+    """Reference test_single_node_filtering (lib.rs:326-424): query 'info',
+    ts in [10, 20) → 10 hits, newest first when sorting by ts desc."""
+    cfg = transcripts_config()
+    build_index(spark, spark.createDataFrame(timefilter30()), cfg, tmp_index_dir)
+    req = SearchRequest(
+        "info", max_hits=15, start_timestamp=10, end_timestamp=20, sort_by_field="ts"
+    )
+    resp = search(spark, tmp_index_dir, req)
+    assert resp.num_hits == 10
+    ts_vals = [h["sort_value"] for h in resp.hits]
+    assert ts_vals == list(range(19, 9, -1))  # newest first
+    # ascending variant
+    req_asc = SearchRequest(
+        "info", max_hits=15, start_timestamp=10, end_timestamp=20,
+        sort_by_field="ts", sort_asc=True,
+    )
+    assert [h["sort_value"] for h in search(spark, tmp_index_dir, req_asc).hits] == list(range(10, 20))
+
+
+def test_offset_pagination_consistent(spark, built):
+    """Offset rewrite (root.rs:286-301): page k..k+n equals the slice of the
+    full result."""
+    index_dir, oracle, _ = built
+    full = search(spark, index_dir, SearchRequest("error", max_hits=30))
+    page = search(spark, index_dir, SearchRequest("error", max_hits=5, start_offset=10))
+    assert [(h["split_id"], h["doc_id"]) for h in page.hits] == [
+        (h["split_id"], h["doc_id"]) for h in full.hits[10:15]
+    ]
+
+
+def test_tag_pruning_prunes(spark, built):
+    """role:<absent-value> must prune every split driver-side."""
+    from quickwit_spark.index.catalog import Catalog
+    from quickwit_spark.search.parser import parse_query
+    from quickwit_spark.search.executor import prune_splits
+
+    index_dir, _, _ = built
+    cat = Catalog(index_dir)
+    ast = parse_query("role:nosuchrole", CFG)
+    assert prune_splits(cat, CFG, ast, SearchRequest("role:nosuchrole")) == []
+    resp = search(spark, index_dir, SearchRequest("role:nosuchrole"))
+    assert resp.num_hits == 0 and resp.hits == []
+
+
+def test_time_pruning_prunes_splits(spark, built):
+    from quickwit_spark.index.catalog import Catalog
+    from quickwit_spark.search.parser import parse_query
+    from quickwit_spark.search.executor import prune_splits
+
+    index_dir, _, _ = built
+    cat = Catalog(index_dir)
+    ast = parse_query("error", CFG)
+    req = SearchRequest("error", start_timestamp=0, end_timestamp=1)  # before corpus epoch
+    assert prune_splits(cat, CFG, ast, req) == []
+
+
+def test_search_stream(spark, built):
+    """Fast-field export: every matching doc's ts, no top-k truncation
+    (search_stream/leaf.rs analog)."""
+    index_dir, oracle, _ = built
+    req = SearchRequest("deploy")
+    out = search_stream(spark, index_dir, req, "ts").toPandas()
+    exp = oracle.search(SearchRequest("deploy", max_hits=10**9))
+    assert len(out) == exp["num_hits"]
+    got = set(zip(out["split_id"], out["doc_id"]))
+    want = {(h["split_id"], h["doc_id"]) for h in exp["hits"]}
+    assert got == want
+
+
+def test_search_df_schema(spark, built):
+    index_dir, _, _ = built
+    df = search_df(spark, index_dir, SearchRequest("deploy", max_hits=3))
+    rows = df.collect()
+    assert len(rows) <= 3
+    assert {"conv_id", "turn_idx", "score", "text"} <= set(df.columns)
