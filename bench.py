@@ -1,0 +1,166 @@
+"""Bench harness: index-build throughput (turns/sec) + query latencies.
+
+Reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and runs on
+local[$SPARK_GRAFT_CPUS] (default 32).  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+plus detail fields (build throughput, per-query p50, scaling hook).
+
+Workloads:
+* index build over a deterministic synthetic transcript corpus
+  (FIXTURES.md F1; ~20 turns/conv) — the north-rule throughput number;
+* BM25 / phrase / boolean / time-range / sort / stream queries against that
+  index (p50 of repeated runs);
+* a build + flagship query over the sf dir's documents table.
+
+Scaling evidence (local[N] vs local[4N]) is produced by
+tools/scaling_bench.py, which reruns the build step at two parallelism
+levels in separate JVMs and records efficiency in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("quickwit-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("QW_BENCH_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def ensure_corpus(n_conv: int) -> str:
+    from quickwit_spark.fixtures.transcripts import write_transcripts_parquet
+
+    os.makedirs("/tmp/qwspark_bench", exist_ok=True)
+    path = f"/tmp/qwspark_bench/transcripts_{n_conv}.parquet"
+    if not os.path.exists(path):
+        write_transcripts_parquet(path, n_conversations=n_conv, seed=42)
+    return path
+
+
+def bench_build(spark, corpus_path: str) -> dict:
+    from quickwit_spark.config import transcripts_config
+    from quickwit_spark.index.builder import build_index
+
+    cfg = transcripts_config(
+        split_num_docs_target=50_000, segment_num_docs_target=8_000
+    )
+    df = spark.read.parquet(corpus_path)
+    n_turns = df.count()
+    index_dir = f"/tmp/qwspark_bench/idx-{uuid.uuid4().hex[:8]}"
+    t0 = time.monotonic()
+    build_index(spark, df, cfg, index_dir, build_id="bench")
+    secs = time.monotonic() - t0
+    return {
+        "index_dir": index_dir,
+        "turns": n_turns,
+        "build_secs": round(secs, 3),
+        "turns_per_sec": round(n_turns / secs, 1),
+    }
+
+
+BENCH_QUERIES = {
+    "q1_single_term": dict(query="deploy"),
+    "q2_and": dict(query="deploy failure"),
+    "q3_hot_or": dict(query="the OR error", max_hits=20),
+    "q4_phrase": dict(query='"the error"'),
+    "q5_field_time": dict(
+        query="role:assistant error", start_timestamp=1767225600, end_timestamp=1767225600 + 90 * 86400
+    ),
+    "q6_not": dict(query="error NOT timeout"),
+    "q7_sort_ts": dict(query="deploy", sort_by_field="ts"),
+    "q8_offset": dict(query="error", start_offset=20, max_hits=10),
+}
+
+
+def bench_queries(spark, index_dir: str, repeats: int = 5) -> dict[str, float]:
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    out = {}
+    for name, kw in BENCH_QUERIES.items():
+        times = []
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            search(spark, index_dir, SearchRequest(**kw))
+            times.append(time.monotonic() - t0)
+        out[name] = round(statistics.median(times), 4)
+    return out
+
+
+def bench_stream(spark, index_dir: str) -> float:
+    from quickwit_spark.search.executor import search_stream
+    from quickwit_spark.search.request import SearchRequest
+
+    t0 = time.monotonic()
+    search_stream(spark, index_dir, SearchRequest("error"), "ts").count()
+    return round(time.monotonic() - t0, 4)
+
+
+def bench_documents(spark, sf_dir: str) -> dict:
+    """Build + flagship query over the sf dir documents table."""
+    import quickwit_spark.adapter as ad
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    shutil.rmtree(ad.CACHE_ROOT, ignore_errors=True)
+    t0 = time.monotonic()
+    idx = ad.documents_index(spark, sf_dir)
+    build = time.monotonic() - t0
+    t0 = time.monotonic()
+    search(spark, idx, SearchRequest("spark query", tiebreak="global_key"))
+    q = time.monotonic() - t0
+    return {"docs_build_secs": round(build, 3), "docs_query_secs": round(q, 4)}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_conv = int(os.environ.get("QW_BENCH_CONVS", "15000"))  # ~300k turns
+
+    t_total = time.monotonic()
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = ensure_corpus(n_conv)
+    build = bench_build(spark, corpus)
+    queries = bench_queries(spark, build["index_dir"])
+    queries["q9_stream_export"] = bench_stream(spark, build["index_dir"])
+    docs = bench_documents(spark, sf_dir)
+    total = round(time.monotonic() - t_total, 3)
+
+    result = {
+        "metric": "index-build turns/sec + BM25 query p50 over transcripts",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "build_turns": build["turns"],
+        "build_secs": build["build_secs"],
+        "build_turns_per_sec": build["turns_per_sec"],
+        "cpus": int(cpus),
+        **docs,
+    }
+    shutil.rmtree(build["index_dir"], ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,388 @@
+"""The driver-facing query surface: every operator from SURVEY.md §2 (and
+the training-data pipeline ops) as (spark, sf_dir) -> DataFrame callables,
+each with a DuckDB ANSI-SQL oracle over the same parquet tables.
+
+Fulltext queries run the real engine end-to-end (build → prune → score →
+merge → fetch) over the ``documents`` table recast as transcripts
+(quickwit_spark.adapter); their oracles re-derive BM25 from first
+principles in SQL (same frozen formula, bm25.py).  Column names are aliased
+identically on both sides; scores are rounded to 4 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .adapter import documents_index
+from .functions.bm25 import B, K1
+from .functions.tokenizer import DUCKDB_TOKENIZE_LIST
+from .pipeline import dedup as dd
+from .pipeline import similarity as sim
+from .pipeline import text as tx
+from .pipeline.multimodal import extract_features, synthesize_assets
+from .search.executor import search_df, search_stream
+from .search.request import SearchRequest
+
+TOKS = DUCKDB_TOKENIZE_LIST.format(col="text")
+
+# shared CTE prefix for every BM25 oracle: token stream, tf, doc length,
+# collection stats, document frequency — the whole index, derived in SQL
+BM25_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS term,
+         unnest(range(len({TOKS}))) AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({TOKS}) AS dl FROM documents),
+st AS (SELECT count(*) AS n, sum(len({TOKS})) * 1.0 / count(*) AS avg_len FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+"""
+
+
+def _score_expr() -> str:
+    """Per-(doc, term) BM25 contribution — the exact formula of bm25.py."""
+    return (
+        f"ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * "
+        f"(tf.tf * ({K1} + 1.0) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / st.avg_len)))"
+    )
+
+
+def _bm25_topk_sql(terms: list[str], mode: str, k: int, offset: int = 0,
+                   not_terms: list[str] | None = None,
+                   ts_range: tuple[int | None, int | None] = (None, None),
+                   extra_score: str = "0.0", extra_where: str = "TRUE") -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    need = len(terms) if mode == "and" else 1
+    nt = ""
+    if not_terms:
+        ntl = ", ".join(f"'{t}'" for t in not_terms)
+        nt = f"AND NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = cand.doc_id AND x.term IN ({ntl}))"
+    lo, hi = ts_range
+    ts_pred = ""
+    if lo is not None:
+        ts_pred += f" AND cand.doc_id >= {lo}"
+    if hi is not None:
+        ts_pred += f" AND cand.doc_id < {hi}"
+    return f"""{BM25_CTE},
+cand AS (
+  SELECT doc_id FROM tf WHERE term IN ({tl})
+  GROUP BY doc_id HAVING count(DISTINCT term) >= {need}
+),
+sc AS (
+  SELECT cand.doc_id, sum({_score_expr()}) + {extra_score} AS score
+  FROM cand
+  JOIN tf ON tf.doc_id = cand.doc_id AND tf.term IN ({tl})
+  JOIN dl ON dl.doc_id = cand.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN st
+  WHERE TRUE {ts_pred} {nt} AND ({extra_where})
+  GROUP BY cand.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+"""
+
+
+def _ft(spark: SparkSession, sf_dir: str, query: str, **kw) -> DataFrame:
+    idx = documents_index(spark, sf_dir)
+    req = SearchRequest(query, tiebreak="global_key", **kw)
+    out = search_df(spark, idx, req)
+    return out.select(
+        F.col("ts_epoch").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fulltext engine queries
+# ---------------------------------------------------------------------------
+
+
+def ft_topk_single(spark, sf_dir):
+    return _ft(spark, sf_dir, "spark")
+
+
+def ft_topk_and(spark, sf_dir):
+    return _ft(spark, sf_dir, "spark query")  # implicit AND
+
+
+def ft_topk_or(spark, sf_dir):
+    return _ft(spark, sf_dir, "dup OR vector", max_hits=15)
+
+
+def ft_topk_not(spark, sf_dir):
+    return _ft(spark, sf_dir, "dup NOT window", max_hits=15)
+
+
+def ft_hot_term(spark, sf_dir):
+    return _ft(spark, sf_dir, "batch", max_hits=20)  # hot stopword-class term
+
+
+def ft_offset(spark, sf_dir):
+    return _ft(spark, sf_dir, "spark", max_hits=5, start_offset=5)
+
+
+def ft_zero_hits(spark, sf_dir):
+    return _ft(spark, sf_dir, "zzznotawordatall")
+
+
+def ft_phrase(spark, sf_dir):
+    return _ft(spark, sf_dir, '"table hash"', max_hits=20)
+
+
+def ft_field_scoped(spark, sf_dir):
+    # role carries `lang` (adapter): raw-tokenized tag field + text term
+    return _ft(spark, sf_dir, "role:en dup", max_hits=20)
+
+
+def ft_timerange(spark, sf_dir):
+    return _ft(spark, sf_dir, "query", max_hits=10, start_timestamp=100, end_timestamp=300)
+
+
+def ft_sort_by_ts(spark, sf_dir):
+    idx = documents_index(spark, sf_dir)
+    req = SearchRequest("merge", max_hits=10, sort_by_field="ts")
+    out = search_df(spark, idx, req)
+    return out.select(F.col("ts_epoch").alias("doc_id"))
+
+
+def ft_count(spark, sf_dir):
+    idx = documents_index(spark, sf_dir)
+    hits = search_stream(spark, idx, SearchRequest("query"), "ts")
+    return hits.agg(F.count("*").cast("long").alias("num_hits"))
+
+
+def ft_stream_export(spark, sf_dir):
+    """Search-stream fast-field export: ts (== doc_id) of every match."""
+    idx = documents_index(spark, sf_dir)
+    hits = search_stream(spark, idx, SearchRequest("merge"), "ts")
+    return hits.select(F.col("ts").alias("doc_id"))
+
+
+def ft_termdict(spark, sf_dir):
+    """Term dictionary across splits (validates tokenize+build+merge path)."""
+    idx = documents_index(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(F.col("field") == "text")
+        .groupBy("term")
+        .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+def ft_postings_roundtrip(spark, sf_dir):
+    """Decode the stored posting blobs of one term back to (doc_id, tf) —
+    end-to-end codec round-trip against raw SQL recount."""
+    from .functions.codec import decode_postings
+
+    idx = documents_index(spark, sf_dir)
+    rows = (
+        spark.read.parquet(f"{idx}/postings")
+        .filter((F.col("field") == "text") & (F.col("term") == "dup"))
+        .select("split_id", "blob")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                d, t = decode_postings(r.blob)
+                yield pd.DataFrame(
+                    {"split_id": r.split_id, "doc_id": d.astype(np.int64), "tf": t.astype(np.int64)}
+                )
+
+    local = rows.mapInPandas(decode, "split_id string, doc_id long, tf long")
+    docs = spark.read.parquet(f"{idx}/docs").select("split_id", "doc_id", "ts_epoch")
+    return (
+        docs.join(F.broadcast(local), ["split_id", "doc_id"])
+        .select(F.col("ts_epoch").alias("doc_id"), "tf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline ops
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dd_exact(spark, sf_dir):
+    return dd.exact_duplicates(_docs(spark, sf_dir)).select(
+        "fingerprint", "keeper_doc_id", "group_size"
+    )
+
+
+def dd_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold_ppm=400_000, n=3)
+
+
+def dd_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold_ppm=400_000, num_hashes=32, bands=16, n=3
+    )
+
+
+def dd_simhash(spark, sf_dir):
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
+
+
+def tx_token_count(spark, sf_dir):
+    return tx.with_token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+
+
+def tx_lang_id(spark, sf_dir):
+    return tx.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred", "stopword_ppm")
+
+
+def tx_quality(spark, sf_dir):
+    return tx.with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "alpha_ppm", "mean_tok_ppm", "quality_ppm"
+    )
+
+
+def tx_fingerprint(spark, sf_dir):
+    return tx.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def sim_bruteforce_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return sim.brute_force_topk(queries, embs, k=5)
+
+
+def sim_lsh_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return sim.lsh_topk(queries, embs, k=5, n_planes=10, multiprobe=1)
+
+
+def sim_near_dup(spark, sf_dir):
+    return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
+
+
+def mm_features(spark, sf_dir):
+    assets = synthesize_assets(spark, n=64)
+    return extract_features(assets, decoder="fake").select(
+        "asset_id", "media_type", "n_bytes", "thumb_w", "thumb_h", "n_frames"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "ft_topk_single": ft_topk_single,
+        "ft_topk_and": ft_topk_and,
+        "ft_topk_or": ft_topk_or,
+        "ft_topk_not": ft_topk_not,
+        "ft_hot_term": ft_hot_term,
+        "ft_offset": ft_offset,
+        "ft_zero_hits": ft_zero_hits,
+        "ft_phrase": ft_phrase,
+        "ft_field_scoped": ft_field_scoped,
+        "ft_timerange": ft_timerange,
+        "ft_sort_by_ts": ft_sort_by_ts,
+        "ft_count": ft_count,
+        "ft_stream_export": ft_stream_export,
+        "ft_termdict": ft_termdict,
+        "ft_postings_roundtrip": ft_postings_roundtrip,
+        "dd_exact": dd_exact,
+        "dd_ngram_jaccard": dd_ngram_jaccard,
+        "dd_minhash_lsh": dd_minhash_lsh,
+        "dd_simhash": dd_simhash,
+        "tx_token_count": tx_token_count,
+        "tx_lang_id": tx_lang_id,
+        "tx_quality": tx_quality,
+        "tx_fingerprint": tx_fingerprint,
+        "sim_bruteforce_topk": sim_bruteforce_topk,
+        "sim_lsh_topk": sim_lsh_topk,
+        "sim_near_dup": sim_near_dup,
+        "mm_features": mm_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    lang_pred, lang_ratio = tx.lang_id_sql(TOKS)
+    q = tx.quality_score_sql("text", TOKS)
+    # role:en contributes idf(df_en) * tf_norm(tf=1, len=1, avg_len=1) == idf
+    role_en_score = (
+        "ln(1.0 + ((SELECT count(*) FROM documents)"
+        " - (SELECT count(*) FROM documents WHERE lang = 'en') + 0.5)"
+        " / ((SELECT count(*) FROM documents WHERE lang = 'en') + 0.5))"
+    )
+    phrase_where = """EXISTS (
+      SELECT 1 FROM tok t1 JOIN tok t2
+        ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+      WHERE t1.doc_id = cand.doc_id AND t1.term = 'table' AND t2.term = 'hash')"""
+    return {
+        "ft_topk_single": _bm25_topk_sql(["spark"], "or", 10),
+        "ft_topk_and": _bm25_topk_sql(["spark", "query"], "and", 10),
+        "ft_topk_or": _bm25_topk_sql(["dup", "vector"], "or", 15),
+        "ft_topk_not": _bm25_topk_sql(["dup"], "or", 15, not_terms=["window"]),
+        "ft_hot_term": _bm25_topk_sql(["batch"], "or", 20),
+        "ft_offset": _bm25_topk_sql(["spark"], "or", 5, offset=5),
+        "ft_zero_hits": _bm25_topk_sql(["zzznotawordatall"], "or", 10),
+        "ft_phrase": _bm25_topk_sql(
+            ["table", "hash"], "and", 20, extra_where=phrase_where
+        ),
+        "ft_field_scoped": _bm25_topk_sql(
+            ["dup"], "or", 20, extra_score=role_en_score, extra_where="(SELECT lang FROM documents d WHERE d.doc_id = cand.doc_id) = 'en'"
+        ),
+        "ft_timerange": _bm25_topk_sql(["query"], "or", 10, ts_range=(100, 300)),
+        "ft_sort_by_ts": f"""{BM25_CTE}
+SELECT doc_id FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+ORDER BY doc_id DESC LIMIT 10""",
+        "ft_count": f"""{BM25_CTE}
+SELECT count(DISTINCT doc_id) AS num_hits FROM tf WHERE term = 'query'""",
+        "ft_stream_export": f"""{BM25_CTE}
+SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'""",
+        "ft_termdict": f"""{BM25_CTE}
+SELECT term, count(*) AS doc_freq, sum(tf) AS total_tf
+FROM tf GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 50""",
+        "ft_postings_roundtrip": f"""{BM25_CTE}
+SELECT doc_id, tf FROM tf WHERE term = 'dup'""",
+        "dd_exact": f"""
+SELECT md5(array_to_string({TOKS}, ' ')) AS fingerprint,
+       min(doc_id) AS keeper_doc_id, count(*) AS group_size
+FROM documents GROUP BY 1""",
+        "dd_ngram_jaccard": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
+        "dd_minhash_lsh": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
+        "tx_token_count": f"SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents",
+        "tx_lang_id": f"SELECT doc_id, {lang_pred} AS lang_pred, {lang_ratio} AS stopword_ppm FROM documents",
+        "tx_quality": (
+            f"SELECT doc_id, {q['n_tokens']} AS n_tokens, {q['alpha_ppm']} AS alpha_ppm, "
+            f"{q['mean_tok_ppm']} AS mean_tok_ppm, {q['quality_ppm']} AS quality_ppm FROM documents"
+        ),
+        "tx_fingerprint": f"SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fingerprint FROM documents",
+        "sim_bruteforce_topk": sim.brute_force_topk_oracle_sql("embeddings", 5, 10),
+        "sim_near_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(sd.d / (sqrt(sa.s) * sqrt(sb.s)), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN LATERAL (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d
+              FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) sd ON TRUE
+JOIN LATERAL (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS s
+              FROM (SELECT unnest(a.embedding) AS x)) sa ON TRUE
+JOIN LATERAL (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS s
+              FROM (SELECT unnest(b.embedding) AS y)) sb ON TRUE
+WHERE sd.d / (sqrt(sa.s) * sqrt(sb.s)) >= 0.45
+""",
+        # dd_simhash, sim_lsh_topk, mm_features: engine-specific hashes /
+        # approximate recall / stubbed decode → rows-only checks (no oracle)
+    }

@@ -70,17 +70,21 @@ def _exploded_shingles(
 
 def ngram_jaccard_pairs(
     df: DataFrame,
-    threshold: float = 0.5,
+    threshold_ppm: int = 500_000,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """All pairs with exact n-gram Jaccard >= threshold.
+    """All pairs with exact n-gram Jaccard >= threshold_ppm/1e6.
 
     Plan: explode distinct shingles → self-join on shingle (the only
     quadratic-ish step, bounded by shingle doc-frequency) → per-pair shared
     count → join per-doc shingle counts (broadcast if small) → filter.
+
+    Jaccard is emitted as `jaccard_ppm` = floor(1e6·|∩|/|∪|) (exact integer
+    arithmetic; thresholds compared cross-multiplied) so DuckDB oracles can
+    never disagree on a float rounding boundary.
     """
     ex = _exploded_shingles(df, id_col, text_col, n, max_shingle_df)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -91,17 +95,21 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("shared")
     out = (
         shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .filter(F.col("shared") * 1_000_000 >= F.lit(threshold_ppm) * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.lit(1_000_000) * F.col("shared") / union_sz).cast("long").alias("jaccard_ppm"),
+        )
     )
     return out
 
 
-def ngram_jaccard_oracle_sql(table: str, toks_sql: str, threshold: float, n: int = 3) -> str:
+def ngram_jaccard_oracle_sql(table: str, toks_sql: str, threshold_ppm: int, n: int = 3) -> str:
     """DuckDB twin of ngram_jaccard_pairs (window-lead shingle construction)."""
     leads = " || ' ' || ".join(
         ["term"] + [f"lead(term, {j}) OVER w" for j in range(1, n)]
@@ -126,11 +134,11 @@ shared AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+       CAST(floor(1000000.0 * shared / (sa.n_sh + sb.n_sh - shared)) AS BIGINT) AS jaccard_ppm
 FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {threshold}
+WHERE shared * 1000000 >= {threshold_ppm} * (sa.n_sh + sb.n_sh - shared)
 """
 
 
@@ -155,7 +163,7 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     df: DataFrame,
-    threshold: float = 0.5,
+    threshold_ppm: int = 500_000,
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
@@ -197,20 +205,24 @@ def minhash_lsh_pairs(
     # exact verification restricted to candidates
     ex = _exploded_shingles(df, id_col, text_col, n, None)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sha = ex.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
-    shb = ex.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+    sha = ex.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a"))
+    shb = ex.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
     shared = (
-        cand.join(sha, "doc_a")
-        .join(shb, (F.col("doc_b") == shb["doc_b"]) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", cand["doc_b"])
+        cand.join(sha, F.col("doc_a") == F.col("da"))
+        .join(shb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("shared")
     return (
         shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .filter(F.col("shared") * 1_000_000 >= F.lit(threshold_ppm) * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.lit(1_000_000) * F.col("shared") / union_sz).cast("long").alias("jaccard_ppm"),
+        )
     )
 
 
@@ -244,7 +256,8 @@ def simhash_udf():
             return pd.Series(np.zeros(len(texts), np.int64))
         uniq = pd.unique(all_tokens)
         h = _stable_token_hash64(pd.Series(uniq))
-        bits = ((h[:, None] >> np.arange(64)[None, :]) & 1).astype(np.int32) * 2 - 1  # (U, 64)
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1  # (U, 64)
         lut = {t: i for i, t in enumerate(uniq)}
         out = np.zeros(len(texts), np.uint64)
         for i, lst in enumerate(tok_lists):

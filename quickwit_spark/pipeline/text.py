@@ -50,57 +50,71 @@ TOKEN_COUNT_SQL = "CAST(len({toks}) AS BIGINT)"
 # -- language ID ----------------------------------------------------------------
 
 
-def with_lang_id(df: DataFrame, col: str = "text", threshold: float = 0.08) -> DataFrame:
-    """Stopword-ratio heuristic: share of tokens in EN_STOPWORDS >= threshold
-    → 'en', else 'unk'.  (A real n-gram model plugs in the same shape; the
-    heuristic is the deterministic, oracle-checkable core.)"""
+def with_lang_id(df: DataFrame, col: str = "text", threshold_pct: int = 8) -> DataFrame:
+    """Stopword-ratio heuristic: share of tokens in EN_STOPWORDS >=
+    threshold_pct% → 'en', else 'unk'.  (A real n-gram model plugs in the
+    same shape; the heuristic is the deterministic, oracle-checkable core.)
+
+    Outputs are exact-integer (`stopword_ppm` = floor(1e6·n_stop/n_tokens),
+    threshold compared as 100·n_stop >= pct·n_tokens) so that the engine and
+    the DuckDB oracle can never disagree on a float-rounding boundary."""
     toks = tokens_col(col)
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    ratio = F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+    n_tok = F.size(toks)
+    ppm = F.when(n_tok > 0, F.floor(F.lit(1_000_000) * n_stop / n_tok)).otherwise(F.lit(0))
+    is_en = n_stop * 100 >= n_tok * threshold_pct
     return df.withColumn(
-        "lang_pred", F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))
-    ).withColumn("stopword_ratio", F.round(ratio, 6))
+        "lang_pred", F.when((n_tok > 0) & is_en, F.lit("en")).otherwise(F.lit("unk"))
+    ).withColumn("stopword_ppm", ppm.cast("long"))
 
 
-def lang_id_sql(toks: str, threshold: float = 0.08) -> tuple[str, str]:
+def lang_id_sql(toks: str, threshold_pct: int = 8) -> tuple[str, str]:
     stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
-    ratio = (
-        f"CASE WHEN len({toks}) > 0 THEN "
-        f"CAST(len(list_filter({toks}, t -> list_contains([{stop_list}], t))) AS DOUBLE)"
-        f" / len({toks}) ELSE 0.0 END"
+    n_stop = f"len(list_filter({toks}, t -> list_contains([{stop_list}], t)))"
+    n_tok = f"len({toks})"
+    ppm = f"CASE WHEN {n_tok} > 0 THEN CAST(floor(1000000.0 * {n_stop} / {n_tok}) AS BIGINT) ELSE 0 END"
+    pred = (
+        f"CASE WHEN {n_tok} > 0 AND {n_stop} * 100 >= {n_tok} * {threshold_pct} "
+        f"THEN 'en' ELSE 'unk' END"
     )
-    pred = f"CASE WHEN ({ratio}) >= {threshold} THEN 'en' ELSE 'unk' END"
-    return pred, f"round({ratio}, 6)"
+    return pred, ppm
 
 
 # -- quality scoring --------------------------------------------------------------
 
 
 def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
-    """Deterministic quality features + a composite score in [0, 1]:
-    length band, alpha ratio, mean token length band, stopword presence.
-    All whole-stage-codegen expressions."""
+    """Deterministic quality features + a composite score, scaled to ppm
+    (parts-per-million) BIGINTs computed with exact integer arithmetic:
+    floor(1e6·a/c) is bit-deterministic because the exact rational is either
+    an integer (IEEE division of small ints is exact) or at least 1/c away
+    from one — so no engine can land on the other side of the floor.
+    Bands are compared as cross-multiplied integers (no float thresholds).
+
+    score_ppm = 400000·[5 <= n_tokens <= 5000]
+              + 300000·[2 <= mean_token_len <= 12]
+              + floor(300000·alpha_chars/n_chars)
+    """
     toks = tokens_col(col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(col))
     alpha_chars = F.length(F.regexp_replace(F.col(col), "[^A-Za-z]", ""))
-    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
-    mean_tok_len = F.when(n_tokens > 0, (F.length(F.concat_ws("", toks)) / n_tokens)).otherwise(
-        F.lit(0.0)
-    )
+    sum_tok_len = F.length(F.concat_ws("", toks))
+    alpha_ppm = F.when(n_chars > 0, F.floor(F.lit(1_000_000) * alpha_chars / n_chars)).otherwise(F.lit(0))
+    mean_tok_ppm = F.when(n_tokens > 0, F.floor(F.lit(1_000_000) * sum_tok_len / n_tokens)).otherwise(F.lit(0))
     len_ok = (n_tokens >= 5) & (n_tokens <= 5000)
-    tok_ok = (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
-    score = (
-        F.when(len_ok, 0.4).otherwise(0.0)
-        + F.when(tok_ok, 0.3).otherwise(0.0)
-        + alpha_ratio * 0.3
+    tok_ok = (sum_tok_len >= 2 * n_tokens) & (sum_tok_len <= 12 * n_tokens) & (n_tokens > 0)
+    score_ppm = (
+        F.when(len_ok, 400_000).otherwise(0)
+        + F.when(tok_ok, 300_000).otherwise(0)
+        + F.when(n_chars > 0, F.floor(F.lit(300_000) * alpha_chars / n_chars)).otherwise(F.lit(0))
     )
     return (
         df.withColumn("n_tokens", n_tokens.cast("long"))
-        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
-        .withColumn("mean_tok_len", F.round(mean_tok_len, 6))
-        .withColumn("quality_score", F.round(score, 6))
+        .withColumn("alpha_ppm", alpha_ppm.cast("long"))
+        .withColumn("mean_tok_ppm", mean_tok_ppm.cast("long"))
+        .withColumn("quality_ppm", score_ppm.cast("long"))
     )
 
 
@@ -108,23 +122,21 @@ def quality_score_sql(col: str, toks: str) -> dict[str, str]:
     n_tokens = f"len({toks})"
     n_chars = f"length({col})"
     alpha = f"length(regexp_replace({col}, '[^A-Za-z]', '', 'g'))"
-    alpha_ratio = f"CASE WHEN {n_chars} > 0 THEN CAST({alpha} AS DOUBLE)/{n_chars} ELSE 0.0 END"
-    mean_tok = (
-        f"CASE WHEN {n_tokens} > 0 THEN CAST(length(list_aggregate({toks}, 'string_agg', ''))"
-        f" AS DOUBLE)/{n_tokens} ELSE 0.0 END"
-    )
+    sum_tok = f"length(list_aggregate({toks}, 'string_agg', ''))"
+    alpha_ppm = f"CASE WHEN {n_chars} > 0 THEN CAST(floor(1000000.0 * {alpha} / {n_chars}) AS BIGINT) ELSE 0 END"
+    mean_ppm = f"CASE WHEN {n_tokens} > 0 THEN CAST(floor(1000000.0 * {sum_tok} / {n_tokens}) AS BIGINT) ELSE 0 END"
     len_ok = f"({n_tokens} >= 5 AND {n_tokens} <= 5000)"
-    tok_ok = f"(({mean_tok}) >= 2.0 AND ({mean_tok}) <= 12.0)"
+    tok_ok = f"({sum_tok} >= 2 * {n_tokens} AND {sum_tok} <= 12 * {n_tokens} AND {n_tokens} > 0)"
     score = (
-        f"(CASE WHEN {len_ok} THEN 0.4 ELSE 0.0 END"
-        f" + CASE WHEN {tok_ok} THEN 0.3 ELSE 0.0 END"
-        f" + ({alpha_ratio}) * 0.3)"
+        f"(CASE WHEN {len_ok} THEN 400000 ELSE 0 END"
+        f" + CASE WHEN {tok_ok} THEN 300000 ELSE 0 END"
+        f" + CASE WHEN {n_chars} > 0 THEN CAST(floor(300000.0 * {alpha} / {n_chars}) AS BIGINT) ELSE 0 END)"
     )
     return {
         "n_tokens": f"CAST({n_tokens} AS BIGINT)",
-        "alpha_ratio": f"round({alpha_ratio}, 6)",
-        "mean_tok_len": f"round({mean_tok}, 6)",
-        "quality_score": f"round({score}, 6)",
+        "alpha_ppm": alpha_ppm,
+        "mean_tok_ppm": mean_ppm,
+        "quality_ppm": f"CAST({score} AS BIGINT)",
     }
 
 
