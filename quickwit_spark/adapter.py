@@ -29,7 +29,7 @@ from .config import documents_config
 from .index.builder import build_index
 
 CACHE_ROOT = "/tmp/qwspark_index_cache"
-CONFIG_VERSION = "v1"
+CONFIG_VERSION = "v2"
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,190 @@
+"""spark-submit entrypoint for the engine — the quickwit-cli analog
+(quickwit-cli/src/index.rs: create/ingest/search/merge subcommands).
+
+Designed to run under ``spark-submit --py-files quickwit_spark.zip`` on a
+real cluster (the session is obtained with ``getOrCreate`` so master /
+executor topology comes from spark-submit), and identically under plain
+``python -m quickwit_spark.cli`` locally.
+
+Subcommands:
+
+* ``build``  — index a transcript parquet dir into an index dir
+  (resumable: re-running with the same --build-id skips published splits).
+* ``search`` — run a query against an index dir, print JSON hits.
+* ``merge``  — run one merge-policy pass (plan + execute + GC).
+* ``bench-build`` — timed build, prints ONE JSON line with turns/sec
+  (used by tools/scaling_bench.py for the N vs 4N scaling evidence).
+
+Every subcommand prints machine-readable JSON on stdout; logs go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _get_spark(app: str, local_cpus: str | None, shuffle_partitions: int | None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app)
+    if local_cpus:  # explicit local-mode override (bench); else spark-submit decides
+        b = b.master(f"local[{local_cpus}]")
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    return b.getOrCreate()
+
+
+def cmd_build(args) -> dict:
+    from quickwit_spark.config import transcripts_config
+    from quickwit_spark.index.builder import build_index
+
+    spark = _get_spark("qw-build", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = transcripts_config(
+        split_num_docs_target=args.split_docs, segment_num_docs_target=args.segment_docs
+    )
+    df = spark.read.parquet(args.input)
+    t0 = time.monotonic()
+    report = build_index(
+        spark, df, cfg, args.index_dir, build_id=args.build_id,
+        n_splits=args.n_splits, wave_size=args.wave_size,
+    )
+    secs = time.monotonic() - t0
+    return {
+        "cmd": "build",
+        "index_dir": report.index_dir,
+        "build_id": report.build_id,
+        "n_splits": report.n_splits,
+        "total_docs": report.total_docs,
+        "invalid_docs": report.invalid_docs,
+        "published_splits": len(report.published_splits),
+        "skipped_splits": len(report.skipped_splits),
+        "secs": round(secs, 3),
+    }
+
+
+def cmd_bench_build(args) -> dict:
+    """Timed build for the scaling bench: corpus synthesis (if needed) is
+    NOT timed; only the distributed build is."""
+    import os
+
+    from quickwit_spark.config import transcripts_config
+    from quickwit_spark.fixtures.transcripts import write_transcripts_parquet
+    from quickwit_spark.index.builder import build_index
+
+    if not os.path.exists(args.input):
+        os.makedirs(os.path.dirname(os.path.abspath(args.input)), exist_ok=True)
+        write_transcripts_parquet(args.input, n_conversations=args.n_conversations, seed=42)
+
+    spark = _get_spark("qw-bench-build", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = transcripts_config(
+        split_num_docs_target=args.split_docs, segment_num_docs_target=args.segment_docs
+    )
+    df = spark.read.parquet(args.input)
+    n_turns = df.count()
+    # warm the JVM + python workers so the measurement is steady-state
+    df.limit(1000).count()
+    t0 = time.monotonic()
+    build_index(spark, df, cfg, args.index_dir, build_id="scale")
+    secs = time.monotonic() - t0
+    return {
+        "cmd": "bench-build",
+        "turns": n_turns,
+        "secs": round(secs, 3),
+        "turns_per_sec": round(n_turns / secs, 1),
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }
+
+
+def cmd_search(args) -> dict:
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    spark = _get_spark("qw-search", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    req = SearchRequest(
+        query=args.query,
+        max_hits=args.max_hits,
+        start_offset=args.start_offset,
+        start_timestamp=args.start_timestamp,
+        end_timestamp=args.end_timestamp,
+        sort_by_field=args.sort_by,
+    )
+    resp = search(spark, args.index_dir, req)
+    return {
+        "cmd": "search",
+        "num_hits": resp.num_hits,
+        "hits": resp.hits,
+        "elapsed_time_micros": resp.elapsed_time_micros,
+    }
+
+
+def cmd_merge(args) -> dict:
+    from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
+
+    spark = _get_spark("qw-merge", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    merged = run_merge_pipeline(spark, args.index_dir)
+    deleted = garbage_collect(args.index_dir)
+    return {
+        "cmd": "merge",
+        "merged_splits": [m.split_id for m in merged],
+        "gc_deleted": deleted,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="quickwit_spark")
+    p.add_argument("--local-cpus", default=None, help="force local[N] master (bench only)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--build-id", default="b0")
+    b.add_argument("--n-splits", type=int, default=None)
+    b.add_argument("--wave-size", type=int, default=None)
+    b.add_argument("--split-docs", type=int, default=50_000)
+    b.add_argument("--segment-docs", type=int, default=8_000)
+    b.set_defaults(fn=cmd_build)
+
+    bb = sub.add_parser("bench-build")
+    bb.add_argument("--input", required=True)
+    bb.add_argument("--index-dir", required=True)
+    bb.add_argument("--n-conversations", type=int, default=15_000)
+    bb.add_argument("--split-docs", type=int, default=50_000)
+    bb.add_argument("--segment-docs", type=int, default=8_000)
+    bb.set_defaults(fn=cmd_bench_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--max-hits", type=int, default=10)
+    s.add_argument("--start-offset", type=int, default=0)
+    s.add_argument("--start-timestamp", type=int, default=None)
+    s.add_argument("--end-timestamp", type=int, default=None)
+    s.add_argument("--sort-by", default=None)
+    s.set_defaults(fn=cmd_search)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index-dir", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

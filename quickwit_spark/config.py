@@ -53,6 +53,10 @@ class IndexConfig:
     max_merge_factor: int = 4
     # reference packager caps tag cardinality at 1000 (packager.rs:36-40)
     max_values_per_tag_field: int = 1_000
+    # phase-2 posting reduce: terms are hashed into this many buckets per
+    # split so each applyInPandas call amortizes pandas/Arrow overhead over
+    # thousands of terms (and hot terms spread across buckets)
+    term_merge_buckets: int = 32
 
     def __post_init__(self):
         by_name = {m.name: m for m in self.field_mappings}
@@ -93,6 +97,7 @@ class IndexConfig:
             "segment_num_docs_target": self.segment_num_docs_target,
             "merge_factor": self.merge_factor,
             "max_merge_factor": self.max_merge_factor,
+            "term_merge_buckets": self.term_merge_buckets,
         }
 
     @staticmethod
@@ -107,6 +112,7 @@ class IndexConfig:
             segment_num_docs_target=d.get("segment_num_docs_target", 1_000),
             merge_factor=d.get("merge_factor", 3),
             max_merge_factor=d.get("max_merge_factor", 4),
+            term_merge_buckets=d.get("term_merge_buckets", 32),
         )
 
 

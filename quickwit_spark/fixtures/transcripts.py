@@ -116,6 +116,8 @@ def generate_transcripts(
 def write_transcripts_parquet(path: str, n_conversations: int = 200, seed: int = 42) -> int:
     """Materialize the table as parquet; returns row count."""
     df = generate_transcripts(n_conversations, seed)
+    # microsecond ts: Spark cannot read parquet TIMESTAMP(NANOS)
+    df["ts"] = df["ts"].astype("datetime64[us]")
     df.to_parquet(path, index=False)
     return len(df)
 

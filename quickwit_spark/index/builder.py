@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Iterator
 
@@ -77,27 +78,38 @@ from ..functions.tokenizer import tokenize_series
 from .catalog import PUBLISHED, Catalog, SplitMetadata
 
 # phase-1 (per-segment) postings rows — `lens` carries per-posting doc
-# lengths so phase 2 can compute block_min_len without re-reading docs
+# lengths so phase 2 can compute block_min_len without re-reading docs;
+# block metadata is emitted here too so single-segment terms (the vast
+# majority: singletons) pass through phase 2 without decode/re-encode
 SEG_POSTINGS_SCHEMA = (
     "split_id string, seg_id long, field string, term string, doc_freq long, "
-    "total_tf long, blob binary, positions binary, lens binary"
+    "total_tf long, blob binary, positions binary, lens binary, "
+    "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
 )
 
 # `lens` stays in the final schema (per-posting doc lengths, the exact
 # fieldnorm data tantivy co-locates with segments) so split merges can
-# re-derive block_min_len without re-reading the doc store
+# re-derive block_min_len without re-reading the doc store.  `bucket` is the
+# stored term-hash bucket: the final table keeps its (split, bucket) shuffle
+# distribution (parallel writes, no extra shuffle) and queries prune their
+# scan to the buckets of the query terms via parquet min/max stats.
 POSTINGS_SCHEMA = (
-    "split_id string, field string, term string, doc_freq long, total_tf long, "
-    "blob binary, positions binary, lens binary, block_last_doc array<long>, "
-    "block_max_tf array<long>, block_min_len array<long>"
+    "split_id string, bucket int, field string, term string, doc_freq long, "
+    "total_tf long, blob binary, positions binary, lens binary, "
+    "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
 )
+
+# sentinel field name for the per-segment fastfield pseudo-rows emitted by
+# phase 1 (column reuse: blob=doc_lens, positions=ts,
+# block_last_doc=[base_doc, num_docs, ts_min, ts_max])
+FF_FIELD = "__ff__"
 
 FASTFIELDS_SCHEMA = (
     "split_id string, seg_id long, base_doc long, num_docs long, "
     "doc_lens binary, ts binary, ts_min long, ts_max long"
 )
 
-DOC_COLS = ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "ts_epoch", "doc_len"]
+DOC_COLS = ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "ts_epoch"]
 
 
 @dataclass
@@ -110,6 +122,24 @@ class BuildReport:
     published_splits: list[str] = field(default_factory=list)
     skipped_splits: list[str] = field(default_factory=list)
     metrics: dict = field(default_factory=dict)
+
+
+_TIMING = os.environ.get("QW_BUILD_TIMING", "") == "1"
+
+
+class _Timer:
+    """Opt-in stage timing (QW_BUILD_TIMING=1) written to stderr."""
+
+    def __init__(self):
+        self.t = time.monotonic()
+
+    def lap(self, label: str) -> None:
+        if _TIMING:
+            now = time.monotonic()
+            import sys
+
+            print(f"[build-timing] {label}: {now - self.t:.2f}s", file=sys.stderr, flush=True)
+            self.t = now
 
 
 def _split_id(build_id: str, ord_: int) -> str:
@@ -199,7 +229,10 @@ def _postings_from_flat(flat_terms, doc_rep, pos, lens_by_doc, base_doc, want_po
 
 
 def make_segment_builder(config: IndexConfig) -> Callable[[pd.DataFrame], pd.DataFrame]:
-    """Phase-1: one (split, segment) group → per-term segment posting rows."""
+    """Phase-1: one (split, segment) group → per-term segment posting rows
+    PLUS one fastfield pseudo-row (field=FF_FIELD) carrying the segment's
+    packed doc-length + timestamp columns — the Indexer+fastfield-writer in
+    one pass over the docs, tokenizing each document exactly once."""
     text_fields = [(m.name, m.record == "position", m.tokenizer) for m in config.indexed_text_fields]
 
     def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -210,11 +243,14 @@ def make_segment_builder(config: IndexConfig) -> Callable[[pd.DataFrame], pd.Dat
         base_doc = int(doc_ids[0])
         span = int(doc_ids[-1]) - base_doc + 1
         rows = []
+        text_lens = np.zeros(span, np.uint32)  # doc_len fast field (text tokens)
         for fname, want_pos, tok in text_fields:
             if tok == "default":
                 token_lists = tokenize_series(pdf[fname])
                 lens_by_doc = np.zeros(span, np.uint32)
                 lens_by_doc[doc_ids - base_doc] = token_lists.map(len).to_numpy(np.uint32)
+                if fname == "text":
+                    text_lens = lens_by_doc
             else:  # raw: whole value = one term, field length 1
                 vals = pdf[fname].fillna("")
                 token_lists = vals.map(lambda v: [v] if v != "" else [])
@@ -224,7 +260,8 @@ def make_segment_builder(config: IndexConfig) -> Callable[[pd.DataFrame], pd.Dat
             if flat is None:
                 continue
             for term, d, t, p, plens in _postings_from_flat(*flat, lens_by_doc, base_doc, want_pos):
-                blob, _, _ = encode_postings(d, t)
+                blob, last_doc, max_tf = encode_postings(d, t)
+                min_len = np.minimum.reduceat(plens, np.arange(0, len(d), BLOCK))
                 rows.append(
                     (
                         split_id,
@@ -236,55 +273,107 @@ def make_segment_builder(config: IndexConfig) -> Callable[[pd.DataFrame], pd.Dat
                         blob,
                         encode_positions(p, t) if p is not None else None,
                         encode_u32_column(plens),
+                        last_doc.astype(np.int64).tolist(),
+                        max_tf.astype(np.int64).tolist(),
+                        min_len.astype(np.int64).tolist(),
                     )
                 )
+        # fastfield pseudo-row (doc ids are dense in a split, so per-segment
+        # arrays are indexed by doc offset; column reuse documented at FF_FIELD)
+        ts = pdf["ts_epoch"].to_numpy(np.int64)
+        rows.append(
+            (
+                split_id,
+                seg_id,
+                FF_FIELD,
+                "",
+                len(pdf),
+                0,
+                encode_u32_column(text_lens[doc_ids - base_doc]),
+                encode_u32_column(ts.astype(np.uint32)),
+                None,
+                [base_doc, len(pdf), int(ts.min()), int(ts.max())],
+                [],
+                [],
+            )
+        )
         return pd.DataFrame(
             rows,
             columns=[
                 "split_id", "seg_id", "field", "term", "doc_freq",
                 "total_tf", "blob", "positions", "lens",
+                "block_last_doc", "block_max_tf", "block_min_len",
             ],
         )
 
     return build_segment
 
 
-def merge_term_segments(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Phase-2: all segment lists of one (split, field, term) → final row."""
-    pdf = pdf.sort_values("seg_id")
-    docs, tfs, lens, poss = [], [], [], []
-    want_pos = pdf["positions"].iloc[0] is not None
-    for r in pdf.itertuples(index=False):
-        d, t = decode_postings(r.blob)
-        docs.append(d)
-        tfs.append(t)
-        lens.append(decode_u32_column(r.lens))
-        if want_pos:
-            poss.append(decode_positions(r.positions, t))
-    d = np.concatenate(docs)
-    t = np.concatenate(tfs)
-    ln = np.concatenate(lens)
-    blob, last_doc, max_tf = encode_postings(d, t)
-    min_len = np.minimum.reduceat(ln, np.arange(0, len(d), BLOCK))
-    positions = encode_positions(np.concatenate(poss), t) if want_pos else None
-    return pd.DataFrame(
-        [
-            (
-                pdf["split_id"].iloc[0],
-                pdf["field"].iloc[0],
-                pdf["term"].iloc[0],
-                int(len(d)),
-                int(t.sum()),
-                blob,
-                positions,
-                encode_u32_column(ln),
-                last_doc.astype(np.int64).tolist(),
-                max_tf.astype(np.int64).tolist(),
-                min_len.astype(np.int64).tolist(),
+def merge_bucket_segments(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Phase-2: one (split, term-hash bucket) → final rows for ALL its terms.
+
+    Bucketing (instead of groupBy(term)) keeps the number of applyInPandas
+    invocations small and constant: each call handles thousands of terms in
+    a python loop over numpy group boundaries, so the per-group pandas/Arrow
+    overhead is amortized ~10^4x.  Buckets also bound shuffle-partition skew:
+    a hot term contributes one compressed row per segment, and terms are
+    spread across buckets by hash.  Terms present in a single segment (the
+    vast majority — singleton tokens) are passed through verbatim: their
+    phase-1 blob + block metadata are already final because segment doc
+    ranges are contiguous and ascending."""
+    pdf = pdf.sort_values(["field", "term", "seg_id"], kind="mergesort")
+    split_id = pdf["split_id"].iloc[0]
+    bucket = int(pdf["bucket"].iloc[0])
+    fields = pdf["field"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    blobs = pdf["blob"].to_numpy()
+    positions_col = pdf["positions"].to_numpy()
+    lens_col = pdf["lens"].to_numpy()
+    doc_freqs = pdf["doc_freq"].to_numpy()
+    total_tfs = pdf["total_tf"].to_numpy()
+    b_last = pdf["block_last_doc"].to_numpy()
+    b_maxtf = pdf["block_max_tf"].to_numpy()
+    b_minlen = pdf["block_min_len"].to_numpy()
+    n = len(pdf)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.concatenate((starts[1:], [n]))
+    rows = []
+    for s, e in zip(starts, ends):
+        if e - s == 1:  # single-segment term: phase-1 row is already final
+            rows.append(
+                (split_id, bucket, fields[s], terms[s], int(doc_freqs[s]), int(total_tfs[s]),
+                 blobs[s], positions_col[s], lens_col[s],
+                 list(b_last[s]), list(b_maxtf[s]), list(b_minlen[s]))
             )
-        ],
+            continue
+        want_pos = positions_col[s] is not None
+        docs, tfs, lens, poss = [], [], [], []
+        for i in range(s, e):
+            d, t = decode_postings(blobs[i])
+            docs.append(d)
+            tfs.append(t)
+            lens.append(decode_u32_column(lens_col[i]))
+            if want_pos:
+                poss.append(decode_positions(positions_col[i], t))
+        d = np.concatenate(docs)
+        t = np.concatenate(tfs)
+        ln = np.concatenate(lens)
+        blob, last_doc, max_tf = encode_postings(d, t)
+        min_len = np.minimum.reduceat(ln, np.arange(0, len(d), BLOCK))
+        positions = encode_positions(np.concatenate(poss), t) if want_pos else None
+        rows.append(
+            (split_id, bucket, fields[s], terms[s], int(len(d)), int(t.sum()),
+             blob, positions, encode_u32_column(ln),
+             last_doc.astype(np.int64).tolist(), max_tf.astype(np.int64).tolist(),
+             min_len.astype(np.int64).tolist())
+        )
+    return pd.DataFrame(
+        rows,
         columns=[
-            "split_id", "field", "term", "doc_freq", "total_tf", "blob",
+            "split_id", "bucket", "field", "term", "doc_freq", "total_tf", "blob",
             "positions", "lens", "block_last_doc", "block_max_tf", "block_min_len",
         ],
     )
@@ -347,11 +436,6 @@ def project_and_validate(df: DataFrame, config: IndexConfig) -> tuple[DataFrame,
         F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull() & F.col("ts_epoch").isNotNull()
     )
     return base.filter(valid_pred), base.filter(~valid_pred)
-
-
-@F.pandas_udf(LongType())
-def _doc_len_udf(texts: pd.Series) -> pd.Series:
-    return tokenize_series(texts).map(len)
 
 
 def assign_doc_ids(valid: DataFrame, n_splits: int) -> DataFrame:
@@ -419,9 +503,11 @@ def build_index(
     """
     cat = Catalog.create(index_dir, config.to_dict())
     paths = _paths(index_dir)
+    tm = _Timer()
 
     valid, invalid = project_and_validate(source_df, config)
     invalid_count = invalid.count()
+    tm.lap("validate:invalid_count")
 
     builds = cat._state.setdefault("builds", {})
     if build_id in builds:
@@ -429,6 +515,7 @@ def build_index(
         total_docs = builds[build_id]["total_docs"]
     else:
         total_docs = valid.count()
+        tm.lap("validate:total_count")
         if n_splits is None:
             n_splits = max(1, -(-total_docs // config.split_num_docs_target))
         builds[build_id] = {"n_splits": n_splits, "total_docs": total_docs}
@@ -450,7 +537,6 @@ def build_index(
     assigned = (
         assigned.withColumn("split_id", F.concat(F.lit(build_id + "-"), F.lpad(F.col("split_ord").cast("string"), 5, "0")))
         .withColumn("seg_id", (F.col("doc_id") / F.lit(seg_target)).cast("long"))
-        .withColumn("doc_len", _doc_len_udf(F.col("text")))
     )
     if len(todo_ords) < n_splits:
         assigned = assigned.filter(F.col("split_ord").isin(todo_ords))
@@ -468,27 +554,75 @@ def build_index(
             _cleanup_split_dirs(index_dir, wave_sids)  # clear stale staged data
             wdf = assigned.filter(F.col("split_ord").isin(wave)) if multi_wave else assigned
 
-            docs = wdf.select("split_id", "seg_id", *DOC_COLS)
-            docs_w = docs.repartition("split_id").sortWithinPartitions("split_id", "doc_id")
-            docs_w.drop("seg_id").write.partitionBy("split_id").mode("append").parquet(paths["docs"])
-
-            seg_postings = docs.groupBy("split_id", "seg_id").applyInPandas(
-                build_segment, SEG_POSTINGS_SCHEMA
+            # 1) materialize the doc store FIRST (one pass through the
+            # expensive lineage: validate → docID window/join → doc_len UDF),
+            # then read it back so tokenize/fastfields/stats/tags all run off
+            # parquet instead of recomputing the lineage per action.
+            # (seg_id is a pure function of doc_id — recomputed after read.)
+            (
+                wdf.select(*DOC_COLS, "split_id")
+                .repartition("split_id", "seg_id")
+                .sortWithinPartitions("doc_id")
+                .write.partitionBy("split_id")
+                .mode("append")
+                .parquet(paths["docs"])
             )
-            final_postings = seg_postings.groupBy("split_id", "field", "term").applyInPandas(
-                merge_term_segments, POSTINGS_SCHEMA
+            tm.lap("write-docs")
+            docs = (
+                spark.read.parquet(paths["docs"])
+                .filter(F.col("split_id").isin(wave_sids))
+                .withColumn("seg_id", (F.col("doc_id") / F.lit(seg_target)).cast("long"))
+            )
+
+            # 2) phase 1+fastfields in ONE pass (tokenize once), materialized
+            # to a temp dir so phase 2 / fastfield extraction / metrics never
+            # recompute tokenization.
+            segtmp = os.path.join(index_dir, f"_segtmp-{build_id}-{wave_idx}")
+            (
+                docs.groupBy("split_id", "seg_id")
+                .applyInPandas(build_segment, SEG_POSTINGS_SCHEMA)
+                .write.mode("overwrite")
+                .parquet(segtmp)
+            )
+            tm.lap("phase1+write")
+            seg_all = spark.read.parquet(segtmp)
+
+            # 3) phase-2 reduce keyed on (split, hash-bucket of term): constant
+            # invocation count + hot-term rows spread across buckets.  The
+            # output keeps its (split, bucket) distribution — parallel sorted
+            # writes, no extra shuffle; `bucket` is stored for query pruning.
+            final_postings = (
+                seg_all.filter(F.col("field") != FF_FIELD)
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("field", "term"), F.lit(config.term_merge_buckets)).cast("int"),
+                )
+                .groupBy("split_id", "bucket")
+                .applyInPandas(lambda pdf: merge_bucket_segments(pdf), POSTINGS_SCHEMA)
             )
             (
-                final_postings.repartition("split_id")
-                .sortWithinPartitions("split_id", "field", "term")
+                final_postings.sortWithinPartitions("split_id", "bucket", "field", "term")
                 .write.partitionBy("split_id")
                 .mode("append")
                 .parquet(paths["postings"])
             )
-            ff = docs.groupBy("split_id", "seg_id").applyInPandas(pack_fastfields, FASTFIELDS_SCHEMA)
-            ff.repartition("split_id").sortWithinPartitions("split_id", "seg_id").write.partitionBy(
+            tm.lap("phase2+write")
+
+            # 4) fastfields = the phase-1 pseudo-rows, re-shaped
+            ff = seg_all.filter(F.col("field") == FF_FIELD).select(
+                "split_id",
+                "seg_id",
+                F.col("block_last_doc")[0].alias("base_doc"),
+                F.col("block_last_doc")[1].alias("num_docs"),
+                F.col("blob").alias("doc_lens"),
+                F.col("positions").alias("ts"),
+                F.col("block_last_doc")[2].alias("ts_min"),
+                F.col("block_last_doc")[3].alias("ts_max"),
+            )
+            ff.sortWithinPartitions("split_id", "seg_id").write.partitionBy(
                 "split_id"
             ).mode("append").parquet(paths["fastfields"])
+            tm.lap("fastfields")
 
             # split-level metadata (one row per split — driver-safe)
             stats = (
@@ -497,18 +631,16 @@ def build_index(
                     F.count("*").alias("num_docs"),
                     F.min("ts_epoch").alias("ts_min"),
                     F.max("ts_epoch").alias("ts_max"),
-                    F.sum("doc_len").alias("len_text"),
-                    F.sum(F.when(F.col("role") != "", 1).otherwise(0)).alias("len_role"),
-                    F.sum(F.when(F.col("tool") != "", 1).otherwise(0)).alias("len_tool"),
-                    F.sum(F.when(F.col("conv_id") != "", 1).otherwise(0)).alias("len_conv_id"),
                 )
                 .collect()
             )
+            tm.lap("stats:docs-agg")
+            posted = spark.read.parquet(paths["postings"]).filter(
+                F.col("split_id").isin(wave_sids)
+            )
             pmetrics = {
                 r["split_id"]: r.asDict()
-                for r in spark.read.parquet(paths["postings"])
-                .filter(F.col("split_id").isin(wave_sids))
-                .groupBy("split_id")
+                for r in posted.groupBy("split_id")
                 .agg(
                     F.count("*").alias("num_terms"),
                     F.sum(F.length("blob")).alias("postings_bytes"),
@@ -516,6 +648,13 @@ def build_index(
                 )
                 .collect()
             }
+            # per-field length sums (BM25 avg_len): Σ field length == Σ tf
+            flsums: dict[str, dict[str, int]] = {}
+            for r in posted.groupBy("split_id", "field").agg(
+                F.sum("total_tf").alias("s")
+            ).collect():
+                flsums.setdefault(r["split_id"], {})[r["field"]] = int(r["s"])
+            tm.lap("stats:pmetrics")
             segs = {
                 sid: rows
                 for sid, rows in pd.DataFrame(
@@ -526,7 +665,9 @@ def build_index(
                     columns=["split_id", "seg_id", "num_docs"],
                 ).groupby("split_id")
             }
+            tm.lap("stats+pmetrics+segs")
             tags = _extract_tags(docs, config)
+            tm.lap("tags")
 
             delta = {}
             for r in stats:
@@ -539,12 +680,7 @@ def build_index(
                     ts_min=r["ts_min"],
                     ts_max=r["ts_max"],
                     tags=tags.get(sid, []),
-                    field_len_sums={
-                        "text": r["len_text"] or 0,
-                        "role": r["len_role"],
-                        "tool": r["len_tool"],
-                        "conv_id": r["len_conv_id"],
-                    },
+                    field_len_sums=flsums.get(sid, {}),
                     metrics={
                         "num_terms": int(pm.get("num_terms", 0)),
                         "postings_bytes": int(pm.get("postings_bytes", 0)),
@@ -565,6 +701,7 @@ def build_index(
                     delta[sid] = (None, "built:empty")
             cat.publish_splits([s for s in delta if s in cat._state["splits"]], delta)
             report.published_splits.extend(sorted(delta))
+            shutil.rmtree(segtmp, ignore_errors=True)
             if failpoint is not None:
                 failpoint(wave_idx)
     finally:

@@ -95,13 +95,12 @@ def build_merge_operations(
     return ops
 
 
-def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (field, term) across input splits → final merged posting row.
-    Input rows carry `ord` (split order) and `offset` (docID base)."""
-    pdf = pdf.sort_values("ord")
+def _merge_term_rows(sub: pd.DataFrame):
+    """k-way merge of ONE (field, term)'s posting rows (sorted by ord);
+    rows carry `offset` (docID base).  Returns the row tuple tail."""
     docs, tfs, lens, poss = [], [], [], []
-    want_pos = any(p is not None for p in pdf["positions"])
-    for r in pdf.itertuples(index=False):
+    want_pos = any(p is not None for p in sub["positions"])
+    for r in sub.itertuples(index=False):
         d, t = decode_postings(r.blob)
         docs.append(d.astype(np.int64) + int(r.offset))
         tfs.append(t)
@@ -114,24 +113,41 @@ def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
     blob, last_doc, max_tf = encode_postings(d.astype(np.uint32), t)
     min_len = np.minimum.reduceat(ln, np.arange(0, len(d), BLOCK))
     positions = encode_positions(np.concatenate(poss), t) if want_pos else None
+    return (
+        int(len(d)),
+        int(t.sum()),
+        blob,
+        positions,
+        encode_u32_column(ln),
+        last_doc.astype(np.int64).tolist(),
+        max_tf.astype(np.int64).tolist(),
+        min_len.astype(np.int64).tolist(),
+    )
+
+
+def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One term-hash bucket → merged rows for ALL its (field, term)s.
+    Bucketing amortizes per-group pandas/Arrow overhead (see
+    builder.merge_bucket_segments)."""
+    pdf = pdf.sort_values(["field", "term", "ord"], kind="mergesort")
+    out_split = pdf["out_split"].iloc[0]
+    bucket = int(pdf["bucket"].iloc[0])
+    fields = pdf["field"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    n = len(pdf)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.concatenate((starts[1:], [n]))
+    rows = [
+        (out_split, bucket, fields[s], terms[s]) + _merge_term_rows(pdf.iloc[s:e])
+        for s, e in zip(starts, ends)
+    ]
     return pd.DataFrame(
-        [
-            (
-                pdf["out_split"].iloc[0],
-                pdf["field"].iloc[0],
-                pdf["term"].iloc[0],
-                int(len(d)),
-                int(t.sum()),
-                blob,
-                positions,
-                encode_u32_column(ln),
-                last_doc.astype(np.int64).tolist(),
-                max_tf.astype(np.int64).tolist(),
-                min_len.astype(np.int64).tolist(),
-            )
-        ],
+        rows,
         columns=[
-            "split_id", "field", "term", "doc_freq", "total_tf", "blob",
+            "split_id", "bucket", "field", "term", "doc_freq", "total_tf", "blob",
             "positions", "lens", "block_last_doc", "block_max_tf", "block_min_len",
         ],
     )
@@ -184,11 +200,11 @@ def execute_merge(
         .withColumn("ord", ord_expr)
         .withColumn("out_split", F.lit(out_sid))
     )
-    merged = postings.groupBy("field", "term").applyInPandas(_merge_term_group, POSTINGS_SCHEMA)
+    merged = postings.groupBy("bucket").applyInPandas(_merge_bucket_group, POSTINGS_SCHEMA)
     (
         merged.drop("split_id")
         .repartition(1)
-        .sortWithinPartitions("field", "term")
+        .sortWithinPartitions("bucket", "field", "term")
         .write.mode("overwrite")
         .parquet(os.path.join(paths["postings"], f"split_id={out_sid}"))
     )

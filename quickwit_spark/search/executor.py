@@ -73,6 +73,8 @@ class SearchResponse:
 
 def open_index(spark: SparkSession, index_dir: str) -> tuple[Catalog, IndexConfig]:
     cat = Catalog(index_dir)
+    if cat.config_dict is None:
+        raise FileNotFoundError(f"no index at {index_dir} (missing catalog.json)")
     return cat, IndexConfig.from_dict(cat.config_dict)
 
 
@@ -91,8 +93,36 @@ def prune_splits(
     return [s for s in splits if pred(set(s.tags), bool(s.tags))]
 
 
+def term_buckets(
+    spark: SparkSession, terms: set[tuple[str, str]], n_buckets: int
+) -> list[int]:
+    """Stored-bucket values of the query terms (one tiny local job — the
+    hash must be Spark's own xxhash64, the function used at build time).
+    Lets the postings scan prune row groups via parquet min/max stats on the
+    `bucket` column — the warmup/'read exactly what the query needs' analog
+    (leaf.rs:125-193) at the storage layer."""
+    if not terms:
+        return []
+    df = spark.createDataFrame(sorted(terms), "field string, term string")
+    rows = df.select(
+        F.pmod(F.xxhash64("field", "term"), F.lit(n_buckets)).cast("int").alias("b")
+    ).collect()
+    return sorted({r["b"] for r in rows})
+
+
+def _postings_scan(spark: SparkSession, index_dir: str, buckets: list[int]):
+    scan = spark.read.parquet(f"{index_dir}/postings")
+    if buckets and "bucket" in scan.columns:
+        scan = scan.filter(F.col("bucket").isin(buckets))
+    return scan
+
+
 def global_term_stats(
-    spark: SparkSession, index_dir: str, cat: Catalog, terms: set[tuple[str, str]]
+    spark: SparkSession,
+    index_dir: str,
+    cat: Catalog,
+    terms: set[tuple[str, str]],
+    buckets: list[int] | None = None,
 ) -> dict:
     """Whole-index collection stats for BM25: N, per-field avg_len (from the
     catalog) and global doc_freq per (field, term) — one tiny aggregate over
@@ -107,7 +137,7 @@ def global_term_stats(
                 c = (F.col("field") == f_) & (F.col("term") == t_)
                 cond = c if cond is None else (cond | c)
             rows = (
-                spark.read.parquet(f"{index_dir}/postings")
+                _postings_scan(spark, index_dir, buckets or [])
                 .filter(F.col("split_id").isin(published))
                 .filter(cond)
                 .groupBy("field", "term")
@@ -434,7 +464,8 @@ def _leaf_hits_df(
     ast = parse_query(request.query, config, request.search_fields)
     splits = prune_splits(cat, config, ast, request)
     terms = collect_terms(ast)
-    gstats = global_term_stats(spark, index_dir, cat, terms)
+    buckets = term_buckets(spark, terms, config.term_merge_buckets)
+    gstats = global_term_stats(spark, index_dir, cat, terms, buckets)
     if not splits:
         empty = spark.createDataFrame([], HITS_SCHEMA)
         return empty, splits, ast, config
@@ -445,7 +476,7 @@ def _leaf_hits_df(
         c = (F.col("field") == f_) & (F.col("term") == t_)
         cond = c if cond is None else (cond | c)
     needed = (
-        spark.read.parquet(f"{index_dir}/postings")
+        _postings_scan(spark, index_dir, buckets)
         .filter(F.col("split_id").isin(sids))
         .filter(cond if cond is not None else F.lit(False))
     )

@@ -1,0 +1,125 @@
+"""Streaming ingest — the Structured-Streaming analog of the reference's
+tailing sources + indexing pipeline (quickwit-indexing/src/source/mod.rs,
+file_source.rs, kafka_source.rs; SURVEY.md §2.1).
+
+Reference semantics re-expressed:
+
+* **Source pull loop** (``SourceActor.emit_batches`` → ``RawDocBatch``):
+  ``spark.readStream`` micro-batches.  A file-dir source tails newly
+  arriving parquet/NDJSON files the way FileSource tails a file; a Kafka
+  source would be ``readStream.format("kafka")`` with identical downstream
+  code (not exercised here — no broker in the sandbox).
+* **Commit timeout / batch cut** (indexer.rs:127-133): the micro-batch
+  trigger (processing-time or availableNow) is the split-cut clock.
+* **Exactly-once checkpointing** (checkpoint.rs:299-353): two layers, same
+  as the reference's source-position + metastore-publish pair — Spark's
+  streaming checkpoint tracks source offsets, and our catalog publish is
+  idempotent per (build_id = batch epoch): a replayed batch finds its
+  splits already published and skips them (builder.py resume path), so
+  replays cannot double-index.
+* **Publish visibility**: readers only ever see catalog-Published splits,
+  so a crash mid-batch leaves no visible partial state.
+
+Each micro-batch becomes one or more splits (build_id ``{prefix}{batch_id}``)
+published atomically with a checkpoint delta — exactly the reference's
+split-per-commit-timeout behavior at cluster scale: the per-batch build is
+the same embarrassingly-parallel two-phase dataflow as the batch builder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import IndexConfig
+from ..index.builder import BuildReport, build_index
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def file_stream_source(
+    spark: SparkSession, path: str, fmt: str = "parquet", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """FileSource analog (source/file_source.rs:37-152): tail a directory of
+    transcript files; Spark's file-stream offset log is the byte-offset
+    checkpoint analog."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "json":
+        return reader.json(path)
+    raise ValueError(f"unsupported stream format {fmt!r}")
+
+
+@dataclass
+class StreamIngestor:
+    """foreachBatch sink: one resumable split build per micro-batch."""
+
+    config: IndexConfig
+    index_dir: str
+    build_prefix: str = "s"
+    splits_per_batch: int | None = None
+    reports: list[BuildReport] = field(default_factory=list)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):  # empty trigger — nothing to publish
+            return
+        report = build_index(
+            batch_df.sparkSession,
+            batch_df,
+            self.config,
+            self.index_dir,
+            build_id=f"{self.build_prefix}{batch_id:06d}",
+            n_splits=self.splits_per_batch,
+        )
+        self.reports.append(report)
+
+
+def start_stream_build(
+    stream_df: DataFrame,
+    config: IndexConfig,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    trigger_secs: float | None = None,
+    splits_per_batch: int | None = None,
+):
+    """Wire a streaming transcript source into the index-build pipeline.
+
+    Returns (StreamingQuery, StreamIngestor).  With ``available_now`` the
+    query drains everything currently in the source and stops (the
+    end-of-source split cut, indexer.rs:280-295); with ``trigger_secs`` it
+    keeps tailing with that micro-batch period (the commit-timeout clock,
+    indexer.rs:127-133).
+    """
+    ingestor = StreamIngestor(config, index_dir, splits_per_batch=splits_per_batch)
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingestor)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_secs is not None:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start(), ingestor

@@ -1,0 +1,82 @@
+"""Structured-Streaming ingest tests — the tailing-source analog
+(reference quickwit-indexing/src/source/file_source.rs: batch cut +
+byte-offset checkpoint; checkpoint.rs exactly-once publish)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.fixtures.transcripts import generate_transcripts
+from quickwit_spark.index.catalog import Catalog
+from quickwit_spark.search.executor import search
+from quickwit_spark.search.request import SearchRequest
+from quickwit_spark.streaming.ingest import file_stream_source, start_stream_build
+
+CFG = transcripts_config(split_num_docs_target=300, segment_num_docs_target=100)
+
+
+def _write_source_files(spark, src_dir, n_files=3, seed0=50):
+    total = 0
+    for i in range(n_files):
+        pdf = generate_transcripts(n_conversations=12, seed=seed0 + i)
+        pdf["conv_id"] = pdf["conv_id"] + f"-f{i}"
+        total += len(pdf)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src_dir)
+    return total
+
+
+def test_stream_build_drains_and_matches_batch_count(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    src, idx, ckpt = f"{base}/src", f"{base}/idx", f"{base}/ckpt"
+    total = _write_source_files(spark, src, n_files=3)
+
+    stream = file_stream_source(spark, src, max_files_per_trigger=1)
+    q, ingestor = start_stream_build(stream, CFG, idx, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    # every arriving file became its own published micro-batch build
+    assert len(ingestor.reports) >= 1
+    cat = Catalog(idx)
+    num_docs = sum(s.num_docs for s in cat.splits())
+    assert num_docs == total
+
+    # the index is searchable end-to-end
+    resp = search(spark, idx, SearchRequest("error OR deploy", max_hits=5))
+    assert resp.num_hits > 0 and len(resp.hits) > 0
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream2"))
+    src, idx, ckpt = f"{base}/src", f"{base}/idx", f"{base}/ckpt"
+    total = _write_source_files(spark, src, n_files=2, seed0=70)
+
+    q, _ = start_stream_build(
+        file_stream_source(spark, src), CFG, idx, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    cat = Catalog(idx)
+    splits_before = sorted(s.split_id for s in cat.splits())
+    docs_before = sum(s.num_docs for s in cat.splits())
+    assert docs_before == total
+
+    # restart on the same checkpoint with no new data: nothing re-indexed
+    q2, ing2 = start_stream_build(
+        file_stream_source(spark, src), CFG, idx, ckpt, available_now=True
+    )
+    q2.awaitTermination(300)
+    cat2 = Catalog(idx)
+    assert sorted(s.split_id for s in cat2.splits()) == splits_before
+
+    # new file arrives -> exactly its docs are added, as a new build
+    extra = generate_transcripts(n_conversations=5, seed=99)
+    extra["conv_id"] = extra["conv_id"] + "-late"
+    spark.createDataFrame(extra).coalesce(1).write.mode("append").parquet(src)
+    q3, _ = start_stream_build(
+        file_stream_source(spark, src), CFG, idx, ckpt, available_now=True
+    )
+    q3.awaitTermination(300)
+    cat3 = Catalog(idx)
+    assert sum(s.num_docs for s in cat3.splits()) == total + len(extra)

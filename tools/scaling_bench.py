@@ -1,0 +1,151 @@
+"""Scaling-efficiency evidence for the north rule: the same index build run
+at two parallelism levels (N and 4N cores) on the same input, in separate
+JVMs, each launched via ``spark-submit --py-files quickwit_spark.zip`` —
+the sandbox stand-in for an N- vs 4N-executor cluster.
+
+throughput scaling efficiency = (turns_per_sec@4N / turns_per_sec@N) / 4
+(target >= 0.8 per BASELINE.json).
+
+Usage: python tools/scaling_bench.py [--n 8] [--convs 40000] [--repeats 1]
+Writes BENCH_SCALING.json and rewrites the scaling section of BASELINE.md
+between the SCALING-BEGIN/END markers (appends it if absent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MARK_BEGIN = "<!-- SCALING-BEGIN -->"
+MARK_END = "<!-- SCALING-END -->"
+
+
+def make_pyfiles_zip(path: str) -> str:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "quickwit_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def run_one(cpus: int, corpus: str, zip_path: str, convs: int) -> dict:
+    index_dir = f"/tmp/qwspark_scale/idx-{cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cpus}]",
+        "--driver-memory", os.environ.get("QW_SCALE_DRIVER_MEM", "48g"),
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "quickwit_spark", "cli.py"),
+        "--shuffle-partitions", str(max(cpus * 2, 8)),
+        "bench-build",
+        "--input", corpus,
+        "--index-dir", index_dir,
+        "--n-conversations", str(convs),
+    ]
+    env = dict(os.environ)
+    env.pop("PYSPARK_DRIVER_PYTHON", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd="/tmp")
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:] + "\n")
+        raise SystemExit(f"bench-build at local[{cpus}] failed")
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return json.loads(line)
+
+
+def update_baseline_md(section: str) -> None:
+    path = os.path.join(REPO, "BASELINE.md")
+    text = open(path).read() if os.path.exists(path) else "# BASELINE\n"
+    block = f"{MARK_BEGIN}\n{section}\n{MARK_END}"
+    if MARK_BEGIN in text:
+        pre = text.split(MARK_BEGIN)[0]
+        post = text.split(MARK_END)[1] if MARK_END in text else "\n"
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(path, "w").write(text)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8, help="small parallelism N (4N must fit the box)")
+    ap.add_argument("--convs", type=int, default=40_000, help="conversations (~20 turns each)")
+    ap.add_argument("--repeats", type=int, default=1, help="take best-of over repeats")
+    args = ap.parse_args()
+
+    os.makedirs("/tmp/qwspark_scale", exist_ok=True)
+    corpus = f"/tmp/qwspark_bench/transcripts_{args.convs}.parquet"
+    if not os.path.exists(corpus):
+        os.makedirs(os.path.dirname(corpus), exist_ok=True)
+        sys.path.insert(0, REPO)
+        from quickwit_spark.fixtures.transcripts import write_transcripts_parquet
+
+        write_transcripts_parquet(corpus, n_conversations=args.convs, seed=42)
+
+    zip_path = make_pyfiles_zip("/tmp/qwspark_scale/quickwit_spark.zip")
+
+    results = {}
+    for cpus in (args.n, args.n * 4):
+        best = None
+        for _ in range(args.repeats):
+            r = run_one(cpus, corpus, zip_path, args.convs)
+            if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
+                best = r
+        results[cpus] = best
+        print(f"local[{cpus}]: {best['turns']} turns in {best['secs']}s "
+              f"= {best['turns_per_sec']} turns/sec", file=sys.stderr)
+
+    lo, hi = results[args.n], results[args.n * 4]
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    summary = {
+        "metric": "index-build throughput scaling efficiency (N vs 4N cores)",
+        "n_cores": args.n,
+        "n4_cores": args.n * 4,
+        "turns": hi["turns"],
+        "turns_per_sec_n": lo["turns_per_sec"],
+        "turns_per_sec_4n": hi["turns_per_sec"],
+        "secs_n": lo["secs"],
+        "secs_4n": hi["secs"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "launcher": "spark-submit --py-files quickwit_spark.zip",
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    section = f"""## Scaling evidence (measured, this sandbox)
+
+Same index build (synthetic transcript corpus, {hi['turns']:,} turns), same
+input, two parallelism levels, separate JVMs, each launched via
+`spark-submit --py-files quickwit_spark.zip quickwit_spark/cli.py bench-build`
+(the sandbox stand-in for N vs 4N executors per the round-1 instructions):
+
+| cores | build secs | turns/sec |
+|---|---|---|
+| local[{args.n}] (N) | {lo['secs']} | {lo['turns_per_sec']:,} |
+| local[{args.n * 4}] (4N) | {hi['secs']} | {hi['turns_per_sec']:,} |
+
+**Throughput scaling efficiency N→4N = {eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+Raw numbers in `BENCH_SCALING.json`; reproduce with `python tools/scaling_bench.py`."""
+    update_baseline_md(section)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
