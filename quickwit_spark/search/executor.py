@@ -37,6 +37,7 @@ rows per split; everything the driver touches is O(splits + k).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -93,6 +94,10 @@ def prune_splits(
     return [s for s in splits if pred(set(s.tags), bool(s.tags))]
 
 
+_BUCKET_CACHE: dict = {}
+_GSTATS_CACHE: dict = {}
+
+
 def term_buckets(
     spark: SparkSession, terms: set[tuple[str, str]], n_buckets: int
 ) -> list[int]:
@@ -100,14 +105,18 @@ def term_buckets(
     hash must be Spark's own xxhash64, the function used at build time).
     Lets the postings scan prune row groups via parquet min/max stats on the
     `bucket` column — the warmup/'read exactly what the query needs' analog
-    (leaf.rs:125-193) at the storage layer."""
+    (leaf.rs:125-193) at the storage layer.  Cached per (terms, n_buckets):
+    the hash of a term never changes."""
     if not terms:
         return []
-    df = spark.createDataFrame(sorted(terms), "field string, term string")
-    rows = df.select(
-        F.pmod(F.xxhash64("field", "term"), F.lit(n_buckets)).cast("int").alias("b")
-    ).collect()
-    return sorted({r["b"] for r in rows})
+    key = (n_buckets, frozenset(terms))
+    if key not in _BUCKET_CACHE:
+        df = spark.createDataFrame(sorted(terms), "field string, term string")
+        rows = df.select(
+            F.pmod(F.xxhash64("field", "term"), F.lit(n_buckets)).cast("int").alias("b")
+        ).collect()
+        _BUCKET_CACHE[key] = sorted({r["b"] for r in rows})
+    return _BUCKET_CACHE[key]
 
 
 def _postings_scan(spark: SparkSession, index_dir: str, buckets: list[int]):
@@ -126,7 +135,16 @@ def global_term_stats(
 ) -> dict:
     """Whole-index collection stats for BM25: N, per-field avg_len (from the
     catalog) and global doc_freq per (field, term) — one tiny aggregate over
-    the term-dictionary rows of all published splits."""
+    the term-dictionary rows of all published splits.  Cached per (index
+    state, terms): the split-footer/fast-field cache analog (leaf.rs:47-55),
+    invalidated whenever the catalog file changes."""
+    try:
+        cat_state = os.path.getmtime(cat.path), os.path.getsize(cat.path)
+    except OSError:
+        cat_state = None
+    ckey = (index_dir, cat_state, frozenset(terms))
+    if ckey in _GSTATS_CACHE:
+        return _GSTATS_CACHE[ckey]
     stats = cat.global_stats()
     df_map: dict[tuple[str, str], int] = {t: 0 for t in terms}
     if terms:
@@ -146,7 +164,11 @@ def global_term_stats(
             )
             for r in rows:
                 df_map[(r["field"], r["term"])] = int(r["df"])
-    return {"num_docs": stats["num_docs"], "avg_len": stats["avg_len"], "df": df_map}
+    out = {"num_docs": stats["num_docs"], "avg_len": stats["avg_len"], "df": df_map}
+    _GSTATS_CACHE[ckey] = out
+    if len(_GSTATS_CACHE) > 1024:
+        _GSTATS_CACHE.pop(next(iter(_GSTATS_CACHE)))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +265,22 @@ def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
     return acc
 
 
+def _occurrence_keys(d: np.ndarray, t: np.ndarray, p: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Packed (doc << 32 | position) keys of every occurrence in candidate
+    docs — the fully-vectorized phrase primitive."""
+    member = np.isin(d.astype(np.int64), cand, assume_unique=True)
+    occ_mask = np.repeat(member, t.astype(np.int64))
+    doc_rep = np.repeat(d.astype(np.uint64), t.astype(np.int64))[occ_mask]
+    pos_sel = p.astype(np.uint64)[occ_mask]
+    return (doc_rep << np.uint64(32)) | pos_sel
+
+
 def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
+    """Exact phrase match via position adjacency, no per-doc Python loop:
+    an occurrence of term 0 at (doc, p) survives iff (doc, p+i) is an
+    occurrence of term i for every i — set-membership on packed uint64
+    (doc, pos) keys (reference: tantivy phrase scorer semantics,
+    record=position fields, field_mapping_entry.rs:595-623)."""
     keys = [(node.field, t) for t in node.terms]
     decoded = [postings.positions_for(k) for k in keys]
     if any(len(d[0]) == 0 for d in decoded):
@@ -253,35 +290,13 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         cand = cand[np.isin(cand, d.astype(np.int64), assume_unique=True)]
         if len(cand) == 0:
             return cand
-    # adjacency check per candidate: positions of term i must contain p0+i
-    # build per-doc position sets lazily for candidates only
-    pos_maps = []
-    for d, t, p in decoded:
-        starts = np.concatenate(([0], np.cumsum(t.astype(np.int64))[:-1]))
-        idx = {int(doc): (int(s), int(s + n)) for doc, s, n in zip(d, starts, t)}
-        pos_maps.append((idx, p))
-    out = []
-    for doc in cand:
-        idx0, p0 = pos_maps[0]
-        s, e = idx0[int(doc)]
-        base_positions = p0[s:e]
-        ok = False
-        for bp in base_positions:
-            hit = True
-            for i in range(1, len(decoded)):
-                idxi, pi = pos_maps[i]
-                s2, e2 = idxi[int(doc)]
-                seg = pi[s2:e2]
-                j = np.searchsorted(seg, bp + i)
-                if j >= len(seg) or seg[j] != bp + i:
-                    hit = False
-                    break
-            if hit:
-                ok = True
-                break
-        if ok:
-            out.append(doc)
-    return np.array(out, np.int64)
+    base = _occurrence_keys(*decoded[0], cand)
+    for i in range(1, len(decoded)):
+        if len(base) == 0:
+            return np.empty(0, np.int64)
+        keys_i = _occurrence_keys(*decoded[i], cand)
+        base = base[np.isin(base + np.uint64(i), keys_i)]
+    return np.unique((base >> np.uint64(32)).astype(np.int64))
 
 
 def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray, np.ndarray]:
@@ -490,54 +505,82 @@ def _leaf_hits_df(
     return hits, splits, ast, config
 
 
-def _order_cols(request: SearchRequest):
+# above this count of candidate doc ids, skip the isin pushdown (predicate
+# bloat) and fall back to a plain partition-pruned join
+_MAX_ISIN_IDS = 100_000
+
+FETCH_COLS = ["conv_id", "turn_idx", "role", "tool", "ts_epoch", "split_id", "doc_id", "score", "text"]
+_FETCH_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, ts_epoch long, "
+    "split_id string, doc_id long, score double, text string"
+)
+
+
+def _sort_key(request: SearchRequest):
+    """Python-side merge order over fetched rows — merge_fruits analog
+    (reference order (Reverse(sort_value), split_id, doc_id), lib.rs:93-98)."""
     if request.sort_by_field is not None:
-        lead = F.col("sort_value").asc() if request.sort_asc else F.col("sort_value").desc()
-        return [lead, F.col("split_id").asc(), F.col("doc_id").asc()]
+        sgn = 1 if request.sort_asc else -1
+        return lambda r: (sgn * r["sort_value"], r["split_id"], r["doc_id"])
     if request.tiebreak == "global_key":
-        return [F.col("score").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()]
-    # reference merge order: (Reverse(sort_value), split_id, doc_id), lib.rs:93-98
-    return [F.col("score").desc(), F.col("split_id").asc(), F.col("doc_id").asc()]
+        return lambda r: (-r["score"], r["conv_id"], r["turn_idx"])
+    return lambda r: (-r["score"], r["split_id"], r["doc_id"])
+
+
+def _fetch_hit_docs(
+    spark: SparkSession, index_dir: str, hit_rows: list, splits: list[SplitMetadata]
+) -> list[dict]:
+    """fetch_docs analog (fetch_docs.rs:97-164): read back ONLY the hit
+    documents.  The collected per-split top-k rows are pushed down as
+    (split_id, doc_id) predicates, so the parquet scan prunes to the winning
+    splits' dirs and, via doc_id min/max row-group stats (docs are written
+    doc_id-sorted), to a handful of row groups — never a full doc-store scan."""
+    if not hit_rows:
+        return []
+    hit_sids = sorted({r["split_id"] for r in hit_rows})
+    doc_ids = sorted({int(r["doc_id"]) for r in hit_rows})
+    docs = spark.read.parquet(f"{index_dir}/docs").filter(F.col("split_id").isin(hit_sids))
+    if len(doc_ids) <= _MAX_ISIN_IDS:
+        docs = docs.filter(F.col("doc_id").isin(doc_ids))
+    hits_df = spark.createDataFrame(
+        [(r["split_id"], int(r["doc_id"]), float(r["score"]), int(r["sort_value"])) for r in hit_rows],
+        "split_id string, doc_id long, score double, sort_value long",
+    )
+    fetched = docs.join(F.broadcast(hits_df), ["split_id", "doc_id"]).collect()
+    return [r.asDict() for r in fetched]
+
+
+def _search_rows(
+    spark: SparkSession, index_dir: str, request: SearchRequest
+) -> tuple[list[dict], int]:
+    """Shared root-search core: leaf top-k (one job, tiny result), driver
+    merge (sort of <= splits*(offset+k) rows), pruned doc fetch (one job)."""
+    hits_df, splits, ast, config = _leaf_hits_df(spark, index_dir, request)
+    hit_rows = [r.asDict() for r in hits_df.collect()]
+    per_split_hits: dict[str, int] = {}
+    for r in hit_rows:
+        per_split_hits[r["split_id"]] = int(r["split_num_hits"])
+    num_hits = sum(per_split_hits.values())
+    fetched = _fetch_hit_docs(spark, index_dir, hit_rows, splits)
+    fetched.sort(key=_sort_key(request))
+    page = fetched[request.start_offset : request.start_offset + request.max_hits]
+    return page, num_hits
 
 
 def search_df(spark: SparkSession, index_dir: str, request: SearchRequest) -> DataFrame:
     """Full search as a DataFrame of hits joined back to the doc store:
     columns (conv_id, turn_idx, role, text, tool, ts_epoch, split_id,
     doc_id, score), globally ordered and offset/limited."""
-    hits, splits, ast, config = _leaf_hits_df(spark, index_dir, request)
-    sids = [s.split_id for s in splits]
-    docs = spark.read.parquet(f"{index_dir}/docs")
-    if sids:
-        docs = docs.filter(F.col("split_id").isin(sids))
-    fetched = docs.join(F.broadcast(hits), ["split_id", "doc_id"])
-    ordered = fetched.orderBy(*_order_cols(request))
-    if request.start_offset:
-        ordered = ordered.offset(request.start_offset)
-    return ordered.limit(request.max_hits).select(
-        "conv_id", "turn_idx", "role", "tool", "ts_epoch", "split_id", "doc_id", "score", "text"
-    )
+    page, _ = _search_rows(spark, index_dir, request)
+    data = [tuple(r[c] for c in FETCH_COLS) for r in page]
+    return spark.createDataFrame(data, _FETCH_SCHEMA)
 
 
 def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> SearchResponse:
     """single_node_search analog (lib.rs:153-198): returns collected hits +
     the total hit count (collector.rs:180-187)."""
     t0 = time.monotonic()
-    hits, splits, ast, config = _leaf_hits_df(spark, index_dir, request)
-    hits = hits.persist()
-    try:
-        counts = hits.groupBy("split_id").agg(F.first("split_num_hits").alias("n")).collect()
-        num_hits = int(sum(r["n"] for r in counts))
-        sids = [s.split_id for s in splits]
-        docs = spark.read.parquet(f"{index_dir}/docs")
-        if sids:
-            docs = docs.filter(F.col("split_id").isin(sids))
-        fetched = docs.join(F.broadcast(hits), ["split_id", "doc_id"])
-        ordered = fetched.orderBy(*_order_cols(request))
-        if request.start_offset:
-            ordered = ordered.offset(request.start_offset)
-        rows = ordered.limit(request.max_hits).collect()
-    finally:
-        hits.unpersist()
+    page, num_hits = _search_rows(spark, index_dir, request)
     out = [
         {
             "conv_id": r["conv_id"],
@@ -548,7 +591,7 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
             "sort_value": r["sort_value"],
             "text": r["text"],
         }
-        for r in rows
+        for r in page
     ]
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 
