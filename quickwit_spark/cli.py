@@ -142,6 +142,24 @@ def cmd_merge(args) -> dict:
     }
 
 
+def cmd_demux(args) -> dict:
+    from quickwit_spark.index.catalog import Catalog
+    from quickwit_spark.index.merge import execute_demux
+
+    spark = _get_spark("qw-demux", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = Catalog(args.index_dir)
+    split_ids = args.splits or [s.split_id for s in cat.splits()]
+    metas = execute_demux(
+        spark, args.index_dir, split_ids, args.field, num_outputs=args.num_outputs
+    )
+    return {
+        "cmd": "demux",
+        "inputs": split_ids,
+        "outputs": [{"split_id": m.split_id, "num_docs": m.num_docs} for m in metas],
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="quickwit_spark")
     p.add_argument("--local-cpus", default=None, help="force local[N] master (bench only)")
@@ -179,6 +197,13 @@ def main(argv=None):
     m = sub.add_parser("merge")
     m.add_argument("--index-dir", required=True)
     m.set_defaults(fn=cmd_merge)
+
+    d = sub.add_parser("demux")
+    d.add_argument("--index-dir", required=True)
+    d.add_argument("--field", required=True)
+    d.add_argument("--num-outputs", type=int, default=None)
+    d.add_argument("--splits", nargs="*", default=None)
+    d.set_defaults(fn=cmd_demux)
 
     args = p.parse_args(argv)
     out = args.fn(args)

@@ -118,7 +118,10 @@ def write_transcripts_parquet(path: str, n_conversations: int = 200, seed: int =
     df = generate_transcripts(n_conversations, seed)
     # microsecond ts: Spark cannot read parquet TIMESTAMP(NANOS)
     df["ts"] = df["ts"].astype("datetime64[us]")
-    df.to_parquet(path, index=False)
+    # small row groups keep the single file splittable: Spark assigns row
+    # groups to scan tasks by byte range, so one giant row group would
+    # serialize the whole source scan onto one core
+    df.to_parquet(path, index=False, row_group_size=25_000)
     return len(df)
 
 

@@ -409,7 +409,9 @@ def pack_fastfields(pdf: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def project_and_validate(df: DataFrame, config: IndexConfig) -> tuple[DataFrame, DataFrame]:
+def project_and_validate(
+    df: DataFrame, config: IndexConfig, passthrough: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
     """doc_from_json analog: returns (valid, invalid) DataFrames.
 
     Required-for-indexing columns (the fast/timestamp fields + the doc key)
@@ -431,6 +433,7 @@ def project_and_validate(df: DataFrame, config: IndexConfig) -> tuple[DataFrame,
         F.coalesce(F.col("tool"), F.lit("")).alias("tool") if "tool" in cols else F.lit("").alias("tool"),
         F.col("ts").cast("timestamp").alias("ts"),
         ts_epoch.alias("ts_epoch"),
+        *[F.col(c) for c in passthrough],
     )
     valid_pred = (
         F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull() & F.col("ts_epoch").isNotNull()
@@ -438,16 +441,21 @@ def project_and_validate(df: DataFrame, config: IndexConfig) -> tuple[DataFrame,
     return base.filter(valid_pred), base.filter(~valid_pred)
 
 
-def assign_doc_ids(valid: DataFrame, n_splits: int) -> DataFrame:
+def assign_doc_ids(
+    valid: DataFrame, n_splits: int, split_ord_expr: F.Column | None = None
+) -> DataFrame:
     """Deterministic split + dense per-split docID, no global sort.
 
     split_ord = pmod(xxhash64(conv_id), n_splits) — a pure function of the
     key, so the same at local[8] and on 1000 executors.  The prefix sum runs
     over *conversation-level* rows (orders of magnitude smaller than turns),
-    partitioned by split; per-turn rank is a window per conversation."""
-    df = valid.withColumn(
-        "split_ord", F.pmod(F.xxhash64("conv_id"), F.lit(n_splits)).cast("int")
-    )
+    partitioned by split; per-turn rank is a window per conversation.
+    ``split_ord_expr`` overrides the default hash assignment (demux merges
+    cluster by tenant bin instead) — it must still be conversation-constant
+    so a conversation never straddles splits."""
+    if split_ord_expr is None:
+        split_ord_expr = F.pmod(F.xxhash64("conv_id"), F.lit(n_splits)).cast("int")
+    df = valid.withColumn("split_ord", split_ord_expr)
     conv = df.groupBy("split_ord", "conv_id").agg(F.count("*").alias("n_turns"))
     w = (
         Window.partitionBy("split_ord")
@@ -491,6 +499,9 @@ def build_index(
     n_splits: int | None = None,
     wave_size: int | None = None,
     failpoint: Callable[[int], None] | None = None,
+    split_ord_expr: F.Column | None = None,
+    publish: bool = True,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> BuildReport:
     """Build (or resume) an index from a transcript-shaped DataFrame.
 
@@ -505,7 +516,7 @@ def build_index(
     paths = _paths(index_dir)
     tm = _Timer()
 
-    valid, invalid = project_and_validate(source_df, config)
+    valid, invalid = project_and_validate(source_df, config, passthrough_cols)
     invalid_count = invalid.count()
     tm.lap("validate:invalid_count")
 
@@ -532,7 +543,7 @@ def build_index(
     if not todo_ords:
         return report
 
-    assigned = assign_doc_ids(valid, n_splits)
+    assigned = assign_doc_ids(valid, n_splits, split_ord_expr)
     seg_target = config.segment_num_docs_target
     assigned = (
         assigned.withColumn("split_id", F.concat(F.lit(build_id + "-"), F.lpad(F.col("split_ord").cast("string"), 5, "0")))
@@ -699,7 +710,8 @@ def build_index(
             for sid in wave_sids:
                 if sid not in delta:
                     delta[sid] = (None, "built:empty")
-            cat.publish_splits([s for s in delta if s in cat._state["splits"]], delta)
+            if publish:
+                cat.publish_splits([s for s in delta if s in cat._state["splits"]], delta)
             report.published_splits.extend(sorted(delta))
             shutil.rmtree(segtmp, ignore_errors=True)
             if failpoint is not None:

@@ -272,3 +272,104 @@ def garbage_collect(index_dir: str) -> list[str]:
                 shutil.rmtree(d)
     cat.delete_splits(dead)
     return dead
+
+
+# ---------------------------------------------------------------------------
+# demux: re-cluster k splits by a tenant-like field
+# (MergeExecutor::process_demux analog, merge_executor.rs:337-487)
+# ---------------------------------------------------------------------------
+
+
+def demux_bin_packing(
+    value_counts: list[tuple[str, int]], num_bins: int
+) -> tuple[dict[str, int], list[int]]:
+    """Next-fit bin packing of (demux value → doc count) into num_bins bins
+    (reference ``demux_virtual_split``, merge_executor.rs:651-772): values are
+    processed in sorted order and a bin is closed once it reaches the
+    back-propagated target floor total/num_bins, guaranteeing every bin gets
+    docs and sizes stay within one value's worth of the target.
+
+    Returns (value → bin index, per-bin doc counts)."""
+    total = sum(c for _, c in value_counts)
+    target = -(-total // num_bins)  # ceil(total / num_bins)
+    assignment: dict[str, int] = {}
+    bin_docs = [0] * num_bins
+    b = 0
+    for value, count in sorted(value_counts):
+        if bin_docs[b] > 0 and bin_docs[b] + count > target and b < num_bins - 1:
+            b += 1
+        assignment[value] = b
+        bin_docs[b] += count
+    return assignment, bin_docs
+
+
+def execute_demux(
+    spark: SparkSession,
+    index_dir: str,
+    split_ids: list[str],
+    demux_field: str,
+    num_outputs: int | None = None,
+) -> list[SplitMetadata]:
+    """Re-partition k splits into ~k splits clustered by ``demux_field``
+    (tenant locality for multitenant query pruning).
+
+    Spark-native shape: per-value doc counts come from one aggregate over the
+    inputs' doc store (the fast-field scan of merge_executor.rs:360-374);
+    next-fit bin packing runs in the driver; the rewrite itself REUSES the
+    two-phase build pipeline with ``split_ord = bin(demux value)`` instead of
+    the hash assignment, built staged-only and atomically swapped in with
+    ``replace_splits`` (publisher.rs:109-127) so readers never see inputs and
+    outputs together."""
+    from .builder import build_index  # local import to avoid cycle
+
+    cat = Catalog(index_dir)
+    config = IndexConfig.from_dict(cat.config_dict)
+    if demux_field not in config.fields:
+        raise ValueError(f"demux field {demux_field!r} not in schema")
+    paths = _paths(index_dir)
+    dirs = [os.path.join(paths["docs"], f"split_id={sid}") for sid in split_ids]
+    docs = spark.read.option("basePath", paths["docs"]).parquet(*dirs)
+
+    # the demux value must be conversation-constant (doc ids are dense per
+    # split in (conv_id, turn_idx) order): a conversation's value is its
+    # first turn's value (min_by turn_idx)
+    conv_vals = docs.groupBy("conv_id").agg(
+        F.coalesce(F.min_by(demux_field, "turn_idx"), F.lit("")).alias("__demux_val"),
+        F.count("*").alias("n"),
+    )
+    counts = [
+        (r["__demux_val"], int(r["n"]))
+        for r in conv_vals.groupBy("__demux_val").agg(F.sum("n").alias("n")).collect()
+    ]
+    if num_outputs is None:
+        num_outputs = len(split_ids)
+    assignment, bin_docs = demux_bin_packing(counts, num_outputs)
+
+    mapping = spark.createDataFrame(
+        [(v, b) for v, b in assignment.items()], "__demux_val string, __demux_bin int"
+    )
+    source = (
+        docs.drop("split_id", "doc_id")
+        .join(conv_vals.select("conv_id", "__demux_val"), "conv_id")
+        .join(F.broadcast(mapping), "__demux_val")
+    )
+    build_id = f"d-{uuid.uuid4().hex[:8]}"
+    report = build_index(
+        spark,
+        source,
+        config,
+        index_dir,
+        build_id=build_id,
+        n_splits=num_outputs,
+        split_ord_expr=F.col("__demux_bin"),
+        publish=False,
+        passthrough_cols=("__demux_bin",),
+    )
+    cat = Catalog(index_dir)  # reload: build staged new rows
+    new_ids = [sid for sid in report.published_splits if sid in cat._state["splits"]]
+    for sid in new_ids:  # record demux lineage (SplitMetadata.demux analog)
+        cat._state["splits"][sid]["num_merge_ops"] = (
+            max(cat._state["splits"][s]["num_merge_ops"] for s in split_ids) + 1
+        )
+    cat.replace_splits(new_ids, split_ids)
+    return [s for s in cat.splits([PUBLISHED]) if s.split_id in set(new_ids)]
