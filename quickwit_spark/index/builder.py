@@ -517,7 +517,29 @@ def build_index(
     tm = _Timer()
 
     valid, invalid = project_and_validate(source_df, config, passthrough_cols)
-    invalid_count = invalid.count()
+    # error taxonomy analog (doc_mapper errors NotJson/RequiredFastField…,
+    # default_mapper.rs:375-389 + indexer counters indexer.rs:38-62):
+    # one aggregate classifies every dropped row by its first failing field
+    inv_row = invalid.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("conv_id").isNull(), 1).otherwise(0)).alias("missing_conv_id"),
+        F.sum(
+            F.when(F.col("conv_id").isNotNull() & F.col("turn_idx").isNull(), 1).otherwise(0)
+        ).alias("missing_turn_idx"),
+        F.sum(
+            F.when(
+                F.col("conv_id").isNotNull()
+                & F.col("turn_idx").isNotNull()
+                & F.col("ts_epoch").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("missing_timestamp"),
+    ).collect()[0]
+    invalid_count = int(inv_row["n"])
+    invalid_by_reason = {
+        k: int(inv_row[k] or 0)
+        for k in ("missing_conv_id", "missing_turn_idx", "missing_timestamp")
+    }
     tm.lap("validate:invalid_count")
 
     builds = cat._state.setdefault("builds", {})
@@ -723,5 +745,6 @@ def build_index(
     report.metrics = {
         "splits": {s.split_id: s.metrics for s in cat.splits([PUBLISHED])},
         "invalid_docs": invalid_count,
+        "invalid_by_reason": invalid_by_reason,
     }
     return report

@@ -614,3 +614,49 @@ def search_stream(
     return hits.select(
         "split_id", "doc_id", F.col("sort_value").alias(fast_field)
     )
+
+
+def export_stream(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    fast_field: str,
+    output_format: str = "csv",
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Search-stream export formats (search_stream/leaf.rs:140-237,
+    docs/reference/rest-api.md:70-114 analog): the fast-field value of every
+    matching doc, as
+    * ``csv``: one row per value (write with ``df.write.csv`` — the
+      reference streams text/csv);
+    * ``rowbinary``: little-endian i64-packed payload, one row per
+      ``partition_by`` value (the ClickHouse RowBinary + partition-by-second-
+      fast-field path); without partition_by, a single payload row.
+    The partition column is fetched through the doc store (fetch_docs
+    semantics), so any stored column can partition the export."""
+    hits = search_stream(spark, index_dir, request, fast_field)
+    if partition_by is not None:
+        docs = spark.read.parquet(f"{index_dir}/docs").select(
+            "split_id", "doc_id", partition_by
+        )
+        hits = hits.join(docs, ["split_id", "doc_id"])
+    if output_format == "csv":
+        cols = ([partition_by] if partition_by else []) + [fast_field]
+        return hits.select(*cols)
+    if output_format != "rowbinary":
+        raise ValueError(f"unknown output format {output_format!r}")
+
+    part_col = partition_by or F.lit("").alias("__part")
+    key = partition_by or "__part"
+    grouped = hits.select(
+        (F.col(partition_by) if partition_by else F.lit("")).alias(key),
+        F.col(fast_field).alias("v"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(pdf["v"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "n": [len(vals)], "payload": [vals.astype("<i8").tobytes()]}
+        )
+
+    return grouped.groupBy(key).applyInPandas(pack, f"{key} string, n long, payload binary")

@@ -1,0 +1,78 @@
+"""Sources (§2.1: NDJSON/vec) and search-stream export formats (§2.5:
+CSV / RowBinary with partition-by) — reference file_source.rs,
+search_stream/leaf.rs:140-237."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.fixtures.transcripts import generate_transcripts
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.search.executor import export_stream, search_stream
+from quickwit_spark.search.request import SearchRequest
+from quickwit_spark.sources import read_ndjson, vec_source
+
+CFG = transcripts_config(split_num_docs_target=500, segment_num_docs_target=128)
+
+
+def test_ndjson_source_roundtrip(spark, tmp_path):
+    pdf = generate_transcripts(n_conversations=8, seed=31)
+    path = str(tmp_path / "docs.ndjson")
+    with open(path, "w") as f:
+        for r in pdf.itertuples(index=False):
+            f.write(json.dumps({
+                "conv_id": r.conv_id, "turn_idx": int(r.turn_idx), "role": r.role,
+                "text": r.text, "tool": r.tool,
+                "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S"),
+                "unknown_field": "dropped silently",
+            }) + "\n")
+        f.write("this is not json\n")  # NotJson analog: counted, not fatal
+    df = read_ndjson(spark, path)
+    assert "unknown_field" not in df.columns
+    idx = str(tmp_path / "idx")
+    report = build_index(spark, df, CFG, idx)
+    assert report.total_docs == len(pdf)
+    assert report.invalid_docs == 1  # the malformed line
+
+
+def test_vec_source(spark, tmp_path):
+    pdf = generate_transcripts(n_conversations=3, seed=7)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = vec_source(spark, pdf)
+    idx = str(tmp_path / "idx")
+    report = build_index(spark, df, CFG, idx)
+    assert report.total_docs == len(pdf)
+
+
+@pytest.fixture(scope="module")
+def small_idx(spark, tmp_path_factory):
+    pdf = generate_transcripts(n_conversations=30, seed=42)
+    idx = str(tmp_path_factory.mktemp("exp") / "idx")
+    build_index(spark, spark.createDataFrame(pdf), CFG, idx)
+    return idx
+
+
+def test_export_csv_matches_stream(spark, small_idx):
+    req = SearchRequest("error")
+    stream = search_stream(spark, small_idx, req, "ts").toPandas()
+    csv = export_stream(spark, small_idx, req, "ts", "csv").toPandas()
+    assert sorted(csv["ts"]) == sorted(stream["ts"])
+
+
+def test_export_rowbinary_partitioned(spark, small_idx):
+    req = SearchRequest("error")
+    stream = search_stream(spark, small_idx, req, "ts")
+    docs = spark.read.parquet(f"{small_idx}/docs").select("split_id", "doc_id", "role")
+    expected = stream.join(docs, ["split_id", "doc_id"]).toPandas()
+
+    out = export_stream(spark, small_idx, req, "ts", "rowbinary", partition_by="role").toPandas()
+    assert sorted(out["role"]) == sorted(expected["role"].unique())
+    for r in out.itertuples(index=False):
+        vals = np.frombuffer(r.payload, dtype="<i8")
+        assert len(vals) == r.n
+        want = np.sort(expected[expected["role"] == r.role]["ts"].to_numpy(np.int64))
+        assert np.array_equal(vals, want)
