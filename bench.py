@@ -62,8 +62,11 @@ def bench_build(spark, corpus_path: str) -> dict:
     from quickwit_spark.config import transcripts_config
     from quickwit_spark.index.builder import build_index
 
+    # ~20k-doc splits: one build task per split, so the corpus yields enough
+    # tasks to fill local[32] (50k-doc splits on a ~1M-turn corpus would cap
+    # parallelism at ~20 tasks)
     cfg = transcripts_config(
-        split_num_docs_target=50_000, segment_num_docs_target=8_000
+        split_num_docs_target=20_000, segment_num_docs_target=8_000
     )
     df = spark.read.parquet(corpus_path)
     n_turns = df.count()
@@ -145,7 +148,7 @@ def bench_documents(spark, sf_dir: str) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_conv = int(os.environ.get("QW_BENCH_CONVS", "15000"))  # ~300k turns
+    n_conv = int(os.environ.get("QW_BENCH_CONVS", "50000"))  # ~1M turns
 
     t_total = time.monotonic()
     spark = get_spark(cpus)

@@ -29,7 +29,9 @@ from .config import documents_config
 from .index.builder import build_index
 
 CACHE_ROOT = "/tmp/qwspark_index_cache"
-CONFIG_VERSION = "v2"
+# v3: single-job in-task build, crc32 term buckets (was xxhash64 — stale
+# caches would silently mis-prune the postings scan)
+CONFIG_VERSION = "v3"
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

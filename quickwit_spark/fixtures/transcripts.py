@@ -41,9 +41,13 @@ def _vocab(size: int = 5000) -> np.ndarray:
 
 
 def generate_transcripts(
-    n_conversations: int = 200, seed: int = 42, zipf_a: float = 1.3
+    n_conversations: int = 200, seed: int = 42, zipf_a: float = 1.3, id_offset: int = 0
 ) -> pd.DataFrame:
-    """Generate the transcripts table as a pandas DataFrame."""
+    """Generate the transcripts table as a pandas DataFrame.
+
+    ``id_offset`` shifts the conv-id range (chunked multi-file generation:
+    each chunk is seeded independently, so content is deterministic per
+    (chunk, seed) without materializing the whole corpus in RAM)."""
     rng = np.random.RandomState(seed)
     vocab = _vocab()
     v = len(vocab)
@@ -51,7 +55,8 @@ def generate_transcripts(
     turns_per_conv = rng.randint(1, 41, size=n_conversations)
     total = int(turns_per_conv.sum())
     conv_ids = np.repeat(
-        np.array([f"conv-{i:08d}" for i in range(n_conversations)]), turns_per_conv
+        np.array([f"conv-{i + id_offset:08d}" for i in range(n_conversations)]),
+        turns_per_conv,
     )
     turn_idx = np.concatenate([np.arange(k) for k in turns_per_conv]).astype(np.int32)
 
@@ -113,16 +118,39 @@ def generate_transcripts(
     )
 
 
-def write_transcripts_parquet(path: str, n_conversations: int = 200, seed: int = 42) -> int:
-    """Materialize the table as parquet; returns row count."""
-    df = generate_transcripts(n_conversations, seed)
-    # microsecond ts: Spark cannot read parquet TIMESTAMP(NANOS)
-    df["ts"] = df["ts"].astype("datetime64[us]")
-    # small row groups keep the single file splittable: Spark assigns row
-    # groups to scan tasks by byte range, so one giant row group would
-    # serialize the whole source scan onto one core
-    df.to_parquet(path, index=False, row_group_size=25_000)
-    return len(df)
+def write_transcripts_parquet(
+    path: str, n_conversations: int = 200, seed: int = 42, n_files: int = 1
+) -> int:
+    """Materialize the table as parquet; returns row count.
+
+    ``n_files > 1`` writes a directory of part files (chunk-seeded, bounded
+    generator memory) — a realistic multi-file source whose scan
+    parallelizes across tasks without relying on row-group splitting."""
+    if n_files <= 1:
+        df = generate_transcripts(n_conversations, seed)
+        # microsecond ts: Spark cannot read parquet TIMESTAMP(NANOS)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        # small row groups keep the single file splittable: Spark assigns row
+        # groups to scan tasks by byte range, so one giant row group would
+        # serialize the whole source scan onto one core
+        df.to_parquet(path, index=False, row_group_size=25_000)
+        return len(df)
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    per = -(-n_conversations // n_files)
+    total = 0
+    for i in range(n_files):
+        lo, hi = i * per, min(n_conversations, (i + 1) * per)
+        if lo >= hi:
+            break
+        df = generate_transcripts(hi - lo, seed=seed + i, id_offset=lo)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(
+            os.path.join(path, f"part-{i:05d}.parquet"), index=False, row_group_size=25_000
+        )
+        total += len(df)
+    return total
 
 
 # --- micro fixtures (FIXTURES.md F5) ---------------------------------------

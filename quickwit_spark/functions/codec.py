@@ -272,6 +272,16 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
     return (csum - base).astype(np.uint32)
 
 
+def term_bucket(field: str, term: str, n_buckets: int) -> int:
+    """Stored term-hash bucket of a posting row (crc32, python-side so the
+    build task can compute it without a JVM round trip).  Build and query
+    sides MUST share this function: postings files are sorted by bucket, so
+    query scans prune row groups via parquet min/max stats on `bucket`."""
+    import zlib
+
+    return zlib.crc32(f"{field}\x00{term}".encode("utf-8")) % n_buckets
+
+
 def encode_u32_column(vals: np.ndarray) -> bytes:
     """Pack a dense uint32 column (fast-field analog) at a single bit width."""
     vals = np.asarray(vals, dtype=np.uint32)

@@ -2,52 +2,65 @@
 Indexer → Packager → Uploader → Publisher actor DAG
 (quickwit-indexing/src/actors/*, SURVEY.md §2.3).
 
-Dataflow (all declarative DataFrame ops + Arrow-batched pandas UDFs):
+Dataflow: ONE Spark job per wave — scan → one shuffle → fused in-task
+build — plus a driver-side catalog publish.  No window, no cache, no
+second pass, no separate stats job.
 
-1. **Project & validate** (doc_from_json analog, default_mapper.rs:410-437):
-   select/cast the transcript columns, count+drop invalid rows (missing
-   required fast fields is a hard error in the reference → here the row is
-   counted in ``invalid_docs`` and dropped; unknown input columns are
-   silently ignored, matching default_mapper.rs:582-595 semantics).
+1. **Plan (no job)**: ``n_splits`` is sized from parquet-footer row counts
+   read driver-side (an upper bound is fine: an overestimate just yields a
+   few empty splits, checkpointed as ``built:empty``); ``count()`` is the
+   fallback for non-parquet-backed frames.
 
-2. **Split assignment + stable docID**: ``split_ord = pmod(xxhash64(conv_id),
-   n_splits)`` keeps a conversation in one split and is a pure function of
-   the data — never of task scheduling.  doc_id within a split is dense
-   0..n-1 in (conv_id, turn_idx) order, computed WITHOUT a global sort:
-   a conversation-level count + windowed prefix sum (conversation rows are
-   ~40x fewer than turns) plus a per-conversation row_number.  This is the
-   "stable docIDs across parallelism levels" requirement (SURVEY.md §7).
+2. **The one shuffle**: ``split_ord = pmod(xxhash64(conv_id), n_splits)``
+   keeps a conversation in one split and is a pure function of the data —
+   never of task scheduling.  ``repartition(P, part_key)`` with the
+   slot-key trick (``_slot_keys``) places EXACTLY one split per partition —
+   no balls-in-bins stacking, no straggler tail — then
+   ``sortWithinPartitions(conv_id, turn_idx)`` fixes the doc order.  AQE
+   never coalesces an explicit repartition, so parallelism == split count
+   even when the data is small.
 
-3. **Phase-1 segment build** (Indexer actor analog, indexer.rs): contiguous
-   doc_id ranges form segments (``seg_id = doc_id // segment_num_docs_target``);
-   ``groupBy(split, seg).applyInPandas`` tokenizes and builds per-segment
-   posting lists, already delta+bitpacked.  This is map-side partial
-   aggregation: the only shuffle that follows carries *compressed per-term
-   blobs*, never raw (term, doc) pairs — which is what defuses hot-term
-   (stopword-class) skew: a term with 30% document frequency contributes one
-   small row per segment, not millions of shuffle rows.  Segments are the
-   salt; phase 2 is the per-term reduce.
+3. **Fused split build** (Indexer + Packager + Uploader in one
+   ``mapInPandas`` pass): each task streams its split's sorted batches,
+   classifies + drops invalid rows (RequiredFastField analog,
+   default_mapper.rs:375-389), assigns the dense per-split docID with a
+   running counter (stable across parallelism levels: it depends only on
+   data + split map + sort order), tokenizes, builds the final posting
+   lists (delta + bitpacked blocks + block-max skip metadata), and WRITES
+   the split's docs / postings / fastfields parquet itself with pyarrow —
+   the node that built the split ships it, exactly like the reference's
+   Uploader (uploader.rs:151-184).  The task's only Spark output is one
+   tiny metadata row per split (num_docs, ts range, tags, field length
+   sums, bytes — the IndexingStatistics analog, indexing_statistics.rs).
 
-4. **Phase-2 split merge** (Packager's merge-to-one-segment analog,
-   packager.rs:116-125): ``groupBy(split, field, term).applyInPandas``
-   concatenates segment lists in seg order (doc_ids are already globally
-   ascending because segments are contiguous doc ranges) and re-encodes,
-   producing the final posting blob + block-max skip metadata
-   (block_last_doc / block_max_tf / block_min_len) for WAND pruning.
+   Memory is bounded: docs are encoded in ~``chunk_docs``-doc chunks
+   (compressed immediately, doc store streamed out per chunk); a split
+   bigger than one chunk gets a per-term in-task merge of its chunk blobs
+   at split end — the reference's segment-merge (packager.rs:116-125)
+   performed inside the task instead of across a shuffle.
 
-5. **Publish** (Uploader/Publisher analog): parquet written per split dir
-   (partitionBy split_id), split metadata staged then atomically published
-   to the catalog with an overlap-rejecting checkpoint delta
-   (checkpoint.rs:299-353 analog).  Readers only see Published splits, so a
-   killed build leaves no visible partial state; resume skips finished
-   splits via the checkpoint (FIXTURES.md F6).
+   **Hot-term skew**: terms are never a shuffle key — a stopword posting
+   list is assembled entirely inside its split's task, so a term with 30%
+   document frequency contributes zero shuffle rows (a two-phase salted
+   term-keyed repartition alternative was measured 4x slower at 32 cores:
+   millions of tiny per-(segment, term) Arrow rows dominate the wall
+   clock).
 
-Scale notes (100 TB / 1000 executors): every stage is embarrassingly
-parallel over (split, segment); the two applyInPandas shuffles are keyed on
-(split, seg) and (split, field, term) with compressed payloads; no
-collect() touches doc-level data (only split-level metadata aggregates come
-to the driver, one row per split).  Waves bound the failure blast radius
-the way the reference publishes split-by-split.
+4. **Publish** (Publisher analog, driver-side, no job): split metadata is
+   staged then atomically published with an overlap-rejecting checkpoint
+   delta (checkpoint.rs:299-353 analog); readers only see Published splits,
+   so a killed build leaves no visible partial state; resume skips finished
+   splits via the checkpoint (FIXTURES.md F6).  In-task file writes are
+   idempotent (temp + atomic rename; deterministic content under retry) and
+   invisible until published.
+
+Scale notes (100 TB / 1000 executors): one task per split (reference target
+10M docs ≈ one indexing actor's split); shuffle volume = raw docs, moved
+exactly once; nothing doc-level is ever collected (one ~300-byte metadata
+row per split reaches the driver).  Waves bound the failure blast radius
+the way the reference publishes split-by-split.  Measured on this sandbox:
+throughput scaling efficiency N→4N in BENCH_SCALING.json (pinned cores;
+see tools/scaling_bench.py for methodology).
 """
 
 from __future__ import annotations
@@ -60,9 +73,8 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from ..config import IndexConfig
 from ..functions.codec import (
@@ -77,39 +89,25 @@ from ..functions.codec import (
 from ..functions.tokenizer import tokenize_series
 from .catalog import PUBLISHED, Catalog, SplitMetadata
 
-# phase-1 (per-segment) postings rows — `lens` carries per-posting doc
-# lengths so phase 2 can compute block_min_len without re-reading docs;
-# block metadata is emitted here too so single-segment terms (the vast
-# majority: singletons) pass through phase 2 without decode/re-encode
-SEG_POSTINGS_SCHEMA = (
-    "split_id string, seg_id long, field string, term string, doc_freq long, "
-    "total_tf long, blob binary, positions binary, lens binary, "
-    "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
-)
-
-# `lens` stays in the final schema (per-posting doc lengths, the exact
+# Final posting rows.  `lens` carries per-posting doc lengths (the exact
 # fieldnorm data tantivy co-locates with segments) so split merges can
 # re-derive block_min_len without re-reading the doc store.  `bucket` is the
-# stored term-hash bucket: the final table keeps its (split, bucket) shuffle
-# distribution (parallel writes, no extra shuffle) and queries prune their
-# scan to the buckets of the query terms via parquet min/max stats.
+# stored term-hash bucket: queries prune their scan to the buckets of the
+# query terms via parquet min/max stats.
 POSTINGS_SCHEMA = (
     "split_id string, bucket int, field string, term string, doc_freq long, "
     "total_tf long, blob binary, positions binary, lens binary, "
     "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
 )
 
-# sentinel field name for the per-segment fastfield pseudo-rows emitted by
-# phase 1 (column reuse: blob=doc_lens, positions=ts,
-# block_last_doc=[base_doc, num_docs, ts_min, ts_max])
-FF_FIELD = "__ff__"
-
-FASTFIELDS_SCHEMA = (
-    "split_id string, seg_id long, base_doc long, num_docs long, "
-    "doc_lens binary, ts binary, ts_min long, ts_max long"
-)
-
 DOC_COLS = ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "ts_epoch"]
+
+# docs per in-task encode chunk: splits at or under this size take a single
+# whole-split pass (every term single-entry, zero merge work); bigger splits
+# are chunk-encoded so raw token arrays never exceed ~chunk_docs docs' worth
+# of memory regardless of split_num_docs_target (the RAM budget that makes
+# the reference cut segments, indexer.rs:127-133)
+CHUNK_DOCS = 262_144
 
 
 @dataclass
@@ -165,7 +163,7 @@ def _cleanup_split_dirs(index_dir: str, split_ids: list[str]) -> None:
 
 
 # ---------------------------------------------------------------------------
-# pandas group functions (Arrow-batched; pure numpy/pandas inside)
+# vectorized tokenize → postings kernels (pure numpy/pandas, Arrow-batched)
 # ---------------------------------------------------------------------------
 
 
@@ -219,7 +217,7 @@ def _postings_from_flat(flat_terms, doc_rep, pos, lens_by_doc, base_doc, want_po
     # occurrence-level slice bounds per term
     occ_bounds = np.concatenate((pair_starts, [len(codes)]))
 
-    for t_i, (s, e) in enumerate(zip(term_starts, term_ends)):
+    for s, e in zip(term_starts, term_ends):
         term = uniques[pair_codes[s]]
         doc_ids = pair_docs[s:e].astype(np.uint32)
         tfs = tfs_all[s:e].astype(np.uint32)
@@ -228,29 +226,199 @@ def _postings_from_flat(flat_terms, doc_rep, pos, lens_by_doc, base_doc, want_po
         yield term, doc_ids, tfs, positions, plens
 
 
-def make_segment_builder(config: IndexConfig) -> Callable[[pd.DataFrame], pd.DataFrame]:
-    """Phase-1: one (split, segment) group → per-term segment posting rows
-    PLUS one fastfield pseudo-row (field=FF_FIELD) carrying the segment's
-    packed doc-length + timestamp columns — the Indexer+fastfield-writer in
-    one pass over the docs, tokenizing each document exactly once."""
-    text_fields = [(m.name, m.record == "position", m.tokenizer) for m in config.indexed_text_fields]
+def _encode_term(d: np.ndarray, t: np.ndarray, p: np.ndarray | None, plens: np.ndarray):
+    """One term's arrays → the (df, tf, blob, pos, lens, blocks…) row tail."""
+    blob, last_doc, max_tf = encode_postings(d, t)
+    min_len = np.minimum.reduceat(plens, np.arange(0, len(d), BLOCK))
+    return (
+        int(len(d)),
+        int(t.sum()),
+        blob,
+        encode_positions(p, t) if p is not None else None,
+        encode_u32_column(plens),
+        last_doc.astype(np.int64).tolist(),
+        max_tf.astype(np.int64).tolist(),
+        min_len.astype(np.int64).tolist(),
+    )
 
-    def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        split_id = pdf["split_id"].iloc[0]
-        seg_id = int(pdf["seg_id"].iloc[0])
+
+def _merge_term_entries(entries: list[tuple]):
+    """Merge one term's per-chunk encoded entries (chunk order == doc order,
+    so doc_ids stay ascending — the in-task Packager merge-to-one-segment
+    analog, packager.rs:116-125)."""
+    if len(entries) == 1:
+        return entries[0]
+    want_pos = entries[0][3] is not None
+    docs, tfs, lens, poss = [], [], [], []
+    for _df, _tf, blob, posb, lensb, *_ in entries:
+        d, t = decode_postings(blob)
+        docs.append(d)
+        tfs.append(t)
+        lens.append(decode_u32_column(lensb))
+        if want_pos:
+            poss.append(decode_positions(posb, t))
+    d = np.concatenate(docs)
+    t = np.concatenate(tfs)
+    ln = np.concatenate(lens)
+    blob, last_doc, max_tf = encode_postings(d, t)
+    min_len = np.minimum.reduceat(ln, np.arange(0, len(d), BLOCK))
+    positions = encode_positions(np.concatenate(poss), t) if want_pos else None
+    return (
+        int(len(d)),
+        int(t.sum()),
+        blob,
+        positions,
+        encode_u32_column(ln),
+        last_doc.astype(np.int64).tolist(),
+        max_tf.astype(np.int64).tolist(),
+        min_len.astype(np.int64).tolist(),
+    )
+
+
+POSTINGS_COLUMNS = [
+    "bucket", "field", "term", "doc_freq", "total_tf", "blob",
+    "positions", "lens", "block_last_doc", "block_max_tf", "block_min_len",
+]
+
+# the build task's only Spark output: one tiny metadata row per split (the
+# split data itself — docs, postings, fastfields parquet — is written
+# in-task with pyarrow, the Uploader-actor analog: the node that built the
+# split ships it, uploader.rs:151-184)
+STATS_SCHEMA = "split_id string, meta string"
+
+
+def _pa_schemas():
+    import pyarrow as pa
+
+    docs = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("ts_epoch", pa.int64()),
+        ]
+    )
+    postings = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("doc_freq", pa.int64()),
+            ("total_tf", pa.int64()),
+            ("blob", pa.binary()),
+            ("positions", pa.binary()),
+            ("lens", pa.binary()),
+            ("block_last_doc", pa.list_(pa.int64())),
+            ("block_max_tf", pa.list_(pa.int64())),
+            ("block_min_len", pa.list_(pa.int64())),
+        ]
+    )
+    fastfields = pa.schema(
+        [
+            ("seg_id", pa.int64()),
+            ("base_doc", pa.int64()),
+            ("num_docs", pa.int64()),
+            ("doc_lens", pa.binary()),
+            ("ts", pa.binary()),
+            ("ts_min", pa.int64()),
+            ("ts_max", pa.int64()),
+        ]
+    )
+    return docs, postings, fastfields
+
+
+def _atomic_write_table(table, final_path: str) -> int:
+    """Write a parquet file via a temp name + atomic rename (idempotent under
+    task retry; a re-attempt rewrites identical content).  Returns bytes."""
+    import pyarrow.parquet as pq
+
+    tmp = f"{final_path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp, compression="snappy")
+    size = os.path.getsize(tmp)
+    os.replace(tmp, final_path)
+    return size
+
+
+class _SplitAccumulator:
+    """In-task state for one split: chunk-encodes docs as they stream in,
+    merges per-term chunk blobs and writes the split's docs / postings /
+    fastfields parquet at split end.  Splits no bigger than one chunk (the
+    common case; bench splits are 5-20k docs) take a single whole-split pass
+    where every term is single-entry — zero merge work."""
+
+    def __init__(self, split_id: str, config: IndexConfig, paths: dict, chunk_docs: int):
+        self.split_id = split_id
+        self.config = config
+        self.paths = paths
+        self.text_fields = [
+            (m.name, m.record == "position", m.tokenizer) for m in config.indexed_text_fields
+        ]
+        self.seg_target = config.segment_num_docs_target
+        self.chunk_docs = chunk_docs
+        self.acc: dict[tuple[str, str], list[tuple]] = {}
+        self.raw: list[pd.DataFrame] = []
+        self.raw_docs = 0
+        self.next_doc = 0  # dense per-split docID counter (rows arrive sorted)
+        self.text_lens: list[np.ndarray] = []  # per-chunk per-doc token counts
+        self.ts: list[np.ndarray] = []
+        self._docs_writer = None
+        self._docs_tmp = None
+
+    def add(self, pdf: pd.DataFrame) -> None:
+        k = len(pdf)
+        pdf = pdf.assign(
+            doc_id=np.arange(self.next_doc, self.next_doc + k, dtype=np.int64)
+        )
+        self.next_doc += k
+        self.raw.append(pdf)
+        self.raw_docs += k
+        if self.raw_docs >= self.chunk_docs:
+            self._encode_chunk()
+
+    def _split_file(self, table: str) -> str:
+        d = os.path.join(self.paths[table], f"split_id={self.split_id}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, "part-0.parquet")
+
+    def _write_docs_chunk(self, pdf: pd.DataFrame) -> None:
+        """Stream the doc store out chunk by chunk (row-store analog;
+        bounded memory regardless of split size)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        docs_schema, _, _ = _pa_schemas()
+        table = pa.Table.from_pandas(
+            pdf[DOC_COLS], schema=docs_schema, preserve_index=False
+        )
+        if self._docs_writer is None:
+            final = self._split_file("docs")
+            self._docs_tmp = f"{final}.tmp-{os.getpid()}"
+            self._docs_writer = pq.ParquetWriter(
+                self._docs_tmp, docs_schema, compression="snappy"
+            )
+        self._docs_writer.write_table(table)
+
+    def _encode_chunk(self) -> None:
+        if not self.raw:
+            return
+        pdf = self.raw[0] if len(self.raw) == 1 else pd.concat(self.raw)
+        self.raw, self.raw_docs = [], 0
+        self._write_docs_chunk(pdf)
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         base_doc = int(doc_ids[0])
         span = int(doc_ids[-1]) - base_doc + 1
-        rows = []
-        text_lens = np.zeros(span, np.uint32)  # doc_len fast field (text tokens)
-        for fname, want_pos, tok in text_fields:
+        chunk_text_lens = np.zeros(span, np.uint32)
+        for fname, want_pos, tok in self.text_fields:
             if tok == "default":
                 token_lists = tokenize_series(pdf[fname])
                 lens_by_doc = np.zeros(span, np.uint32)
                 lens_by_doc[doc_ids - base_doc] = token_lists.map(len).to_numpy(np.uint32)
                 if fname == "text":
-                    text_lens = lens_by_doc
+                    chunk_text_lens = lens_by_doc
             else:  # raw: whole value = one term, field length 1
                 vals = pdf[fname].fillna("")
                 token_lists = vals.map(lambda v: [v] if v != "" else [])
@@ -259,154 +427,203 @@ def make_segment_builder(config: IndexConfig) -> Callable[[pd.DataFrame], pd.Dat
             flat = _flatten_tokens(doc_ids, token_lists)
             if flat is None:
                 continue
-            for term, d, t, p, plens in _postings_from_flat(*flat, lens_by_doc, base_doc, want_pos):
-                blob, last_doc, max_tf = encode_postings(d, t)
-                min_len = np.minimum.reduceat(plens, np.arange(0, len(d), BLOCK))
-                rows.append(
-                    (
-                        split_id,
-                        seg_id,
-                        fname,
-                        term,
-                        len(d),
-                        int(t.sum()),
-                        blob,
-                        encode_positions(p, t) if p is not None else None,
-                        encode_u32_column(plens),
-                        last_doc.astype(np.int64).tolist(),
-                        max_tf.astype(np.int64).tolist(),
-                        min_len.astype(np.int64).tolist(),
-                    )
+            for term, d, t, p, plens in _postings_from_flat(
+                *flat, lens_by_doc, base_doc, want_pos
+            ):
+                self.acc.setdefault((fname, term), []).append(_encode_term(d, t, p, plens))
+        # doc ids are dense per split, so chunk arrays concatenate aligned
+        self.text_lens.append(chunk_text_lens[doc_ids - base_doc])
+        self.ts.append(pdf["ts_epoch"].to_numpy(np.int64))
+
+    def finish(self) -> tuple[str, str]:
+        """Write postings + fastfields, close the doc store, return the
+        (split_id, metadata-JSON) stats row."""
+        import json
+
+        import pyarrow as pa
+
+        from ..functions.codec import term_bucket
+
+        self._encode_chunk()
+        if self._docs_writer is not None:
+            self._docs_writer.close()
+            os.replace(self._docs_tmp, self._split_file("docs"))
+        _, postings_schema, ff_schema = _pa_schemas()
+        cfg = self.config
+        tag_fields = set(cfg.tag_fields)
+        n_buckets = cfg.term_merge_buckets
+
+        rows = []
+        tags: dict[str, list[str]] = {f_: [] for f_ in tag_fields}
+        field_len_sums: dict[str, int] = {}
+        total_tokens = 0
+        postings_payload = 0
+        for (fname, term), entries in self.acc.items():
+            row = (term_bucket(fname, term, n_buckets), fname, term) + _merge_term_entries(
+                entries
+            )
+            rows.append(row)
+            field_len_sums[fname] = field_len_sums.get(fname, 0) + row[4]
+            total_tokens += row[4]
+            postings_payload += len(row[5])
+            if fname in tag_fields:
+                tags[fname].append(term)
+        self.acc = {}
+        pdf = pd.DataFrame(rows, columns=POSTINGS_COLUMNS)
+        pdf = pdf.sort_values(["bucket", "field", "term"], kind="mergesort")
+        table = pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False)
+        _atomic_write_table(table, self._split_file("postings"))
+
+        # fastfields: one row per seg_target-doc segment (columnar-store
+        # analog — the per-split scorer reads these small blobs instead of
+        # the doc store; warmup analog, leaf.rs:139-171)
+        text_lens = np.concatenate(self.text_lens) if self.text_lens else np.empty(0, np.uint32)
+        ts = np.concatenate(self.ts) if self.ts else np.empty(0, np.int64)
+        n = len(ts)
+        ff_rows = []
+        for seg_id, base in enumerate(range(0, n, self.seg_target)):
+            end = min(base + self.seg_target, n)
+            seg_ts = ts[base:end]
+            ff_rows.append(
+                (
+                    seg_id, base, end - base,
+                    encode_u32_column(text_lens[base:end]),
+                    encode_u32_column(seg_ts.astype(np.uint32)),
+                    int(seg_ts.min()), int(seg_ts.max()),
                 )
-        # fastfield pseudo-row (doc ids are dense in a split, so per-segment
-        # arrays are indexed by doc offset; column reuse documented at FF_FIELD)
-        ts = pdf["ts_epoch"].to_numpy(np.int64)
-        rows.append(
-            (
-                split_id,
-                seg_id,
-                FF_FIELD,
-                "",
-                len(pdf),
-                0,
-                encode_u32_column(text_lens[doc_ids - base_doc]),
-                encode_u32_column(ts.astype(np.uint32)),
-                None,
-                [base_doc, len(pdf), int(ts.min()), int(ts.max())],
-                [],
-                [],
             )
+        ff_pdf = pd.DataFrame(
+            ff_rows,
+            columns=["seg_id", "base_doc", "num_docs", "doc_lens", "ts", "ts_min", "ts_max"],
         )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "split_id", "seg_id", "field", "term", "doc_freq",
-                "total_tf", "blob", "positions", "lens",
-                "block_last_doc", "block_max_tf", "block_min_len",
+        _atomic_write_table(
+            pa.Table.from_pandas(ff_pdf, schema=ff_schema, preserve_index=False),
+            self._split_file("fastfields"),
+        )
+
+        # per-split tags (packager.rs:210-247: only if distinct count <= cap)
+        tag_list: list[str] = []
+        for f_, vals in tags.items():
+            if vals and len(vals) <= cfg.max_values_per_tag_field:
+                tag_list.extend(f"{f_}:{v}" for v in sorted(vals))
+                tag_list.append(f"{f_}!")
+        meta = {
+            "num_docs": n,
+            "ts_min": int(ts.min()) if n else None,
+            "ts_max": int(ts.max()) if n else None,
+            "tags": sorted(tag_list),
+            "field_len_sums": field_len_sums,
+            "num_terms": len(rows),
+            "postings_bytes": postings_payload,
+            "total_tokens": total_tokens,
+            "segments": [
+                {"seg_id": r[0], "num_docs": r[2]} for r in ff_rows
             ],
-        )
+        }
+        return self.split_id, json.dumps(meta)
 
-    return build_segment
+
+INVALID_SENTINEL = "__invalid__"
 
 
-def merge_bucket_segments(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Phase-2: one (split, term-hash bucket) → final rows for ALL its terms.
+def make_split_builder(
+    config: IndexConfig, paths: dict, chunk_docs: int = CHUNK_DOCS
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas function: split-partitioned doc-ordered batches → the
+    split's docs/postings/fastfields parquet written in-task, one metadata
+    row per split yielded as the Spark output.
 
-    Bucketing (instead of groupBy(term)) keeps the number of applyInPandas
-    invocations small and constant: each call handles thousands of terms in
-    a python loop over numpy group boundaries, so the per-group pandas/Arrow
-    overhead is amortized ~10^4x.  Buckets also bound shuffle-partition skew:
-    a hot term contributes one compressed row per segment, and terms are
-    spread across buckets by hash.  Terms present in a single segment (the
-    vast majority — singleton tokens) are passed through verbatim: their
-    phase-1 blob + block metadata are already final because segment doc
-    ranges are contiguous and ascending."""
-    pdf = pdf.sort_values(["field", "term", "seg_id"], kind="mergesort")
-    split_id = pdf["split_id"].iloc[0]
-    bucket = int(pdf["bucket"].iloc[0])
-    fields = pdf["field"].to_numpy()
-    terms = pdf["term"].to_numpy()
-    blobs = pdf["blob"].to_numpy()
-    positions_col = pdf["positions"].to_numpy()
-    lens_col = pdf["lens"].to_numpy()
-    doc_freqs = pdf["doc_freq"].to_numpy()
-    total_tfs = pdf["total_tf"].to_numpy()
-    b_last = pdf["block_last_doc"].to_numpy()
-    b_maxtf = pdf["block_max_tf"].to_numpy()
-    b_minlen = pdf["block_min_len"].to_numpy()
-    n = len(pdf)
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    change[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
-    starts = np.flatnonzero(change)
-    ends = np.concatenate((starts[1:], [n]))
-    rows = []
-    for s, e in zip(starts, ends):
-        if e - s == 1:  # single-segment term: phase-1 row is already final
-            rows.append(
-                (split_id, bucket, fields[s], terms[s], int(doc_freqs[s]), int(total_tfs[s]),
-                 blobs[s], positions_col[s], lens_col[s],
-                 list(b_last[s]), list(b_maxtf[s]), list(b_minlen[s]))
+    Invalid rows (null conv_id / turn_idx / ts — the RequiredFastField error
+    class, default_mapper.rs:375-389) are classified, counted, and dropped
+    HERE, where the rows already are: the taxonomy travels back in a
+    sentinel stats row instead of costing a separate count job."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        inv = {"missing_conv_id": 0, "missing_turn_idx": 0, "missing_timestamp": 0}
+        cur: _SplitAccumulator | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            conv_null = pdf["conv_id"].isna()
+            ti_null = pdf["turn_idx"].isna()
+            ts_null = pdf["ts_epoch"].isna()
+            bad = conv_null | ti_null | ts_null
+            if bad.any():
+                inv["missing_conv_id"] += int(conv_null.sum())
+                inv["missing_turn_idx"] += int((~conv_null & ti_null).sum())
+                inv["missing_timestamp"] += int((~conv_null & ~ti_null & ts_null).sum())
+                pdf = pdf[~bad]
+                if len(pdf) == 0:
+                    continue
+            if pdf["turn_idx"].dtype != np.int32:  # nullable-int batches
+                pdf = pdf.assign(
+                    turn_idx=pdf["turn_idx"].astype(np.int32),
+                    ts_epoch=pdf["ts_epoch"].astype(np.int64),
+                )
+            sids = pdf["split_id"].to_numpy()
+            change = np.empty(len(sids), dtype=bool)
+            change[0] = True
+            change[1:] = sids[1:] != sids[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [len(sids)]))
+            for s, e in zip(starts, ends):
+                sid = sids[s]
+                if cur is not None and cur.split_id != sid:
+                    yield pd.DataFrame([cur.finish()], columns=["split_id", "meta"])
+                    cur = None
+                if cur is None:
+                    cur = _SplitAccumulator(sid, config, paths, chunk_docs)
+                cur.add(pdf.iloc[s:e])
+        if cur is not None:
+            yield pd.DataFrame([cur.finish()], columns=["split_id", "meta"])
+        if any(inv.values()):
+            yield pd.DataFrame(
+                [(INVALID_SENTINEL, json.dumps(inv))], columns=["split_id", "meta"]
             )
-            continue
-        want_pos = positions_col[s] is not None
-        docs, tfs, lens, poss = [], [], [], []
-        for i in range(s, e):
-            d, t = decode_postings(blobs[i])
-            docs.append(d)
-            tfs.append(t)
-            lens.append(decode_u32_column(lens_col[i]))
-            if want_pos:
-                poss.append(decode_positions(positions_col[i], t))
-        d = np.concatenate(docs)
-        t = np.concatenate(tfs)
-        ln = np.concatenate(lens)
-        blob, last_doc, max_tf = encode_postings(d, t)
-        min_len = np.minimum.reduceat(ln, np.arange(0, len(d), BLOCK))
-        positions = encode_positions(np.concatenate(poss), t) if want_pos else None
-        rows.append(
-            (split_id, bucket, fields[s], terms[s], int(len(d)), int(t.sum()),
-             blob, positions, encode_u32_column(ln),
-             last_doc.astype(np.int64).tolist(), max_tf.astype(np.int64).tolist(),
-             min_len.astype(np.int64).tolist())
-        )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "split_id", "bucket", "field", "term", "doc_freq", "total_tf", "blob",
-            "positions", "lens", "block_last_doc", "block_max_tf", "block_min_len",
-        ],
-    )
 
-
-def pack_fastfields(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per (split, segment): bitpack the fast-field columns (doc_len, ts).
-
-    The fast-field analog of tantivy's columnar store: the per-split scorer
-    reads exactly these small blobs instead of the doc store (warmup
-    analog, leaf.rs:139-171)."""
-    pdf = pdf.sort_values("doc_id")
-    ts = pdf["ts_epoch"].to_numpy(np.int64)
-    return pd.DataFrame(
-        [
-            (
-                pdf["split_id"].iloc[0],
-                int(pdf["seg_id"].iloc[0]),
-                int(pdf["doc_id"].min()),
-                len(pdf),
-                encode_u32_column(pdf["doc_len"].to_numpy(np.uint32)),
-                encode_u32_column(ts.astype(np.uint32)),
-                int(ts.min()),
-                int(ts.max()),
-            )
-        ],
-        columns=["split_id", "seg_id", "base_doc", "num_docs", "doc_lens", "ts", "ts_min", "ts_max"],
-    )
+    return build
 
 
 # ---------------------------------------------------------------------------
 # the build driver
 # ---------------------------------------------------------------------------
+
+
+def _project(
+    df: DataFrame, config: IndexConfig, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """doc_from_json analog, projection half: select/cast the schema columns
+    (unknown input columns silently dropped, default_mapper.rs:582-595).
+    Validity is NOT filtered here — the build task classifies and counts
+    invalid rows where the data already is (zero extra jobs)."""
+    cols = set(df.columns)
+    for required in ("conv_id", "turn_idx", "ts"):
+        if required not in cols:
+            raise ValueError(f"input is missing required column {required}")
+    ts_type = dict(df.dtypes)["ts"]
+    ts_epoch = (
+        F.col("ts").cast("long") if ts_type in ("bigint", "int", "long") else F.unix_timestamp("ts")
+    )
+    return df.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.coalesce(F.col("role"), F.lit("")).alias("role") if "role" in cols else F.lit("").alias("role"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text") if "text" in cols else F.lit("").alias("text"),
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool") if "tool" in cols else F.lit("").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        ts_epoch.alias("ts_epoch"),
+        *[F.col(c) for c in passthrough],
+    )
+
+
+def _valid_pred() -> F.Column:
+    return (
+        F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & F.col("ts_epoch").isNotNull()
+    )
 
 
 def project_and_validate(
@@ -417,77 +634,90 @@ def project_and_validate(
     Required-for-indexing columns (the fast/timestamp fields + the doc key)
     must be non-null (reference RequiredFastField error,
     default_mapper.rs:375-389); text may be null (field simply absent)."""
-    cols = set(df.columns)
-    for required in ("conv_id", "turn_idx", "ts"):
-        if required not in cols:
-            raise ValueError(f"input is missing required column {required}")
-    ts_type = dict(df.dtypes)["ts"]
-    ts_epoch = (
-        F.col("ts").cast("long") if ts_type in ("bigint", "int", "long") else F.unix_timestamp("ts")
-    )
-    base = df.select(
-        "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.coalesce(F.col("role"), F.lit("")).alias("role") if "role" in cols else F.lit("").alias("role"),
-        F.coalesce(F.col("text"), F.lit("")).alias("text") if "text" in cols else F.lit("").alias("text"),
-        F.coalesce(F.col("tool"), F.lit("")).alias("tool") if "tool" in cols else F.lit("").alias("tool"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        ts_epoch.alias("ts_epoch"),
-        *[F.col(c) for c in passthrough],
-    )
-    valid_pred = (
-        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull() & F.col("ts_epoch").isNotNull()
-    )
-    return base.filter(valid_pred), base.filter(~valid_pred)
+    base = _project(df, config, passthrough)
+    pred = _valid_pred()
+    return base.filter(pred), base.filter(~pred)
 
 
-def assign_doc_ids(
-    valid: DataFrame, n_splits: int, split_ord_expr: F.Column | None = None
-) -> DataFrame:
-    """Deterministic split + dense per-split docID, no global sort.
+def _approx_input_rows(df: DataFrame) -> int | None:
+    """Upper-bound row count from parquet footers (driver-side metadata
+    reads, NO Spark job) — used only to size n_splits, so an overestimate
+    merely yields a few empty splits (checkpointed as built:empty).  Returns
+    None for non-parquet-backed frames (tests' createDataFrame) — the caller
+    falls back to one count() job."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.split("?")[0].endswith(".parquet") for f in files):
+        return None
+    import pyarrow.parquet as pq
 
-    split_ord = pmod(xxhash64(conv_id), n_splits) — a pure function of the
-    key, so the same at local[8] and on 1000 executors.  The prefix sum runs
-    over *conversation-level* rows (orders of magnitude smaller than turns),
-    partitioned by split; per-turn rank is a window per conversation.
-    ``split_ord_expr`` overrides the default hash assignment (demux merges
-    cluster by tenant bin instead) — it must still be conversation-constant
-    so a conversation never straddles splits."""
-    if split_ord_expr is None:
-        split_ord_expr = F.pmod(F.xxhash64("conv_id"), F.lit(n_splits)).cast("int")
-    df = valid.withColumn("split_ord", split_ord_expr)
-    conv = df.groupBy("split_ord", "conv_id").agg(F.count("*").alias("n_turns"))
-    w = (
-        Window.partitionBy("split_ord")
-        .orderBy("conv_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    conv = conv.withColumn("conv_base", F.coalesce(F.sum("n_turns").over(w), F.lit(0)))
-    wt = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return (
-        df.join(conv.select("split_ord", "conv_id", "conv_base"), ["split_ord", "conv_id"])
-        .withColumn("doc_id", (F.col("conv_base") + F.row_number().over(wt) - 1).cast("long"))
-        .drop("conv_base")
-    )
+    total = 0
+    for f in files:
+        local = f[len("file:"):] if f.startswith("file:") else f
+        if not os.path.exists(local):
+            return None
+        total += pq.ParquetFile(local).metadata.num_rows
+    return total
 
 
-def _extract_tags(docs: DataFrame, config: IndexConfig) -> dict[str, list[str]]:
-    """Per-split tag sets (packager.rs:210-247): '{field}:{value}' +
-    presence marker '{field}!', only if distinct count <= cap."""
-    tags: dict[str, list[str]] = {}
-    for fname in config.tag_fields:
-        rows = (
-            docs.filter(F.col(fname) != "")
-            .groupBy("split_id")
-            .agg(F.collect_set(fname).alias("vals"))
+def _slot_keys(spark: SparkSession, p: int) -> list[int]:
+    """Integers k_0..k_{p-1} with ``pmod(murmur3(k_i), p) == i`` — found by a
+    tiny Spark job over a counter range (murmur3 with seed 42 is exactly what
+    ``repartition(p, col)`` applies, so repartitioning on such a key places
+    slot i's rows in partition i).  This makes split→partition an IDENTITY:
+    exactly one split per task, no balls-in-bins stacking (hash
+    co-location was measured straggler-bound: a partition that draws 3
+    splits takes 3x the median and owns the stage tail)."""
+    out: dict[int, int] = {}
+    start = 0
+    while len(out) < p:
+        batch = (
+            spark.range(start, start + 30 * p)
+            .select(
+                F.col("id").cast("int").alias("k"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(p)).alias("slot"),
+            )
+            .groupBy("slot")
+            .agg(F.min("k").alias("k"))
             .collect()
         )
-        for r in rows:
-            if len(r["vals"]) <= config.max_values_per_tag_field:
-                cur = tags.setdefault(r["split_id"], [])
-                cur.extend(f"{fname}:{v}" for v in sorted(r["vals"]))
-                cur.append(f"{fname}!")
-    return tags
+        for r in batch:
+            out.setdefault(int(r["slot"]), int(r["k"]))
+        start += 30 * p
+    return [out[i] for i in range(p)]
+
+
+def _partition_one_split_per_task(
+    spark: SparkSession, df: DataFrame, wave_ords: list[int]
+) -> DataFrame:
+    """The ONE shuffle: route each split whole to its own partition, sorted
+    by (conv_id, turn_idx).
+
+    The dense per-split docID is then a per-partition running counter inside
+    the build task — a pure function of data + split map + sort order, never
+    of task scheduling ("stable docIDs across parallelism levels", SURVEY.md
+    §7).  Rows with a null split_ord (invalid rows, kept so the build task
+    can count them) hash to partition 0 and are dropped before numbering."""
+    p = len(wave_ords)
+    keys = _slot_keys(spark, p)
+    if p <= 1024:  # pure-expression lookup, no join
+        mapping = F.create_map(
+            *[F.lit(int(x)) for ord_, k in zip(wave_ords, keys) for x in (ord_, k)]
+        )
+        df = df.withColumn("part_key", mapping[F.col("split_ord")].cast("int"))
+    else:  # broadcast map-side join for very large split counts
+        map_df = spark.createDataFrame(
+            [(int(o), int(k)) for o, k in zip(wave_ords, keys)],
+            "split_ord int, part_key int",
+        )
+        df = df.join(F.broadcast(map_df), "split_ord", "left")
+    return (
+        df.repartition(p, "part_key")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .drop("part_key")
+    )
 
 
 def build_index(
@@ -516,235 +746,125 @@ def build_index(
     paths = _paths(index_dir)
     tm = _Timer()
 
-    valid, invalid = project_and_validate(source_df, config, passthrough_cols)
-    # error taxonomy analog (doc_mapper errors NotJson/RequiredFastField…,
-    # default_mapper.rs:375-389 + indexer counters indexer.rs:38-62):
-    # one aggregate classifies every dropped row by its first failing field
-    inv_row = invalid.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("conv_id").isNull(), 1).otherwise(0)).alias("missing_conv_id"),
-        F.sum(
-            F.when(F.col("conv_id").isNotNull() & F.col("turn_idx").isNull(), 1).otherwise(0)
-        ).alias("missing_turn_idx"),
-        F.sum(
-            F.when(
-                F.col("conv_id").isNotNull()
-                & F.col("turn_idx").isNotNull()
-                & F.col("ts_epoch").isNull(),
-                1,
-            ).otherwise(0)
-        ).alias("missing_timestamp"),
-    ).collect()[0]
-    invalid_count = int(inv_row["n"])
-    invalid_by_reason = {
-        k: int(inv_row[k] or 0)
-        for k in ("missing_conv_id", "missing_turn_idx", "missing_timestamp")
-    }
-    tm.lap("validate:invalid_count")
+    base = _project(source_df, config, passthrough_cols)
 
     builds = cat._state.setdefault("builds", {})
     if build_id in builds:
         n_splits = builds[build_id]["n_splits"]
-        total_docs = builds[build_id]["total_docs"]
     else:
-        total_docs = valid.count()
-        tm.lap("validate:total_count")
         if n_splits is None:
-            n_splits = max(1, -(-total_docs // config.split_num_docs_target))
-        builds[build_id] = {"n_splits": n_splits, "total_docs": total_docs}
+            # upper bound from parquet footers (no job); count() fallback
+            approx = _approx_input_rows(source_df)
+            if approx is None:
+                approx = base.count()
+            n_splits = max(1, -(-approx // config.split_num_docs_target))
+        builds[build_id] = {"n_splits": n_splits, "total_docs": None}
         cat._save()
+    tm.lap("plan")
 
     checkpoint = cat.checkpoint()
     all_ords = list(range(n_splits))
     done_ords = [o for o in all_ords if _split_id(build_id, o) in checkpoint]
     todo_ords = [o for o in all_ords if o not in set(done_ords)]
     report = BuildReport(
-        index_dir, build_id, n_splits, total_docs, invalid_count,
+        index_dir, build_id, n_splits, 0, 0,
         skipped_splits=[_split_id(build_id, o) for o in done_ords],
     )
+    invalid_by_reason = {"missing_conv_id": 0, "missing_turn_idx": 0, "missing_timestamp": 0}
     if not todo_ords:
+        report.total_docs = builds[build_id].get("total_docs") or 0
         return report
 
-    assigned = assign_doc_ids(valid, n_splits, split_ord_expr)
-    seg_target = config.segment_num_docs_target
-    assigned = (
-        assigned.withColumn("split_id", F.concat(F.lit(build_id + "-"), F.lpad(F.col("split_ord").cast("string"), 5, "0")))
-        .withColumn("seg_id", (F.col("doc_id") / F.lit(seg_target)).cast("long"))
-    )
-    if len(todo_ords) < n_splits:
-        assigned = assigned.filter(F.col("split_ord").isin(todo_ords))
+    if split_ord_expr is None:
+        split_ord_expr = F.pmod(F.xxhash64("conv_id"), F.lit(n_splits)).cast("int")
+    base = base.withColumn("split_ord", split_ord_expr).drop(*passthrough_cols)
 
     wave_size = wave_size or len(todo_ords)
     waves = [todo_ords[i : i + wave_size] for i in range(0, len(todo_ords), wave_size)]
-    multi_wave = len(waves) > 1
-    if multi_wave:
-        assigned = assigned.persist()
+    build_fn_paths = paths
 
-    build_segment = make_segment_builder(config)
-    try:
-        for wave_idx, wave in enumerate(waves):
-            wave_sids = [_split_id(build_id, o) for o in wave]
-            _cleanup_split_dirs(index_dir, wave_sids)  # clear stale staged data
-            wdf = assigned.filter(F.col("split_ord").isin(wave)) if multi_wave else assigned
+    for wave_idx, wave in enumerate(waves):
+        wave_sids = [_split_id(build_id, o) for o in wave]
+        _cleanup_split_dirs(index_dir, wave_sids)  # clear stale staged data
+        if len(waves) > 1 or len(todo_ords) < n_splits:
+            # keep null-split_ord (invalid) rows in the first wave so they
+            # are counted exactly once
+            cond = F.col("split_ord").isin(wave)
+            if wave_idx == 0:
+                cond = cond | F.col("split_ord").isNull()
+            wdf = base.filter(cond)
+        else:
+            wdf = base
 
-            # 1) materialize the doc store FIRST (one pass through the
-            # expensive lineage: validate → docID window/join → doc_len UDF),
-            # then read it back so tokenize/fastfields/stats/tags all run off
-            # parquet instead of recomputing the lineage per action.
-            # (seg_id is a pure function of doc_id — recomputed after read.)
-            (
-                wdf.select(*DOC_COLS, "split_id")
-                .repartition("split_id", "seg_id")
-                .sortWithinPartitions("doc_id")
-                .write.partitionBy("split_id")
-                .mode("append")
-                .parquet(paths["docs"])
-            )
-            tm.lap("write-docs")
-            docs = (
-                spark.read.parquet(paths["docs"])
-                .filter(F.col("split_id").isin(wave_sids))
-                .withColumn("seg_id", (F.col("doc_id") / F.lit(seg_target)).cast("long"))
-            )
-
-            # 2) phase 1+fastfields in ONE pass (tokenize once), materialized
-            # to a temp dir so phase 2 / fastfield extraction / metrics never
-            # recompute tokenization.
-            segtmp = os.path.join(index_dir, f"_segtmp-{build_id}-{wave_idx}")
-            (
-                docs.groupBy("split_id", "seg_id")
-                .applyInPandas(build_segment, SEG_POSTINGS_SCHEMA)
-                .write.mode("overwrite")
-                .parquet(segtmp)
-            )
-            tm.lap("phase1+write")
-            seg_all = spark.read.parquet(segtmp)
-
-            # 3) phase-2 reduce keyed on (split, hash-bucket of term): constant
-            # invocation count + hot-term rows spread across buckets.  The
-            # output keeps its (split, bucket) distribution — parallel sorted
-            # writes, no extra shuffle; `bucket` is stored for query pruning.
-            final_postings = (
-                seg_all.filter(F.col("field") != FF_FIELD)
-                .withColumn(
-                    "bucket",
-                    F.pmod(F.xxhash64("field", "term"), F.lit(config.term_merge_buckets)).cast("int"),
-                )
-                .groupBy("split_id", "bucket")
-                .applyInPandas(lambda pdf: merge_bucket_segments(pdf), POSTINGS_SCHEMA)
-            )
-            (
-                final_postings.sortWithinPartitions("split_id", "bucket", "field", "term")
-                .write.partitionBy("split_id")
-                .mode("append")
-                .parquet(paths["postings"])
-            )
-            tm.lap("phase2+write")
-
-            # 4) fastfields = the phase-1 pseudo-rows, re-shaped
-            ff = seg_all.filter(F.col("field") == FF_FIELD).select(
+        # --- ONE job: shuffle → fused in-task build that assigns docIDs,
+        # writes each split's docs/postings/fastfields parquet itself and
+        # returns only a metadata row per split (IndexingStatistics analog)
+        docs = (
+            _partition_one_split_per_task(spark, wdf, wave)
+            .withColumn(
                 "split_id",
-                "seg_id",
-                F.col("block_last_doc")[0].alias("base_doc"),
-                F.col("block_last_doc")[1].alias("num_docs"),
-                F.col("blob").alias("doc_lens"),
-                F.col("positions").alias("ts"),
-                F.col("block_last_doc")[2].alias("ts_min"),
-                F.col("block_last_doc")[3].alias("ts_max"),
+                F.concat(
+                    F.lit(build_id + "-"), F.lpad(F.col("split_ord").cast("string"), 5, "0")
+                ),
             )
-            ff.sortWithinPartitions("split_id", "seg_id").write.partitionBy(
-                "split_id"
-            ).mode("append").parquet(paths["fastfields"])
-            tm.lap("fastfields")
+            .select(*[c for c in DOC_COLS if c != "doc_id"], "split_id")
+        )
+        stat_rows = docs.mapInPandas(
+            make_split_builder(config, build_fn_paths), STATS_SCHEMA
+        ).collect()
+        tm.lap("build")
 
-            # split-level metadata (one row per split — driver-safe)
-            stats = (
-                docs.groupBy("split_id")
-                .agg(
-                    F.count("*").alias("num_docs"),
-                    F.min("ts_epoch").alias("ts_min"),
-                    F.max("ts_epoch").alias("ts_max"),
-                )
-                .collect()
-            )
-            tm.lap("stats:docs-agg")
-            posted = spark.read.parquet(paths["postings"]).filter(
-                F.col("split_id").isin(wave_sids)
-            )
-            pmetrics = {
-                r["split_id"]: r.asDict()
-                for r in posted.groupBy("split_id")
-                .agg(
-                    F.count("*").alias("num_terms"),
-                    F.sum(F.length("blob")).alias("postings_bytes"),
-                    F.sum("total_tf").alias("total_tokens"),
-                )
-                .collect()
-            }
-            # per-field length sums (BM25 avg_len): Σ field length == Σ tf
-            flsums: dict[str, dict[str, int]] = {}
-            for r in posted.groupBy("split_id", "field").agg(
-                F.sum("total_tf").alias("s")
-            ).collect():
-                flsums.setdefault(r["split_id"], {})[r["field"]] = int(r["s"])
-            tm.lap("stats:pmetrics")
-            segs = {
-                sid: rows
-                for sid, rows in pd.DataFrame(
-                    spark.read.parquet(paths["fastfields"])
-                    .filter(F.col("split_id").isin(wave_sids))
-                    .select("split_id", "seg_id", "num_docs")
-                    .collect(),
-                    columns=["split_id", "seg_id", "num_docs"],
-                ).groupby("split_id")
-            }
-            tm.lap("stats+pmetrics+segs")
-            tags = _extract_tags(docs, config)
-            tm.lap("tags")
+        import json as _json
 
-            delta = {}
-            for r in stats:
-                sid = r["split_id"]
-                pm = pmetrics.get(sid, {})
-                seg_rows = segs.get(sid)
-                meta = SplitMetadata(
-                    split_id=sid,
-                    num_docs=r["num_docs"],
-                    ts_min=r["ts_min"],
-                    ts_max=r["ts_max"],
-                    tags=tags.get(sid, []),
-                    field_len_sums=flsums.get(sid, {}),
-                    metrics={
-                        "num_terms": int(pm.get("num_terms", 0)),
-                        "postings_bytes": int(pm.get("postings_bytes", 0)),
-                        "total_tokens": int(pm.get("total_tokens", 0)),
-                        "segments": (
-                            seg_rows[["seg_id", "num_docs"]].to_dict("records")
-                            if seg_rows is not None
-                            else []
-                        ),
-                    },
-                )
-                cat.stage_split(meta)
-                delta[sid] = (None, f"built:{r['num_docs']:012d}")
-            # splits hashed to a wave can be empty (no conv landed there):
-            # still checkpoint them so resume treats them as done
-            for sid in wave_sids:
-                if sid not in delta:
-                    delta[sid] = (None, "built:empty")
-            if publish:
-                cat.publish_splits([s for s in delta if s in cat._state["splits"]], delta)
-            report.published_splits.extend(sorted(delta))
-            shutil.rmtree(segtmp, ignore_errors=True)
-            if failpoint is not None:
-                failpoint(wave_idx)
-    finally:
-        if multi_wave:
-            assigned.unpersist()
+        delta = {}
+        for r in stat_rows:
+            s = _json.loads(r["meta"])
+            if r["split_id"] == INVALID_SENTINEL:
+                for k, v in s.items():
+                    invalid_by_reason[k] = invalid_by_reason.get(k, 0) + v
+                continue
+            meta = SplitMetadata(
+                split_id=r["split_id"],
+                num_docs=s["num_docs"],
+                ts_min=s["ts_min"],
+                ts_max=s["ts_max"],
+                tags=s["tags"],
+                field_len_sums=s["field_len_sums"],
+                metrics={
+                    "num_terms": s["num_terms"],
+                    "postings_bytes": s["postings_bytes"],
+                    "total_tokens": s["total_tokens"],
+                    "segments": s["segments"],
+                },
+            )
+            cat.stage_split(meta)
+            delta[r["split_id"]] = (None, f"built:{s['num_docs']:012d}")
+        # splits hashed to a wave can be empty (no conv landed there):
+        # still checkpoint them so resume treats them as done
+        for sid in wave_sids:
+            if sid not in delta:
+                delta[sid] = (None, "built:empty")
+        if publish:
+            cat.publish_splits([s for s in delta if s in cat._state["splits"]], delta)
+        report.published_splits.extend(sorted(delta))
+        tm.lap("publish")
+        if failpoint is not None:
+            failpoint(wave_idx)
+
+    # totals: Σ per-split num_docs over this build's splits (the metadata
+    # the build tasks already computed — no extra job)
+    in_build = set(report.published_splits) | set(report.skipped_splits)
+    split_rows = cat._state["splits"]
+    report.total_docs = sum(
+        v["num_docs"] for k, v in split_rows.items() if k in in_build
+    )
+    report.invalid_docs = sum(invalid_by_reason.values())
+    builds[build_id]["total_docs"] = report.total_docs
+    cat._save()
 
     report.metrics = {
         "splits": {s.split_id: s.metrics for s in cat.splits([PUBLISHED])},
-        "invalid_docs": invalid_count,
+        "invalid_docs": report.invalid_docs,
         "invalid_by_reason": invalid_by_reason,
     }
     return report

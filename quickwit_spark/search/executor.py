@@ -101,22 +101,14 @@ _GSTATS_CACHE: dict = {}
 def term_buckets(
     spark: SparkSession, terms: set[tuple[str, str]], n_buckets: int
 ) -> list[int]:
-    """Stored-bucket values of the query terms (one tiny local job — the
-    hash must be Spark's own xxhash64, the function used at build time).
+    """Stored-bucket values of the query terms (computed locally with the
+    same ``term_bucket`` hash the build task used — no JVM round trip).
     Lets the postings scan prune row groups via parquet min/max stats on the
     `bucket` column — the warmup/'read exactly what the query needs' analog
-    (leaf.rs:125-193) at the storage layer.  Cached per (terms, n_buckets):
-    the hash of a term never changes."""
-    if not terms:
-        return []
-    key = (n_buckets, frozenset(terms))
-    if key not in _BUCKET_CACHE:
-        df = spark.createDataFrame(sorted(terms), "field string, term string")
-        rows = df.select(
-            F.pmod(F.xxhash64("field", "term"), F.lit(n_buckets)).cast("int").alias("b")
-        ).collect()
-        _BUCKET_CACHE[key] = sorted({r["b"] for r in rows})
-    return _BUCKET_CACHE[key]
+    (leaf.rs:125-193) at the storage layer."""
+    from ..functions.codec import term_bucket
+
+    return sorted({term_bucket(f_, t_, n_buckets) for f_, t_ in terms})
 
 
 def _postings_scan(spark: SparkSession, index_dir: str, buckets: list[int]):
