@@ -331,13 +331,18 @@ def _pa_schemas():
     return docs, postings, fastfields
 
 
-def _atomic_write_table(table, final_path: str) -> int:
+def _atomic_write_table(table, final_path: str, row_group_size: int | None = None) -> int:
     """Write a parquet file via a temp name + atomic rename (idempotent under
-    task retry; a re-attempt rewrites identical content).  Returns bytes."""
+    task retry; a re-attempt rewrites identical content).  Returns bytes.
+
+    ``row_group_size`` matters for the query path: postings files are sorted
+    by (bucket, field, term), so small row groups give the scan real min/max
+    pruning on `bucket` — one giant row group per split would make every
+    bucket's min/max span the whole file and prune nothing."""
     import pyarrow.parquet as pq
 
     tmp = f"{final_path}.tmp-{os.getpid()}"
-    pq.write_table(table, tmp, compression="snappy")
+    pq.write_table(table, tmp, compression="snappy", row_group_size=row_group_size)
     size = os.path.getsize(tmp)
     os.replace(tmp, final_path)
     return size
@@ -400,7 +405,9 @@ class _SplitAccumulator:
             self._docs_writer = pq.ParquetWriter(
                 self._docs_tmp, docs_schema, compression="snappy"
             )
-        self._docs_writer.write_table(table)
+        # ~8k-row groups: docs are doc_id-sorted, so the hit-fetch scan
+        # prunes to a handful of row groups via doc_id min/max stats
+        self._docs_writer.write_table(table, row_group_size=8192)
 
     def _encode_chunk(self) -> None:
         if not self.raw:
@@ -472,7 +479,7 @@ class _SplitAccumulator:
         pdf = pd.DataFrame(rows, columns=POSTINGS_COLUMNS)
         pdf = pdf.sort_values(["bucket", "field", "term"], kind="mergesort")
         table = pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False)
-        _atomic_write_table(table, self._split_file("postings"))
+        _atomic_write_table(table, self._split_file("postings"), row_group_size=4096)
 
         # fastfields: one row per seg_target-doc segment (columnar-store
         # analog — the per-split scorer reads these small blobs instead of

@@ -111,8 +111,30 @@ def term_buckets(
     return sorted({term_bucket(f_, t_, n_buckets) for f_, t_ in terms})
 
 
+_SCAN_DF_CACHE: dict = {}
+
+
+def _table_scan(spark: SparkSession, index_dir: str, table: str):
+    """Cached parquet scan per (index_dir, table, catalog state) — the
+    split-footer-cache analog (leaf.rs:47-55): ``spark.read.parquet`` lists
+    every split dir and reads footers eagerly (~1s on a few hundred splits),
+    which would otherwise be paid on EVERY query.  Invalidated whenever the
+    catalog file changes (publish/merge/GC add or drop split dirs)."""
+    cat_path = os.path.join(index_dir, "catalog.json")
+    try:
+        state = (os.path.getmtime(cat_path), os.path.getsize(cat_path))
+    except OSError:
+        state = None
+    key = (index_dir, table, state)
+    if key not in _SCAN_DF_CACHE:
+        _SCAN_DF_CACHE[key] = spark.read.parquet(f"{index_dir}/{table}")
+        if len(_SCAN_DF_CACHE) > 256:
+            _SCAN_DF_CACHE.pop(next(iter(_SCAN_DF_CACHE)))
+    return _SCAN_DF_CACHE[key]
+
+
 def _postings_scan(spark: SparkSession, index_dir: str, buckets: list[int]):
-    scan = spark.read.parquet(f"{index_dir}/postings")
+    scan = _table_scan(spark, index_dir, "postings")
     if buckets and "bucket" in scan.columns:
         scan = scan.filter(F.col("bucket").isin(buckets))
     return scan
@@ -487,7 +509,7 @@ def _leaf_hits_df(
         .filter(F.col("split_id").isin(sids))
         .filter(cond if cond is not None else F.lit(False))
     )
-    ff = spark.read.parquet(f"{index_dir}/fastfields").filter(F.col("split_id").isin(sids))
+    ff = _table_scan(spark, index_dir, "fastfields").filter(F.col("split_id").isin(sids))
     scorer = make_split_scorer(config, gstats, ast, request, mode)
     hits = (
         needed.groupBy("split_id")
@@ -531,7 +553,7 @@ def _fetch_hit_docs(
         return []
     hit_sids = sorted({r["split_id"] for r in hit_rows})
     doc_ids = sorted({int(r["doc_id"]) for r in hit_rows})
-    docs = spark.read.parquet(f"{index_dir}/docs").filter(F.col("split_id").isin(hit_sids))
+    docs = _table_scan(spark, index_dir, "docs").filter(F.col("split_id").isin(hit_sids))
     if len(doc_ids) <= _MAX_ISIN_IDS:
         docs = docs.filter(F.col("doc_id").isin(doc_ids))
     hits_df = spark.createDataFrame(
@@ -546,13 +568,26 @@ def _search_rows(
     spark: SparkSession, index_dir: str, request: SearchRequest
 ) -> tuple[list[dict], int]:
     """Shared root-search core: leaf top-k (one job, tiny result), driver
-    merge (sort of <= splits*(offset+k) rows), pruned doc fetch (one job)."""
+    merge (sort of <= splits*(offset+k) rows), pruned doc fetch (one job).
+
+    The global merge runs BEFORE the doc fetch (root.rs:170-232: merge
+    partial hits, then fetch only the winners): with the default tiebreak
+    every merge key (score, sort_value, split_id, doc_id) is already in the
+    leaf rows, so only offset+k documents are ever read from the doc store
+    — not splits x k.  The global_key tiebreak orders by a fetched column
+    (conv_id), so it keeps the fetch-then-sort path."""
     hits_df, splits, ast, config = _leaf_hits_df(spark, index_dir, request)
     hit_rows = [r.asDict() for r in hits_df.collect()]
     per_split_hits: dict[str, int] = {}
     for r in hit_rows:
         per_split_hits[r["split_id"]] = int(r["split_num_hits"])
     num_hits = sum(per_split_hits.values())
+    if request.tiebreak != "global_key":
+        hit_rows.sort(key=_sort_key(request))
+        hit_rows = hit_rows[request.start_offset : request.start_offset + request.max_hits]
+        fetched = _fetch_hit_docs(spark, index_dir, hit_rows, splits)
+        fetched.sort(key=_sort_key(request))
+        return fetched, num_hits
     fetched = _fetch_hit_docs(spark, index_dir, hit_rows, splits)
     fetched.sort(key=_sort_key(request))
     page = fetched[request.start_offset : request.start_offset + request.max_hits]
@@ -628,7 +663,7 @@ def export_stream(
     semantics), so any stored column can partition the export."""
     hits = search_stream(spark, index_dir, request, fast_field)
     if partition_by is not None:
-        docs = spark.read.parquet(f"{index_dir}/docs").select(
+        docs = _table_scan(spark, index_dir, "docs").select(
             "split_id", "doc_id", partition_by
         )
         hits = hits.join(docs, ["split_id", "doc_id"])
