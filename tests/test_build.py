@@ -92,6 +92,27 @@ def test_docids_stable_across_parallelism(spark, small_corpus, tmp_index_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_per_turn_text_equality(spark, small_corpus, tmp_index_dir):
+    """north rule (BASELINE.json input_hint): per-row invariant vs the
+    source — per-turn text equality under stable turn ordering.  Every turn
+    of the corpus must round-trip through the doc store byte-identically."""
+    _build(spark, small_corpus, tmp_index_dir)
+    stored = (
+        spark.read.parquet(f"{tmp_index_dir}/docs")
+        .select("conv_id", "turn_idx", "text", "role", "tool")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src = (
+        small_corpus[["conv_id", "turn_idx", "text", "role", "tool"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(stored) == len(small_corpus)
+    pd.testing.assert_frame_equal(stored, src, check_dtype=False)
+
+
 def test_invalid_rows_counted(spark, tmp_index_dir):
     pdf = corpus4()
     bad = pdf.copy()
