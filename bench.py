@@ -111,6 +111,9 @@ def bench_queries(spark, index_dir: str, repeats: int = 7) -> tuple[dict, dict]:
     from quickwit_spark.search.executor import search
     from quickwit_spark.search.request import SearchRequest
 
+    # one untimed query warms python workers + codegen for the search plan
+    # shape, so p50/p99 measure steady state rather than first-run JIT
+    search(spark, index_dir, SearchRequest(query="deploy"))
     p50, p99 = {}, {}
     for name, kw in BENCH_QUERIES.items():
         times = []
