@@ -64,6 +64,32 @@ from .request import SearchRequest
 
 HITS_SCHEMA = "split_id string, doc_id long, score double, sort_value long, split_num_hits long"
 
+# topk mode fetches the winners' stored fields inside the leaf task (one job
+# per query instead of leaf + fetch): per split only offset+k docs are read,
+# pruned to row groups by doc_id min/max stats
+_DOC_FETCH_COLS = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts_epoch", "text"]
+FETCHED_HITS_SCHEMA = (
+    HITS_SCHEMA + ", conv_id string, turn_idx int, role string, tool string, "
+    "ts_epoch long, text string"
+)
+
+
+def _fetch_doc_fields(index_dir: str, split_id: str, doc_ids: np.ndarray) -> pd.DataFrame:
+    """In-task doc-store read of the split's winning docs (fetch_docs.rs
+    analog performed leaf-side): pyarrow dataset over the split dir with a
+    doc_id filter — docs files are doc_id-sorted in 8k-row groups, so row-
+    group statistics prune to a handful of groups."""
+    import pyarrow.dataset as pads
+
+    d = os.path.join(index_dir, "docs", f"split_id={split_id}")
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    dset = pads.dataset(files, format="parquet")
+    table = dset.to_table(
+        columns=_DOC_FETCH_COLS,
+        filter=pads.field("doc_id").isin([int(x) for x in doc_ids]),
+    )
+    return table.to_pandas()
+
 
 @dataclass
 class SearchResponse:
@@ -359,15 +385,22 @@ def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray
 
 
 def make_split_scorer(
-    config: IndexConfig, gstats: dict, ast, request: SearchRequest, mode: str = "topk"
+    config: IndexConfig,
+    gstats: dict,
+    ast,
+    request: SearchRequest,
+    mode: str = "topk",
+    index_dir: str | None = None,
 ):
     """Build the cogrouped scorer function.  mode: 'topk' (per-split top
-    offset+max_hits) or 'stream' (emit every matching doc — the search-stream
-    fast-field export path, search_stream/leaf.rs analog)."""
+    offset+max_hits, winners' stored fields fetched in-task) or 'stream'
+    (emit every matching doc, no fetch — the search-stream fast-field export
+    path, search_stream/leaf.rs analog)."""
     n_top = request.start_offset + request.max_hits
     pos_terms = sorted(positive_terms(ast))
     ts_lo, ts_hi = request.start_timestamp, request.end_timestamp
     sort_field = request.sort_by_field
+    fetch = mode == "topk" and index_dir is not None
     single_term_wand = (
         mode == "topk"
         and sort_field is None
@@ -384,6 +417,18 @@ def make_split_scorer(
                 "score": pd.Series(dtype=np.float64),
                 "sort_value": pd.Series(dtype=np.int64),
                 "split_num_hits": pd.Series(dtype=np.int64),
+                **(
+                    {
+                        "conv_id": pd.Series(dtype=object),
+                        "turn_idx": pd.Series(dtype=np.int32),
+                        "role": pd.Series(dtype=object),
+                        "tool": pd.Series(dtype=object),
+                        "ts_epoch": pd.Series(dtype=np.int64),
+                        "text": pd.Series(dtype=object),
+                    }
+                    if fetch
+                    else {}
+                ),
             }
         )
         if len(ff_pdf) == 0:
@@ -441,7 +486,7 @@ def make_split_scorer(
             take = np.lexsort((docs, sgn * sv))[:n_top]
         else:
             take = np.lexsort((docs, -scores))[:n_top]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "split_id": split_id,
                 "doc_id": docs[take],
@@ -450,6 +495,10 @@ def make_split_scorer(
                 "split_num_hits": num_hits,
             }
         )
+        if fetch:
+            fields = _fetch_doc_fields(index_dir, split_id, docs[take])
+            out = out.merge(fields, on="doc_id", how="left")
+        return out
 
     return score_split
 
@@ -508,8 +557,9 @@ def _leaf_hits_df(
     terms = collect_terms(ast)
     buckets = term_buckets(spark, terms, config.term_merge_buckets)
     gstats = global_term_stats(spark, index_dir, cat, terms, buckets)
+    schema = FETCHED_HITS_SCHEMA if mode == "topk" else HITS_SCHEMA
     if not splits:
-        empty = spark.createDataFrame([], HITS_SCHEMA)
+        empty = spark.createDataFrame([], schema)
         return empty, splits, ast, config
 
     sids = [s.split_id for s in splits]
@@ -523,18 +573,14 @@ def _leaf_hits_df(
         .filter(cond if cond is not None else F.lit(False))
     )
     ff = _table_scan(spark, index_dir, "fastfields").filter(F.col("split_id").isin(sids))
-    scorer = make_split_scorer(config, gstats, ast, request, mode)
+    scorer = make_split_scorer(config, gstats, ast, request, mode, index_dir)
     hits = (
         needed.groupBy("split_id")
         .cogroup(ff.groupBy("split_id"))
-        .applyInPandas(scorer, HITS_SCHEMA)
+        .applyInPandas(scorer, schema)
     )
     return hits, splits, ast, config
 
-
-# above this count of candidate doc ids, skip the isin pushdown (predicate
-# bloat) and fall back to a plain partition-pruned join
-_MAX_ISIN_IDS = 100_000
 
 FETCH_COLS = ["conv_id", "turn_idx", "role", "tool", "ts_epoch", "split_id", "doc_id", "score", "text"]
 _FETCH_SCHEMA = (
@@ -554,56 +600,23 @@ def _sort_key(request: SearchRequest):
     return lambda r: (-r["score"], r["split_id"], r["doc_id"])
 
 
-def _fetch_hit_docs(
-    spark: SparkSession, index_dir: str, hit_rows: list, splits: list[SplitMetadata]
-) -> list[dict]:
-    """fetch_docs analog (fetch_docs.rs:97-164): read back ONLY the hit
-    documents.  The collected per-split top-k rows are pushed down as
-    (split_id, doc_id) predicates, so the parquet scan prunes to the winning
-    splits' dirs and, via doc_id min/max row-group stats (docs are written
-    doc_id-sorted), to a handful of row groups — never a full doc-store scan."""
-    if not hit_rows:
-        return []
-    hit_sids = sorted({r["split_id"] for r in hit_rows})
-    doc_ids = sorted({int(r["doc_id"]) for r in hit_rows})
-    docs = _table_scan(spark, index_dir, "docs").filter(F.col("split_id").isin(hit_sids))
-    if len(doc_ids) <= _MAX_ISIN_IDS:
-        docs = docs.filter(F.col("doc_id").isin(doc_ids))
-    hits_df = spark.createDataFrame(
-        [(r["split_id"], int(r["doc_id"]), float(r["score"]), int(r["sort_value"])) for r in hit_rows],
-        "split_id string, doc_id long, score double, sort_value long",
-    )
-    fetched = docs.join(F.broadcast(hits_df), ["split_id", "doc_id"]).collect()
-    return [r.asDict() for r in fetched]
-
-
 def _search_rows(
     spark: SparkSession, index_dir: str, request: SearchRequest
 ) -> tuple[list[dict], int]:
     """Shared root-search core: leaf top-k (one job, tiny result), driver
     merge (sort of <= splits*(offset+k) rows), pruned doc fetch (one job).
 
-    The global merge runs BEFORE the doc fetch (root.rs:170-232: merge
-    partial hits, then fetch only the winners): with the default tiebreak
-    every merge key (score, sort_value, split_id, doc_id) is already in the
-    leaf rows, so only offset+k documents are ever read from the doc store
-    — not splits x k.  The global_key tiebreak orders by a fetched column
-    (conv_id), so it keeps the fetch-then-sort path."""
+    The leaf task fetches its winners' stored fields itself (one Spark job
+    per query total); the driver merge (merge_fruits analog, root.rs:170-232)
+    then just sorts <= splits*(offset+k) fully-materialized rows and pages."""
     hits_df, splits, ast, config = _leaf_hits_df(spark, index_dir, request)
     hit_rows = [r.asDict() for r in hits_df.collect()]
     per_split_hits: dict[str, int] = {}
     for r in hit_rows:
         per_split_hits[r["split_id"]] = int(r["split_num_hits"])
     num_hits = sum(per_split_hits.values())
-    if request.tiebreak != "global_key":
-        hit_rows.sort(key=_sort_key(request))
-        hit_rows = hit_rows[request.start_offset : request.start_offset + request.max_hits]
-        fetched = _fetch_hit_docs(spark, index_dir, hit_rows, splits)
-        fetched.sort(key=_sort_key(request))
-        return fetched, num_hits
-    fetched = _fetch_hit_docs(spark, index_dir, hit_rows, splits)
-    fetched.sort(key=_sort_key(request))
-    page = fetched[request.start_offset : request.start_offset + request.max_hits]
+    hit_rows.sort(key=_sort_key(request))
+    page = hit_rows[request.start_offset : request.start_offset + request.max_hits]
     return page, num_hits
 
 
