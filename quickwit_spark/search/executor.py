@@ -563,23 +563,67 @@ def _leaf_hits_df(
         return empty, splits, ast, config
 
     sids = [s.split_id for s in splits]
+    scorer = make_split_scorer(config, gstats, ast, request, mode, index_dir)
+    runner = _make_leaf_runner(scorer, index_dir, sorted(terms), buckets)
+    # ZERO-shuffle, zero-scan leaf: ONE mapInPandas stage over a tiny
+    # in-memory DataFrame of split ids (the SearchJob list, root.rs:280-284);
+    # each task opens its splits' fastfields + needed postings itself with
+    # pyarrow, exactly like a reference leaf opens a split (leaf.rs:94-114).
+    # No cogroup, no exchange, no driver-side file listing — a query is one
+    # Spark stage + a driver merge.
+    sid_df = spark.createDataFrame([(s,) for s in sids], "split_id string")
+    hits = sid_df.mapInPandas(runner, schema)
+    return hits, splits, ast, config
+
+
+def _split_files(index_dir: str, table: str, split_id: str) -> list[str]:
+    d = os.path.join(index_dir, table, f"split_id={split_id}")
+    try:
+        return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    except FileNotFoundError:
+        return []
+
+
+def _read_split_postings(
+    index_dir: str, split_id: str, terms: list[tuple[str, str]], buckets: list[int]
+) -> pd.DataFrame:
+    """In-task warmup read (leaf.rs:125-193 analog): exactly the query
+    terms' posting rows of one split, row-group pruned by the bucket column
+    (files are bucket-sorted in 4k-row groups)."""
+    import pyarrow.dataset as pads
+
+    files = _split_files(index_dir, "postings", split_id)
     cond = None
     for f_, t_ in terms:
-        c = (F.col("field") == f_) & (F.col("term") == t_)
+        c = (pads.field("field") == f_) & (pads.field("term") == t_)
         cond = c if cond is None else (cond | c)
-    needed = (
-        _postings_scan(spark, index_dir, buckets)
-        .filter(F.col("split_id").isin(sids))
-        .filter(cond if cond is not None else F.lit(False))
-    )
-    ff = _table_scan(spark, index_dir, "fastfields").filter(F.col("split_id").isin(sids))
-    scorer = make_split_scorer(config, gstats, ast, request, mode, index_dir)
-    hits = (
-        needed.groupBy("split_id")
-        .cogroup(ff.groupBy("split_id"))
-        .applyInPandas(scorer, schema)
-    )
-    return hits, splits, ast, config
+    if not files or cond is None:
+        return pd.DataFrame(columns=["field", "term"])
+    if buckets:
+        cond = pads.field("bucket").isin(buckets) & cond
+    dset = pads.dataset(files, format="parquet")
+    return dset.to_table(filter=cond).to_pandas()
+
+
+def _make_leaf_runner(scorer, index_dir: str, terms: list[tuple[str, str]], buckets: list[int]):
+    """mapInPandas wrapper: split-id batches → per-split scorer invocations
+    with in-task fastfield + postings reads (hot splits stay in the OS page
+    cache — the storage-cache analog, quickwit-storage/src/cache)."""
+    import pyarrow.dataset as pads
+
+    def run(batches):
+        for pdf in batches:
+            for sid in pdf["split_id"]:
+                ff_files = _split_files(index_dir, "fastfields", sid)
+                if not ff_files:
+                    continue
+                ff_pdf = pads.dataset(ff_files, format="parquet").to_table().to_pandas()
+                postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
+                out = scorer((sid,), postings_pdf, ff_pdf)
+                if len(out):
+                    yield out
+
+    return run
 
 
 FETCH_COLS = ["conv_id", "turn_idx", "role", "tool", "ts_epoch", "split_id", "doc_id", "score", "text"]
