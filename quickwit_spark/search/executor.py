@@ -201,22 +201,34 @@ def global_term_stats(
     stats = cat.global_stats()
     df_map: dict[tuple[str, str], int] = {t: 0 for t in terms}
     if terms:
-        published = [s.split_id for s in cat.splits()]
-        if published:
+        # Driver-side pyarrow read, NOT a Spark job: the global doc_freq of a
+        # handful of query terms is metadata-scale (a few posting-dictionary
+        # rows per split, bucket- and row-group-pruned), and launching a
+        # Spark stage for it costs ~300-500 ms — the dominant first-query
+        # cost.  At cluster scale this stays driver-cheap because it reads
+        # only (field, term, doc_freq) columns of matching row groups.
+        import pyarrow.dataset as pads
+
+        files = [
+            f
+            for s in cat.splits()
+            for f in _split_files(index_dir, "postings", s.split_id)
+        ]
+        if files:
             cond = None
             for f_, t_ in terms:
-                c = (F.col("field") == f_) & (F.col("term") == t_)
+                c = (pads.field("field") == f_) & (pads.field("term") == t_)
                 cond = c if cond is None else (cond | c)
-            rows = (
-                _postings_scan(spark, index_dir, buckets or [])
-                .filter(F.col("split_id").isin(published))
-                .filter(cond)
-                .groupBy("field", "term")
-                .agg(F.sum("doc_freq").alias("df"))
-                .collect()
+            if buckets:
+                cond = pads.field("bucket").isin(buckets) & cond
+            tbl = pads.dataset(files, format="parquet").to_table(
+                columns=["field", "term", "doc_freq"], filter=cond
             )
-            for r in rows:
-                df_map[(r["field"], r["term"])] = int(r["df"])
+            pdf = tbl.to_pandas()
+            if len(pdf):
+                for (f_, t_), df_sum in pdf.groupby(["field", "term"])["doc_freq"].sum().items():
+                    if (f_, t_) in df_map:
+                        df_map[(f_, t_)] = int(df_sum)
     out = {"num_docs": stats["num_docs"], "avg_len": stats["avg_len"], "df": df_map}
     _GSTATS_CACHE[ckey] = out
     if len(_GSTATS_CACHE) > 1024:
@@ -314,7 +326,13 @@ def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
     for c in node.must_not:
         if len(acc) == 0:
             break
-        acc = np.setdiff1d(acc, _eval_node(c, postings), assume_unique=True)
+        if isinstance(c, TermQuery):
+            # skip-aware NOT: only blocks overlapping the surviving
+            # candidates need decoding (same skip-pointer path as AND)
+            d, _ = postings.candidates_only((c.field, c.term), acc)
+            acc = acc[~np.isin(acc, d.astype(np.int64), assume_unique=True)]
+        else:
+            acc = np.setdiff1d(acc, _eval_node(c, postings), assume_unique=True)
     return acc
 
 
@@ -551,20 +569,16 @@ def _fast_field_values(field: str, ff_pdf: pd.DataFrame, lens: np.ndarray, docs:
 def _leaf_hits_df(
     spark: SparkSession, index_dir: str, request: SearchRequest, mode: str = "topk"
 ) -> tuple[DataFrame, list[SplitMetadata], object, IndexConfig]:
-    cat, config = open_index(spark, index_dir)
-    ast = parse_query(request.query, config, request.search_fields)
-    splits = prune_splits(cat, config, ast, request)
-    terms = collect_terms(ast)
-    buckets = term_buckets(spark, terms, config.term_merge_buckets)
-    gstats = global_term_stats(spark, index_dir, cat, terms, buckets)
+    cat, config, ast, splits, terms, buckets, scorer = _plan_leaf(
+        spark, index_dir, request, mode
+    )
     schema = FETCHED_HITS_SCHEMA if mode == "topk" else HITS_SCHEMA
     if not splits:
         empty = spark.createDataFrame([], schema)
         return empty, splits, ast, config
 
     sids = [s.split_id for s in splits]
-    scorer = make_split_scorer(config, gstats, ast, request, mode, index_dir)
-    runner = _make_leaf_runner(scorer, index_dir, sorted(terms), buckets)
+    runner = _make_leaf_runner(scorer, index_dir, terms, buckets)
     # ZERO-shuffle, zero-scan leaf: ONE mapInPandas stage over a tiny
     # in-memory DataFrame of split ids (the SearchJob list, root.rs:280-284);
     # each task opens its splits' fastfields + needed postings itself with
@@ -584,6 +598,63 @@ def _split_files(index_dir: str, table: str, split_id: str) -> list[str]:
         return []
 
 
+def _limit_arrow_threads():
+    """Inside a Spark python worker: cap pyarrow's internal CPU pool.  Each
+    of the N worker processes would otherwise spawn an N-thread Arrow pool
+    (N^2 runnable threads per host); leaf reads are tiny, one thread each is
+    faster in aggregate."""
+    try:
+        import pyarrow as pa
+
+        if pa.cpu_count() > 1:
+            pa.set_cpu_count(1)
+    except Exception:
+        pass
+
+
+# Worker-side caches, safe because split dirs are IMMUTABLE once published
+# (merge/demux create new split ids; GC only deletes dirs that are never
+# queried again).  Python workers are reused across Spark jobs, so these
+# persist across queries — the executor-local storage/fast-field cache
+# analog (quickwit-storage/src/cache, docs/design/querying.md:42-43).
+_WORKER_FF_CACHE: dict = {}
+_WORKER_DSET_CACHE: dict = {}
+
+
+def _lru_put(cache: dict, key, value, cap: int):
+    cache[key] = value
+    while len(cache) > cap:
+        cache.pop(next(iter(cache)))
+
+
+def _cached_fastfields(index_dir: str, split_id: str) -> pd.DataFrame | None:
+    key = (index_dir, split_id)
+    if key in _WORKER_FF_CACHE:
+        return _WORKER_FF_CACHE[key]
+    import pyarrow.dataset as pads
+
+    files = _split_files(index_dir, "fastfields", split_id)
+    pdf = (
+        pads.dataset(files, format="parquet").to_table().to_pandas() if files else None
+    )
+    _lru_put(_WORKER_FF_CACHE, key, pdf, 256)
+    return pdf
+
+
+def _cached_postings_dataset(index_dir: str, split_id: str):
+    """pyarrow dataset handle per split (file listing + parquet footers are
+    parsed once per worker, the split-footer-cache analog, leaf.rs:47-55)."""
+    key = (index_dir, split_id)
+    if key in _WORKER_DSET_CACHE:
+        return _WORKER_DSET_CACHE[key]
+    import pyarrow.dataset as pads
+
+    files = _split_files(index_dir, "postings", split_id)
+    dset = pads.dataset(files, format="parquet") if files else None
+    _lru_put(_WORKER_DSET_CACHE, key, dset, 256)
+    return dset
+
+
 def _read_split_postings(
     index_dir: str, split_id: str, terms: list[tuple[str, str]], buckets: list[int]
 ) -> pd.DataFrame:
@@ -592,32 +663,80 @@ def _read_split_postings(
     (files are bucket-sorted in 4k-row groups)."""
     import pyarrow.dataset as pads
 
-    files = _split_files(index_dir, "postings", split_id)
+    dset = _cached_postings_dataset(index_dir, split_id)
     cond = None
     for f_, t_ in terms:
         c = (pads.field("field") == f_) & (pads.field("term") == t_)
         cond = c if cond is None else (cond | c)
-    if not files or cond is None:
+    if dset is None or cond is None:
         return pd.DataFrame(columns=["field", "term"])
     if buckets:
         cond = pads.field("bucket").isin(buckets) & cond
-    dset = pads.dataset(files, format="parquet")
     return dset.to_table(filter=cond).to_pandas()
+
+
+def _plan_leaf(
+    spark: SparkSession, index_dir: str, request: SearchRequest, mode: str
+):
+    """Shared driver-side planning: parse, prune, stats, scorer."""
+    cat, config = open_index(spark, index_dir)
+    ast = parse_query(request.query, config, request.search_fields)
+    splits = prune_splits(cat, config, ast, request)
+    terms = collect_terms(ast)
+    buckets = term_buckets(spark, terms, config.term_merge_buckets)
+    gstats = global_term_stats(spark, index_dir, cat, terms, buckets)
+    scorer = make_split_scorer(config, gstats, ast, request, mode, index_dir)
+    return cat, config, ast, splits, sorted(terms), buckets, scorer
+
+
+def _leaf_hit_rows(
+    spark: SparkSession, index_dir: str, request: SearchRequest
+) -> list[dict]:
+    """Top-k leaf search as ONE plain-RDD mapPartitions job.
+
+    Deliberately an RDD, not a DataFrame: the job's input is the SearchJob
+    list (root.rs:280-284) — a few hundred split ids — and its output is at
+    most splits*(offset+k) already-top-k'd rows, both metadata-scale.  The
+    per-partition work is genuinely imperative (open split, decode postings,
+    run the collector), and the DataFrame/mapInPandas machinery adds a
+    measured ~300 ms of fixed per-query cost (Catalyst analysis + Arrow
+    python-runner setup) over `sc.parallelize(...).mapPartitions` at the
+    same slice count.  Data-scale paths (stream export) stay on DataFrames.
+    Slices are contiguous ranges of the split list — no hash partitioning,
+    so no balls-in-bins task skew."""
+    _, _, _, splits, terms, buckets, scorer = _plan_leaf(spark, index_dir, request, "topk")
+    if not splits:
+        return []
+    sids = [s.split_id for s in splits]
+
+    def run(it):
+        _limit_arrow_threads()
+        for sid in it:
+            ff_pdf = _cached_fastfields(index_dir, sid)
+            if ff_pdf is None:
+                continue
+            postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
+            out = scorer((sid,), postings_pdf, ff_pdf)
+            if len(out):
+                yield from out.to_dict("records")
+
+    sc = spark.sparkContext
+    n_slices = max(1, min(len(sids), sc.defaultParallelism))
+    return sc.parallelize(sids, n_slices).mapPartitions(run).collect()
 
 
 def _make_leaf_runner(scorer, index_dir: str, terms: list[tuple[str, str]], buckets: list[int]):
     """mapInPandas wrapper: split-id batches → per-split scorer invocations
     with in-task fastfield + postings reads (hot splits stay in the OS page
     cache — the storage-cache analog, quickwit-storage/src/cache)."""
-    import pyarrow.dataset as pads
 
     def run(batches):
+        _limit_arrow_threads()
         for pdf in batches:
             for sid in pdf["split_id"]:
-                ff_files = _split_files(index_dir, "fastfields", sid)
-                if not ff_files:
+                ff_pdf = _cached_fastfields(index_dir, sid)
+                if ff_pdf is None:
                     continue
-                ff_pdf = pads.dataset(ff_files, format="parquet").to_table().to_pandas()
                 postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
                 out = scorer((sid,), postings_pdf, ff_pdf)
                 if len(out):
@@ -653,8 +772,7 @@ def _search_rows(
     The leaf task fetches its winners' stored fields itself (one Spark job
     per query total); the driver merge (merge_fruits analog, root.rs:170-232)
     then just sorts <= splits*(offset+k) fully-materialized rows and pages."""
-    hits_df, splits, ast, config = _leaf_hits_df(spark, index_dir, request)
-    hit_rows = [r.asDict() for r in hits_df.collect()]
+    hit_rows = _leaf_hit_rows(spark, index_dir, request)
     per_split_hits: dict[str, int] = {}
     for r in hit_rows:
         per_split_hits[r["split_id"]] = int(r["split_num_hits"])
@@ -669,7 +787,11 @@ def search_df(spark: SparkSession, index_dir: str, request: SearchRequest) -> Da
     columns (conv_id, turn_idx, role, text, tool, ts_epoch, split_id,
     doc_id, score), globally ordered and offset/limited."""
     page, _ = _search_rows(spark, index_dir, request)
-    data = [tuple(r[c] for c in FETCH_COLS) for r in page]
+
+    def py(v):
+        return v.item() if hasattr(v, "item") else v
+
+    data = [tuple(py(r[c]) for c in FETCH_COLS) for r in page]
     return spark.createDataFrame(data, _FETCH_SCHEMA)
 
 
@@ -678,14 +800,18 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
     the total hit count (collector.rs:180-187)."""
     t0 = time.monotonic()
     page, num_hits = _search_rows(spark, index_dir, request)
+
+    def py(v):
+        return v.item() if hasattr(v, "item") else v
+
     out = [
         {
             "conv_id": r["conv_id"],
-            "turn_idx": r["turn_idx"],
+            "turn_idx": py(r["turn_idx"]),
             "split_id": r["split_id"],
-            "doc_id": r["doc_id"],
-            "score": r["score"],
-            "sort_value": r["sort_value"],
+            "doc_id": py(r["doc_id"]),
+            "score": py(r["score"]),
+            "sort_value": py(r["sort_value"]),
             "text": r["text"],
         }
         for r in page
