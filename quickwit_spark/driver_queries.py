@@ -370,6 +370,9 @@ FROM documents GROUP BY 1""",
         ),
         "tx_fingerprint": f"SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fingerprint FROM documents",
         "sim_bruteforce_topk": sim.brute_force_topk_oracle_sql("embeddings", 5, 10),
+        "sim_lsh_topk": sim.lsh_topk_oracle_sql(
+            "embeddings", 5, 10, n_planes=10, seed=42, dim=64, multiprobe=1
+        ),
         "sim_near_dup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(sd.d / (sqrt(sa.s) * sqrt(sb.s)), 6) AS cosine
@@ -383,6 +386,19 @@ JOIN LATERAL (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS s
               FROM (SELECT unnest(b.embedding) AS y)) sb ON TRUE
 WHERE sd.d / (sqrt(sa.s) * sqrt(sb.s)) >= 0.45
 """,
-        # dd_simhash, sim_lsh_topk, mm_features: engine-specific hashes /
-        # approximate recall / stubbed decode → rows-only checks (no oracle)
+        # mm_features: the selected columns (sizes, thumb dims, frame
+        # counts) are closed-form in the synthesized asset index, so the
+        # oracle reconstructs them with generate_series — this value-checks
+        # the whole mapInPandas binary-column plumbing; only the sha256-
+        # derived feature vector (engine-specific) is left unchecked.
+        "mm_features": """
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(256 + (i % 5) * 128 AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN i % 3 = 1 THEN 0 ELSE least(64 + (i % 4) * 32, 128) END AS INT) AS thumb_w,
+       CAST(CASE WHEN i % 3 = 1 THEN 0 ELSE least(48 + (i % 3) * 32, 128) END AS INT) AS thumb_h,
+       CAST(CASE i % 3 WHEN 2 THEN 2 * (1 + i % 7) + 1 WHEN 0 THEN 1 ELSE 0 END AS INT) AS n_frames
+FROM generate_series(0, 63) AS t(i)
+""",
+        "dd_simhash": dd.simhash_oracle_sql("documents", TOKS, max_hamming=12),
     }

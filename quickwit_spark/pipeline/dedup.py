@@ -271,6 +271,48 @@ def simhash_udf():
     return simhash
 
 
+def simhash_oracle_sql(table: str, toks_expr: str, max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_pairs: re-derives the md5-based 64-bit token
+    hash (first 8 digest bytes, little-endian — the hex-pair reversal below),
+    the ±1 bit-vote SimHash with the same v>0 tie rule, AND the 4×16-bit
+    band blocking (which is part of the operator's semantics: at
+    max_hamming > 3 banding is deliberately lossy, so an all-pairs oracle
+    would over-report)."""
+    h64 = (
+        "CAST('0x' || substr(md5(term),15,2) || substr(md5(term),13,2) || "
+        "substr(md5(term),11,2) || substr(md5(term),9,2) || substr(md5(term),7,2) || "
+        "substr(md5(term),5,2) || substr(md5(term),3,2) || substr(md5(term),1,2) "
+        "AS UBIGINT)"
+    )
+    return f"""
+WITH occ AS (SELECT doc_id, unnest({toks_expr}) AS term FROM {table}),
+th AS (SELECT doc_id, term, {h64} AS h FROM occ),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE CAST(0 AS UBIGINT) END) AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b.band_idx, (simhash >> (b.band_idx * 16)) & 65535 AS chunk
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
 def simhash_pairs(
     df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -85,6 +85,63 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def lsh_topk_oracle_sql(
+    table: str,
+    k: int,
+    n_queries: int,
+    n_planes: int = 10,
+    seed: int = 42,
+    dim: int = 64,
+    multiprobe: int = 1,
+) -> str:
+    """DuckDB twin of lsh_topk: the SAME seeded hyperplanes are inlined as
+    SQL literals, buckets are recomputed sign-by-sign, and the multiprobe
+    bucket expansion is expressed as hamming(query_bucket, corpus_bucket)
+    <= multiprobe (flipping <=m bits of the query bucket and requiring
+    exact equality is the same predicate).  Exact cosine + identical
+    tie-break inside the candidate set."""
+    planes = random_planes(dim, n_planes, seed)
+    plane_rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in p))
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(plane_id, plane) AS (VALUES
+    {plane_rows}
+),
+codes AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN
+           (SELECT sum(CAST(x AS DOUBLE) * y)
+              FROM (SELECT unnest(e.embedding) AS x, unnest(p.plane) AS y)) >= 0
+           THEN (1 << p.plane_id) ELSE 0 END) AS BIGINT) AS bucket
+  FROM {table} e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+),
+qc AS (SELECT * FROM codes WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qv, c.embedding AS cv
+  FROM qc q JOIN codes c
+    ON bit_count(xor(q.bucket, c.bucket)) <= {multiprobe}
+   AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(qv) AS x, unnest(cv) AS y)) /
+         (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(qv) AS x))) *
+          sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM (SELECT unnest(cv) AS y))))
+         AS cosine
+  FROM cand
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM ranked
+QUALIFY rank <= {k}
+"""
+
+
 def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).randn(n_planes, dim)
 
