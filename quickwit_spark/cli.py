@@ -178,6 +178,99 @@ def cmd_demux(args) -> dict:
     }
 
 
+def cmd_ingest(args) -> dict:
+    """NDJSON ingest (the FileSource path, quickwit-cli `index ingest`
+    analog): parse one-JSON-object-per-line into transcript rows, then run
+    the same resumable build as `build`."""
+    from quickwit_spark.config import transcripts_config
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.sources import read_ndjson
+
+    spark = _get_spark("qw-ingest", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = transcripts_config(
+        split_num_docs_target=args.split_docs, segment_num_docs_target=args.segment_docs
+    )
+    df = read_ndjson(spark, args.input)
+    report = build_index(spark, df, cfg, args.index_dir, build_id=args.build_id)
+    return {
+        "cmd": "ingest",
+        "index_dir": report.index_dir,
+        "total_docs": report.total_docs,
+        "invalid_docs": report.invalid_docs,
+        "published_splits": len(report.published_splits),
+        "skipped_splits": len(report.skipped_splits),
+    }
+
+
+def cmd_describe(args) -> dict:
+    """Index summary from the catalog — the `quickwit index describe` /
+    metastore list_splits analog (split states, doc counts, ts range, tags)."""
+    from quickwit_spark.index.catalog import (
+        MARKED_FOR_DELETION,
+        PUBLISHED,
+        STAGED,
+        Catalog,
+    )
+
+    cat = Catalog(args.index_dir)
+    published = cat.splits()
+    all_states = cat.splits(states=(STAGED, PUBLISHED, MARKED_FOR_DELETION))
+    ts_mins = [s.ts_min for s in published if s.ts_min is not None]
+    ts_maxs = [s.ts_max for s in published if s.ts_max is not None]
+    tags = sorted({t for s in published for t in s.tags})
+    by_state: dict[str, int] = {}
+    for s in all_states:
+        by_state[s.state] = by_state.get(s.state, 0) + 1
+    out = {
+        "cmd": "describe",
+        "index_dir": args.index_dir,
+        "num_published_splits": len(published),
+        "splits_by_state": by_state,
+        "num_docs": sum(s.num_docs for s in published),
+        "ts_range": [min(ts_mins), max(ts_maxs)] if ts_mins else None,
+        "tags": tags[:100],
+    }
+    if args.splits:
+        out["splits"] = [
+            {
+                "split_id": s.split_id,
+                "state": s.state,
+                "num_docs": s.num_docs,
+                "ts_range": [s.ts_min, s.ts_max],
+            }
+            for s in all_states
+        ]
+    return out
+
+
+def cmd_gc(args) -> dict:
+    """Standalone garbage collection (quickwit-cli `index gc` analog):
+    delete MarkedForDeletion split data + drop catalog rows."""
+    from quickwit_spark.index.merge import garbage_collect
+
+    return {"cmd": "gc", "deleted": garbage_collect(args.index_dir)}
+
+
+def cmd_delete(args) -> dict:
+    """Delete the whole index (quickwit-cli `index delete` analog): mark
+    every split for deletion, GC the data files, remove the index dir.
+    Requires --yes (the CLI is non-interactive)."""
+    import shutil
+
+    from quickwit_spark.index.catalog import PUBLISHED, STAGED, Catalog
+    from quickwit_spark.index.merge import garbage_collect
+
+    if not args.yes:
+        return {"cmd": "delete", "error": "pass --yes to confirm deletion"}
+    cat = Catalog(args.index_dir)
+    sids = [s.split_id for s in cat.splits(states=(STAGED, PUBLISHED))]
+    cat.replace_splits([], sids)  # mark every split MarkedForDeletion
+    deleted = garbage_collect(args.index_dir)
+    shutil.rmtree(args.index_dir, ignore_errors=True)
+    return {"cmd": "delete", "index_dir": args.index_dir, "deleted_splits": deleted}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="quickwit_spark")
     p.add_argument("--local-cpus", default=None, help="force local[N] master (bench only)")
@@ -223,6 +316,28 @@ def main(argv=None):
     d.add_argument("--num-outputs", type=int, default=None)
     d.add_argument("--splits", nargs="*", default=None)
     d.set_defaults(fn=cmd_demux)
+
+    ing = sub.add_parser("ingest")
+    ing.add_argument("--input", required=True, help="NDJSON file or dir")
+    ing.add_argument("--index-dir", required=True)
+    ing.add_argument("--build-id", default="ingest0")
+    ing.add_argument("--split-docs", type=int, default=50_000)
+    ing.add_argument("--segment-docs", type=int, default=8_000)
+    ing.set_defaults(fn=cmd_ingest)
+
+    de = sub.add_parser("describe")
+    de.add_argument("--index-dir", required=True)
+    de.add_argument("--splits", action="store_true", help="include per-split rows")
+    de.set_defaults(fn=cmd_describe)
+
+    g = sub.add_parser("gc")
+    g.add_argument("--index-dir", required=True)
+    g.set_defaults(fn=cmd_gc)
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("--index-dir", required=True)
+    dl.add_argument("--yes", action="store_true")
+    dl.set_defaults(fn=cmd_delete)
 
     args = p.parse_args(argv)
     out = args.fn(args)

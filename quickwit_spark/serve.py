@@ -1,0 +1,144 @@
+"""REST search API — the quickwit-serve analog (quickwit-serve/src/rest.rs).
+
+Endpoints (same shapes as docs/reference/rest-api.md):
+
+* ``GET /health`` — liveness probe (rest.rs's /health analog).
+* ``GET /api/v1/{index_id}/search`` — params ``query`` (required),
+  ``startTimestamp``, ``endTimestamp``, ``startOffset``, ``maxHits``,
+  ``searchField`` (comma-separated), ``sortByField`` →
+  ``{"numHits": N, "hits": [...], "elapsedTimeMicros": T}``
+  (rest-api.md:47-69; SearchRequest proto quickwit-proto/src/quickwit.rs:6-37).
+* ``GET /api/v1/{index_id}/search/stream`` — params ``query``,
+  ``fastField`` (required), ``outputFormat`` = ``csv`` →
+  ``text/csv`` body, one fast-field value per line
+  (rest-api.md:70-114, search_stream/leaf.rs analog).
+
+The server maps ``{index_id}`` to ``<index_root>/<index_id>`` — the
+metastore-by-directory convention used throughout this engine.  It is a
+thin driver-side shim: each request runs the same single-RDD-job search
+path as the CLI/library; a lock serializes Spark driver access (the
+reference serializes per-split work onto its CPU pool the same way —
+concurrency belongs to the leaf tasks, not the HTTP layer).
+
+Run: ``python -m quickwit_spark.serve --index-root DIR [--port P]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def _int_or_none(qs: dict, key: str):
+    v = qs.get(key, [None])[0]
+    return int(v) if v is not None else None
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "quickwit-spark-serve/0.1"
+
+    # injected by make_server
+    spark = None
+    index_root = None
+    lock: threading.Lock = None
+
+    def log_message(self, *a):  # stderr noise off; the JSON responses suffice
+        pass
+
+    def _reply(self, code: int, body: bytes, ctype: str = "application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _err(self, code: int, msg: str):
+        self._reply(code, json.dumps({"error": msg}).encode())
+
+    def do_GET(self):  # noqa: N802 (stdlib handler naming)
+        from quickwit_spark.search.executor import search, search_stream
+        from quickwit_spark.search.request import SearchRequest
+
+        url = urlparse(self.path)
+        parts = [p for p in url.path.split("/") if p]
+        if parts == ["health"]:
+            return self._reply(200, b'{"status": "ok"}')
+        # /api/v1/{index_id}/search[/stream]
+        if len(parts) < 4 or parts[:2] != ["api", "v1"] or parts[3] != "search":
+            return self._err(404, f"no route for {url.path}")
+        index_id = parts[2]
+        index_dir = os.path.join(self.index_root, index_id)
+        if not os.path.exists(os.path.join(index_dir, "catalog.json")):
+            return self._err(404, f"index {index_id!r} not found")
+        qs = parse_qs(url.query)
+        if "query" not in qs:
+            return self._err(400, "missing required param 'query'")
+        is_stream = len(parts) == 5 and parts[4] == "stream"
+        try:
+            req = SearchRequest(
+                query=qs["query"][0],
+                max_hits=_int_or_none(qs, "maxHits") or 20,
+                start_offset=_int_or_none(qs, "startOffset") or 0,
+                start_timestamp=_int_or_none(qs, "startTimestamp"),
+                end_timestamp=_int_or_none(qs, "endTimestamp"),
+                search_fields=(
+                    tuple(qs["searchField"][0].split(",")) if "searchField" in qs else None
+                ),
+                sort_by_field=qs.get("sortByField", [None])[0],
+            )
+            with self.lock:
+                if is_stream:
+                    fast_field = qs.get("fastField", [None])[0]
+                    if fast_field is None:
+                        return self._err(400, "missing required param 'fastField'")
+                    fmt = qs.get("outputFormat", ["csv"])[0]
+                    if fmt != "csv":
+                        return self._err(400, f"unsupported outputFormat {fmt!r}")
+                    rows = search_stream(
+                        self.spark, index_dir, req, fast_field
+                    ).collect()
+                    body = "\n".join(str(r[fast_field]) for r in rows).encode()
+                    return self._reply(200, body, "text/csv")
+                resp = search(self.spark, index_dir, req)
+        except ValueError as e:  # parser rejection (bad query / field)
+            return self._err(400, str(e))
+        out = {
+            "numHits": resp.num_hits,
+            "hits": resp.hits,
+            "elapsedTimeMicros": resp.elapsed_time_micros,
+        }
+        return self._reply(200, json.dumps(out).encode())
+
+
+def make_server(spark, index_root: str, port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; port 0 = ephemeral."""
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {"spark": spark, "index_root": index_root, "lock": threading.Lock()},
+    )
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def main():
+    import argparse
+
+    from quickwit_spark.cli import _get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-root", required=True)
+    ap.add_argument("--port", type=int, default=7280)  # the reference's default REST port
+    ap.add_argument("--local-cpus", default=None)
+    args = ap.parse_args()
+    spark = _get_spark("qw-serve", args.local_cpus, None)
+    spark.sparkContext.setLogLevel("ERROR")
+    srv = make_server(spark, args.index_root, args.port)
+    print(json.dumps({"serving": True, "port": srv.server_address[1]}), flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""REST server (quickwit-serve analog) + CLI management subcommands.
+
+Mirrors the reference's serve/rest tests (quickwit-serve/src/rest.rs) and
+CLI integration scenarios (quickwit-cli/tests/cli.rs:73-800): search over
+HTTP with the documented params, stream export as CSV, 404/400 taxonomy,
+ingest → describe → gc → delete lifecycle."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import pytest
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.fixtures.transcripts import generate_transcripts
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.search.executor import search
+from quickwit_spark.search.request import SearchRequest
+from quickwit_spark.serve import make_server
+
+CFG = transcripts_config(split_num_docs_target=250, segment_num_docs_target=64)
+
+
+@pytest.fixture(scope="module")
+def index_root(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve-root")
+    pdf = generate_transcripts(n_conversations=30, seed=7)
+    build_index(spark, spark.createDataFrame(pdf), CFG, str(root / "conv"))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def server(spark, index_root):
+    srv = make_server(spark, index_root, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url: str):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_health(server):
+    code, body, _ = _get(f"{server}/health")
+    assert code == 200 and json.loads(body)["status"] == "ok"
+
+
+def test_search_endpoint_matches_library(spark, server, index_root):
+    code, body, ctype = _get(f"{server}/api/v1/conv/search?query=deploy&maxHits=5")
+    assert code == 200 and ctype == "application/json"
+    got = json.loads(body)
+    want = search(spark, os.path.join(index_root, "conv"), SearchRequest("deploy", max_hits=5))
+    assert got["numHits"] == want.num_hits
+    assert [h["doc_id"] for h in got["hits"]] == [h["doc_id"] for h in want.hits]
+    assert [round(h["score"], 9) for h in got["hits"]] == [
+        round(h["score"], 9) for h in want.hits
+    ]
+
+
+def test_search_params(server):
+    url = (
+        f"{server}/api/v1/conv/search?query=error&startOffset=2&maxHits=3"
+        "&startTimestamp=1767225600&endTimestamp=1798761600&searchField=text"
+    )
+    code, body, _ = _get(url)
+    assert code == 200
+    got = json.loads(body)
+    assert len(got["hits"]) <= 3 and got["numHits"] > 0
+
+
+def test_stream_endpoint_csv(server):
+    code, body, ctype = _get(
+        f"{server}/api/v1/conv/search/stream?query=deploy&fastField=ts&outputFormat=csv"
+    )
+    assert code == 200 and ctype == "text/csv"
+    lines = [ln for ln in body.decode().splitlines() if ln]
+    assert lines and all(ln.lstrip("-").isdigit() for ln in lines)
+
+
+def test_error_taxonomy(server):
+    assert _get(f"{server}/api/v1/nosuch/search?query=a")[0] == 404
+    assert _get(f"{server}/api/v1/conv/search")[0] == 400  # missing query
+    assert _get(f"{server}/api/v1/conv/search?query=ts:%5B1%20TO%202%5D")[0] == 400  # ranges rejected
+    assert _get(f"{server}/api/v1/conv/search/stream?query=a")[0] == 400  # missing fastField
+    assert _get(f"{server}/nope")[0] == 404
+
+
+def test_cli_ingest_describe_gc_delete(spark, tmp_path):
+    from quickwit_spark.cli import cmd_delete, cmd_describe, cmd_gc, cmd_ingest
+
+    # NDJSON corpus (FileSource analog)
+    nd = tmp_path / "docs.ndjson"
+    pdf = generate_transcripts(n_conversations=5, seed=3)
+    with open(nd, "w") as f:
+        for r in pdf.to_dict("records"):
+            f.write(
+                json.dumps(
+                    {
+                        "conv_id": r["conv_id"],
+                        "turn_idx": int(r["turn_idx"]),
+                        "role": r["role"],
+                        "text": r["text"],
+                        "tool": r["tool"],
+                        "ts": str(r["ts"]).replace(" ", "T"),
+                    }
+                )
+                + "\n"
+            )
+        f.write("not json at all\n")  # NotJson analog → invalid-doc counter
+
+    class A:
+        pass
+
+    a = A()
+    a.local_cpus = None
+    a.shuffle_partitions = None
+    a.input = str(nd)
+    a.index_dir = str(tmp_path / "idx")
+    a.build_id = "t1"
+    a.split_docs = 100
+    a.segment_docs = 64
+    out = cmd_ingest(a)
+    assert out["total_docs"] == len(pdf) and out["invalid_docs"] == 1
+    assert out["published_splits"] >= 1
+
+    a.splits = False
+    desc = cmd_describe(a)
+    assert desc["num_docs"] == len(pdf)
+    assert desc["splits_by_state"]["Published"] == out["published_splits"]
+    assert desc["ts_range"] is not None
+
+    assert cmd_gc(a)["deleted"] == []  # nothing marked yet
+
+    a.yes = False
+    assert "error" in cmd_delete(a)
+    a.yes = True
+    deleted = cmd_delete(a)
+    assert len(deleted["deleted_splits"]) == out["published_splits"]
+    assert not os.path.exists(a.index_dir)
