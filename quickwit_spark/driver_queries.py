@@ -268,6 +268,12 @@ def sim_lsh_topk(spark, sf_dir):
     return sim.lsh_topk(queries, embs, k=5, n_planes=10, multiprobe=1)
 
 
+def sim_ivf_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(queries, embs, k=5, n_cells=16, n_probe=4)
+
+
 def sim_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
 
@@ -311,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": tx_fingerprint,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_lsh_topk": sim_lsh_topk,
+        "sim_ivf_topk": sim_ivf_topk,
         "sim_near_dup": sim_near_dup,
         "mm_features": mm_features,
     }
@@ -373,6 +380,7 @@ FROM documents GROUP BY 1""",
         "sim_lsh_topk": sim.lsh_topk_oracle_sql(
             "embeddings", 5, 10, n_planes=10, seed=42, dim=64, multiprobe=1
         ),
+        "sim_ivf_topk": sim.ivf_topk_oracle_sql("embeddings", 5, 10, n_cells=16, n_probe=4),
         "sim_near_dup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(sd.d / (sqrt(sa.s) * sqrt(sb.s)), 6) AS cosine

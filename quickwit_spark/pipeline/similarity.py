@@ -85,6 +85,123 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate cosine top-k: the scale path for ANN over a huge
+    corpus.
+
+    Coarse quantizer: the embeddings of the first ``n_cells`` ids serve as
+    deterministic seed centroids (no training step — data-derived, stable,
+    and reproducible by the SQL oracle).  Build side: every corpus vector is
+    assigned to its nearest centroid by L2 with ONE broadcast join (the
+    centroid table is tiny; no corpus shuffle — at 100 TB this is a
+    map-only pass whose output is the cell-partitioned index).  Query side:
+    each query probes its ``n_probe`` nearest cells; candidates are only
+    the vectors in probed cells; exact cosine + the brute-force tie-break
+    inside the candidate set.  Recall < 1 by design; benchmarked against
+    brute force in tests."""
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+        )
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, probes: int) -> DataFrame:
+        d = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("dist").asc(), F.col("cent_id").asc()
+        )
+        return (
+            d.crossJoin(cents)
+            .withColumn("dist", _l2sq(F.col(out_vec), F.col("centv")))
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= probes)
+            .select(out_id, out_vec, F.col("cent_id").alias("cell"))
+        )
+
+    c = assign(corpus, "neighbor_id", "cv", 1)
+    q = assign(queries, "query_id", "qv", n_probe)
+    cand = c.join(F.broadcast(q), "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = (_dot(F.col("qv"), F.col("cv")) / (_norm_col("qv") * _norm_col("cv"))).alias("cosine")
+    scored = cand.select("query_id", "neighbor_id", cos).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def ivf_topk_oracle_sql(
+    table: str, k: int, n_queries: int, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    """DuckDB twin of ivf_topk: same seed-centroid quantizer (embeddings of
+    ids < n_cells), same L2 assignment with (dist, cent_id) tie-break, same
+    n_probe cell expansion, exact cosine + identical tie-break within the
+    candidate set."""
+    l2 = (
+        "(SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+        "   FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
+    )
+    return f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM {table} WHERE vec_id < {n_cells}),
+c_assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, cent_id AS cell
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {l2.format(a='e.embedding', b='c.centv')} ASC, c.cent_id ASC
+           ) AS cell_rank
+    FROM {table} e CROSS JOIN cents c
+  ) WHERE cell_rank = 1
+),
+q_assign AS (
+  SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {l2.format(a='e.embedding', b='c.centv')} ASC, c.cent_id ASC
+           ) AS cell_rank
+    FROM {table} e CROSS JOIN cents c
+    WHERE e.vec_id < {n_queries}
+  ) WHERE cell_rank <= {n_probe}
+),
+ranked AS (
+  SELECT q.query_id, c.neighbor_id,
+         (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.qv) AS x, unnest(c.cv) AS y)) /
+         (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(q.qv) AS x))) *
+          sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM (SELECT unnest(c.cv) AS y))))
+         AS cosine
+  FROM q_assign q JOIN c_assign c ON q.cell = c.cell
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM ranked
+QUALIFY rank <= {k}
+"""
+
+
 def lsh_topk_oracle_sql(
     table: str,
     k: int,

@@ -1,0 +1,59 @@
+"""ANN quality tests: LSH and IVF approximate top-k vs exact brute force.
+
+The approximate paths trade recall for pruning; these tests pin (a) exact
+agreement of the cosine values they DO return, and (b) a recall floor vs
+brute force on a clustered synthetic embedding set (clustered data is the
+realistic regime — both LSH buckets and IVF cells exploit it)."""
+
+import numpy as np
+import pytest
+
+from quickwit_spark.pipeline import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.RandomState(11)
+    # 8 cluster centers, 10 members each: near-dup structure like real data
+    centers = rng.randn(8, 16) * 3
+    rows = []
+    for i in range(80):
+        v = centers[i % 8] + rng.randn(16) * 0.4
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in df.collect()}
+
+
+def test_bruteforce_is_exact_topk(spark, embs):
+    out = sim.brute_force_topk(embs.filter("vec_id < 5"), embs, k=3).collect()
+    assert len(out) == 15
+    for r in out:
+        assert 1 <= r["rank"] <= 3 and -1.0 <= r["cosine"] <= 1.0
+    # rank 1 of a clustered point is a same-cluster member
+    by_q = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    for q, n in by_q.items():
+        assert q % 8 == n % 8
+
+
+@pytest.mark.parametrize(
+    "fn,kw",
+    [
+        (sim.lsh_topk, dict(n_planes=8, multiprobe=1, dim=16)),
+        (sim.ivf_topk, dict(n_cells=8, n_probe=3)),
+    ],
+    ids=["lsh", "ivf"],
+)
+def test_ann_recall_and_exact_scores(spark, embs, fn, kw):
+    q = embs.filter("vec_id < 10")
+    exact = _pairs(sim.brute_force_topk(q, embs, k=5))
+    approx = _pairs(fn(q, embs, k=5, **kw))
+    # scores of returned pairs are exact (same kernel as brute force)
+    for pair, cos in approx.items():
+        if pair in exact:
+            assert cos == pytest.approx(exact[pair], abs=1e-6)
+    # recall floor on clustered data
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f}"
