@@ -135,6 +135,20 @@ def bench_stream(spark, index_dir: str) -> float:
     return round(time.monotonic() - t0, 4)
 
 
+def bench_pipeline(spark, sf_dir: str) -> dict:
+    """Training-data pipeline ops at sf scale (dedup / ANN / text quality) —
+    timed once each; these are throughput jobs, not latency paths."""
+    from quickwit_spark.driver_queries import queries
+
+    q = queries()
+    out = {}
+    for name in ("dd_minhash_lsh", "sim_ivf_topk", "tx_quality"):
+        t0 = time.monotonic()
+        q[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 4)
+    return out
+
+
 def bench_documents(spark, sf_dir: str) -> dict:
     """Build + flagship query over the sf dir documents table."""
     import quickwit_spark.adapter as ad
@@ -165,6 +179,7 @@ def main():
     queries, queries_p99 = bench_queries(spark, build["index_dir"])
     queries["q9_stream_export"] = bench_stream(spark, build["index_dir"])
     docs = bench_documents(spark, sf_dir)
+    pipeline = bench_pipeline(spark, sf_dir)
     total = round(time.monotonic() - t_total, 3)
 
     result = {
@@ -178,6 +193,7 @@ def main():
         "build_secs": build["build_secs"],
         "build_turns_per_sec": build["turns_per_sec"],
         "cpus": int(cpus),
+        "pipeline_secs": pipeline,
         **docs,
     }
     # scaling evidence from the latest tools/scaling_bench.py run, if any

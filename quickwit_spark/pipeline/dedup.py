@@ -44,9 +44,13 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # -- n-gram shingles ------------------------------------------------------------
 
 
-def shingles_col(text_col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles, JVM-side (sequence + transform HOFs)."""
-    arr = tokens_col(text_col)
+def shingles_of_tokens(arr, n: int = 3):
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column (sequence + transform HOFs, JVM-side).  The array must be
+    a plain column reference: passing the tokenizer *expression* here makes
+    Catalyst re-evaluate it for every F.get inside the lambda — measured
+    ~20x slower at sf0.1."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
     gram = lambda i: F.concat_ws(" ", *[F.get(arr, i + j) for j in range(n)])  # noqa: E731
     return F.when(
         F.size(arr) >= n,
@@ -54,11 +58,18 @@ def shingles_col(text_col: str = "text", n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Shingles straight from a text column.  Prefer materializing
+    ``tokens_col`` into its own select first (see shingles_of_tokens)."""
+    return shingles_of_tokens(tokens_col(text_col), n)
+
+
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
 ) -> DataFrame:
-    ex = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles_col(text_col, n)).alias("sh")
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks"))
+    ex = toks.select(
+        "doc_id", F.explode(shingles_of_tokens("__toks", n)).alias("sh")
     )
     if max_shingle_df is not None:
         hot = (
