@@ -111,18 +111,24 @@ def bench_queries(spark, index_dir: str, repeats: int = 7) -> tuple[dict, dict]:
     from quickwit_spark.search.executor import search
     from quickwit_spark.search.request import SearchRequest
 
-    # one untimed query warms python workers + codegen for the search plan
-    # shape, so p50/p99 measure steady state rather than first-run JIT
-    search(spark, index_dir, SearchRequest(query="deploy"))
-    p50, p99 = {}, {}
-    for name, kw in BENCH_QUERIES.items():
-        times = []
-        for _ in range(repeats):
+    # one untimed pass over every query shape warms python workers, worker-
+    # side split caches, and codegen, so p50/p99 measure steady state rather
+    # than first-run JIT / cold caches (this VM's CPU steal makes a single
+    # cold first query a coin flip)
+    for kw in BENCH_QUERIES.values():
+        search(spark, index_dir, SearchRequest(**kw))
+    # repeats are interleaved ROUND-ROBIN across queries: latency noise on
+    # this VM is time-correlated (post-build page-cache writeback, bursty
+    # steal), so consecutive repeats of one query would pin all the noise
+    # on whichever queries run first
+    times: dict[str, list] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(repeats):
+        for name, kw in BENCH_QUERIES.items():
             t0 = time.monotonic()
             search(spark, index_dir, SearchRequest(**kw))
-            times.append(time.monotonic() - t0)
-        p50[name] = round(statistics.median(times), 4)
-        p99[name] = round(max(times), 4)
+            times[name].append(time.monotonic() - t0)
+    p50 = {n: round(statistics.median(ts), 4) for n, ts in times.items()}
+    p99 = {n: round(max(ts), 4) for n, ts in times.items()}
     return p50, p99
 
 

@@ -74,16 +74,16 @@ FETCHED_HITS_SCHEMA = (
 )
 
 
-def _fetch_doc_fields(index_dir: str, split_id: str, doc_ids: np.ndarray) -> pd.DataFrame:
-    """In-task doc-store read of the split's winning docs (fetch_docs.rs
-    analog performed leaf-side): pyarrow dataset over the split dir with a
-    doc_id filter — docs files are doc_id-sorted in 8k-row groups, so row-
-    group statistics prune to a handful of groups."""
+def _fetch_doc_fields(index_dir: str, split_id: str, doc_ids) -> pd.DataFrame:
+    """Doc-store read of a split's winning docs (fetch_docs.rs analog):
+    pyarrow dataset over the split dir with a doc_id filter — docs files are
+    doc_id-sorted in 8k-row groups, so row-group statistics prune to a
+    handful of groups.  Dataset handles are cached per split (immutable)."""
     import pyarrow.dataset as pads
 
-    d = os.path.join(index_dir, "docs", f"split_id={split_id}")
-    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    dset = pads.dataset(files, format="parquet")
+    dset = _cached_docs_dataset(index_dir, split_id)
+    if dset is None:
+        return pd.DataFrame(columns=_DOC_FETCH_COLS)
     table = dset.to_table(
         columns=_DOC_FETCH_COLS,
         filter=pads.field("doc_id").isin([int(x) for x in doc_ids]),
@@ -641,6 +641,18 @@ def _cached_fastfields(index_dir: str, split_id: str) -> pd.DataFrame | None:
     return pdf
 
 
+def _cached_docs_dataset(index_dir: str, split_id: str):
+    key = (index_dir, "docs", split_id)
+    if key in _WORKER_DSET_CACHE:
+        return _WORKER_DSET_CACHE[key]
+    import pyarrow.dataset as pads
+
+    files = _split_files(index_dir, "docs", split_id)
+    dset = pads.dataset(files, format="parquet") if files else None
+    _lru_put(_WORKER_DSET_CACHE, key, dset, 256)
+    return dset
+
+
 def _cached_postings_dataset(index_dir: str, split_id: str):
     """pyarrow dataset handle per split (file listing + parquet footers are
     parsed once per worker, the split-footer-cache analog, leaf.rs:47-55)."""
@@ -676,7 +688,11 @@ def _read_split_postings(
 
 
 def _plan_leaf(
-    spark: SparkSession, index_dir: str, request: SearchRequest, mode: str
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    mode: str,
+    fetch_in_leaf: bool = True,
 ):
     """Shared driver-side planning: parse, prune, stats, scorer."""
     cat, config = open_index(spark, index_dir)
@@ -685,7 +701,9 @@ def _plan_leaf(
     terms = collect_terms(ast)
     buckets = term_buckets(spark, terms, config.term_merge_buckets)
     gstats = global_term_stats(spark, index_dir, cat, terms, buckets)
-    scorer = make_split_scorer(config, gstats, ast, request, mode, index_dir)
+    scorer = make_split_scorer(
+        config, gstats, ast, request, mode, index_dir if fetch_in_leaf else None
+    )
     return cat, config, ast, splits, sorted(terms), buckets, scorer
 
 
@@ -703,8 +721,17 @@ def _leaf_hit_rows(
     python-runner setup) over `sc.parallelize(...).mapPartitions` at the
     same slice count.  Data-scale paths (stream export) stay on DataFrames.
     Slices are contiguous ranges of the split list — no hash partitioning,
-    so no balls-in-bins task skew."""
-    _, _, _, splits, terms, buckets, scorer = _plan_leaf(spark, index_dir, request, "topk")
+    so no balls-in-bins task skew.
+
+    Stored-field fetch happens DRIVER-side afterwards, for only the global
+    page (offset..offset+k): leaves fetching their local top-k would read
+    ~splits× more doc rows than the answer needs (the dominant per-split
+    cost at high split counts).  Exception: the 'global_key' tiebreak sorts
+    on doc fields, so those must come back from the leaves."""
+    fetch_in_leaf = request.tiebreak == "global_key"
+    _, _, _, splits, terms, buckets, scorer = _plan_leaf(
+        spark, index_dir, request, "topk", fetch_in_leaf
+    )
     if not splits:
         return []
     sids = [s.split_id for s in splits]
@@ -779,7 +806,29 @@ def _search_rows(
     num_hits = sum(per_split_hits.values())
     hit_rows.sort(key=_sort_key(request))
     page = hit_rows[request.start_offset : request.start_offset + request.max_hits]
+    if page and "text" not in page[0]:
+        _fetch_page_fields(index_dir, page)
     return page, num_hits
+
+
+def _fetch_page_fields(index_dir: str, page: list[dict]) -> None:
+    """Driver-side fetch_docs (fetch_docs.rs:97-164 analog): read the
+    stored fields of ONLY the final page's rows — at most (offset+k) docs
+    across at most that many splits, a few row-group-pruned pyarrow reads
+    of metadata-scale size.  Mutates the page rows in place."""
+    by_split: dict[str, list[int]] = {}
+    for r in page:
+        by_split.setdefault(r["split_id"], []).append(int(r["doc_id"]))
+    for sid, ids in by_split.items():
+        pdf = _fetch_doc_fields(index_dir, sid, ids)
+        fields = {int(row.doc_id): row for row in pdf.itertuples(index=False)}
+        for r in page:
+            if r["split_id"] != sid:
+                continue
+            row = fields.get(int(r["doc_id"]))
+            for c in _DOC_FETCH_COLS:
+                if c != "doc_id":
+                    r[c] = getattr(row, c) if row is not None else None
 
 
 def search_df(spark: SparkSession, index_dir: str, request: SearchRequest) -> DataFrame:
