@@ -1,0 +1,84 @@
+"""Local unit tests for the training-data pipeline ops (dedup, text
+analysis, multimodal plumbing) — complementing the sf0.01 driver-contract
+oracles with tiny targeted fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.pipeline import dedup as dd
+from quickwit_spark.pipeline import text as tx
+from quickwit_spark.pipeline.multimodal import extract_features, synthesize_assets
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "The quick brown fox  jumps over the lazy dog!"),  # dup modulo case/punct
+        (2, "the quick brown fox jumps over a sleepy dog"),  # near-dup (1 token)
+        (3, "completely different content about spark clusters"),
+        (4, ""),  # empty
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["fingerprint"]: r for r in dd.exact_duplicates(docs).collect()}
+    groups = {r["keeper_doc_id"]: r["group_size"] for r in out.values()}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_fingerprint_normalizes(spark, docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in tx.with_fingerprint(docs).collect()}
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_ngram_jaccard_and_minhash_agree(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold_ppm=300_000, n=3).collect()
+    }
+    assert (0, 1) in exact and exact[(0, 1)] == 1_000_000  # identical shingle sets
+    assert (0, 2) in exact  # near-dup above threshold
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+        for r in dd.minhash_lsh_pairs(docs, threshold_ppm=300_000, num_hashes=32, bands=16, n=3).collect()
+    }
+    # LSH output is a subset with EXACT jaccard values
+    for pair, j in mh.items():
+        assert exact[pair] == j
+    assert (0, 1) in mh  # identical docs always collide in every band
+
+
+def test_simhash_identical_and_different(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dd.simhash_pairs(docs, max_hamming=12).collect()}
+    assert pairs.get((0, 1)) == 0  # same token stream → same simhash
+    assert (0, 3) not in pairs  # unrelated docs
+
+
+def test_lang_id_and_quality(spark, docs):
+    lang = {r["doc_id"]: r["lang_pred"] for r in tx.with_lang_id(docs).collect()}
+    assert lang[0] == "en" and lang[4] == "unk" and lang[5] == "unk"
+    q = {r["doc_id"]: r for r in tx.with_quality_score(docs).collect()}
+    assert q[0]["quality_ppm"] > q[4]["quality_ppm"]
+    assert q[4]["n_tokens"] == 0 and q[4]["quality_ppm"] == 0
+    tc = {r["doc_id"]: r["n_tokens"] for r in tx.with_token_count(docs).collect()}
+    assert tc[0] == 9 and tc[4] == 0 and tc[5] == 1
+
+
+def test_multimodal_features_deterministic(spark):
+    a = extract_features(synthesize_assets(spark, n=12)).collect()
+    b = extract_features(synthesize_assets(spark, n=12)).collect()
+    av = {r["asset_id"]: (r["feature"], r["n_bytes"], r["n_frames"]) for r in a}
+    bv = {r["asset_id"]: (r["feature"], r["n_bytes"], r["n_frames"]) for r in b}
+    assert av == bv and len(av) == 12
+    for feat, nb, nf in av.values():
+        assert len(feat) == 16 and all(0.0 <= x < 1.0 for x in feat)
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        extract_features(synthesize_assets(spark, n=3), decoder="real").collect()
