@@ -132,6 +132,23 @@ def bench_queries(spark, index_dir: str, repeats: int = 7) -> tuple[dict, dict]:
     return p50, p99
 
 
+def bench_multi(spark, index_dir: str, repeats: int = 3) -> float:
+    """Batched query throughput (q/s): all 8 bench queries in ONE leaf job
+    via multi_search — the amortized-job-floor path."""
+    from quickwit_spark.search.executor import multi_search
+    from quickwit_spark.search.request import SearchRequest
+
+    reqs = [SearchRequest(**kw) for kw in BENCH_QUERIES.values()]
+    multi_search(spark, index_dir, reqs)  # warm
+    best = None
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        multi_search(spark, index_dir, reqs)
+        el = time.monotonic() - t0
+        best = el if best is None or el < best else best
+    return round(len(reqs) / best, 2)
+
+
 def bench_stream(spark, index_dir: str) -> float:
     from quickwit_spark.search.executor import search_stream
     from quickwit_spark.search.request import SearchRequest
@@ -184,6 +201,7 @@ def main():
     build = bench_build(spark, corpus)
     queries, queries_p99 = bench_queries(spark, build["index_dir"])
     queries["q9_stream_export"] = bench_stream(spark, build["index_dir"])
+    batched_qps = bench_multi(spark, build["index_dir"])
     docs = bench_documents(spark, sf_dir)
     pipeline = bench_pipeline(spark, sf_dir)
     total = round(time.monotonic() - t_total, 3)
@@ -199,6 +217,7 @@ def main():
         "build_secs": build["build_secs"],
         "build_turns_per_sec": build["turns_per_sec"],
         "cpus": int(cpus),
+        "batched_queries_per_sec": batched_qps,
         "pipeline_secs": pipeline,
         **docs,
     }
