@@ -84,6 +84,26 @@ def test_stream_endpoint_csv(server):
     assert lines and all(ln.lstrip("-").isdigit() for ln in lines)
 
 
+def test_batch_endpoint(spark, server, index_root):
+    import urllib.request as ur
+
+    body = json.dumps(
+        {"queries": [{"query": "deploy", "maxHits": 3}, {"query": "error", "maxHits": 2}]}
+    ).encode()
+    req = ur.Request(
+        f"{server}/api/v1/conv/search/batch", data=body,
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with ur.urlopen(req) as r:
+        got = json.loads(r.read())
+    assert len(got["responses"]) == 2
+    want = search(spark, os.path.join(index_root, "conv"), SearchRequest("deploy", max_hits=3))
+    assert got["responses"][0]["numHits"] == want.num_hits
+    assert [h["doc_id"] for h in got["responses"][0]["hits"]] == [
+        h["doc_id"] for h in want.hits
+    ]
+
+
 def test_error_taxonomy(server):
     assert _get(f"{server}/api/v1/nosuch/search?query=a")[0] == 404
     assert _get(f"{server}/api/v1/conv/search")[0] == 400  # missing query
