@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 class FieldMapping:
     name: str
     type: str  # text | i64 | u64 | f64 | datetime
-    tokenizer: str = "default"  # text only: default | raw  (stem_en unsupported here)
+    tokenizer: str = "default"  # text only: default | raw | stem_en
     record: str = "basic"  # basic | freq | position
     fast: bool = False
     stored: bool = True
@@ -32,7 +32,7 @@ class FieldMapping:
                 f"field {self.name}: fast is not supported for text "
                 "(reference field_mapping_entry.rs:596-601)"
             )
-        if self.tokenizer not in ("default", "raw"):
+        if self.tokenizer not in ("default", "raw", "stem_en"):
             raise ValueError(f"field {self.name}: unknown tokenizer {self.tokenizer!r}")
         if self.record not in ("basic", "freq", "position"):
             raise ValueError(f"field {self.name}: unknown record option {self.record!r}")

@@ -420,7 +420,7 @@ class _SplitAccumulator:
         span = int(doc_ids[-1]) - base_doc + 1
         chunk_text_lens = np.zeros(span, np.uint32)
         for fname, want_pos, tok in self.text_fields:
-            if tok == "default":
+            if tok in ("default", "stem_en"):
                 token_lists = tokenize_series(pdf[fname])
                 lens_by_doc = np.zeros(span, np.uint32)
                 lens_by_doc[doc_ids - base_doc] = token_lists.map(len).to_numpy(np.uint32)
@@ -434,6 +434,12 @@ class _SplitAccumulator:
             flat = _flatten_tokens(doc_ids, token_lists)
             if flat is None:
                 continue
+            if tok == "stem_en":
+                # stem only the chunk's unique terms (positions and token
+                # counts are unchanged — stemming is 1:1 per token)
+                from ..functions.stemmer import stem_factorized
+
+                flat = (stem_factorized(flat[0]), flat[1], flat[2])
             for term, d, t, p, plens in _postings_from_flat(
                 *flat, lens_by_doc, base_doc, want_pos
             ):

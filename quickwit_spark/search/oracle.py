@@ -35,8 +35,12 @@ class OracleIndex:
             key = (row.split_id, int(row.doc_id))
             for fm in config.indexed_text_fields:
                 val = getattr(row, fm.name)
-                if fm.tokenizer == "default":
+                if fm.tokenizer in ("default", "stem_en"):
                     toks = tokenize_text(val if isinstance(val, str) else "")
+                    if fm.tokenizer == "stem_en":
+                        from ..functions.stemmer import stem_cached
+
+                        toks = [stem_cached(t) for t in toks]
                     self.doc_lens[fm.name][key] = len(toks)
                     for p, t in enumerate(toks):
                         self.postings[(fm.name, t)].setdefault(key, []).append(p)

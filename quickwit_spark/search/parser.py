@@ -229,6 +229,12 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
     if fm.tokenizer == "raw":
         return TermQuery(node.field, node.text)
     toks = tokenize_text(node.text)
+    if fm.tokenizer == "stem_en":
+        # query terms are analyzed with the same filter chain as documents
+        # (tantivy TextAnalyzer semantics): tokenize, lowercase, stem
+        from ..functions.stemmer import stem_cached
+
+        toks = [stem_cached(t) for t in toks]
     if not toks:
         raise QueryParserError(f"query term analyzes to nothing: {node.text!r}")
     if node.phrase or len(toks) > 1:
