@@ -34,14 +34,26 @@ def _bit_width(max_val: int) -> int:
     return max(1, int(max_val).bit_length())
 
 
+def _width_bytes(width: int) -> tuple[int, str]:
+    """Smallest numpy big-endian uint that holds ``width`` bits: widening to
+    32 bits regardless of width would make every unpackbits/packbits pass
+    4-8x bigger than needed (gap widths are typically 4-8 bits)."""
+    if width <= 8:
+        return 1, ">u1"
+    if width <= 16:
+        return 2, ">u2"
+    return 4, ">u4"
+
+
 def _pack(vals: np.ndarray, width: int) -> bytes:
     """Bitpack a 1-D uint32 array at the given width (big-endian bit order)."""
     n = len(vals)
     if n == 0:
         return b""
+    nb, dt = _width_bytes(width)
     bits = np.unpackbits(
-        np.ascontiguousarray(vals.astype(">u4")).view(np.uint8).reshape(n, 4), axis=1
-    )[:, 32 - width :]
+        np.ascontiguousarray(vals.astype(dt)).view(np.uint8).reshape(n, nb), axis=1
+    )[:, nb * 8 - width :]
     return np.packbits(bits.ravel()).tobytes()
 
 
@@ -49,32 +61,34 @@ def _unpack(buf: np.ndarray, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`_pack`: decode n uint32 values at the given width."""
     if n == 0:
         return np.empty(0, np.uint32)
+    nb, dt = _width_bytes(width)
     bits = np.unpackbits(buf)[: n * width].reshape(n, width)
-    out = np.zeros((n, 32), np.uint8)
-    out[:, 32 - width :] = bits
-    return np.packbits(out, axis=1).view(">u4").ravel().astype(np.uint32)
+    out = np.zeros((n, nb * 8), np.uint8)
+    out[:, nb * 8 - width :] = bits
+    return np.packbits(out, axis=1).view(dt).ravel().astype(np.uint32)
 
 
-def _pack_full_blocks(blocks: np.ndarray, widths: np.ndarray) -> list[bytes]:
-    """Pack (k, BLOCK) uint32 rows, each at its own width, grouped by width.
+def _pack_full_blocks_into(
+    blocks: np.ndarray, widths: np.ndarray, payload: np.ndarray, offsets: np.ndarray
+) -> None:
+    """Pack (k, BLOCK) uint32 rows, each at its own width, scattering the
+    packed bytes directly into ``payload`` at per-block ``offsets``.
 
     128*w bits is always byte-aligned, so each block packs to exactly 16*w
-    bytes and same-width blocks can be packed in one vectorized pass.
-    """
-    k = blocks.shape[0]
-    out: list[bytes | None] = [None] * k
+    bytes and same-width blocks pack in one vectorized pass — no per-block
+    python objects (a 10M-doc posting list has ~78k blocks)."""
     for w in np.unique(widths):
+        w = int(w)
         idx = np.nonzero(widths == w)[0]
         sel = blocks[idx]  # (m, BLOCK)
         m = len(idx)
+        nb, dt = _width_bytes(w)
         bits = np.unpackbits(
-            np.ascontiguousarray(sel.astype(">u4")).view(np.uint8).reshape(m, BLOCK, 4),
+            np.ascontiguousarray(sel.astype(dt)).view(np.uint8).reshape(m, BLOCK, nb),
             axis=2,
-        )[:, :, 32 - w :]
+        )[:, :, nb * 8 - w :]
         packed = np.packbits(bits.reshape(m, BLOCK * w), axis=1)  # (m, 16*w)
-        for j, bi in enumerate(idx):
-            out[bi] = packed[j].tobytes()
-    return out  # type: ignore[return-value]
+        payload[offsets[idx][:, None] + np.arange(16 * w)] = packed
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, np.ndarray, np.ndarray]:
@@ -105,42 +119,41 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, np.nda
     nblocks = (n + BLOCK - 1) // BLOCK
     nfull = n // BLOCK
 
-    # per-block maxima (vectorized for the full blocks)
+    # per-block bit widths (vectorized for the full blocks)
+    w_doc = np.empty(nblocks, np.uint8)
+    w_tf = np.empty(nblocks, np.uint8)
     if nfull:
         gf = gaps[: nfull * BLOCK].reshape(nfull, BLOCK)
         tf_f = tfs[: nfull * BLOCK].reshape(nfull, BLOCK)
         # exact vectorized bit_length: float64 represents uint32 exactly, and
         # frexp's exponent is bit_length for positive ints
-        w_doc_full = np.maximum(1, np.frexp(gf.max(axis=1).astype(np.float64))[1]).astype(np.uint8)
-        w_tf_full = np.maximum(1, np.frexp(tf_f.max(axis=1).astype(np.float64))[1]).astype(np.uint8)
-        doc_chunks = _pack_full_blocks(gf, w_doc_full)
-        tf_chunks = _pack_full_blocks(tf_f, w_tf_full)
-    else:
-        w_doc_full = np.empty(0, np.uint8)
-        w_tf_full = np.empty(0, np.uint8)
-        doc_chunks, tf_chunks = [], []
+        w_doc[:nfull] = np.maximum(1, np.frexp(gf.max(axis=1).astype(np.float64))[1]).astype(np.uint8)
+        w_tf[:nfull] = np.maximum(1, np.frexp(tf_f.max(axis=1).astype(np.float64))[1]).astype(np.uint8)
+    if nblocks > nfull:  # tail block widths
+        w_doc[nfull] = _bit_width(int(gaps[nfull * BLOCK :].max()))
+        w_tf[nfull] = _bit_width(int(tfs[nfull * BLOCK :].max()))
 
-    w_doc = np.empty(nblocks, np.uint8)
-    w_tf = np.empty(nblocks, np.uint8)
-    w_doc[:nfull] = w_doc_full
-    w_tf[:nfull] = w_tf_full
-
-    parts: list[bytes] = []
-    for b in range(nfull):
-        parts.append(doc_chunks[b])
-        parts.append(tf_chunks[b])
-    if nblocks > nfull:  # tail block
-        tg = gaps[nfull * BLOCK :]
-        tt = tfs[nfull * BLOCK :]
-        wd = _bit_width(int(tg.max()))
-        wt = _bit_width(int(tt.max()))
-        w_doc[nfull] = wd
-        w_tf[nfull] = wt
-        parts.append(_pack(tg, wd))
-        parts.append(_pack(tt, wt))
+    # single payload buffer, blocks scattered in place (no per-block bytes)
+    counts = np.full(nblocks, BLOCK, dtype=np.int64)
+    counts[-1] = n - BLOCK * (nblocks - 1)
+    doc_sz = (counts * w_doc + 7) // 8
+    tf_sz = (counts * w_tf + 7) // 8
+    block_off = np.concatenate(([0], np.cumsum(doc_sz + tf_sz)[:-1]))
+    payload = np.zeros(int((doc_sz + tf_sz).sum()), np.uint8)
+    if nfull:
+        _pack_full_blocks_into(gf, w_doc[:nfull], payload, block_off[:nfull])
+        _pack_full_blocks_into(
+            tf_f, w_tf[:nfull], payload, block_off[:nfull] + doc_sz[:nfull]
+        )
+    if nblocks > nfull:
+        s = int(block_off[nfull])
+        tb = np.frombuffer(_pack(gaps[nfull * BLOCK :], int(w_doc[nfull])), np.uint8)
+        payload[s : s + len(tb)] = tb
+        tb = np.frombuffer(_pack(tfs[nfull * BLOCK :], int(w_tf[nfull])), np.uint8)
+        payload[s + int(doc_sz[nfull]) : s + int(doc_sz[nfull]) + len(tb)] = tb
 
     header = np.array([n, nblocks], dtype="<u4").tobytes()
-    blob = header + w_doc.tobytes() + w_tf.tobytes() + b"".join(parts)
+    blob = header + w_doc.tobytes() + w_tf.tobytes() + payload.tobytes()
 
     # skip data
     csum = np.cumsum(gaps.astype(np.uint64)).astype(np.uint32)
@@ -169,6 +182,29 @@ def _parse_header(blob: bytes):
     return n, nblocks, w_doc, w_tf, counts, doc_bytes, starts
 
 
+def _decode_full_blocks(
+    buf: np.ndarray, starts: np.ndarray, widths: np.ndarray, out: np.ndarray
+) -> None:
+    """Decode full (128-value) blocks grouped by bit width — the vectorized
+    inverse of :func:`_pack_full_blocks`.  Block i's values land at
+    out[i*BLOCK:(i+1)*BLOCK].  One numpy pass per distinct width instead of
+    one python iteration per block: a 10M-doc posting list has ~78k blocks
+    but only a handful of widths."""
+    for w in np.unique(widths):
+        w = int(w)
+        idx = np.nonzero(widths == w)[0]
+        m = len(idx)
+        blk_bytes = 16 * w  # 128*w bits is always byte-aligned
+        gather = starts[idx][:, None] + np.arange(blk_bytes)
+        raw = buf[gather]  # (m, blk_bytes)
+        bits = np.unpackbits(raw, axis=1).reshape(m, BLOCK, w)
+        nb, dt = _width_bytes(w)
+        full = np.zeros((m, BLOCK, nb * 8), np.uint8)
+        full[:, :, nb * 8 - w :] = bits
+        vals = np.packbits(full.reshape(m, -1), axis=1).view(dt).astype(np.uint32)
+        out[(idx[:, None] * BLOCK + np.arange(BLOCK)).ravel()] = vals.ravel()
+
+
 def decode_postings(blob: bytes, block_indices: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Decode a posting blob back to (doc_ids, tfs).
 
@@ -185,14 +221,19 @@ def decode_postings(blob: bytes, block_indices: np.ndarray | None = None) -> tup
     buf = np.frombuffer(blob, dtype=np.uint8)
     gaps = np.empty(n, np.uint32)
     tfs = np.empty(n, np.uint32)
-    pos = 0
-    for b in range(nblocks):
+    nfull = n // BLOCK
+    if nfull:
+        _decode_full_blocks(buf, starts[:nfull], w_doc[:nfull], gaps)
+        _decode_full_blocks(buf, starts[:nfull] + doc_bytes[:nfull], w_tf[:nfull], tfs)
+    if nblocks > nfull:  # tail block
+        b = nblocks - 1
         c = int(counts[b])
         s = int(starts[b])
         db = int(doc_bytes[b])
-        gaps[pos : pos + c] = _unpack(buf[s : s + db], c, int(w_doc[b]))
-        tfs[pos : pos + c] = _unpack(buf[s + db : s + db + ((c * int(w_tf[b]) + 7) // 8)], c, int(w_tf[b]))
-        pos += c
+        gaps[b * BLOCK :] = _unpack(buf[s : s + db], c, int(w_doc[b]))
+        tfs[b * BLOCK :] = _unpack(
+            buf[s + db : s + db + ((c * int(w_tf[b]) + 7) // 8)], c, int(w_tf[b])
+        )
     doc_ids = np.cumsum(gaps.astype(np.uint64)).astype(np.uint32)
     if block_indices is not None:
         keep = np.zeros(n, bool)
