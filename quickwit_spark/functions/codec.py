@@ -116,6 +116,21 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, np.nda
     gaps[0] = doc_ids[0]
     np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
 
+    if n <= BLOCK:
+        # single-block fast path: the overwhelming majority of terms in a
+        # split have df <= 128, and the generic multi-block scaffolding
+        # (width/offset/cumsum arrays) costs more than the packing itself
+        max_tf = tfs.max()
+        wd = _bit_width(int(gaps.max()))
+        wt = _bit_width(int(max_tf))
+        blob = (
+            np.array([n, 1], dtype="<u4").tobytes()
+            + bytes((wd, wt))
+            + _pack(gaps, wd)
+            + _pack(tfs, wt)
+        )
+        return blob, doc_ids[-1:].copy(), max_tf[None].astype(np.uint32)
+
     nblocks = (n + BLOCK - 1) // BLOCK
     nfull = n // BLOCK
 

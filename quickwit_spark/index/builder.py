@@ -170,17 +170,15 @@ def _cleanup_split_dirs(index_dir: str, split_ids: list[str]) -> None:
 def _flatten_tokens(doc_ids: np.ndarray, token_lists: pd.Series):
     """Explode token lists to flat (term, doc, pos) arrays, fully vectorized
     except the unavoidable list concat (tokens are Python strings)."""
+    from itertools import chain
+
     lens = token_lists.map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
         return None
-    flat_terms = np.empty(total, dtype=object)
-    i = 0
-    for lst in token_lists:
-        n = len(lst)
-        if n:
-            flat_terms[i : i + n] = lst
-            i += n
+    flat_terms = np.fromiter(
+        chain.from_iterable(token_lists), dtype=object, count=total
+    )
     doc_rep = np.repeat(doc_ids, lens)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
@@ -190,24 +188,29 @@ def _flatten_tokens(doc_ids: np.ndarray, token_lists: pd.Series):
 def _postings_from_flat(flat_terms, doc_rep, pos, lens_by_doc, base_doc, want_positions):
     """Group flat (term, doc, pos) into per-term posting rows.
 
-    Sorting uses np.lexsort on integer codes (pd.factorize for terms) —
-    no per-row Python in the grouping itself; the outer loop is per *term*.
+    The flat arrays arrive already sorted by (doc, pos) — _flatten_tokens
+    emits docs in ascending order and positions in reading order — so ONE
+    stable single-key argsort of the factorized term codes yields the full
+    (term, doc, pos) order (3x cheaper than a 3-key lexsort at ~2M tokens
+    per chunk).  All per-pair arrays (docs, tfs, doc lengths) are computed
+    in whole-array passes; the per-*term* loop only takes views.
     Yields (term, doc_ids, tfs, positions_flat | None, posting_doc_lens).
     """
     codes, uniques = pd.factorize(flat_terms, sort=True)
-    order = np.lexsort((pos, doc_rep, codes))
+    order = np.argsort(codes, kind="stable")
     codes = codes[order]
     docs_s = doc_rep[order]
-    pos_s = pos[order]
 
     # run-length boundaries of (term, doc)
     pair_change = np.empty(len(codes), dtype=bool)
     pair_change[0] = True
     pair_change[1:] = (codes[1:] != codes[:-1]) | (docs_s[1:] != docs_s[:-1])
     pair_starts = np.flatnonzero(pair_change)
-    tfs_all = np.diff(np.concatenate((pair_starts, [len(codes)])))
-    pair_docs = docs_s[pair_starts]
+    tfs_all = np.diff(np.concatenate((pair_starts, [len(codes)]))).astype(np.uint32)
+    pair_docs = docs_s[pair_starts].astype(np.uint32)
     pair_codes = codes[pair_starts]
+    plens_all = lens_by_doc[(pair_docs.astype(np.int64) - base_doc)]
+    pos_s = pos[order].astype(np.uint32) if want_positions else None
 
     term_change = np.empty(len(pair_codes), dtype=bool)
     term_change[0] = True
@@ -219,17 +222,17 @@ def _postings_from_flat(flat_terms, doc_rep, pos, lens_by_doc, base_doc, want_po
 
     for s, e in zip(term_starts, term_ends):
         term = uniques[pair_codes[s]]
-        doc_ids = pair_docs[s:e].astype(np.uint32)
-        tfs = tfs_all[s:e].astype(np.uint32)
-        positions = pos_s[occ_bounds[s] : occ_bounds[e]].astype(np.uint32) if want_positions else None
-        plens = lens_by_doc[(pair_docs[s:e] - base_doc).astype(np.int64)]
-        yield term, doc_ids, tfs, positions, plens
+        positions = pos_s[occ_bounds[s] : occ_bounds[e]] if want_positions else None
+        yield term, pair_docs[s:e], tfs_all[s:e], positions, plens_all[s:e]
 
 
 def _encode_term(d: np.ndarray, t: np.ndarray, p: np.ndarray | None, plens: np.ndarray):
     """One term's arrays → the (df, tf, blob, pos, lens, blocks…) row tail."""
     blob, last_doc, max_tf = encode_postings(d, t)
-    min_len = np.minimum.reduceat(plens, np.arange(0, len(d), BLOCK))
+    if len(d) <= BLOCK:  # single block — the overwhelmingly common case
+        min_len = plens.min(keepdims=True)
+    else:
+        min_len = np.minimum.reduceat(plens, np.arange(0, len(d), BLOCK))
     return (
         int(len(d)),
         int(t.sum()),
