@@ -429,20 +429,28 @@ class _SplitAccumulator:
                 lens_by_doc[doc_ids - base_doc] = token_lists.map(len).to_numpy(np.uint32)
                 if fname == "text":
                     chunk_text_lens = lens_by_doc
-            else:  # raw: whole value = one term, field length 1
+                flat = _flatten_tokens(doc_ids, token_lists)
+                if flat is not None and tok == "stem_en":
+                    # stem only the chunk's unique terms (positions and token
+                    # counts are unchanged — stemming is 1:1 per token)
+                    from ..functions.stemmer import stem_factorized
+
+                    flat = (stem_factorized(flat[0]), flat[1], flat[2])
+            else:  # raw: whole value = one term, field length 1, position 0
                 vals = pdf[fname].fillna("")
-                token_lists = vals.map(lambda v: [v] if v != "" else [])
+                mask = (vals != "").to_numpy()
                 lens_by_doc = np.zeros(span, np.uint32)
-                lens_by_doc[doc_ids - base_doc] = (vals != "").to_numpy(np.uint32)
-            flat = _flatten_tokens(doc_ids, token_lists)
+                lens_by_doc[doc_ids - base_doc] = mask.astype(np.uint32)
+                if not mask.any():
+                    flat = None
+                else:
+                    flat = (
+                        vals.to_numpy()[mask],
+                        doc_ids[mask],
+                        np.zeros(int(mask.sum()), np.int64),
+                    )
             if flat is None:
                 continue
-            if tok == "stem_en":
-                # stem only the chunk's unique terms (positions and token
-                # counts are unchanged — stemming is 1:1 per token)
-                from ..functions.stemmer import stem_factorized
-
-                flat = (stem_factorized(flat[0]), flat[1], flat[2])
             for term, d, t, p, plens in _postings_from_flat(
                 *flat, lens_by_doc, base_doc, want_pos
             ):
