@@ -328,6 +328,54 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
     return (csum - base).astype(np.uint32)
 
 
+def decode_positions_subset(blob: bytes, tfs: np.ndarray, doc_idx: np.ndarray) -> np.ndarray:
+    """Decode ONLY the position runs of the docs at posting-list indices
+    ``doc_idx`` (sorted), returning the flat absolute positions of those runs
+    concatenated in ``doc_idx`` order.
+
+    This is the positions analog of :func:`decode_blocks` — the skip path a
+    phrase query takes after intersecting doc lists: a phrase over a stopword
+    ("the ...") must otherwise unpack the stopword's ENTIRE position payload
+    (≈ total_tf values) to verify a handful of candidate docs.  Works because
+    each doc's position run is delta-encoded independently (first value
+    absolute, encode_positions), so runs decode without their neighbors.
+
+    Fully vectorized arbitrary-index bit extraction: for the m needed values
+    the packed bytes are gathered into an (m, nb) matrix, unpacked, and the
+    per-row bit window selected with fancy indexing — no per-doc Python.
+    """
+    total = int(np.frombuffer(blob, dtype="<u4", count=1)[0])
+    doc_idx = np.asarray(doc_idx, dtype=np.int64)
+    if total == 0 or len(doc_idx) == 0:
+        return np.empty(0, np.uint32)
+    w = int(blob[4])
+    tfs = np.asarray(tfs, dtype=np.int64)
+    counts = tfs[doc_idx]
+    m = int(counts.sum())
+    if m == 0:
+        return np.empty(0, np.uint32)
+    # flat value indices of every needed occurrence
+    vstarts = np.concatenate(([0], np.cumsum(tfs)[:-1]))[doc_idx]
+    run_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    vidx = np.repeat(vstarts - run_off, counts) + np.arange(m, dtype=np.int64)
+    # gather each value's byte window and cut its bit span
+    payload = np.frombuffer(blob, dtype=np.uint8, offset=5)
+    nb = (w + 7) // 8 + 1  # enough bytes to cover any bit alignment
+    byte0 = (vidx * w) >> 3
+    padded = np.concatenate((payload, np.zeros(nb, np.uint8)))
+    raw = padded[byte0[:, None] + np.arange(nb)]  # (m, nb)
+    bits = np.unpackbits(raw, axis=1)  # (m, nb*8)
+    off = (vidx * w - (byte0 << 3)).astype(np.int64)  # 0..7
+    sel = bits[np.arange(m)[:, None], off[:, None] + np.arange(w)]  # (m, w)
+    weights = (np.uint64(1) << np.arange(w - 1, -1, -1, dtype=np.uint64))
+    deltas = sel.astype(np.uint64) @ weights
+    # segmented cumsum per run (first value of each run is absolute)
+    starts = run_off
+    csum = np.cumsum(deltas)
+    base = np.repeat(csum[starts] - deltas[starts], counts)
+    return (csum - base).astype(np.uint32)
+
+
 def term_bucket(field: str, term: str, n_buckets: int) -> int:
     """Stored term-hash bucket of a posting row (crc32, python-side so the
     build task can compute it without a JVM round trip).  Build and query

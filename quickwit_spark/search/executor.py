@@ -49,7 +49,13 @@ from pyspark.sql import functions as F
 from ..config import IndexConfig
 from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import tf_norm
-from ..functions.codec import decode_blocks, decode_positions, decode_postings, decode_u32_column
+from ..functions.codec import (
+    decode_blocks,
+    decode_positions,
+    decode_positions_subset,
+    decode_postings,
+    decode_u32_column,
+)
 from ..index.catalog import Catalog, SplitMetadata
 from .parser import (
     BoolQuery,
@@ -249,6 +255,7 @@ class _SplitPostings:
         for r in pdf.itertuples(index=False):
             self.rows[(r.field, r.term)] = r
         self._cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+        self._pos_cache: dict[tuple[str, str], np.ndarray] = {}
 
     def has(self, key) -> bool:
         return key in self.rows
@@ -277,14 +284,20 @@ class _SplitPostings:
             return self.full(key)
         return decode_blocks(r.blob, last_doc.astype(np.uint32), blocks)
 
-    def positions_for(self, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(doc_ids, tfs, flat positions) for phrase verification."""
+    def positions_subset(self, key, idx: np.ndarray) -> np.ndarray:
+        """Flat positions of the posting runs at (sorted) list indices
+        ``idx`` — the phrase-verification skip path.  Decodes only the
+        candidate docs' runs (decode_positions_subset) unless the candidate
+        set covers most of the list, where one full unpack is cheaper."""
         r = self.rows.get(key)
         if r is None or r.positions is None:
-            d, t = self.full(key)
-            return d, t, np.empty(0, np.uint32)
-        d, t = self.full(key)
-        return d, t, decode_positions(r.positions, t)
+            return np.empty(0, np.uint32)
+        _, tfs = self.full(key)
+        if key in self._pos_cache or len(idx) * 4 >= len(tfs):
+            if key not in self._pos_cache:
+                self._pos_cache[key] = decode_positions(r.positions, tfs)
+            return _extract_runs(self._pos_cache[key], tfs, idx)
+        return decode_positions_subset(r.positions, tfs, idx)
 
 
 def _intersect_with_tfs(base: np.ndarray, postings: _SplitPostings, key) -> np.ndarray:
@@ -336,14 +349,17 @@ def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
     return acc
 
 
-def _occurrence_keys(d: np.ndarray, t: np.ndarray, p: np.ndarray, cand: np.ndarray) -> np.ndarray:
-    """Packed (doc << 32 | position) keys of every occurrence in candidate
-    docs — the fully-vectorized phrase primitive."""
-    member = np.isin(d.astype(np.int64), cand, assume_unique=True)
-    occ_mask = np.repeat(member, t.astype(np.int64))
-    doc_rep = np.repeat(d.astype(np.uint64), t.astype(np.int64))[occ_mask]
-    pos_sel = p.astype(np.uint64)[occ_mask]
-    return (doc_rep << np.uint64(32)) | pos_sel
+def _extract_runs(flat: np.ndarray, tfs: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Gather the runs at list indices ``idx`` out of a fully-decoded flat
+    position array (run lengths = tfs), vectorized."""
+    counts = tfs[idx].astype(np.int64)
+    m = int(counts.sum())
+    if m == 0:
+        return np.empty(0, np.uint32)
+    vstarts = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))[:-1]))[idx]
+    run_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    vidx = np.repeat(vstarts - run_off, counts) + np.arange(m, dtype=np.int64)
+    return flat[vidx]
 
 
 def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
@@ -351,22 +367,42 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     an occurrence of term 0 at (doc, p) survives iff (doc, p+i) is an
     occurrence of term i for every i — set-membership on packed uint64
     (doc, pos) keys (reference: tantivy phrase scorer semantics,
-    record=position fields, field_mapping_entry.rs:595-623)."""
+    record=position fields, field_mapping_entry.rs:595-623).
+
+    Doc lists are intersected FIRST (rarest term leading), and only the
+    surviving candidates' position runs are decoded
+    (``decode_positions_subset``): a phrase led by a stopword ("the error")
+    would otherwise unpack the stopword's entire position payload to verify
+    a candidate set the rare term already shrank."""
     keys = [(node.field, t) for t in node.terms]
-    decoded = [postings.positions_for(k) for k in keys]
-    if any(len(d[0]) == 0 for d in decoded):
+    if any(
+        postings.rows.get(k) is None or postings.rows[k].positions is None
+        for k in keys
+    ):
         return np.empty(0, np.int64)
-    cand = decoded[0][0].astype(np.int64)
-    for d, _, _ in decoded[1:]:
-        cand = cand[np.isin(cand, d.astype(np.int64), assume_unique=True)]
+    doclists = [postings.full(k) for k in keys]
+    if any(len(d) == 0 for d, _ in doclists):
+        return np.empty(0, np.int64)
+    order = sorted(range(len(keys)), key=lambda i: len(doclists[i][0]))
+    cand = doclists[order[0]][0].astype(np.int64)
+    for oi in order[1:]:
+        cand = cand[np.isin(cand, doclists[oi][0].astype(np.int64), assume_unique=True)]
         if len(cand) == 0:
             return cand
-    base = _occurrence_keys(*decoded[0], cand)
-    for i in range(1, len(decoded)):
+    base: np.ndarray | None = None
+    cand_u32 = cand.astype(np.uint32)
+    for i, k in enumerate(keys):
+        d, t = doclists[i]
+        idx = np.searchsorted(d, cand_u32)
+        psub = postings.positions_subset(k, idx)
+        doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
+        keys_i = (doc_rep << np.uint64(32)) | psub.astype(np.uint64)
+        if base is None:
+            base = keys_i
+        else:
+            base = base[np.isin(base + np.uint64(i), keys_i)]
         if len(base) == 0:
             return np.empty(0, np.int64)
-        keys_i = _occurrence_keys(*decoded[i], cand)
-        base = base[np.isin(base + np.uint64(i), keys_i)]
     return np.unique((base >> np.uint64(32)).astype(np.int64))
 
 
@@ -473,7 +509,10 @@ def make_split_scorer(
             if num_hits == 0:
                 return empty
             scores = np.zeros(len(docs), np.float64)
-            for field, term in pos_terms:
+            # stream mode exports every matching doc's fast-field value — no
+            # ranking, so skip BM25 entirely (the reference stream collector
+            # never scores either, search_stream/collector.rs:32-116)
+            for field, term in pos_terms if mode != "stream" else []:
                 d, t = postings.candidates_only((field, term), docs)
                 if len(d) == 0:
                     continue

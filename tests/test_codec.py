@@ -121,3 +121,33 @@ def test_positions_property(doclists):
 def test_u32_column_property(vals):
     arr = np.array(vals, np.uint32)
     np.testing.assert_array_equal(decode_u32_column(encode_u32_column(arr)), arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(0, 5000), min_size=1, max_size=20), min_size=1, max_size=60),
+    st.data(),
+)
+def test_positions_subset_property(doclists, data):
+    """decode_positions_subset(idx) == the full decode sliced to idx's runs,
+    for any sorted subset of docs (the phrase skip path)."""
+    from quickwit_spark.functions.codec import decode_positions_subset
+
+    doclists = [sorted(d) for d in doclists]
+    tfs = np.array([len(d) for d in doclists], np.int64)
+    flat = np.array([p for d in doclists for p in d], np.uint32)
+    blob = encode_positions(flat, tfs)
+    n = len(doclists)
+    k = data.draw(st.integers(0, n))
+    idx = np.array(
+        sorted(data.draw(st.sets(st.integers(0, n - 1), min_size=k, max_size=k))),
+        np.int64,
+    )
+    starts = np.concatenate(([0], np.cumsum(tfs)))
+    expect = (
+        np.concatenate([flat[starts[i] : starts[i + 1]] for i in idx])
+        if len(idx)
+        else np.empty(0, np.uint32)
+    )
+    got = decode_positions_subset(blob, tfs, idx)
+    np.testing.assert_array_equal(got, expect)
