@@ -33,6 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def get_spark(cpus: str):
     from pyspark.sql import SparkSession
 
+    from quickwit_spark.mem import tune_allocator, worker_env
+
+    tune_allocator()
+    os.environ.update(worker_env())  # JVM (and its python workers) inherit
+
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("quickwit-spark-bench")

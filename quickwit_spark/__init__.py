@@ -11,3 +11,10 @@ tables.
 """
 
 __version__ = "0.1.0"
+
+# Applied at import time so every python worker that runs our UDFs (and the
+# driver) gets arena-retention malloc — see mem.py for why this matters on
+# hosts with slow first-touch page faults.
+from quickwit_spark.mem import tune_allocator as _tune_allocator
+
+_tune_allocator()

@@ -27,7 +27,13 @@ import time
 
 
 def _get_spark(app: str, local_cpus: str | None, shuffle_partitions: int | None):
+    import os
+
     from pyspark.sql import SparkSession
+
+    from quickwit_spark.mem import worker_env
+
+    os.environ.update(worker_env())  # JVM + python workers inherit (see mem.py)
 
     b = SparkSession.builder.appName(app)
     if local_cpus:  # explicit local-mode override (bench); else spark-submit decides
