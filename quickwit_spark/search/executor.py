@@ -426,7 +426,9 @@ def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray
         if n_collected >= n_top and bounds[b] <= threshold:
             break
         d, t = decode_blocks(row.blob, np.asarray(row.block_last_doc, np.uint32), np.array([b]))
-        dl = lens[d.astype(np.int64)]
+        # raw-tokenizer fields hold one term per doc: fieldnorm is 1, not the
+        # text length (block_min_len already stores 1 for these postings)
+        dl = lens[d.astype(np.int64)] if field == "text" else np.ones(len(d), np.int64)
         sc = term_idf * tf_norm(t, dl, avg)
         got_docs.append(d.astype(np.int64))
         got_scores.append(sc)

@@ -126,7 +126,12 @@ class OracleIndex:
             }
         num_hits = len(matched)
         if request.sort_by_field is not None:
-            keyed = [(getattr(self.by_key[k], request.sort_by_field), k) for k in matched]
+            # datetime fast fields are stored as epoch seconds (the engine's
+            # ts fast field) — sort on the epoch attr, not the raw Timestamp
+            attr = request.sort_by_field
+            if attr == self.config.timestamp_field:
+                attr = f"{attr}_epoch"
+            keyed = [(getattr(self.by_key[k], attr), k) for k in matched]
             sign = 1 if request.sort_asc else -1
             ordered = sorted(keyed, key=lambda kv: (sign * kv[0], kv[1][0], kv[1][1]))
             hits = [

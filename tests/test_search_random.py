@@ -1,0 +1,121 @@
+"""Randomized differential testing: Hypothesis-generated queries, engine vs
+the pure-Python oracle (rank + score identity).
+
+The fixed cases in test_search.py cover each query class once; this module
+composes them randomly (boolean nesting, phrases, field scoping, time
+bounds, offsets, fast-field sort) the way the reference's proptest suites
+stress merge/demux invariants (merge_executor.rs:1111-1151)."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.fixtures.transcripts import generate_transcripts
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.search.executor import search
+from quickwit_spark.search.oracle import OracleIndex
+from quickwit_spark.search.request import SearchRequest
+
+CFG = transcripts_config(split_num_docs_target=250, segment_num_docs_target=64)
+
+# corpus epoch (fixtures start 2026-01-01 UTC; see FIXTURES.md)
+EPOCH = 1767225600
+DAY = 86400
+
+_STATE: dict = {}
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = generate_transcripts(n_conversations=40, seed=7)
+    index_dir = str(tmp_path_factory.mktemp("idx_rand"))
+    build_index(spark, spark.createDataFrame(pdf), CFG, index_dir)
+    docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+    oracle = OracleIndex(docs, CFG)
+
+    # vocabulary by document frequency: hot / mid / rare + unknowns, plus
+    # real adjacent-word phrases so generated queries actually hit
+    from collections import Counter
+
+    df_count: Counter = Counter()
+    phrases = []
+    for t in docs["text"]:
+        toks = [w for w in t.lower().split() if w.isalnum()]
+        df_count.update(set(toks))
+        if len(toks) >= 2:
+            phrases.append(f'"{toks[0]} {toks[1]}"')
+    by_df = [w for w, _ in df_count.most_common()]
+    vocab = by_df[:4] + by_df[len(by_df) // 2 : len(by_df) // 2 + 8] + by_df[-4:]
+    vocab += ["zzznotaword", "qqmissing"]
+    roles = sorted(docs["role"].unique())
+    _STATE.update(
+        oracle=oracle,
+        index_dir=index_dir,
+        vocab=vocab,
+        phrases=sorted(set(phrases[:40])),
+        roles=roles,
+    )
+    return index_dir, oracle
+
+
+def _clauses():
+    word = st.sampled_from(_STATE["vocab"])
+    return st.one_of(
+        word,
+        st.sampled_from(_STATE["phrases"]),
+        st.builds(lambda r: f"role:{r}", st.sampled_from(_STATE["roles"])),
+        st.builds(lambda w: f"text:{w}", word),
+    )
+
+
+@st.composite
+def _queries(draw):
+    parts = [draw(_clauses())]
+    for _ in range(draw(st.integers(0, 3))):
+        op = draw(st.sampled_from([" AND ", " OR ", " ", " NOT ", " -"]))
+        nxt = draw(_clauses())
+        if op == " -" and nxt.startswith(('"', "role:", "text:")):
+            op = " NOT "  # '-' prefix composes only with bare terms
+        parts.append(op + (nxt if op != " -" else nxt))
+    q = "".join(parts)
+    if draw(st.booleans()):
+        q = f"({q})" if draw(st.booleans()) else q
+    return q
+
+
+@st.composite
+def _requests(draw):
+    kw = dict(query=draw(_queries()), max_hits=draw(st.integers(1, 25)))
+    if draw(st.booleans()):
+        kw["start_offset"] = draw(st.integers(0, 8))
+    if draw(st.booleans()):
+        lo = draw(st.integers(0, 80))
+        kw["start_timestamp"] = EPOCH + lo * DAY
+        kw["end_timestamp"] = EPOCH + (lo + draw(st.integers(1, 40))) * DAY
+    if draw(st.booleans()):
+        kw["sort_by_field"] = "ts"
+        kw["sort_asc"] = draw(st.booleans())
+    return SearchRequest(**kw)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(req=_requests())
+def test_random_query_rank_identity(spark, built, req):
+    index_dir, oracle = built
+    resp = search(spark, index_dir, req)
+    exp = oracle.search(req)
+    assert resp.num_hits == exp["num_hits"], req
+    got = [(h["split_id"], h["doc_id"]) for h in resp.hits]
+    want = [(h["split_id"], h["doc_id"]) for h in exp["hits"]]
+    assert got == want, f"req={req}\ngot:  {resp.hits}\nwant: {exp['hits']}"
+    # sort-by-fast-field mode: the oracle reports the sort value as "score",
+    # the engine reports it as "sort_value" (BM25 is not the sort key there)
+    got_key = "sort_value" if req.sort_by_field is not None else "score"
+    for g, w in zip(resp.hits, exp["hits"]):
+        assert g[got_key] == pytest.approx(w["score"], rel=1e-6), req
