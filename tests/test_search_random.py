@@ -67,6 +67,14 @@ def _clauses():
         st.sampled_from(_STATE["phrases"]),
         st.builds(lambda r: f"role:{r}", st.sampled_from(_STATE["roles"])),
         st.builds(lambda w: f"text:{w}", word),
+        st.builds(lambda p: f"text:{p}", st.sampled_from(_STATE["phrases"])),
+        # one level of explicit grouping
+        st.builds(
+            lambda a, op, b: f"({a}{op}{b})",
+            word,
+            st.sampled_from([" AND ", " OR ", " "]),
+            word,
+        ),
     )
 
 
