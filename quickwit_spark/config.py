@@ -57,6 +57,13 @@ class IndexConfig:
     # split so each applyInPandas call amortizes pandas/Arrow overhead over
     # thousands of terms (and hot terms spread across buckets)
     term_merge_buckets: int = 32
+    # reference store_source (index_config.rs:49, default_mapper.rs:428-435):
+    # when true, every hit carries a reserved `_source` field. The reference
+    # stores the raw input JSON; our canonical input is a typed table, so
+    # `_source` is the canonical RFC-3339 JSON of the stored columns
+    # (schema-mapped fields only — unknown input fields were already dropped
+    # at projection, default_mapper.rs:582-595)
+    store_source: bool = False
 
     def __post_init__(self):
         by_name = {m.name: m for m in self.field_mappings}
@@ -98,6 +105,7 @@ class IndexConfig:
             "merge_factor": self.merge_factor,
             "max_merge_factor": self.max_merge_factor,
             "term_merge_buckets": self.term_merge_buckets,
+            "store_source": self.store_source,
         }
 
     @staticmethod
@@ -113,6 +121,7 @@ class IndexConfig:
             merge_factor=d.get("merge_factor", 3),
             max_merge_factor=d.get("max_merge_factor", 4),
             term_merge_buckets=d.get("term_merge_buckets", 32),
+            store_source=d.get("store_source", False),
         )
 
 

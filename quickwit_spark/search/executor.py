@@ -896,6 +896,7 @@ def multi_search(
             }
             for r in page
         ]
+        _maybe_add_source(index_dir, hits, page)
         responses.append(
             SearchResponse(num_hits, hits, int((time.monotonic() - t0) * 1e6))
         )
@@ -927,6 +928,45 @@ _FETCH_SCHEMA = (
     "conv_id string, turn_idx int, role string, tool string, ts_epoch long, "
     "split_id string, doc_id long, score double, text string"
 )
+
+
+def _maybe_add_source(index_dir: str, hits: list[dict], page: list[dict]) -> None:
+    """store_source (reference lib.rs:43-44, default_mapper.rs:428-435):
+    attach the reserved `_source` field to every hit — the canonical JSON of
+    the doc's stored fields with the timestamp back in RFC-3339 form (the
+    NDJSON input shape).  Reconstructed at fetch time from the doc store, so
+    it needs no extra storage; unlike the reference's verbatim copy it holds
+    only schema-mapped fields (unknown input keys were dropped at projection
+    either way, default_mapper.rs:582-595)."""
+    import json
+    from datetime import datetime, timezone
+
+    try:
+        _, config = open_index(None, index_dir)
+    except FileNotFoundError:
+        return
+    if not config.store_source:
+        return
+    for h, r in zip(hits, page):
+        ts_epoch = r.get("ts_epoch")
+        ts = (
+            datetime.fromtimestamp(int(ts_epoch), tz=timezone.utc)
+            .isoformat()
+            .replace("+00:00", "Z")
+            if ts_epoch is not None
+            else None
+        )
+        h["_source"] = json.dumps(
+            {
+                "conv_id": r.get("conv_id"),
+                "turn_idx": int(r["turn_idx"]) if r.get("turn_idx") is not None else None,
+                "role": r.get("role"),
+                "text": r.get("text"),
+                "tool": r.get("tool"),
+                "ts": ts,
+            },
+            sort_keys=True,
+        )
 
 
 def _sort_key(request: SearchRequest):
@@ -1015,6 +1055,7 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
         }
         for r in page
     ]
+    _maybe_add_source(index_dir, out, page)
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 
 
