@@ -93,6 +93,17 @@ class IndexConfig:
     def indexed_text_fields(self) -> list[FieldMapping]:
         return [m for m in self.field_mappings if m.type == "text"]
 
+    @property
+    def extra_fast_fields(self) -> tuple[str, ...]:
+        """fast i64/u64 fields beyond the timestamp — materialized as
+        per-segment columns in the fastfields table (sortable/exportable,
+        reference collector.rs:47-64)."""
+        return tuple(
+            m.name
+            for m in self.field_mappings
+            if m.fast and m.type in ("i64", "u64") and m.name != self.timestamp_field
+        )
+
     def to_dict(self) -> dict:
         return {
             "index_id": self.index_id,

@@ -290,7 +290,7 @@ POSTINGS_COLUMNS = [
 STATS_SCHEMA = "split_id string, meta string"
 
 
-def _pa_schemas():
+def _pa_schemas(extra_fast: tuple[str, ...] = ()):
     import pyarrow as pa
 
     docs = pa.schema(
@@ -329,6 +329,9 @@ def _pa_schemas():
             ("ts", pa.binary()),
             ("ts_min", pa.int64()),
             ("ts_max", pa.int64()),
+            # generic fast i64/u64 columns (config.extra_fast_fields),
+            # plain int64 lists — parquet encodes them compactly
+            *[(f"ff_{name}", pa.list_(pa.int64())) for name in extra_fast],
         ]
     )
     return docs, postings, fastfields
@@ -373,6 +376,9 @@ class _SplitAccumulator:
         self.next_doc = 0  # dense per-split docID counter (rows arrive sorted)
         self.text_lens: list[np.ndarray] = []  # per-chunk per-doc token counts
         self.ts: list[np.ndarray] = []
+        self.extra_fast: dict[str, list[np.ndarray]] = {
+            name: [] for name in config.extra_fast_fields
+        }
         self._docs_writer = None
         self._docs_tmp = None
 
@@ -458,6 +464,8 @@ class _SplitAccumulator:
         # doc ids are dense per split, so chunk arrays concatenate aligned
         self.text_lens.append(chunk_text_lens[doc_ids - base_doc])
         self.ts.append(pdf["ts_epoch"].to_numpy(np.int64))
+        for name, chunks in self.extra_fast.items():
+            chunks.append(pdf[name].to_numpy(np.int64))
 
     def finish(self) -> tuple[str, str]:
         """Write postings + fastfields, close the doc store, return the
@@ -472,7 +480,7 @@ class _SplitAccumulator:
         if self._docs_writer is not None:
             self._docs_writer.close()
             os.replace(self._docs_tmp, self._split_file("docs"))
-        _, postings_schema, ff_schema = _pa_schemas()
+        _, postings_schema, ff_schema = _pa_schemas(self.config.extra_fast_fields)
         cfg = self.config
         tag_fields = set(cfg.tag_fields)
         n_buckets = cfg.term_merge_buckets
@@ -503,6 +511,10 @@ class _SplitAccumulator:
         # the doc store; warmup analog, leaf.rs:139-171)
         text_lens = np.concatenate(self.text_lens) if self.text_lens else np.empty(0, np.uint32)
         ts = np.concatenate(self.ts) if self.ts else np.empty(0, np.int64)
+        extra = {
+            name: (np.concatenate(chunks) if chunks else np.empty(0, np.int64))
+            for name, chunks in self.extra_fast.items()
+        }
         n = len(ts)
         ff_rows = []
         for seg_id, base in enumerate(range(0, n, self.seg_target)):
@@ -514,11 +526,13 @@ class _SplitAccumulator:
                     encode_u32_column(text_lens[base:end]),
                     encode_u32_column(seg_ts.astype(np.uint32)),
                     int(seg_ts.min()), int(seg_ts.max()),
+                    *[extra[name][base:end].tolist() for name in self.extra_fast],
                 )
             )
         ff_pdf = pd.DataFrame(
             ff_rows,
-            columns=["seg_id", "base_doc", "num_docs", "doc_lens", "ts", "ts_min", "ts_max"],
+            columns=["seg_id", "base_doc", "num_docs", "doc_lens", "ts", "ts_min", "ts_max"]
+            + [f"ff_{name}" for name in self.extra_fast],
         )
         _atomic_write_table(
             pa.Table.from_pandas(ff_pdf, schema=ff_schema, preserve_index=False),

@@ -599,6 +599,10 @@ def _fast_field_values(field: str, ff_pdf: pd.DataFrame, lens: np.ndarray, docs:
     if field == "ts":
         ts = np.concatenate([decode_u32_column(b) for b in ff_pdf["ts"]]).astype(np.int64)
         return ts[docs]
+    col = f"ff_{field}"  # generic fast i64/u64 columns (config.extra_fast_fields)
+    if col in ff_pdf.columns:
+        vals = np.concatenate([np.asarray(v, np.int64) for v in ff_pdf[col]])
+        return vals[docs]
     raise ValueError(f"unsupported sort fast field: {field}")
 
 

@@ -113,6 +113,46 @@ def test_timefilter30(spark, tmp_index_dir):
     assert [h["sort_value"] for h in search(spark, tmp_index_dir, req_asc).hits] == list(range(10, 20))
 
 
+def test_sort_by_generic_fast_field(spark, tmp_index_dir):
+    """Any fast-declared i64 field is sortable, not just the timestamp —
+    the reference sorts by arbitrary fast fields (sort_by_fast_field,
+    quickwit-search/src/collector.rs:47-64).  turn_idx is fast in the
+    default transcripts schema."""
+    cfg = transcripts_config()
+    assert "turn_idx" in cfg.extra_fast_fields
+    build_index(spark, spark.createDataFrame(timefilter30()), cfg, tmp_index_dir)
+    resp = search(
+        spark, tmp_index_dir, SearchRequest("info", max_hits=5, sort_by_field="turn_idx")
+    )
+    assert resp.num_hits == 30
+    assert [h["sort_value"] for h in resp.hits] == [29, 28, 27, 26, 25]
+    asc = search(
+        spark, tmp_index_dir,
+        SearchRequest("info", max_hits=5, sort_by_field="turn_idx", sort_asc=True),
+    )
+    assert [h["sort_value"] for h in asc.hits] == [0, 1, 2, 3, 4]
+    # combined with a time filter: ts 1..30 maps to turn_idx 0..29
+    filt = search(
+        spark, tmp_index_dir,
+        SearchRequest(
+            "info", max_hits=50, start_timestamp=10, end_timestamp=20,
+            sort_by_field="turn_idx", sort_asc=True,
+        ),
+    )
+    assert [h["sort_value"] for h in filt.hits] == list(range(9, 19))
+
+
+def test_stream_generic_fast_field(spark, tmp_index_dir):
+    """search_stream can export any fast i64 field (search_stream/leaf.rs
+    fast-field export works on arbitrary fast fields)."""
+    cfg = transcripts_config()
+    build_index(spark, spark.createDataFrame(timefilter30()), cfg, tmp_index_dir)
+    out = search_stream(
+        spark, tmp_index_dir, SearchRequest("info"), "turn_idx"
+    ).toPandas()
+    assert sorted(out["turn_idx"].tolist()) == list(range(30))
+
+
 def test_offset_pagination_consistent(spark, built):
     """Offset rewrite (root.rs:286-301): page k..k+n equals the slice of the
     full result."""
