@@ -64,9 +64,24 @@ class IndexConfig:
     # (schema-mapped fields only — unknown input fields were already dropped
     # at projection, default_mapper.rs:582-595)
     store_source: bool = False
+    # index-level default sort (doc_mapper.rs:61-63: default SortBy::DocId;
+    # default_mapper.rs:247-267: a declared sort_by field must be fast).
+    # None → BM25 relevance order (north rule); requests with an explicit
+    # sort_by_field always win over this default.
+    sort_by_field: str | None = None
+    sort_by_order: str = "desc"
 
     def __post_init__(self):
         by_name = {m.name: m for m in self.field_mappings}
+        if self.sort_by_field is not None:
+            sb = by_name.get(self.sort_by_field)
+            if sb is None or not sb.fast:
+                raise ValueError(
+                    "sort_by field must be a declared fast field "
+                    "(reference default_mapper.rs:247-267)"
+                )
+        if self.sort_by_order not in ("asc", "desc"):
+            raise ValueError("sort_by_order must be 'asc' or 'desc'")
         if self.timestamp_field is not None:
             ts = by_name.get(self.timestamp_field)
             if ts is None or ts.type not in ("i64", "u64", "datetime") or not ts.fast:
@@ -117,6 +132,8 @@ class IndexConfig:
             "max_merge_factor": self.max_merge_factor,
             "term_merge_buckets": self.term_merge_buckets,
             "store_source": self.store_source,
+            "sort_by_field": self.sort_by_field,
+            "sort_by_order": self.sort_by_order,
         }
 
     @staticmethod
@@ -133,6 +150,8 @@ class IndexConfig:
             max_merge_factor=d.get("max_merge_factor", 4),
             term_merge_buckets=d.get("term_merge_buckets", 32),
             store_source=d.get("store_source", False),
+            sort_by_field=d.get("sort_by_field"),
+            sort_by_order=d.get("sort_by_order", "desc"),
         )
 
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 
 import numpy as np
 import pandas as pd
@@ -109,6 +109,19 @@ def open_index(spark: SparkSession, index_dir: str) -> tuple[Catalog, IndexConfi
     if cat.config_dict is None:
         raise FileNotFoundError(f"no index at {index_dir} (missing catalog.json)")
     return cat, IndexConfig.from_dict(cat.config_dict)
+
+
+def resolve_sort(request: SearchRequest, config: IndexConfig) -> SearchRequest:
+    """Index-level default sort (doc_mapper.rs:61-63): a request without an
+    explicit sort uses the index's declared sort_by field; absent both, BM25
+    relevance (north rule — the reference's DocId order is the tiebreak)."""
+    if request.sort_by_field is None and config.sort_by_field is not None:
+        return _dc_replace(
+            request,
+            sort_by_field=config.sort_by_field,
+            sort_asc=config.sort_by_order == "asc",
+        )
+    return request
 
 
 def prune_splits(
@@ -833,6 +846,7 @@ def multi_search(
     if any(r.tiebreak == "global_key" for r in requests):
         raise ValueError("multi_search supports only the 'reference' tiebreak")
     cat, config = open_index(spark, index_dir)
+    requests = [resolve_sort(r, config) for r in requests]
     plans = []
     all_terms: set[tuple[str, str]] = set()
     all_sids: dict[str, None] = {}
@@ -993,6 +1007,8 @@ def _search_rows(
     The leaf task fetches its winners' stored fields itself (one Spark job
     per query total); the driver merge (merge_fruits analog, root.rs:170-232)
     then just sorts <= splits*(offset+k) fully-materialized rows and pages."""
+    _, config = open_index(spark, index_dir)
+    request = resolve_sort(request, config)
     hit_rows = _leaf_hit_rows(spark, index_dir, request)
     per_split_hits: dict[str, int] = {}
     for r in hit_rows:

@@ -142,6 +142,25 @@ def test_sort_by_generic_fast_field(spark, tmp_index_dir):
     assert [h["sort_value"] for h in filt.hits] == list(range(9, 19))
 
 
+def test_config_default_sort(spark, tmp_index_dir):
+    """An index can declare a default sort_by fast field (doc_mapper.rs:61-63;
+    default_mapper.rs:247-267): requests without an explicit sort use it,
+    explicit request sorts still win."""
+    cfg = transcripts_config(sort_by_field="ts", sort_by_order="asc")
+    build_index(spark, spark.createDataFrame(timefilter30()), cfg, tmp_index_dir)
+    resp = search(spark, tmp_index_dir, SearchRequest("info", max_hits=5))
+    assert [h["sort_value"] for h in resp.hits] == [1, 2, 3, 4, 5]  # ts asc
+    # explicit request sort overrides the config default
+    over = search(
+        spark, tmp_index_dir,
+        SearchRequest("info", max_hits=5, sort_by_field="turn_idx"),
+    )
+    assert [h["sort_value"] for h in over.hits] == [29, 28, 27, 26, 25]
+    # a non-fast sort_by field is rejected at config build
+    with pytest.raises(ValueError, match="sort_by"):
+        transcripts_config(sort_by_field="role")
+
+
 def test_stream_generic_fast_field(spark, tmp_index_dir):
     """search_stream can export any fast i64 field (search_stream/leaf.rs
     fast-field export works on arbitrary fast fields)."""
