@@ -727,11 +727,24 @@ def _slot_keys(spark: SparkSession, p: int) -> list[int]:
     return [out[i] for i in range(p)]
 
 
+def _split_sort_cols(config: IndexConfig) -> list:
+    """In-split doc order: (conv_id, turn_idx) by default; when the config
+    declares a sort_by field, that field leads (the sorted-index option,
+    reference IndexSortByField, indexer.rs:315-321) with (conv_id, turn_idx)
+    as the deterministic tiebreak.  A time-sorted index makes per-segment
+    ts_min/ts_max tight, so time-filtered queries skip whole segments."""
+    if config.sort_by_field is None:
+        return ["conv_id", "turn_idx"]
+    col = "ts_epoch" if config.sort_by_field == config.timestamp_field else config.sort_by_field
+    lead = F.col(col).desc() if config.sort_by_order == "desc" else F.col(col).asc()
+    return [lead, "conv_id", "turn_idx"]
+
+
 def _partition_one_split_per_task(
-    spark: SparkSession, df: DataFrame, wave_ords: list[int]
+    spark: SparkSession, df: DataFrame, wave_ords: list[int], config: IndexConfig
 ) -> DataFrame:
     """The ONE shuffle: route each split whole to its own partition, sorted
-    by (conv_id, turn_idx).
+    by the in-split doc order (see _split_sort_cols).
 
     The dense per-split docID is then a per-partition running counter inside
     the build task — a pure function of data + split map + sort order, never
@@ -753,7 +766,7 @@ def _partition_one_split_per_task(
         df = df.join(F.broadcast(map_df), "split_ord", "left")
     return (
         df.repartition(p, "part_key")
-        .sortWithinPartitions("conv_id", "turn_idx")
+        .sortWithinPartitions(*_split_sort_cols(config))
         .drop("part_key")
     )
 
@@ -838,7 +851,7 @@ def build_index(
         # writes each split's docs/postings/fastfields parquet itself and
         # returns only a metadata row per split (IndexingStatistics analog)
         docs = (
-            _partition_one_split_per_task(spark, wdf, wave)
+            _partition_one_split_per_task(spark, wdf, wave, config)
             .withColumn(
                 "split_id",
                 F.concat(

@@ -137,3 +137,66 @@ def test_tags_and_field_stats(spark, small_corpus, tmp_index_dir):
     stats = cat.global_stats()
     assert stats["num_docs"] == len(small_corpus)
     assert stats["avg_len"]["text"] > 0
+
+
+def test_sorted_index_build(spark, small_corpus, tmp_index_dir):
+    """Sorted-index option (reference IndexSortByField, indexer.rs:315-321):
+    with sort_by declared, each split's docs (and so its docIDs) are ordered
+    by that field; segment ts_min/ts_max become tight ranges so time filters
+    skip whole segments.  Search results must be identical to the unsorted
+    layout (order is an internal layout choice)."""
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    cfg = transcripts_config(
+        split_num_docs_target=300,
+        segment_num_docs_target=64,
+        sort_by_field="ts",
+        sort_by_order="desc",
+    )
+    build_index(spark, spark.createDataFrame(small_corpus), cfg, tmp_index_dir)
+    docs = spark.read.parquet(f"{tmp_index_dir}/docs").toPandas()
+    for sid, g in docs.groupby("split_id"):
+        g = g.sort_values("doc_id")
+        ts = g["ts"].astype("int64").to_numpy()
+        assert (ts[1:] <= ts[:-1]).all(), f"split {sid} not ts-descending"
+
+    # hit SETS identical to a default-layout index (docIDs are an internal
+    # layout choice; with the config default sort active, an unsorted request
+    # on the sorted index equals an explicit ts-desc request on the plain one)
+    import tempfile, shutil
+    plain = tempfile.mkdtemp(prefix="qwplain-")
+    try:
+        build_index(
+            spark,
+            spark.createDataFrame(small_corpus),
+            transcripts_config(split_num_docs_target=300, segment_num_docs_target=64),
+            plain,
+        )
+        for q, lo, hi in [
+            ("error", None, None),
+            ("token deploy", None, None),
+            # time filter exercises segment skipping on the tight sorted ranges
+            (
+                "the",
+                int(small_corpus["ts"].astype("int64").quantile(0.3) // 10**9),
+                int(small_corpus["ts"].astype("int64").quantile(0.7) // 10**9),
+            ),
+        ]:
+            a = search(
+                spark, tmp_index_dir,
+                SearchRequest(q, max_hits=50, start_timestamp=lo, end_timestamp=hi),
+            )
+            b = search(
+                spark, plain,
+                SearchRequest(q, max_hits=50, start_timestamp=lo, end_timestamp=hi,
+                              sort_by_field="ts"),
+            )
+            assert a.num_hits == b.num_hits
+            sv = [h["sort_value"] for h in a.hits]
+            assert sv == sorted(sv, reverse=True)
+            assert sorted((h["conv_id"], h["turn_idx"]) for h in a.hits) == sorted(
+                (h["conv_id"], h["turn_idx"]) for h in b.hits
+            )
+    finally:
+        shutil.rmtree(plain, ignore_errors=True)
