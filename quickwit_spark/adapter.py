@@ -5,7 +5,7 @@ The table is recast as transcript turns — the engine's canonical input
 shape (BASELINE.json input_hint):
 
     conv_id  = lpad(doc_id, 12)   (lexicographic == numeric order)
-    turn_idx = 0
+    turn_idx = doc_id         (generic fast i64 field, sortable/exportable)
     role     = lang                (raw-tokenized tag field)
     tool     = source              (raw-tokenized)
     ts       = doc_id as epoch seconds  (deterministic fast field; the
@@ -29,16 +29,18 @@ from .config import documents_config
 from .index.builder import build_index
 
 CACHE_ROOT = "/tmp/qwspark_index_cache"
+# v4: turn_idx carries doc_id (generic fast-field sort is oracle-checkable);
+# fastfields table gained ff_turn_idx.
 # v3: single-job in-task build, crc32 term buckets (was xxhash64 — stale
 # caches would silently mis-prune the postings scan)
-CONFIG_VERSION = "v3"
+CONFIG_VERSION = "v4"
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return docs.select(
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
         F.col("lang").alias("role"),
         F.col("text"),
         F.col("source").alias("tool"),

@@ -151,6 +151,15 @@ def ft_sort_by_ts(spark, sf_dir):
     return out.select(F.col("ts_epoch").alias("doc_id"))
 
 
+def ft_sort_by_turn_idx(spark, sf_dir):
+    """Sort by a generic fast i64 field (not the timestamp): turn_idx carries
+    doc_id in the adapter, so the oracle is ORDER BY doc_id ASC."""
+    idx = documents_index(spark, sf_dir)
+    req = SearchRequest("merge", max_hits=10, sort_by_field="turn_idx", sort_asc=True)
+    out = search_df(spark, idx, req)
+    return out.select(F.col("turn_idx").cast("long").alias("doc_id"))
+
+
 def ft_count(spark, sf_dir):
     idx = documents_index(spark, sf_dir)
     hits = search_stream(spark, idx, SearchRequest("query"), "ts")
@@ -303,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_scoped": ft_field_scoped,
         "ft_timerange": ft_timerange,
         "ft_sort_by_ts": ft_sort_by_ts,
+        "ft_sort_by_turn_idx": ft_sort_by_turn_idx,
         "ft_count": ft_count,
         "ft_stream_export": ft_stream_export,
         "ft_termdict": ft_termdict,
@@ -354,6 +364,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_sort_by_ts": f"""{BM25_CTE}
 SELECT doc_id FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
 ORDER BY doc_id DESC LIMIT 10""",
+        "ft_sort_by_turn_idx": f"""{BM25_CTE}
+SELECT doc_id FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+ORDER BY doc_id ASC LIMIT 10""",
         "ft_count": f"""{BM25_CTE}
 SELECT count(DISTINCT doc_id) AS num_hits FROM tf WHERE term = 'query'""",
         "ft_stream_export": f"""{BM25_CTE}
