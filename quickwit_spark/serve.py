@@ -149,13 +149,22 @@ class _Handler(BaseHTTPRequestHandler):
                     if fast_field is None:
                         return self._err(400, "missing required param 'fastField'")
                     fmt = qs.get("outputFormat", ["csv"])[0]
-                    if fmt != "csv":
+                    if fmt not in ("csv", "clickHouseRowBinary"):
                         return self._err(400, f"unsupported outputFormat {fmt!r}")
                     rows = search_stream(
                         self.spark, index_dir, req, fast_field
                     ).collect()
-                    body = "\n".join(str(r[fast_field]) for r in rows).encode()
-                    return self._reply(200, body, "text/csv")
+                    vals = [r[fast_field] for r in rows]
+                    if fmt == "csv":
+                        return self._reply(
+                            200, "\n".join(str(v) for v in vals).encode(), "text/csv"
+                        )
+                    # ClickHouse RowBinary: little-endian i64 per value
+                    # (docs/reference/rest-api.md:70-114, search_stream/leaf.rs)
+                    import numpy as np
+
+                    body = np.asarray(vals, dtype="<i8").tobytes()
+                    return self._reply(200, body, "application/octet-stream")
                 resp = search(self.spark, index_dir, req)
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))

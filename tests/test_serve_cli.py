@@ -84,6 +84,28 @@ def test_stream_endpoint_csv(server):
     assert lines and all(ln.lstrip("-").isdigit() for ln in lines)
 
 
+def test_stream_endpoint_rowbinary(server):
+    """outputFormat=clickHouseRowBinary (rest-api.md:70-114): little-endian
+    i64 packed values, same value multiset as the CSV format."""
+    import numpy as np
+
+    _, csv_body, _ = _get(
+        f"{server}/api/v1/conv/search/stream?query=deploy&fastField=ts&outputFormat=csv"
+    )
+    csv_vals = sorted(int(ln) for ln in csv_body.decode().splitlines() if ln)
+    code, body, ctype = _get(
+        f"{server}/api/v1/conv/search/stream?query=deploy&fastField=ts"
+        "&outputFormat=clickHouseRowBinary"
+    )
+    assert code == 200 and ctype == "application/octet-stream"
+    assert len(body) % 8 == 0
+    assert sorted(np.frombuffer(body, dtype="<i8").tolist()) == csv_vals
+    code, _, _ = _get(
+        f"{server}/api/v1/conv/search/stream?query=deploy&fastField=ts&outputFormat=xml"
+    )
+    assert code == 400
+
+
 def test_batch_endpoint(spark, server, index_root):
     import urllib.request as ur
 
