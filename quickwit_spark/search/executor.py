@@ -725,24 +725,81 @@ def _cached_postings_dataset(index_dir: str, split_id: str):
     return dset
 
 
+# Posting-row cache: (index_dir, split_id, field, term) → 0..n-row pdf.
+# The byte-range/hotcache analog (quickwit-storage/src/cache,
+# CachingDirectory): hot terms' posting blobs are read from parquet once per
+# worker, then served from memory across queries.  Bounded by payload bytes
+# (QW_POSTINGS_CACHE_MB per python worker, 0 disables); absent terms are
+# negatively cached as empty frames so they never re-scan.
+_WORKER_POSTINGS_CACHE: dict = {}
+_POSTINGS_CACHE_BYTES = [0]
+
+
+def _postings_cache_cap() -> int:
+    return int(os.environ.get("QW_POSTINGS_CACHE_MB", "128")) << 20
+
+
+def _postings_nbytes(pdf: pd.DataFrame) -> int:
+    n = 256 * max(1, len(pdf))  # per-row metadata floor
+    for col in ("blob", "positions"):
+        if col in pdf.columns:
+            n += int(sum(len(v) for v in pdf[col] if v is not None))
+    return n
+
+
+def _postings_cache_put(key, pdf: pd.DataFrame, cap: int) -> None:
+    nb = _postings_nbytes(pdf)
+    if nb > cap:  # a single oversized entry would just thrash
+        return
+    old = _WORKER_POSTINGS_CACHE.pop(key, None)
+    if old is not None:
+        _POSTINGS_CACHE_BYTES[0] -= _postings_nbytes(old)
+    _WORKER_POSTINGS_CACHE[key] = pdf
+    _POSTINGS_CACHE_BYTES[0] += nb
+    while _POSTINGS_CACHE_BYTES[0] > cap and _WORKER_POSTINGS_CACHE:
+        oldest = next(iter(_WORKER_POSTINGS_CACHE))
+        _POSTINGS_CACHE_BYTES[0] -= _postings_nbytes(_WORKER_POSTINGS_CACHE.pop(oldest))
+
+
 def _read_split_postings(
     index_dir: str, split_id: str, terms: list[tuple[str, str]], buckets: list[int]
 ) -> pd.DataFrame:
     """In-task warmup read (leaf.rs:125-193 analog): exactly the query
     terms' posting rows of one split, row-group pruned by the bucket column
-    (files are bucket-sorted in 4k-row groups)."""
+    (files are bucket-sorted in 4k-row groups); per-term rows are cached
+    worker-side (see _WORKER_POSTINGS_CACHE)."""
     import pyarrow.dataset as pads
 
-    dset = _cached_postings_dataset(index_dir, split_id)
-    cond = None
-    for f_, t_ in terms:
-        c = (pads.field("field") == f_) & (pads.field("term") == t_)
-        cond = c if cond is None else (cond | c)
-    if dset is None or cond is None:
+    cap = _postings_cache_cap()
+    parts: list[pd.DataFrame] = []
+    missing: list[tuple[str, str]] = []
+    for key in terms:
+        hit = _WORKER_POSTINGS_CACHE.get((index_dir, split_id, *key)) if cap else None
+        if hit is not None:
+            parts.append(hit)
+        else:
+            missing.append(key)
+    if missing:
+        dset = _cached_postings_dataset(index_dir, split_id)
+        cond = None
+        for f_, t_ in missing:
+            c = (pads.field("field") == f_) & (pads.field("term") == t_)
+            cond = c if cond is None else (cond | c)
+        if dset is None:
+            pdf = pd.DataFrame(columns=["field", "term"])
+        else:
+            if buckets:
+                # superset of the missing terms' buckets — pruning only
+                cond = pads.field("bucket").isin(buckets) & cond
+            pdf = dset.to_table(filter=cond).to_pandas()
+        for key in missing:
+            sub = pdf[(pdf["field"] == key[0]) & (pdf["term"] == key[1])] if len(pdf) else pdf
+            if cap:
+                _postings_cache_put((index_dir, split_id, *key), sub, cap)
+            parts.append(sub)
+    if not parts:
         return pd.DataFrame(columns=["field", "term"])
-    if buckets:
-        cond = pads.field("bucket").isin(buckets) & cond
-    return dset.to_table(filter=cond).to_pandas()
+    return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
 
 def _plan_leaf(
