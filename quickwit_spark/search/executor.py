@@ -431,26 +431,56 @@ def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray
     avg = gstats["avg_len"].get(field, 1.0) or 1.0
     term_idf = bm25_idf(gstats["df"].get((field, term), row.doc_freq), gstats["num_docs"])
     bounds = term_idf * tf_norm(bmax_tf.astype(np.float64), bmin_len, avg)
-    order = np.argsort(-bounds)
+    # stable: equal-bound blocks stay in docID order, so the flat-score case
+    # (raw fields: every doc scores idf) collects the LOWEST doc ids first —
+    # exactly the tie-break winners
+    order = np.argsort(-bounds, kind="stable")
+    last_doc_u32 = last_doc.astype(np.uint32)
     got_docs, got_scores = [], []
+    topk = np.empty(0, np.float64)  # running best-k scores (unsorted)
     threshold = -np.inf
-    n_collected = 0
-    for rank, b in enumerate(order):
-        if n_collected >= n_top and bounds[b] <= threshold:
+    i, group = 0, 8
+    while i < len(order):
+        if len(topk) >= n_top and bounds[order[i]] <= threshold:
             break
-        d, t = decode_blocks(row.blob, np.asarray(row.block_last_doc, np.uint32), np.array([b]))
+        # geometric batching: decode whole groups of blocks per call (one
+        # header parse, one threshold update), doubling so the degenerate
+        # no-prune case costs O(log blocks) calls instead of one per block
+        j = min(i + group, len(order))
+        if len(topk) >= n_top:
+            alive = np.flatnonzero(bounds[order[i:j]] > threshold)
+            j = i + (int(alive[-1]) + 1 if len(alive) else 0)
+            if j == i:
+                break
+        d, t = decode_blocks(row.blob, last_doc_u32, np.sort(order[i:j]))
         # raw-tokenizer fields hold one term per doc: fieldnorm is 1, not the
         # text length (block_min_len already stores 1 for these postings)
         dl = lens[d.astype(np.int64)] if field == "text" else np.ones(len(d), np.int64)
         sc = term_idf * tf_norm(t, dl, avg)
         got_docs.append(d.astype(np.int64))
         got_scores.append(sc)
-        n_collected += len(d)
-        if n_collected >= n_top:
-            allscores = np.concatenate(got_scores)
-            if len(allscores) >= n_top:
-                threshold = np.partition(allscores, -n_top)[-n_top]
+        merged = np.concatenate((topk, sc))
+        if len(merged) >= n_top:
+            if len(merged) > n_top:
+                merged = np.partition(merged, len(merged) - n_top)[len(merged) - n_top :]
+            topk = merged
+            threshold = topk.min()
+        else:
+            topk = merged
+        i, group = j, min(group * 2, 1024)
     return np.concatenate(got_docs), np.concatenate(got_scores)
+
+
+def _topk_take(values: np.ndarray, docs: np.ndarray, n_top: int) -> np.ndarray:
+    """Indices of the top-n_top rows by (value desc, doc asc).  A partition
+    prefilter keeps the O(n log n) lexsort to the boundary candidates only —
+    at 10M-doc splits this is ~10x cheaper than sorting every candidate."""
+    if len(values) > 4 * n_top:
+        kth = np.partition(values, len(values) - n_top)[len(values) - n_top]
+        idx = np.flatnonzero(values >= kth)
+        sub = np.lexsort((docs[idx], -values[idx]))[:n_top]
+        return idx[sub]
+    return np.lexsort((docs, -values))[:n_top]
 
 
 def make_split_scorer(
@@ -554,10 +584,10 @@ def make_split_scorer(
         if mode == "stream":
             take = np.arange(len(docs))
         elif sort_field is not None:
-            sgn = 1 if request.sort_asc else -1
-            take = np.lexsort((docs, sgn * sv))[:n_top]
+            sgn = -1 if request.sort_asc else 1
+            take = _topk_take(sgn * sv.astype(np.float64), docs, n_top)
         else:
-            take = np.lexsort((docs, -scores))[:n_top]
+            take = _topk_take(scores, docs, n_top)
         out = pd.DataFrame(
             {
                 "split_id": split_id,
