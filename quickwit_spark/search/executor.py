@@ -562,16 +562,19 @@ def make_split_scorer(
                 if len(d) == 0:
                     continue
                 d = d.astype(np.int64)
-                member = np.isin(docs, d, assume_unique=True)
-                pos_in_d = np.searchsorted(d, docs[member])
-                tf = t[pos_in_d].astype(np.float64)
+                # docs and d are both sorted unique: one searchsorted maps
+                # each posting to its candidate slot (no isin, no re-sort)
+                pos = np.searchsorted(docs, d)
+                valid = docs[np.minimum(pos, len(docs) - 1)] == d
+                pv = pos[valid]
+                tf = t[valid].astype(np.float64)
                 if field == "text":
-                    dl = lens[docs[member]]
+                    dl = lens[d[valid]]
                 else:
-                    dl = np.ones(member.sum(), np.int64)  # raw fields: len 1
+                    dl = np.ones(len(pv), np.int64)  # raw fields: len 1
                 avg = gstats["avg_len"].get(field, 1.0) or 1.0
                 term_idf = bm25_idf(gstats["df"].get((field, term), 0), gstats["num_docs"])
-                scores[member] += term_idf * tf_norm(tf, dl, avg)
+                scores[pv] += term_idf * tf_norm(tf, dl, avg)
 
         if len(docs) == 0:
             return empty
