@@ -313,9 +313,18 @@ class _SplitPostings:
         return decode_positions_subset(r.positions, tfs, idx)
 
 
+def _sorted_member(a: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Mask of which elements of sorted-unique ``a`` appear in sorted ``d``:
+    one searchsorted instead of isin's internal concat+sort."""
+    if len(d) == 0:
+        return np.zeros(len(a), bool)
+    pos = np.searchsorted(d, a)
+    return d[np.minimum(pos, len(d) - 1)] == a
+
+
 def _intersect_with_tfs(base: np.ndarray, postings: _SplitPostings, key) -> np.ndarray:
     d, _ = postings.candidates_only(key, base)
-    return base[np.isin(base, d, assume_unique=True)]
+    return base[_sorted_member(base, d.astype(np.int64))]
 
 
 def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
@@ -341,7 +350,7 @@ def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
             elif isinstance(c, TermQuery):
                 # skip-aware: decode only blocks overlapping current candidates
                 d, _ = postings.candidates_only((c.field, c.term), acc)
-                acc = acc[np.isin(acc, d.astype(np.int64), assume_unique=True)]
+                acc = acc[_sorted_member(acc, d.astype(np.int64))]
             else:
                 acc = np.intersect1d(acc, _eval_node(c, postings), assume_unique=True)
     if node.should:
@@ -356,7 +365,7 @@ def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
             # skip-aware NOT: only blocks overlapping the surviving
             # candidates need decoding (same skip-pointer path as AND)
             d, _ = postings.candidates_only((c.field, c.term), acc)
-            acc = acc[~np.isin(acc, d.astype(np.int64), assume_unique=True)]
+            acc = acc[~_sorted_member(acc, d.astype(np.int64))]
         else:
             acc = np.setdiff1d(acc, _eval_node(c, postings), assume_unique=True)
     return acc
