@@ -904,6 +904,12 @@ def _leaf_hit_rows(
             if len(out):
                 yield from out.to_dict("records")
 
+    # Tiny indexes: run the leaf in-process — the single-node-search analog
+    # (lib.rs:153-198).  A Spark job costs a ~0.2-0.4 s scheduling floor on
+    # this class of host; below the threshold the per-split work (~5-10 ms
+    # warm) is cheaper done inline.  0 disables.
+    if len(sids) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8")):
+        return list(run(sids))
     sc = spark.sparkContext
     n_slices = _leaf_slices(len(sids), sc.defaultParallelism)
     return sc.parallelize(sids, n_slices).mapPartitions(run).collect()
@@ -982,12 +988,14 @@ def multi_search(
                     rec["__qi"] = qi
                     yield rec
 
-    if sids:
+    if not sids:
+        rows = []
+    elif len(sids) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8")):
+        rows = list(run(sids))  # in-process leaf, see _leaf_hit_rows
+    else:
         sc = spark.sparkContext
         n_slices = _leaf_slices(len(sids), sc.defaultParallelism)
         rows = sc.parallelize(sids, n_slices).mapPartitions(run).collect()
-    else:
-        rows = []
 
     def py(v):
         return v.item() if hasattr(v, "item") else v
