@@ -172,6 +172,28 @@ def test_stream_generic_fast_field(spark, tmp_index_dir):
     assert sorted(out["turn_idx"].tolist()) == list(range(30))
 
 
+def test_inline_and_distributed_leaf_agree(spark, built, monkeypatch):
+    """The in-process leaf (small indexes) and the Spark-job leaf must be
+    result-identical — same rows, scores, order — for every query shape."""
+    index_dir, _, _ = built
+    reqs = [
+        SearchRequest("error", max_hits=20),
+        SearchRequest("token deploy", max_hits=10),
+        SearchRequest('"deploy failure"', max_hits=10),
+        SearchRequest("error", max_hits=10, sort_by_field="ts"),
+        SearchRequest("error NOT deploy", max_hits=10, start_offset=3),
+    ]
+    for req in reqs:
+        monkeypatch.setenv("QW_DRIVER_LEAF_MAX_SPLITS", "1000")
+        a = search(spark, index_dir, req)
+        monkeypatch.setenv("QW_DRIVER_LEAF_MAX_SPLITS", "0")
+        b = search(spark, index_dir, req)
+        assert a.num_hits == b.num_hits
+        assert [
+            (h["split_id"], h["doc_id"], h["score"], h["sort_value"]) for h in a.hits
+        ] == [(h["split_id"], h["doc_id"], h["score"], h["sort_value"]) for h in b.hits]
+
+
 def test_offset_pagination_consistent(spark, built):
     """Offset rewrite (root.rs:286-301): page k..k+n equals the slice of the
     full result."""
