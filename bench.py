@@ -139,6 +139,37 @@ def bench_queries(spark, index_dir: str, repeats: int = 7) -> tuple[dict, dict]:
     return p50, p99
 
 
+def bench_merged(spark, index_dir: str, repeats: int = 5) -> dict:
+    """Post-merge lifecycle latency: consolidate the fresh layout through the
+    merge policy (the production steady state — the reference merges toward
+    its 10M-doc split target), then re-measure representative query p50s on
+    the merged layout."""
+    from quickwit_spark.index.catalog import Catalog
+    from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    t0 = time.monotonic()
+    run_merge_pipeline(spark, index_dir)
+    garbage_collect(index_dir)
+    merge_secs = round(time.monotonic() - t0, 3)
+    n_splits = len(Catalog(index_dir).splits())
+    subset = ["q1_single_term", "q3_hot_or", "q4_phrase"]
+    for name in subset:
+        search(spark, index_dir, SearchRequest(**BENCH_QUERIES[name]))
+    times: dict[str, list] = {name: [] for name in subset}
+    for _ in range(repeats):
+        for name in subset:
+            t0 = time.monotonic()
+            search(spark, index_dir, SearchRequest(**BENCH_QUERIES[name]))
+            times[name].append(time.monotonic() - t0)
+    return {
+        "merge_secs": merge_secs,
+        "merged_splits": n_splits,
+        "queries_merged": {n: round(statistics.median(ts), 4) for n, ts in times.items()},
+    }
+
+
 def bench_multi(spark, index_dir: str, repeats: int = 3) -> float:
     """Batched query throughput (q/s): all 8 bench queries in ONE leaf job
     via multi_search — the amortized-job-floor path."""
@@ -217,6 +248,7 @@ def main():
     queries, queries_p99 = bench_queries(spark, build["index_dir"])
     queries["q9_stream_export"] = bench_stream(spark, build["index_dir"])
     batched_qps = bench_multi(spark, build["index_dir"])
+    merged = bench_merged(spark, build["index_dir"])
     docs = bench_documents(spark, sf_dir)
     pipeline = bench_pipeline(spark, sf_dir)
     total = round(time.monotonic() - t_total, 3)
@@ -233,6 +265,7 @@ def main():
         "build_turns_per_sec": build["turns_per_sec"],
         "cpus": int(cpus),
         "batched_queries_per_sec": batched_qps,
+        **merged,
         "pipeline_secs": pipeline,
         **docs,
     }
