@@ -277,6 +277,25 @@ def cmd_delete(args) -> dict:
     return {"cmd": "delete", "index_dir": args.index_dir, "deleted_splits": deleted}
 
 
+def cmd_serve(args) -> dict:
+    """REST server (quickwit-cli `serve` analog): blocks serving
+    /api/v1/{index}/search[,/stream,/batch] until interrupted.  Prints the
+    bound port as one JSON line before serving (port 0 = ephemeral)."""
+    import json as _json
+
+    from quickwit_spark.serve import make_server
+
+    spark = _get_spark("qw-serve", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    srv = make_server(spark, args.index_root, args.port)
+    print(_json.dumps({"cmd": "serve", "serving": True, "port": srv.server_address[1]}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return {"cmd": "serve", "stopped": True}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="quickwit_spark")
     p.add_argument("--local-cpus", default=None, help="force local[N] master (bench only)")
@@ -344,6 +363,11 @@ def main(argv=None):
     dl.add_argument("--index-dir", required=True)
     dl.add_argument("--yes", action="store_true")
     dl.set_defaults(fn=cmd_delete)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--index-root", required=True)
+    sv.add_argument("--port", type=int, default=7280)  # the reference's REST default
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     out = args.fn(args)
