@@ -727,8 +727,19 @@ def _lru_put(cache: dict, key, value, cap: int):
         cache.pop(next(iter(cache)))
 
 
+def _split_epoch(index_dir: str, table: str, split_id: str) -> float:
+    """Split-dir mtime, folded into every cache key.  Published split DIRS
+    never mutate, but deterministic build ids mean a delete-and-rebuild at
+    the same path REUSES split ids — one stat per lookup makes the caches
+    safe for long-lived servers at ~µs cost."""
+    try:
+        return os.path.getmtime(os.path.join(index_dir, table, f"split_id={split_id}"))
+    except OSError:
+        return 0.0
+
+
 def _cached_fastfields(index_dir: str, split_id: str) -> pd.DataFrame | None:
-    key = (index_dir, split_id)
+    key = (index_dir, split_id, _split_epoch(index_dir, "fastfields", split_id))
     if key in _WORKER_FF_CACHE:
         return _WORKER_FF_CACHE[key]
     import pyarrow.dataset as pads
@@ -742,7 +753,7 @@ def _cached_fastfields(index_dir: str, split_id: str) -> pd.DataFrame | None:
 
 
 def _cached_docs_dataset(index_dir: str, split_id: str):
-    key = (index_dir, "docs", split_id)
+    key = (index_dir, "docs", split_id, _split_epoch(index_dir, "docs", split_id))
     if key in _WORKER_DSET_CACHE:
         return _WORKER_DSET_CACHE[key]
     import pyarrow.dataset as pads
@@ -756,7 +767,7 @@ def _cached_docs_dataset(index_dir: str, split_id: str):
 def _cached_postings_dataset(index_dir: str, split_id: str):
     """pyarrow dataset handle per split (file listing + parquet footers are
     parsed once per worker, the split-footer-cache analog, leaf.rs:47-55)."""
-    key = (index_dir, split_id)
+    key = (index_dir, split_id, _split_epoch(index_dir, "postings", split_id))
     if key in _WORKER_DSET_CACHE:
         return _WORKER_DSET_CACHE[key]
     import pyarrow.dataset as pads
@@ -813,10 +824,11 @@ def _read_split_postings(
     import pyarrow.dataset as pads
 
     cap = _postings_cache_cap()
+    epoch = _split_epoch(index_dir, "postings", split_id) if cap else 0.0
     parts: list[pd.DataFrame] = []
     missing: list[tuple[str, str]] = []
     for key in terms:
-        hit = _WORKER_POSTINGS_CACHE.get((index_dir, split_id, *key)) if cap else None
+        hit = _WORKER_POSTINGS_CACHE.get((index_dir, split_id, epoch, *key)) if cap else None
         if hit is not None:
             parts.append(hit)
         else:
@@ -837,7 +849,7 @@ def _read_split_postings(
         for key in missing:
             sub = pdf[(pdf["field"] == key[0]) & (pdf["term"] == key[1])] if len(pdf) else pdf
             if cap:
-                _postings_cache_put((index_dir, split_id, *key), sub, cap)
+                _postings_cache_put((index_dir, split_id, epoch, *key), sub, cap)
             parts.append(sub)
     if not parts:
         return pd.DataFrame(columns=["field", "term"])
