@@ -68,6 +68,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Callable, Iterator
 
@@ -149,7 +150,89 @@ def _paths(index_dir: str) -> dict[str, str]:
         "docs": os.path.join(index_dir, "docs"),
         "postings": os.path.join(index_dir, "postings"),
         "fastfields": os.path.join(index_dir, "fastfields"),
+        # per-split (bucket, field, term, doc_freq) sidecar — the raw
+        # material for the index-level term-stats deltas (see
+        # _write_termstats_delta); GC'd with the split like any table
+        "termstats": os.path.join(index_dir, "termstats"),
     }
+
+
+def _expand_parquet_paths(paths: list[str]) -> list[str]:
+    """Flatten files-or-directories into a parquet file list (a termstats
+    delta is a single file from the driver path or a directory of parts from
+    the Spark path)."""
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, n) for n in sorted(os.listdir(p)) if n.endswith(".parquet")
+            )
+        elif os.path.exists(p):
+            out.append(p)
+    return out
+
+
+def _write_termstats_delta(
+    spark: SparkSession, index_dir: str, files: list[str], tag: str
+) -> str | None:
+    """Aggregate termstats sidecars (or older deltas, for compaction) into
+    ONE delta file: (bucket, field, term) → summed doc_freq, sorted by
+    bucket so query-term lookups prune row groups via parquet min/max.
+    Returns the path relative to index_dir, or None if there is no input.
+
+    Why this exists (scale): global BM25 doc_freq would otherwise be an
+    O(published splits) read on every cold query — ~40 s of driver-side
+    pyarrow at the 10^4-split scale of a 100 TB index.  Each publish folds
+    its new splits' stats into one delta and merge rounds compact the
+    deltas, so a query reads O(publish batches since the last merge) small
+    bucket-pruned files instead.  Merge/demux never write deltas: they
+    rewrite the same docs, so global df is invariant under them — the
+    zero-sum property that makes this an insert-only LSM.
+
+    Small batches aggregate driver-side (pyarrow+pandas); above
+    QW_TERMSTATS_DRIVER_MAX_MB of sidecar bytes the aggregation runs as a
+    Spark groupBy (cluster-scale publishes: 100 splits × millions of terms
+    never pass through the driver)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    files = _expand_parquet_paths(files)
+    if not files:
+        return None
+    os.makedirs(os.path.join(index_dir, "termstats_deltas"), exist_ok=True)
+    rel = os.path.join("termstats_deltas", f"{tag}-{uuid.uuid4().hex[:8]}.parquet")
+    out_abs = os.path.join(index_dir, rel)
+    max_mb = int(os.environ.get("QW_TERMSTATS_DRIVER_MAX_MB", "256"))
+    if sum(os.path.getsize(f) for f in files) <= max_mb * (1 << 20):
+        pdf = (
+            pads.dataset(files, format="parquet")
+            .to_table()
+            .to_pandas()
+            .groupby(["bucket", "field", "term"], as_index=False)["doc_freq"]
+            .sum()
+            .sort_values(["bucket", "field", "term"], kind="mergesort")
+        )
+        _atomic_write_table(
+            pa.Table.from_pandas(pdf, schema=_termstats_schema(), preserve_index=False),
+            out_abs,
+            row_group_size=4096,
+        )
+    else:
+        tmp = out_abs + f".tmp-{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(*files)
+            .groupBy("bucket", "field", "term")
+            .agg(F.sum("doc_freq").alias("doc_freq"))
+            .repartition("bucket")
+            .sortWithinPartitions("bucket", "field", "term")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for n in os.listdir(tmp):  # keep only parquet parts (drop _SUCCESS)
+            if not n.endswith(".parquet"):
+                os.remove(os.path.join(tmp, n))
+        os.replace(tmp, out_abs)
+    return rel
 
 
 def _cleanup_split_dirs(index_dir: str, split_ids: list[str]) -> None:
@@ -337,6 +420,19 @@ def _pa_schemas(extra_fast: tuple[str, ...] = ()):
     return docs, postings, fastfields
 
 
+def _termstats_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("doc_freq", pa.int64()),
+        ]
+    )
+
+
 def _atomic_write_table(table, final_path: str, row_group_size: int | None = None) -> int:
     """Write a parquet file via a temp name + atomic rename (idempotent under
     task retry; a re-attempt rewrites identical content).  Returns bytes.
@@ -505,6 +601,19 @@ class _SplitAccumulator:
         pdf = pdf.sort_values(["bucket", "field", "term"], kind="mergesort")
         table = pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False)
         _atomic_write_table(table, self._split_file("postings"), row_group_size=4096)
+
+        # termstats sidecar: the term dictionary minus the payloads — raw
+        # material for the publish-time global-df delta (a few KB; the rows
+        # are already in memory, so this costs one tiny parquet write)
+        _atomic_write_table(
+            pa.Table.from_pandas(
+                pdf[["bucket", "field", "term", "doc_freq"]],
+                schema=_termstats_schema(),
+                preserve_index=False,
+            ),
+            self._split_file("termstats"),
+            row_group_size=4096,
+        )
 
         # fastfields: one row per seg_target-doc segment (columnar-store
         # analog — the per-split scorer reads these small blobs instead of
@@ -896,7 +1005,21 @@ def build_index(
             if sid not in delta:
                 delta[sid] = (None, "built:empty")
         if publish:
-            cat.publish_splits([s for s in delta if s in cat._state["splits"]], delta)
+            # global term-stats delta for this publish batch (see
+            # _write_termstats_delta) — registered atomically with the
+            # publish itself; staged-only builds (demux rewrites) skip it
+            # because replace_splits is df-preserving
+            sidecars = [
+                os.path.join(paths["termstats"], f"split_id={r['split_id']}", "part-0.parquet")
+                for r in stat_rows
+                if r["split_id"] != INVALID_SENTINEL
+            ]
+            ts_delta = _write_termstats_delta(spark, index_dir, sidecars, build_id)
+            cat.publish_splits(
+                [s for s in delta if s in cat._state["splits"]],
+                delta,
+                termstats_delta=ts_delta,
+            )
         report.published_splits.extend(sorted(delta))
         tm.lap("publish")
         if failpoint is not None:

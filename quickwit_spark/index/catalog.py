@@ -63,10 +63,20 @@ class Catalog:
             "splits": {},  # split_id -> SplitMetadata dict
             "checkpoint": {},  # partition_id -> position (lexicographic order = natural)
             "next_seq": 0,
+            # global term-stats LSM: delta files (paths relative to the
+            # index dir) whose summed (field, term) doc_freq equals the
+            # whole published index's — maintained by publish (insert) and
+            # merge rounds (compaction); merges/demux never change it (they
+            # rewrite the same docs).  `complete` turns False forever if
+            # anything publishes docs without a delta — readers then fall
+            # back to scanning per-split postings for doc_freq.
+            "termstats": {"deltas": [], "complete": True},
         }
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self._state = json.load(f)
+            # catalogs written before termstats existed: mark incomplete
+            self._state.setdefault("termstats", {"deltas": [], "complete": False})
 
     # -- basic ----------------------------------------------------------
     @staticmethod
@@ -110,13 +120,22 @@ class Catalog:
         self._state["splits"][meta.split_id] = asdict(meta)
         self._save()
 
-    def publish_splits(self, split_ids: list[str], checkpoint_delta: dict[str, tuple[str | None, str]]) -> None:
+    def publish_splits(
+        self,
+        split_ids: list[str],
+        checkpoint_delta: dict[str, tuple[str | None, str]],
+        termstats_delta: str | None = None,
+    ) -> None:
         """Atomically publish staged splits and apply the checkpoint delta.
 
         checkpoint_delta maps partition_id -> (from_position, to_position);
         application fails (and publishes nothing) if from_position does not
         equal the current position — the exactly-once guard of the reference
         (checkpoint.rs:299-353, docs/design/indexing.md:46).
+
+        ``termstats_delta`` is the batch's global-df delta file (relative
+        path), committed in the same atomic catalog write; publishing docs
+        WITHOUT one permanently marks the term-stats LSM incomplete.
         """
         cp = self._state["checkpoint"]
         for pid, (frm, to) in checkpoint_delta.items():
@@ -133,6 +152,11 @@ class Catalog:
             self._state["splits"][sid]["state"] = PUBLISHED
         for pid, (_frm, to) in checkpoint_delta.items():
             cp[pid] = to
+        ts = self._state["termstats"]
+        if termstats_delta is not None:
+            ts["deltas"].append(termstats_delta)
+        elif any(self._state["splits"][sid]["num_docs"] > 0 for sid in split_ids):
+            ts["complete"] = False
         self._save()
 
     def replace_splits(self, new_split_ids: list[str], replaced_split_ids: list[str]) -> None:
@@ -145,6 +169,24 @@ class Catalog:
 
     def checkpoint(self) -> dict[str, str]:
         return dict(self._state["checkpoint"])
+
+    # -- term-stats LSM ----------------------------------------------------
+    def termstats_files(self) -> list[str] | None:
+        """Absolute paths of the committed term-stats delta files (each a
+        parquet file or a directory of parts), or None if the LSM is
+        incomplete and readers must fall back to scanning split postings."""
+        ts = self._state["termstats"]
+        if not ts["complete"]:
+            return None
+        return [os.path.join(self.index_dir, d) for d in ts["deltas"]]
+
+    def compact_termstats(self, new_delta: str, replaced: list[str]) -> None:
+        """Swap ``replaced`` delta entries for the single compacted one
+        (atomic; the merge-round compaction commit)."""
+        ts = self._state["termstats"]
+        gone = set(replaced)
+        ts["deltas"] = [d for d in ts["deltas"] if d not in gone] + [new_delta]
+        self._save()
 
     def delete_splits(self, split_ids: list[str]) -> None:
         for sid in split_ids:

@@ -276,7 +276,10 @@ def execute_merge(
 def run_merge_pipeline(spark: SparkSession, index_dir: str, max_rounds: int = 10) -> list[SplitMetadata]:
     """MergePlanner loop: plan → execute until no more candidates
     (indexing_pipeline.rs:202-350 analog).  Each round executes as 3 Spark
-    jobs total regardless of op count (execute_merge_round)."""
+    jobs total regardless of op count (execute_merge_round).  Ends by
+    compacting the term-stats LSM — merges don't change global df, but a
+    long-running ingest accumulates one delta per publish and this is the
+    natural compaction point."""
     produced = []
     for _ in range(max_rounds):
         cat = Catalog(index_dir)
@@ -285,7 +288,34 @@ def run_merge_pipeline(spark: SparkSession, index_dir: str, max_rounds: int = 10
         if not ops:
             break
         produced.extend(execute_merge_round(spark, index_dir, ops, cat))
+    compact_termstats_deltas(spark, index_dir)
     return produced
+
+
+def compact_termstats_deltas(spark: SparkSession, index_dir: str) -> str | None:
+    """Fold all committed term-stats deltas into one (sum is associative;
+    the LSM-compaction step).  Returns the new delta's relative path, or
+    None if there was nothing to compact."""
+    from .builder import _write_termstats_delta
+
+    cat = Catalog(index_dir)
+    ts = cat._state["termstats"]
+    if not ts["complete"] or len(ts["deltas"]) <= 1:
+        return None
+    old = list(ts["deltas"])
+    new_rel = _write_termstats_delta(
+        spark, index_dir, [os.path.join(index_dir, d) for d in old], "compact"
+    )
+    if new_rel is None:
+        return None
+    cat.compact_termstats(new_rel, old)
+    for d in old:  # committed — the replaced files are garbage now
+        p = os.path.join(index_dir, d)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+    return new_rel
 
 
 def garbage_collect(index_dir: str) -> list[str]:
@@ -300,6 +330,15 @@ def garbage_collect(index_dir: str) -> list[str]:
             if os.path.exists(d):
                 shutil.rmtree(d)
     cat.delete_splits(dead)
+    # orphaned term-stats deltas: written but never committed (a publish or
+    # compaction that died before its catalog rename)
+    ddir = os.path.join(index_dir, "termstats_deltas")
+    if os.path.isdir(ddir):
+        live = {os.path.basename(d) for d in cat._state["termstats"]["deltas"]}
+        for name in os.listdir(ddir):
+            if name not in live:
+                p = os.path.join(ddir, name)
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
     return dead
 
 

@@ -221,18 +221,26 @@ def global_term_stats(
     df_map: dict[tuple[str, str], int] = {t: 0 for t in terms}
     if terms:
         # Driver-side pyarrow read, NOT a Spark job: the global doc_freq of a
-        # handful of query terms is metadata-scale (a few posting-dictionary
-        # rows per split, bucket- and row-group-pruned), and launching a
-        # Spark stage for it costs ~300-500 ms — the dominant first-query
-        # cost.  At cluster scale this stays driver-cheap because it reads
-        # only (field, term, doc_freq) columns of matching row groups.
+        # handful of query terms is metadata-scale, and launching a Spark
+        # stage for it costs ~300-500 ms — the dominant first-query cost.
+        # Primary source: the term-stats LSM deltas (O(publish batches since
+        # the last merge) bucket-pruned files — independent of split count,
+        # which is what keeps this driver-cheap at 10^4 splits / 100 TB).
+        # Fallback for indexes published without deltas: the per-split
+        # posting-dictionary rows, O(splits) but column/row-group-pruned.
         import pyarrow.dataset as pads
 
-        files = [
-            f
-            for s in cat.splits()
-            for f in _split_files(index_dir, "postings", s.split_id)
-        ]
+        from ..index.builder import _expand_parquet_paths
+
+        delta_files = cat.termstats_files()
+        if delta_files is not None:
+            files = _expand_parquet_paths(delta_files)
+        else:
+            files = [
+                f
+                for s in cat.splits()
+                for f in _split_files(index_dir, "postings", s.split_id)
+            ]
         if files:
             cond = None
             for f_, t_ in terms:
