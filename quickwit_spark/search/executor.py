@@ -677,7 +677,7 @@ def _fast_field_values(field: str, ff_pdf: pd.DataFrame, lens: np.ndarray, docs:
 def _leaf_hits_df(
     spark: SparkSession, index_dir: str, request: SearchRequest, mode: str = "topk"
 ) -> tuple[DataFrame, list[SplitMetadata], object, IndexConfig]:
-    cat, config, ast, splits, terms, buckets, scorer = _plan_leaf(
+    cat, config, ast, splits, terms, buckets, scorer, _gstats = _plan_leaf(
         spark, index_dir, request, mode
     )
     schema = FETCHED_HITS_SCHEMA if mode == "topk" else HITS_SCHEMA
@@ -881,7 +881,7 @@ def _plan_leaf(
     scorer = make_split_scorer(
         config, gstats, ast, request, mode, index_dir if fetch_in_leaf else None
     )
-    return cat, config, ast, splits, sorted(terms), buckets, scorer
+    return cat, config, ast, splits, sorted(terms), buckets, scorer, gstats
 
 
 def _leaf_hit_rows(
@@ -906,7 +906,7 @@ def _leaf_hit_rows(
     cost at high split counts).  Exception: the 'global_key' tiebreak sorts
     on doc fields, so those must come back from the leaves."""
     fetch_in_leaf = request.tiebreak == "global_key"
-    _, _, _, splits, terms, buckets, scorer = _plan_leaf(
+    _, _, ast, splits, terms, buckets, scorer, gstats = _plan_leaf(
         spark, index_dir, request, "topk", fetch_in_leaf
     )
     if not splits:
@@ -924,33 +924,80 @@ def _leaf_hit_rows(
             if len(out):
                 yield from out.to_dict("records")
 
-    # Tiny indexes: run the leaf in-process — the single-node-search analog
-    # (lib.rs:153-198).  A Spark job costs a ~0.2-0.4 s scheduling floor on
-    # this class of host; below the threshold the per-split work (~5-10 ms
-    # warm) is cheaper done inline.  0 disables.
-    if len(sids) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8")):
+    est = _est_split_rows(ast, gstats, len(splits))
+    # Tiny indexes + light queries: run the leaf in-process — the
+    # single-node-search analog (lib.rs:153-198).  A Spark job costs a
+    # ~0.2-0.4 s scheduling floor on this class of host; below the
+    # thresholds the per-split work (~5-10 ms warm) is cheaper done inline.
+    # The row gate keeps a few-big-splits post-merge index (where one
+    # split's heavy-query work alone is ~100 ms) on the parallel path.
+    if len(sids) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8")) and est * len(
+        sids
+    ) <= float(os.environ.get("QW_DRIVER_LEAF_MAX_ROWS", "50000")):
         return list(run(sids))
     sc = spark.sparkContext
-    n_slices = _leaf_slices(len(sids), sc.defaultParallelism)
-    return sc.parallelize(sids, n_slices).mapPartitions(run).collect()
+    bins = _leaf_bins(splits, sc.defaultParallelism, est)
+    return sc.parallelize(bins, len(bins)).flatMap(run).collect()
 
 
-def _leaf_slices(n_splits: int, default_parallelism: int) -> int:
-    """Leaf task count: pack QW_LEAF_SPLITS_PER_TASK splits per task
-    (default 4), capped at the core count.
+def _est_split_rows(asts, gstats, n_splits: int) -> float:
+    """Expected decoded posting rows per split — the leaf cost model that
+    picks the task fan-out.  Phrase terms count 3x (their position payloads
+    decode alongside docs+tfs); accepts one AST or a list (multi_search)."""
+    df_map = gstats["df"]
+    total = 0.0
+
+    def walk(node):
+        nonlocal total
+        if isinstance(node, TermQuery):
+            total += df_map.get((node.field, node.term), 0)
+        elif isinstance(node, PhraseQuery):
+            for t in node.terms:
+                total += 3.0 * df_map.get((node.field, t), 0)
+        else:
+            for c in (*node.must, *node.should, *node.must_not):
+                walk(c)
+
+    for ast in asts if isinstance(asts, list) else [asts]:
+        walk(ast)
+    return total / max(n_splits, 1)
+
+
+def _leaf_bins(
+    splits: list[SplitMetadata], default_parallelism: int, est_rows_per_split: float
+) -> list[list[str]]:
+    """Leaf task bins: pack QW_LEAF_SPLITS_PER_TASK splits per task (default
+    4) for LIGHT queries, one bin per core for HEAVY ones; bins fill by
+    longest-processing-time greedy on split doc counts so big (merged)
+    splits never stack into one task.
 
     The reference plans 1 cost-unit per split but BATCHES all of a node's
     jobs into one gRPC leaf request (root.rs:280-284, cluster_client.rs) —
     the analog here is several splits per Spark task.  Measured on this
-    box: the per-job floor grows ~15 ms per task, while one split's leaf
-    work is ~10-40 ms, so 1-split tasks make small-k queries floor-bound
-    (p50 0.66 s at 52 tasks vs 0.45 s at 13 tasks for the same query set).
-    When splits >= 4x cores the cap keeps every core busy, so large
-    indexes see the same fan-out as before."""
+    box: the per-task floor is ~15 ms while one split's light leaf work is
+    ~5-10 ms, so 1-split tasks make small-k queries floor-bound (p50 0.66 s
+    at 52 tasks vs 0.45 s at 13 tasks).  A heavy query inverts it — a
+    phrase over 32 post-merge 32k-doc splits packed 4/task ran 1.76 s where
+    single-split tasks run it at ~2x less — so above QW_LEAF_HEAVY_ROWS
+    estimated decoded rows per split, parallelism wins.  The default
+    (100k rows ~ 70-100 ms of per-split work at the measured ~0.7 us/row)
+    is deliberately high: the RDD job dispatch floor grows with slice
+    count (~0.29 s at 32 slices on this box), so unpacking pays only when
+    per-split work clearly dominates it."""
     per = int(os.environ.get("QW_LEAF_SPLITS_PER_TASK", "4"))
-    if per > 0:
-        return max(1, min(default_parallelism, -(-n_splits // per)))
-    return max(1, min(n_splits, default_parallelism))
+    heavy_rows = float(os.environ.get("QW_LEAF_HEAVY_ROWS", "100000"))
+    n = len(splits)
+    if per > 0 and est_rows_per_split <= heavy_rows:
+        n_bins = max(1, min(default_parallelism, -(-n // per)))
+    else:
+        n_bins = max(1, min(n, default_parallelism))
+    bins: list[list[str]] = [[] for _ in range(n_bins)]
+    load = [0] * n_bins
+    for s in sorted(splits, key=lambda s: (-s.num_docs, s.split_id)):
+        i = min(range(n_bins), key=load.__getitem__)
+        bins[i].append(s.split_id)
+        load[i] += max(s.num_docs, 1)
+    return [b for b in bins if b]
 
 
 def multi_search(
@@ -974,14 +1021,14 @@ def multi_search(
     requests = [resolve_sort(r, config) for r in requests]
     plans = []
     all_terms: set[tuple[str, str]] = set()
-    all_sids: dict[str, None] = {}
+    all_sids: dict[str, SplitMetadata] = {}
     for req in requests:
         ast = parse_query(req.query, config, req.search_fields)
         splits = prune_splits(cat, config, ast, req)
         terms = collect_terms(ast)
         all_terms |= terms
         for s in splits:
-            all_sids.setdefault(s.split_id)
+            all_sids.setdefault(s.split_id, s)
         plans.append((req, ast, {s.split_id for s in splits}))
     buckets = term_buckets(spark, all_terms, config.term_merge_buckets)
     gstats = global_term_stats(spark, index_dir, cat, all_terms, buckets)
@@ -1008,14 +1055,18 @@ def multi_search(
                     rec["__qi"] = qi
                     yield rec
 
+    # per-split work here is the SUM over the batch's queries
+    est = _est_split_rows([ast for _, ast, _ in plans], gstats, max(len(sids), 1))
     if not sids:
         rows = []
-    elif len(sids) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8")):
+    elif len(sids) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8")) and est * len(
+        sids
+    ) <= float(os.environ.get("QW_DRIVER_LEAF_MAX_ROWS", "50000")):
         rows = list(run(sids))  # in-process leaf, see _leaf_hit_rows
     else:
         sc = spark.sparkContext
-        n_slices = _leaf_slices(len(sids), sc.defaultParallelism)
-        rows = sc.parallelize(sids, n_slices).mapPartitions(run).collect()
+        bins = _leaf_bins(list(all_sids.values()), sc.defaultParallelism, est)
+        rows = sc.parallelize(bins, len(bins)).flatMap(run).collect()
 
     def py(v):
         return v.item() if hasattr(v, "item") else v

@@ -18,7 +18,7 @@ def main():
 
     for name, kw in BENCH_QUERIES.items():
         req = SearchRequest(**kw)
-        cat, config, ast, splits, terms, buckets, scorer = ex._plan_leaf(spark, idx, req, "topk")
+        cat, config, ast, splits, terms, buckets, scorer, gstats = ex._plan_leaf(spark, idx, req, "topk")
         sids = [s.split_id for s in splits]
 
         def one(sid):

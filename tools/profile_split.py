@@ -15,7 +15,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     idx = "/tmp/qwspark_bench/idx-profile"
     req = SearchRequest(query="deploy")
-    cat, config, ast, splits, terms, buckets, scorer = ex._plan_leaf(spark, idx, req, "topk")
+    cat, config, ast, splits, terms, buckets, scorer, gstats = ex._plan_leaf(spark, idx, req, "topk")
     sids = [s.split_id for s in splits][:10]
 
     def t(label, fn, n=3):
