@@ -207,18 +207,26 @@ def global_term_stats(
 ) -> dict:
     """Whole-index collection stats for BM25: N, per-field avg_len (from the
     catalog) and global doc_freq per (field, term) — one tiny aggregate over
-    the term-dictionary rows of all published splits.  Cached per (index
-    state, terms): the split-footer/fast-field cache analog (leaf.rs:47-55),
-    invalidated whenever the catalog file changes."""
+    the term-dictionary rows of all published splits.  df is cached per
+    (index state, term) — the split-footer/fast-field cache analog
+    (leaf.rs:47-55), invalidated whenever the catalog file changes."""
     try:
         cat_state = os.path.getmtime(cat.path), os.path.getsize(cat.path)
     except OSError:
         cat_state = None
-    ckey = (index_dir, cat_state, frozenset(terms))
-    if ckey in _GSTATS_CACHE:
-        return _GSTATS_CACHE[ckey]
     stats = cat.global_stats()
-    df_map: dict[tuple[str, str], int] = {t: 0 for t in terms}
+    # per-TERM cache (not per-query): "deploy" then "deploy AND failure"
+    # reads only the new term's df; invalidated with the catalog state
+    df_map: dict[tuple[str, str], int] = {}
+    missing: set[tuple[str, str]] = set()
+    for t in terms:
+        hit = _GSTATS_CACHE.get((index_dir, cat_state, t))
+        if hit is None:
+            missing.add(t)
+            df_map[t] = 0
+        else:
+            df_map[t] = hit
+    terms = missing
     if terms:
         # Driver-side pyarrow read, NOT a Spark job: the global doc_freq of a
         # handful of query terms is metadata-scale, and launching a Spark
@@ -256,11 +264,11 @@ def global_term_stats(
                 for (f_, t_), df_sum in pdf.groupby(["field", "term"])["doc_freq"].sum().items():
                     if (f_, t_) in df_map:
                         df_map[(f_, t_)] = int(df_sum)
-    out = {"num_docs": stats["num_docs"], "avg_len": stats["avg_len"], "df": df_map}
-    _GSTATS_CACHE[ckey] = out
-    if len(_GSTATS_CACHE) > 1024:
+    for t in terms:
+        _GSTATS_CACHE[(index_dir, cat_state, t)] = df_map[t]
+    while len(_GSTATS_CACHE) > 4096:
         _GSTATS_CACHE.pop(next(iter(_GSTATS_CACHE)))
-    return out
+    return {"num_docs": stats["num_docs"], "avg_len": stats["avg_len"], "df": df_map}
 
 
 # ---------------------------------------------------------------------------
