@@ -71,6 +71,49 @@ def file_stream_source(
     raise ValueError(f"unsupported stream format {fmt!r}")
 
 
+def parse_kafka_records(records: DataFrame) -> DataFrame:
+    """Kafka record batch → transcript rows (KafkaSource's doc-processing
+    half, source/kafka_source.rs:1-1034: one JSON document per record
+    value).  Works on both streaming and batch DataFrames with the Kafka
+    source schema (key/value binary, topic, partition, offset, timestamp) —
+    which is what makes the projection testable without a broker.
+
+    A record whose value is not valid JSON projects to an all-null row that
+    ``project_and_validate`` counts and drops (the NotJson error class,
+    default_mapper.rs:410-437); unknown JSON keys are dropped by the
+    explicit schema (default_mapper.rs:582-595)."""
+    return records.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            TRANSCRIPT_SCHEMA,
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"},
+        ).alias("doc")
+    ).select("doc.*")
+
+
+def kafka_stream_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """KafkaSource analog (source/kafka_source.rs): tail a topic of one-JSON-
+    document-per-record messages.  Spark's Kafka offset log replaces the
+    reference's partition_id→offset checkpoint map (checkpoint.rs:204-211);
+    downstream (StreamIngestor / start_stream_build) is identical to the
+    file source.  Requires the spark-sql-kafka connector on the classpath —
+    absent in this sandbox, so only the projection half is exercised in
+    tests (parse_kafka_records over a batch frame of Kafka-shaped rows)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_kafka_records(raw)
+
+
 @dataclass
 class StreamIngestor:
     """foreachBatch sink: one resumable split build per micro-batch."""

@@ -80,3 +80,46 @@ def test_stream_restart_is_exactly_once(spark, tmp_path_factory):
     q3.awaitTermination(300)
     cat3 = Catalog(idx)
     assert sum(s.num_docs for s in cat3.splits()) == total + len(extra)
+
+
+def test_kafka_record_projection_and_build(spark, tmp_path_factory):
+    """The KafkaSource doc-processing half, broker-free: Kafka-shaped
+    records (binary JSON values, topic/partition/offset metadata) project
+    to transcript rows; malformed values become all-null rows the builder
+    counts as invalid (NotJson analog)."""
+    import json
+
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.streaming.ingest import parse_kafka_records
+
+    pdf = generate_transcripts(n_conversations=8, seed=99)
+    payloads = [
+        json.dumps(
+            {
+                "conv_id": r.conv_id,
+                "turn_idx": int(r.turn_idx),
+                "role": r.role,
+                "text": r.text,
+                "tool": r.tool,
+                "ts": r.ts.isoformat(),
+                "ignored_extra_key": 1,  # dropped by the explicit schema
+            }
+        ).encode()
+        for r in pdf.itertuples(index=False)
+    ]
+    payloads.append(b"{not json")  # NotJson analog
+    records = spark.createDataFrame(
+        [(None, v, "transcripts", i % 4, i) for i, v in enumerate(payloads)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    docs = parse_kafka_records(records)
+    assert [f.name for f in docs.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+
+    idx = str(tmp_path_factory.mktemp("kafka")) + "/idx"
+    report = build_index(spark, docs, CFG, idx)
+    assert report.total_docs == len(pdf)
+    assert report.invalid_docs == 1  # the malformed record
+    resp = search(spark, idx, SearchRequest(pdf["text"].iloc[0].split()[0]))
+    assert resp.num_hits > 0
