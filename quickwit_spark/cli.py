@@ -8,10 +8,15 @@ executor topology comes from spark-submit), and identically under plain
 
 Subcommands:
 
+* ``create`` — create an empty index with a fixed doc-mapper config
+  (--config JSON/YAML, the index-config-uri analog).
 * ``build``  — index a transcript parquet dir into an index dir
   (resumable: re-running with the same --build-id skips published splits).
+* ``ingest`` — same, from NDJSON (the FileSource path).
 * ``search`` — run a query against an index dir, print JSON hits.
-* ``merge``  — run one merge-policy pass (plan + execute + GC).
+* ``merge`` / ``demux`` / ``gc`` — compaction passes over the splits.
+* ``describe`` / ``delete`` — catalog summary / full index removal.
+* ``serve`` — REST API (search, stream export, batched search).
 * ``bench-build`` — timed build, prints ONE JSON line with turns/sec
   (used by tools/scaling_bench.py for the N vs 4N scaling evidence).
 
@@ -52,15 +57,46 @@ def _get_spark(app: str, local_cpus: str | None, shuffle_partitions: int | None)
     return b.getOrCreate()
 
 
+def _resolve_config(args):
+    """Doc-mapper config resolution for build/ingest: an explicit --config
+    file wins; else an existing index's stored config (fixed at create time,
+    reference docs/design/indexing.md:14); else the default transcripts
+    config with the CLI sizing knobs."""
+    import os
+
+    from quickwit_spark.config import IndexConfig, load_config, transcripts_config
+    from quickwit_spark.index.catalog import Catalog
+
+    if getattr(args, "config", None):
+        return load_config(args.config)
+    if os.path.exists(os.path.join(args.index_dir, "catalog.json")):
+        return IndexConfig.from_dict(Catalog(args.index_dir).config_dict)
+    return transcripts_config(
+        split_num_docs_target=args.split_docs, segment_num_docs_target=args.segment_docs
+    )
+
+
+def cmd_create(args) -> dict:
+    """Create an empty index with a fixed doc-mapper config (quickwit-cli
+    `index create --index-config-uri` analog).  Later builds/ingests into
+    the dir pick the stored config up automatically."""
+    import os
+
+    from quickwit_spark.index.catalog import Catalog
+
+    if os.path.exists(os.path.join(args.index_dir, "catalog.json")):
+        return {"cmd": "create", "error": f"index already exists at {args.index_dir}"}
+    cfg = _resolve_config(args)
+    Catalog.create(args.index_dir, cfg.to_dict())
+    return {"cmd": "create", "index_dir": args.index_dir, "index_id": cfg.index_id}
+
+
 def cmd_build(args) -> dict:
-    from quickwit_spark.config import transcripts_config
     from quickwit_spark.index.builder import build_index
 
     spark = _get_spark("qw-build", args.local_cpus, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = transcripts_config(
-        split_num_docs_target=args.split_docs, segment_num_docs_target=args.segment_docs
-    )
+    cfg = _resolve_config(args)
     df = spark.read.parquet(args.input)
     t0 = time.monotonic()
     report = build_index(
@@ -188,15 +224,12 @@ def cmd_ingest(args) -> dict:
     """NDJSON ingest (the FileSource path, quickwit-cli `index ingest`
     analog): parse one-JSON-object-per-line into transcript rows, then run
     the same resumable build as `build`."""
-    from quickwit_spark.config import transcripts_config
     from quickwit_spark.index.builder import build_index
     from quickwit_spark.sources import read_ndjson
 
     spark = _get_spark("qw-ingest", args.local_cpus, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = transcripts_config(
-        split_num_docs_target=args.split_docs, segment_num_docs_target=args.segment_docs
-    )
+    cfg = _resolve_config(args)
     df = read_ndjson(spark, args.input)
     report = build_index(spark, df, cfg, args.index_dir, build_id=args.build_id)
     return {
@@ -302,10 +335,18 @@ def main(argv=None):
     p.add_argument("--shuffle-partitions", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    cr = sub.add_parser("create")
+    cr.add_argument("--index-dir", required=True)
+    cr.add_argument("--config", default=None, help="index-config JSON/YAML file")
+    cr.add_argument("--split-docs", type=int, default=50_000)
+    cr.add_argument("--segment-docs", type=int, default=8_000)
+    cr.set_defaults(fn=cmd_create)
+
     b = sub.add_parser("build")
     b.add_argument("--input", required=True)
     b.add_argument("--index-dir", required=True)
     b.add_argument("--build-id", default="b0")
+    b.add_argument("--config", default=None, help="index-config JSON/YAML file")
     b.add_argument("--n-splits", type=int, default=None)
     b.add_argument("--wave-size", type=int, default=None)
     b.add_argument("--split-docs", type=int, default=50_000)
@@ -346,6 +387,7 @@ def main(argv=None):
     ing.add_argument("--input", required=True, help="NDJSON file or dir")
     ing.add_argument("--index-dir", required=True)
     ing.add_argument("--build-id", default="ingest0")
+    ing.add_argument("--config", default=None, help="index-config JSON/YAML file")
     ing.add_argument("--split-docs", type=int, default=50_000)
     ing.add_argument("--segment-docs", type=int, default=8_000)
     ing.set_defaults(fn=cmd_ingest)

@@ -130,6 +130,7 @@ class IndexConfig:
             "segment_num_docs_target": self.segment_num_docs_target,
             "merge_factor": self.merge_factor,
             "max_merge_factor": self.max_merge_factor,
+            "max_values_per_tag_field": self.max_values_per_tag_field,
             "term_merge_buckets": self.term_merge_buckets,
             "store_source": self.store_source,
             "sort_by_field": self.sort_by_field,
@@ -148,11 +149,30 @@ class IndexConfig:
             segment_num_docs_target=d.get("segment_num_docs_target", 1_000),
             merge_factor=d.get("merge_factor", 3),
             max_merge_factor=d.get("max_merge_factor", 4),
+            max_values_per_tag_field=d.get("max_values_per_tag_field", 1_000),
             term_merge_buckets=d.get("term_merge_buckets", 32),
             store_source=d.get("store_source", False),
             sort_by_field=d.get("sort_by_field"),
             sort_by_order=d.get("sort_by_order", "desc"),
         )
+
+
+def load_config(path: str) -> IndexConfig:
+    """Load an index config file — the index-config-uri of the reference CLI
+    (`quickwit index create --index-config-uri`, docs/reference/index-config.md).
+    JSON always; YAML when PyYAML is importable.  The file format is exactly
+    ``IndexConfig.to_dict()`` (what catalog.json embeds)."""
+    import json
+
+    with open(path) as f:
+        raw = f.read()
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise ValueError("YAML config requires PyYAML; use JSON instead") from e
+        return IndexConfig.from_dict(yaml.safe_load(raw))
+    return IndexConfig.from_dict(json.loads(raw))
 
 
 def transcripts_config(**overrides) -> IndexConfig:

@@ -903,6 +903,17 @@ def build_index(
     (quickwit-indexing/failpoints/mod.rs:20-49).
     """
     cat = Catalog.create(index_dir, config.to_dict())
+    # the doc-mapper config is FIXED at index-create time (reference:
+    # "indexes with a fixed schema", docs/design/indexing.md:14) — a build
+    # with a different config would silently mismatch what queries read
+    # from the catalog
+    stored = IndexConfig.from_dict(cat.config_dict).to_dict()
+    if stored != config.to_dict():
+        raise ValueError(
+            f"index at {index_dir} was created with a different config; "
+            "pass the stored config (IndexConfig.from_dict(cat.config_dict)) "
+            "or build into a fresh index dir"
+        )
     paths = _paths(index_dir)
     tm = _Timer()
 

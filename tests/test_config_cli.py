@@ -1,0 +1,69 @@
+"""Index-config surface: file loading, catalog round-trip, fixed-at-create
+semantics (reference: fixed schema, docs/design/indexing.md:14; CLI
+`index create --index-config-uri`)."""
+
+import argparse
+import json
+import os
+
+import pytest
+
+from quickwit_spark.cli import cmd_create
+from quickwit_spark.config import IndexConfig, load_config, transcripts_config
+from quickwit_spark.fixtures.transcripts import generate_transcripts
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.index.catalog import Catalog
+
+
+def test_config_roundtrips_every_field():
+    cfg = transcripts_config(
+        split_num_docs_target=123,
+        segment_num_docs_target=45,
+        merge_factor=5,
+        max_merge_factor=7,
+        max_values_per_tag_field=17,
+        term_merge_buckets=8,
+        store_source=True,
+        sort_by_field="ts",
+        sort_by_order="asc",
+    )
+    assert IndexConfig.from_dict(cfg.to_dict()) == cfg
+
+
+def test_load_config_json(tmp_path):
+    cfg = transcripts_config(max_values_per_tag_field=9)
+    p = tmp_path / "index-config.json"
+    p.write_text(json.dumps(cfg.to_dict()))
+    assert load_config(str(p)) == cfg
+
+
+def test_cli_create_then_build_uses_stored_config(spark, tmp_path):
+    cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
+    conf_file = tmp_path / "conf.json"
+    conf_file.write_text(json.dumps(cfg.to_dict()))
+    idx = str(tmp_path / "idx")
+
+    out = cmd_create(
+        argparse.Namespace(index_dir=idx, config=str(conf_file), split_docs=1, segment_docs=1)
+    )
+    assert out["index_id"] == "transcripts"
+    assert os.path.exists(os.path.join(idx, "catalog.json"))
+    # second create refuses
+    out2 = cmd_create(
+        argparse.Namespace(index_dir=idx, config=str(conf_file), split_docs=1, segment_docs=1)
+    )
+    assert "error" in out2
+
+    # building with the stored config works; a different config is rejected
+    pdf = generate_transcripts(n_conversations=10, seed=3)
+    stored = IndexConfig.from_dict(Catalog(idx).config_dict)
+    report = build_index(spark, spark.createDataFrame(pdf), stored, idx)
+    assert report.total_docs == len(pdf)
+    with pytest.raises(ValueError, match="different config"):
+        build_index(
+            spark,
+            spark.createDataFrame(pdf),
+            transcripts_config(split_num_docs_target=999),
+            idx,
+            build_id="b2",
+        )
