@@ -138,3 +138,43 @@ def test_catalog_json_roundtrips(tmp_index_dir):
     with open(cat.path) as f:
         state = json.load(f)
     assert state["termstats"] == {"deltas": [], "complete": True}
+
+
+class _Boom(Exception):
+    pass
+
+
+def test_lifecycle_df_consistency(spark, corpus, tmp_index_dir):
+    """Global df stays exact through the whole lifecycle: multi-wave build
+    killed between waves (orphan delta + partial publish), resume, second
+    build, merge+GC — the double-count traps of an LSM with crash-retry."""
+
+    def check():
+        cat = Catalog(tmp_index_dir)
+        got = _gstats_df(spark, tmp_index_dir, TERMS)
+        assert got == _df_from_postings(tmp_index_dir, cat, TERMS)
+        assert cat.termstats_files() is not None
+
+    cfg = transcripts_config(split_num_docs_target=150, segment_num_docs_target=64)
+    df = spark.createDataFrame(corpus)
+
+    def failpoint(wave_idx):
+        if wave_idx == 1:
+            raise _Boom()
+
+    with pytest.raises(_Boom):
+        build_index(spark, df, cfg, tmp_index_dir, wave_size=1, failpoint=failpoint)
+    check()  # partial publish: deltas cover exactly the published waves
+
+    build_index(spark, df, cfg, tmp_index_dir, wave_size=1)  # resume
+    check()
+
+    more = generate_transcripts(n_conversations=15, seed=77)
+    more["conv_id"] = more["conv_id"] + "-x"
+    build_index(spark, spark.createDataFrame(more), cfg, tmp_index_dir, build_id="b1")
+    check()
+
+    run_merge_pipeline(spark, tmp_index_dir)
+    garbage_collect(tmp_index_dir)
+    check()
+    assert len(Catalog(tmp_index_dir).termstats_files()) == 1  # compacted
