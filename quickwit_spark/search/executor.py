@@ -256,7 +256,15 @@ def global_term_stats(
                 cond = c if cond is None else (cond | c)
             if buckets:
                 cond = pads.field("bucket").isin(buckets) & cond
-            tbl = pads.dataset(files, format="parquet").to_table(
+            # dataset handle cached per file set (footer parse once; delta
+            # files are immutable — compaction changes the file LIST, which
+            # changes the key)
+            dkey = ("gstats-dset", tuple(files))
+            dset = _GSTATS_CACHE.get(dkey)
+            if dset is None:
+                dset = pads.dataset(files, format="parquet")
+                _GSTATS_CACHE[dkey] = dset
+            tbl = dset.to_table(
                 columns=["field", "term", "doc_freq"], filter=cond
             )
             pdf = tbl.to_pandas()
