@@ -104,6 +104,15 @@ class SearchResponse:
     elapsed_time_micros: int
 
 
+class SplitVanishedError(RuntimeError):
+    """A split planned for this query disappeared before its leaf read —
+    a concurrent merge replace + GC raced the query.  The reference FAILS a
+    query on any failed split rather than silently dropping its hits
+    (root.rs:179-188); the root here re-plans once against the fresh
+    catalog (the retry-on-other-node analog, retry/search.rs) and
+    propagates if the retry fails too."""
+
+
 def open_index(spark: SparkSession, index_dir: str) -> tuple[Catalog, IndexConfig]:
     cat = Catalog(index_dir)
     if cat.config_dict is None:
@@ -933,7 +942,8 @@ def _leaf_hit_rows(
         _limit_arrow_threads()
         for sid in it:
             ff_pdf = _cached_fastfields(index_dir, sid)
-            if ff_pdf is None:
+            if ff_pdf is None:  # GC raced us — root re-plans (see below)
+                yield {"split_id": sid, "__vanished__": True}
                 continue
             postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
             out = scorer((sid,), postings_pdf, ff_pdf)
@@ -950,10 +960,15 @@ def _leaf_hit_rows(
     if len(sids) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8")) and est * len(
         sids
     ) <= float(os.environ.get("QW_DRIVER_LEAF_MAX_ROWS", "50000")):
-        return list(run(sids))
-    sc = spark.sparkContext
-    bins = _leaf_bins(splits, sc.defaultParallelism, est)
-    return sc.parallelize(bins, len(bins)).flatMap(run).collect()
+        rows = list(run(sids))
+    else:
+        sc = spark.sparkContext
+        bins = _leaf_bins(splits, sc.defaultParallelism, est)
+        rows = sc.parallelize(bins, len(bins)).flatMap(run).collect()
+    gone = [r["split_id"] for r in rows if r.get("__vanished__")]
+    if gone:
+        raise SplitVanishedError(f"splits vanished during query: {sorted(gone)}")
+    return rows
 
 
 def _est_split_rows(asts, gstats, n_splits: int) -> float:
@@ -1017,7 +1032,10 @@ def _leaf_bins(
 
 
 def multi_search(
-    spark: SparkSession, index_dir: str, requests: list[SearchRequest]
+    spark: SparkSession,
+    index_dir: str,
+    requests: list[SearchRequest],
+    _retry: bool = False,
 ) -> list[SearchResponse]:
     """Batched root search: Q queries in ONE leaf job.
 
@@ -1060,7 +1078,8 @@ def multi_search(
         _limit_arrow_threads()
         for sid in it:
             ff_pdf = _cached_fastfields(index_dir, sid)
-            if ff_pdf is None:
+            if ff_pdf is None:  # GC raced us — root re-plans (SplitVanishedError)
+                yield {"split_id": sid, "__vanished__": True}
                 continue
             postings_pdf = _read_split_postings(index_dir, sid, terms_sorted, buckets)
             for qi, scorer in enumerate(scorers):
@@ -1083,6 +1102,13 @@ def multi_search(
         sc = spark.sparkContext
         bins = _leaf_bins(list(all_sids.values()), sc.defaultParallelism, est)
         rows = sc.parallelize(bins, len(bins)).flatMap(run).collect()
+    if any(r.get("__vanished__") for r in rows):
+        # concurrent merge+GC replaced splits mid-batch: re-plan the whole
+        # batch once against the fresh catalog (retry/search.rs analog)
+        gone = sorted({r["split_id"] for r in rows if r.get("__vanished__")})
+        if _retry:
+            raise SplitVanishedError(f"splits vanished during query: {gone}")
+        return multi_search(spark, index_dir, requests, _retry=True)
 
     def py(v):
         return v.item() if hasattr(v, "item") else v
@@ -1126,7 +1152,10 @@ def _make_leaf_runner(scorer, index_dir: str, terms: list[tuple[str, str]], buck
             for sid in pdf["split_id"]:
                 ff_pdf = _cached_fastfields(index_dir, sid)
                 if ff_pdf is None:
-                    continue
+                    # no silent data loss on a GC race: fail the export job
+                    # (the reference fails queries on failed splits,
+                    # root.rs:179-188); the caller can rerun it
+                    raise SplitVanishedError(f"split vanished during export: {sid}")
                 postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
                 out = scorer((sid,), postings_pdf, ff_pdf)
                 if len(out):
@@ -1203,7 +1232,12 @@ def _search_rows(
     then just sorts <= splits*(offset+k) fully-materialized rows and pages."""
     _, config = open_index(spark, index_dir)
     request = resolve_sort(request, config)
-    hit_rows = _leaf_hit_rows(spark, index_dir, request)
+    try:
+        hit_rows = _leaf_hit_rows(spark, index_dir, request)
+    except SplitVanishedError:
+        # concurrent merge+GC replaced splits mid-query: re-plan once
+        # against the fresh catalog (retry/search.rs analog)
+        hit_rows = _leaf_hit_rows(spark, index_dir, request)
     per_split_hits: dict[str, int] = {}
     for r in hit_rows:
         per_split_hits[r["split_id"]] = int(r["split_num_hits"])

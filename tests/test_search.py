@@ -250,3 +250,25 @@ def test_search_df_schema(spark, built):
     rows = df.collect()
     assert len(rows) <= 3
     assert {"conv_id", "turn_idx", "score", "text"} <= set(df.columns)
+
+
+def test_vanished_split_fails_loudly(spark, tmp_index_dir):
+    """A split that disappears between planning and the leaf read must FAIL
+    the query (reference root.rs:179-188), never silently drop its hits.
+    The root retries once against the fresh catalog; with the catalog still
+    listing the dead split, the retry fails too and the error propagates."""
+    import shutil
+
+    from quickwit_spark.search.executor import SplitVanishedError, multi_search
+
+    pdf = generate_transcripts(n_conversations=20, seed=21)
+    build_index(spark, spark.createDataFrame(pdf), CFG, tmp_index_dir)
+    from quickwit_spark.index.catalog import Catalog
+
+    victim = Catalog(tmp_index_dir).splits()[0].split_id
+    shutil.rmtree(f"{tmp_index_dir}/fastfields/split_id={victim}")
+
+    with pytest.raises(SplitVanishedError, match=victim):
+        search(spark, tmp_index_dir, SearchRequest("the"))
+    with pytest.raises(SplitVanishedError, match=victim):
+        multi_search(spark, tmp_index_dir, [SearchRequest("the"), SearchRequest("a")])
