@@ -113,11 +113,33 @@ class SplitVanishedError(RuntimeError):
     propagates if the retry fails too."""
 
 
+_CATALOG_CACHE: dict = {}
+
+
 def open_index(spark: SparkSession, index_dir: str) -> tuple[Catalog, IndexConfig]:
-    cat = Catalog(index_dir)
-    if cat.config_dict is None:
+    """Catalog + config, cached per catalog-file state: at 10^4 splits the
+    catalog JSON is megabytes, and re-parsing it (plus re-validating the
+    config) on EVERY query would eat ~tens of ms of driver time.  The
+    (mtime, size) key makes publish/merge/GC invalidate naturally — the
+    same trick as the scan/gstats caches."""
+    path = os.path.join(index_dir, "catalog.json")
+    try:
+        state = (os.path.getmtime(path), os.path.getsize(path))
+    except OSError:
         raise FileNotFoundError(f"no index at {index_dir} (missing catalog.json)")
-    return cat, IndexConfig.from_dict(cat.config_dict)
+    key = (index_dir, state)
+    hit = _CATALOG_CACHE.get(key)
+    if hit is None:
+        cat = Catalog(index_dir)
+        if cat.config_dict is None:
+            raise FileNotFoundError(f"no index at {index_dir} (missing catalog.json)")
+        hit = (cat, IndexConfig.from_dict(cat.config_dict))
+        for k in [k for k in _CATALOG_CACHE if k[0] == index_dir]:
+            _CATALOG_CACHE.pop(k)  # drop older states of this index
+        _CATALOG_CACHE[key] = hit
+        while len(_CATALOG_CACHE) > 256:
+            _CATALOG_CACHE.pop(next(iter(_CATALOG_CACHE)))
+    return hit
 
 
 def resolve_sort(request: SearchRequest, config: IndexConfig) -> SearchRequest:
