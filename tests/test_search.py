@@ -272,3 +272,32 @@ def test_vanished_split_fails_loudly(spark, tmp_index_dir):
         search(spark, tmp_index_dir, SearchRequest("the"))
     with pytest.raises(SplitVanishedError, match=victim):
         multi_search(spark, tmp_index_dir, [SearchRequest("the"), SearchRequest("a")])
+
+
+def test_leaf_bins_partition_exactly():
+    """_leaf_bins is an exact partition of the split list (no loss, no dup),
+    respects the core cap, and LPT-balances by doc count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from quickwit_spark.index.catalog import SplitMetadata
+    from quickwit_spark.search.executor import _leaf_bins
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        docs=st.lists(st.integers(min_value=0, max_value=10_000_000), min_size=1, max_size=200),
+        cores=st.integers(min_value=1, max_value=64),
+        est=st.floats(min_value=0, max_value=1e7),
+    )
+    def check(docs, cores, est):
+        splits = [SplitMetadata(split_id=f"s{i:04d}", num_docs=d) for i, d in enumerate(docs)]
+        bins = _leaf_bins(splits, cores, est)
+        flat = [sid for b in bins for sid in b]
+        assert sorted(flat) == sorted(s.split_id for s in splits)
+        assert 1 <= len(bins) <= min(cores, len(splits))
+        # LPT guarantee: max bin load <= average + one largest item
+        w = {s.split_id: max(s.num_docs, 1) for s in splits}
+        loads = [sum(w[sid] for sid in b) for b in bins]
+        assert max(loads) <= sum(loads) / len(bins) + max(w.values())
+
+    check()
