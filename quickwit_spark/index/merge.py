@@ -29,6 +29,7 @@ import os
 import shutil
 import uuid
 from dataclasses import dataclass
+from typing import Callable
 
 import numpy as np
 import pandas as pd
@@ -158,6 +159,7 @@ def execute_merge_round(
     index_dir: str,
     ops: list[MergeOperation],
     cat: Catalog | None = None,
+    failpoint: Callable[[str], None] | None = None,
 ) -> list[SplitMetadata]:
     """MergeExecutor::process_merge analog, vectorized over a whole planner
     round: ops touch disjoint splits, so ALL of them run as ONE Spark job
@@ -242,6 +244,8 @@ def execute_merge_round(
     )
 
     # --- metadata + atomic replaces ------------------------------------------
+    if failpoint is not None:  # 'before-merge-publish' injection point
+        failpoint("before-publish")  # (merge_executor.rs:287,294 analog)
     produced = []
     for op in ops:
         inputs = inputs_of[op.output_split_id]

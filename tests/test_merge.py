@@ -149,3 +149,57 @@ def test_gc(spark, merged_index):
     # search still works post-GC
     resp = search(spark, index_dir, SearchRequest("error"))
     assert resp.num_hits >= 0
+
+
+class _MergeBoom(Exception):
+    pass
+
+
+def test_merge_crash_before_publish_is_invisible_and_retryable(spark, tmp_index_dir):
+    """A merge that dies after writing its output dirs but BEFORE the
+    replace transaction leaves readers on the old splits (staged data is
+    invisible — the reference's stage/publish split lifecycle) and a re-run
+    completes the op cleanly (failpoints analog, merge_executor.rs:287,294)."""
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    pdf = generate_transcripts(n_conversations=50, seed=13)
+    cfg = transcripts_config(
+        split_num_docs_target=5000,  # every small split immature → mergeable
+        segment_num_docs_target=64,
+        merge_factor=3,
+        max_merge_factor=4,
+    )
+    build_index(spark, spark.createDataFrame(pdf), cfg, tmp_index_dir, n_splits=6)
+    cat = Catalog(tmp_index_dir)
+    before_ids = {s.split_id for s in cat.splits([PUBLISHED])}
+    r_before = search(spark, tmp_index_dir, SearchRequest("the"))
+
+    ops = build_merge_operations(cat.splits([PUBLISHED]), cfg)
+    assert ops
+
+    def boom(site):
+        raise _MergeBoom(site)
+
+    from quickwit_spark.index.merge import execute_merge_round
+
+    with pytest.raises(_MergeBoom):
+        execute_merge_round(spark, tmp_index_dir, ops, failpoint=boom)
+
+    # catalog unchanged; queries see exactly the old splits and old results
+    cat = Catalog(tmp_index_dir)
+    assert {s.split_id for s in cat.splits([PUBLISHED])} == before_ids
+    r_mid = search(spark, tmp_index_dir, SearchRequest("the"))
+    assert (r_mid.num_hits, [h["doc_id"] for h in r_mid.hits]) == (
+        r_before.num_hits,
+        [h["doc_id"] for h in r_before.hits],
+    )
+
+    # retry completes; results identical on the merged layout
+    run_merge_pipeline(spark, tmp_index_dir)
+    garbage_collect(tmp_index_dir)
+    cat = Catalog(tmp_index_dir)
+    assert {s.split_id for s in cat.splits([PUBLISHED])} != before_ids
+    r_after = search(spark, tmp_index_dir, SearchRequest("the"))
+    assert r_after.num_hits == r_before.num_hits
+    assert [h["conv_id"] for h in r_after.hits] == [h["conv_id"] for h in r_before.hits]
