@@ -283,6 +283,91 @@ def cmd_describe(args) -> dict:
     return out
 
 
+def cmd_split_list(args) -> dict:
+    """`quickwit split list` analog (quickwit-cli/src/split.rs:212,295-360):
+    catalog rows filtered by states, [start,end) time-range overlap, and
+    required tags (a split qualifies if it carries every requested tag)."""
+    from quickwit_spark.index.catalog import (
+        MARKED_FOR_DELETION,
+        PUBLISHED,
+        STAGED,
+        Catalog,
+    )
+
+    states = args.states or [STAGED, PUBLISHED, MARKED_FOR_DELETION]
+    cat = Catalog(args.index_dir)
+    rows = []
+    for s in cat.splits(states=states):
+        if args.start_timestamp is not None and (s.ts_max is None or s.ts_max < args.start_timestamp):
+            continue
+        if args.end_timestamp is not None and (s.ts_min is None or s.ts_min >= args.end_timestamp):
+            continue
+        if args.tags and any(t not in set(s.tags) for t in args.tags):
+            continue
+        rows.append(
+            {
+                "split_id": s.split_id,
+                "state": s.state,
+                "num_docs": s.num_docs,
+                "ts_range": [s.ts_min, s.ts_max],
+                "num_merge_ops": s.num_merge_ops,
+                "tags": s.tags,
+            }
+        )
+    return {"cmd": "split-list", "index_dir": args.index_dir, "splits": rows}
+
+
+def _split_table_sizes(index_dir: str, split_id: str) -> dict:
+    import os
+
+    from quickwit_spark.index.builder import _paths
+
+    sizes = {}
+    for table, base in _paths(index_dir).items():
+        d = os.path.join(base, f"split_id={split_id}")
+        if os.path.isdir(d):
+            sizes[table] = sum(
+                os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+            )
+    return sizes
+
+
+def cmd_split_describe(args) -> dict:
+    """`quickwit split describe` analog (split.rs:236-264): one split's
+    metadata + per-table file sizes (the original_size/footprint stats)."""
+    from quickwit_spark.index.catalog import Catalog
+
+    cat = Catalog(args.index_dir)
+    meta = cat._state["splits"].get(args.split)
+    if meta is None:
+        return {"cmd": "split-describe", "error": f"no split {args.split!r}"}
+    return {
+        "cmd": "split-describe",
+        "split": meta,
+        "file_sizes": _split_table_sizes(args.index_dir, args.split),
+    }
+
+
+def cmd_split_extract(args) -> dict:
+    """`quickwit split extract` analog (split.rs:266-293): copy one split's
+    table files out of the index into a target dir."""
+    import os
+    import shutil
+
+    from quickwit_spark.index.builder import _paths
+
+    copied = []
+    for table, base in _paths(args.index_dir).items():
+        d = os.path.join(base, f"split_id={args.split}")
+        if os.path.isdir(d):
+            dst = os.path.join(args.target_dir, table)
+            shutil.copytree(d, dst, dirs_exist_ok=True)
+            copied.append(table)
+    if not copied:
+        return {"cmd": "split-extract", "error": f"no data for split {args.split!r}"}
+    return {"cmd": "split-extract", "split": args.split, "target_dir": args.target_dir, "tables": copied}
+
+
 def cmd_gc(args) -> dict:
     """Standalone garbage collection (quickwit-cli `index gc` analog):
     delete MarkedForDeletion split data + drop catalog rows."""
@@ -396,6 +481,25 @@ def main(argv=None):
     de.add_argument("--index-dir", required=True)
     de.add_argument("--splits", action="store_true", help="include per-split rows")
     de.set_defaults(fn=cmd_describe)
+
+    sl = sub.add_parser("split-list")
+    sl.add_argument("--index-dir", required=True)
+    sl.add_argument("--states", nargs="*", default=None)
+    sl.add_argument("--start-timestamp", type=int, default=None)
+    sl.add_argument("--end-timestamp", type=int, default=None)
+    sl.add_argument("--tags", nargs="*", default=None)
+    sl.set_defaults(fn=cmd_split_list)
+
+    sd = sub.add_parser("split-describe")
+    sd.add_argument("--index-dir", required=True)
+    sd.add_argument("--split", required=True)
+    sd.set_defaults(fn=cmd_split_describe)
+
+    se = sub.add_parser("split-extract")
+    se.add_argument("--index-dir", required=True)
+    se.add_argument("--split", required=True)
+    se.add_argument("--target-dir", required=True)
+    se.set_defaults(fn=cmd_split_extract)
 
     g = sub.add_parser("gc")
     g.add_argument("--index-dir", required=True)

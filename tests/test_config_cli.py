@@ -67,3 +67,34 @@ def test_cli_create_then_build_uses_stored_config(spark, tmp_path):
             idx,
             build_id="b2",
         )
+
+
+def test_split_subcommands(spark, tmp_path):
+    """split-list filters (states/time/tags), split-describe stats,
+    split-extract copies the split's table files (split.rs analog)."""
+    from quickwit_spark.cli import cmd_split_describe, cmd_split_extract, cmd_split_list
+
+    idx = str(tmp_path / "idx")
+    pdf = generate_transcripts(n_conversations=12, seed=9)
+    cfg = transcripts_config(split_num_docs_target=120, segment_num_docs_target=64)
+    build_index(spark, spark.createDataFrame(pdf), cfg, idx)
+    cat = Catalog(idx)
+    sids = [s.split_id for s in cat.splits()]
+
+    ns = lambda **kw: argparse.Namespace(**kw)  # noqa: E731
+    out = cmd_split_list(ns(index_dir=idx, states=None, start_timestamp=None, end_timestamp=None, tags=None))
+    assert {r["split_id"] for r in out["splits"]} == set(sids)
+    # a never-seen tag filters everything out; a real tag keeps all
+    assert cmd_split_list(ns(index_dir=idx, states=None, start_timestamp=None, end_timestamp=None, tags=["role:nope"]))["splits"] == []
+    # a start after every ts_max filters everything out
+    hi = max(s.ts_max for s in cat.splits()) + 1
+    assert cmd_split_list(ns(index_dir=idx, states=None, start_timestamp=hi, end_timestamp=None, tags=None))["splits"] == []
+
+    d = cmd_split_describe(ns(index_dir=idx, split=sids[0]))
+    assert d["split"]["num_docs"] > 0 and d["file_sizes"]["postings"] > 0
+    assert "error" in cmd_split_describe(ns(index_dir=idx, split="nope"))
+
+    tgt = str(tmp_path / "extracted")
+    out = cmd_split_extract(ns(index_dir=idx, split=sids[0], target_dir=tgt))
+    assert set(out["tables"]) >= {"docs", "postings", "fastfields"}
+    assert os.path.exists(os.path.join(tgt, "postings"))
