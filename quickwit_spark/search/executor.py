@@ -193,13 +193,12 @@ _SCAN_DF_CACHE: dict = {}
 def _table_scan(spark: SparkSession, index_dir: str, table: str):
     """Cached parquet scan per (index_dir, table, catalog state) — the
     split-footer-cache analog (leaf.rs:47-55): ``spark.read.parquet`` lists
-    every split dir and reads footers eagerly (~1s on a few hundred splits),
-    which would otherwise be paid on EVERY query.  The fastfields table is
-    additionally block-manager cached (the fast-field cache analog,
-    docs/design/querying.md:42-43): every scoring query reads it whole (doc
-    lengths for BM25), it is ~1% of index size, and executor-local caching
-    shaves ~25% off query p50.  Invalidated whenever the catalog file
-    changes (publish/merge/GC add or drop split dirs)."""
+    every split dir and reads footers eagerly (~1s on a few hundred
+    splits), which would otherwise be paid on every use.  Only data-scale
+    DataFrame paths use this (export_stream's partition-by join); the leaf
+    search reads split files directly with worker-side pyarrow.
+    Invalidated whenever the catalog file changes (publish/merge/GC add or
+    drop split dirs)."""
     cat_path = os.path.join(index_dir, "catalog.json")
     try:
         state = (os.path.getmtime(cat_path), os.path.getsize(cat_path))
@@ -207,26 +206,12 @@ def _table_scan(spark: SparkSession, index_dir: str, table: str):
         state = None
     key = (index_dir, table, state)
     if key not in _SCAN_DF_CACHE:
-        # drop (and unpersist) any scan of the same table at an older state
         for k in [k for k in _SCAN_DF_CACHE if k[:2] == (index_dir, table)]:
-            try:
-                _SCAN_DF_CACHE.pop(k).unpersist()
-            except Exception:
-                pass
-        df = spark.read.parquet(f"{index_dir}/{table}")
-        if table == "fastfields":
-            df = df.persist()
-        _SCAN_DF_CACHE[key] = df
+            _SCAN_DF_CACHE.pop(k)  # drop scans of older catalog states
+        _SCAN_DF_CACHE[key] = spark.read.parquet(f"{index_dir}/{table}")
         if len(_SCAN_DF_CACHE) > 256:
             _SCAN_DF_CACHE.pop(next(iter(_SCAN_DF_CACHE)))
     return _SCAN_DF_CACHE[key]
-
-
-def _postings_scan(spark: SparkSession, index_dir: str, buckets: list[int]):
-    scan = _table_scan(spark, index_dir, "postings")
-    if buckets and "bucket" in scan.columns:
-        scan = scan.filter(F.col("bucket").isin(buckets))
-    return scan
 
 
 def global_term_stats(
