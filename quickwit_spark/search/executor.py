@@ -1,38 +1,42 @@
 """Distributed search path — the Spark-native analog of the reference's
 root/leaf search (quickwit-search/src/root.rs, leaf.rs, collector.rs).
 
-Plan shape (mirrors SURVEY.md §3.1, re-expressed for Catalyst):
+Plan shape (mirrors SURVEY.md §3.1; as built):
 
-1. **Plan / prune** (list_relevant_splits analog, lib.rs:129-149): the split
-   catalog is filtered driver-side by state=Published, time-range overlap
-   and the tag predicate extracted from the query AST
-   (tag_pruning.rs:47-51).  Only surviving split dirs are ever read —
-   parquet partition pruning on ``split_id`` does the rest.
+1. **Plan / prune** (list_relevant_splits analog, lib.rs:129-149): the
+   split catalog (cached per file state) is filtered driver-side by
+   state=Published, time-range overlap and the tag predicate extracted
+   from the query AST (tag_pruning.rs:47-51).  Global BM25 stats come
+   from the catalog (N, avg_len) and the term-stats LSM (doc_freq —
+   O(publish batches), not O(splits)).  No Spark job is launched.
 
-2. **Warmup analog** (leaf.rs:125-193): the postings scan is filtered to
-   exactly the query's (field, term) pairs; with postings files sorted by
-   (field, term), Parquet row-group stats skip everything else.  Spark's
-   column pruning reads only the needed blob columns.
+2. **Leaf search** (leaf.rs:237-285 / collector.rs): ONE plain-RDD
+   ``sc.parallelize(bins).flatMap`` job over LPT-balanced split bins (see
+   ``_leaf_bins``; the SearchJob list of root.rs:280-284).  Each task
+   opens its splits with worker-cached pyarrow handles, reads exactly the
+   query terms' posting rows (bucket + row-group pruned — the warmup
+   analog, leaf.rs:125-193) and the split's fast-field blobs, then runs
+   the vectorized numpy scorer: boolean set ops on decoded doc arrays
+   (AND = sorted intersect with block skips, OR = union, NOT = setdiff),
+   phrase verification via positions, per-doc timestamp filtering with
+   whole-segment skips (filters.rs:64-66 analog), BM25 with *global*
+   collection stats, block-max WAND for single-term queries, and
+   per-split top-(offset+k) selection — the offset rewrite of
+   root.rs:286-301.  Leaves return bare (split_id, doc_id, score) hits;
+   a split that vanished mid-query fails the query (root.rs:179-188)
+   after one re-plan retry.
 
-3. **Leaf search** (leaf.rs:237-285 / collector.rs): a cogrouped
-   ``applyInPandas`` over ``split_id`` joins the term postings with the
-   split's fast-field blobs and runs the vectorized scorer: boolean set ops
-   on decoded doc arrays (AND = sorted intersect with block skips, OR =
-   union, NOT = setdiff), phrase verification via positions, per-doc
-   timestamp filtering with whole-segment skips (filters.rs:64-66 analog),
-   BM25 scoring with *global* collection stats, block-max WAND pruning for
-   single-term queries, and per-split top-(offset+k) selection — the
-   offset-rewrite of root.rs:286-301.
+3. **Root merge** (merge_fruits analog, collector.rs:283-302): the driver
+   sorts <= splits*(offset+k) tiny rows with the reference tie-break and
+   pages.
 
-4. **Root merge** (merge_fruits analog, collector.rs:283-302): a global
-   ``orderBy(...).offset(offset).limit(k)`` over the tiny per-split top-k
-   union — Catalyst's TakeOrderedAndProject.
+4. **Fetch docs** (fetch_docs.rs analog): stored fields are read for ONLY
+   the final page via row-group-pruned pyarrow reads of the doc store.
 
-5. **Fetch docs** (fetch_docs.rs analog): broadcast-join the winners back
-   to the docs table (partition-pruned to the winning splits).
-
-At 100 TB the only data-sized work is step 3, which reads a few posting
-rows per split; everything the driver touches is O(splits + k).
+Data-scale work (stream export, every-matching-doc paths) stays on
+DataFrames/mapInPandas.  At 100 TB the only data-sized work is step 2,
+which reads a few posting rows per split; everything the driver touches
+is O(splits + k).
 """
 
 from __future__ import annotations
