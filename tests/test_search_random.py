@@ -6,6 +6,8 @@ composes them randomly (boolean nesting, phrases, field scoping, time
 bounds, offsets, fast-field sort) the way the reference's proptest suites
 stress merge/demux invariants (merge_executor.rs:1111-1151)."""
 
+import os
+
 import numpy as np
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -109,7 +111,7 @@ def _requests(draw):
 
 
 @settings(
-    max_examples=30,
+    max_examples=int(os.environ.get("QW_FUZZ_EXAMPLES", "30")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
