@@ -225,13 +225,29 @@ def cmd_ingest(args) -> dict:
     analog): parse one-JSON-object-per-line into transcript rows, then run
     the same resumable build as `build`."""
     from quickwit_spark.index.builder import build_index
-    from quickwit_spark.sources import read_ndjson
+    from quickwit_spark.index.catalog import Catalog
+    from quickwit_spark.sources import read_ndjson, read_transcripts_parquet
 
     spark = _get_spark("qw-ingest", args.local_cpus, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = _resolve_config(args)
-    df = read_ndjson(spark, args.input)
-    report = build_index(spark, df, cfg, args.index_dir, build_id=args.build_id)
+    input_path, fmt, build_id = args.input, "ndjson", args.build_id
+    if args.source:
+        # registered source: path/format from the catalog record; build ids
+        # prefixed by the source id so its checkpoints are source-scoped
+        src = Catalog(args.index_dir).sources().get(args.source)
+        if src is None:
+            return {"cmd": "ingest", "error": f"no source {args.source!r}"}
+        input_path = src["params"].get("path", input_path)
+        fmt = src["params"].get("format", src["source_type"])
+        build_id = f"{args.source}-{args.build_id}"
+    if input_path is None:
+        return {"cmd": "ingest", "error": "pass --input or --source"}
+    if fmt in ("parquet",):
+        df = read_transcripts_parquet(spark, input_path)
+    else:
+        df = read_ndjson(spark, input_path)
+    report = build_index(spark, df, cfg, args.index_dir, build_id=build_id)
     return {
         "cmd": "ingest",
         "index_dir": report.index_dir,
@@ -281,6 +297,40 @@ def cmd_describe(args) -> dict:
             for s in all_states
         ]
     return out
+
+
+def cmd_source(args) -> dict:
+    """Per-index source management (quickwit-cli/src/source.rs analog):
+    add/list/describe/delete source configs stored in the catalog.  An
+    ``ingest --source <id>`` run takes its input path/format from the
+    source record and prefixes build ids with the source id, so each
+    source owns its own checkpoint positions (deleted with the source)."""
+    import json as _json
+
+    from quickwit_spark.index.catalog import Catalog
+
+    cat = Catalog(args.index_dir)
+    if cat.config_dict is None:
+        return {"cmd": f"source-{args.action}", "error": f"no index at {args.index_dir}"}
+    if args.action == "add":
+        try:
+            cat.add_source(args.source_id, args.type, _json.loads(args.params or "{}"))
+        except ValueError as e:
+            return {"cmd": "source-add", "error": str(e)}
+        return {"cmd": "source-add", "source_id": args.source_id}
+    if args.action == "list":
+        return {"cmd": "source-list", "sources": cat.sources()}
+    if args.action == "describe":
+        src = cat.sources().get(args.source_id)
+        if src is None:
+            return {"cmd": "source-describe", "error": f"no source {args.source_id!r}"}
+        cp = {k: v for k, v in cat.checkpoint().items() if k.startswith(f"{args.source_id}-")}
+        return {"cmd": "source-describe", "source_id": args.source_id, **src, "checkpoint": cp}
+    try:
+        cat.delete_source(args.source_id)
+    except KeyError as e:
+        return {"cmd": "source-delete", "error": str(e.args[0])}
+    return {"cmd": "source-delete", "source_id": args.source_id}
 
 
 def cmd_split_list(args) -> dict:
@@ -469,7 +519,8 @@ def main(argv=None):
     d.set_defaults(fn=cmd_demux)
 
     ing = sub.add_parser("ingest")
-    ing.add_argument("--input", required=True, help="NDJSON file or dir")
+    ing.add_argument("--input", default=None, help="NDJSON file or dir")
+    ing.add_argument("--source", default=None, help="registered source id (see source-add)")
     ing.add_argument("--index-dir", required=True)
     ing.add_argument("--build-id", default="ingest0")
     ing.add_argument("--config", default=None, help="index-config JSON/YAML file")
@@ -481,6 +532,16 @@ def main(argv=None):
     de.add_argument("--index-dir", required=True)
     de.add_argument("--splits", action="store_true", help="include per-split rows")
     de.set_defaults(fn=cmd_describe)
+
+    for action in ("add", "list", "describe", "delete"):
+        sp = sub.add_parser(f"source-{action}")
+        sp.add_argument("--index-dir", required=True)
+        if action != "list":
+            sp.add_argument("--source-id", dest="source_id", required=True)
+        if action == "add":
+            sp.add_argument("--type", default="ndjson", help="ndjson | parquet | kafka")
+            sp.add_argument("--params", default="{}", help='JSON, e.g. {"path": "/data/in"}')
+        sp.set_defaults(fn=cmd_source, action=action)
 
     sl = sub.add_parser("split-list")
     sl.add_argument("--index-dir", required=True)

@@ -170,6 +170,30 @@ class Catalog:
     def checkpoint(self) -> dict[str, str]:
         return dict(self._state["checkpoint"])
 
+    # -- sources (per-index source configs, quickwit-cli/src/source.rs) ----
+    def sources(self) -> dict[str, dict]:
+        return dict(self._state.setdefault("sources", {}))
+
+    def add_source(self, source_id: str, source_type: str, params: dict) -> None:
+        srcs = self._state.setdefault("sources", {})
+        if source_id in srcs:
+            raise ValueError(f"source {source_id!r} already exists")
+        srcs[source_id] = {"source_type": source_type, "params": params}
+        self._save()
+
+    def delete_source(self, source_id: str) -> None:
+        """Remove the source and ITS checkpoint entries (the reference
+        deletes a source's checkpoint with it; ingest build ids are
+        prefixed '{source_id}-', so its positions are the prefixed keys)."""
+        srcs = self._state.setdefault("sources", {})
+        if source_id not in srcs:
+            raise KeyError(f"no source {source_id!r}")
+        del srcs[source_id]
+        cp = self._state["checkpoint"]
+        for k in [k for k in cp if k.startswith(f"{source_id}-")]:
+            del cp[k]
+        self._save()
+
     # -- term-stats LSM ----------------------------------------------------
     def termstats_files(self) -> list[str] | None:
         """Absolute paths of the committed term-stats delta files (each a

@@ -98,3 +98,40 @@ def test_split_subcommands(spark, tmp_path):
     out = cmd_split_extract(ns(index_dir=idx, split=sids[0], target_dir=tgt))
     assert set(out["tables"]) >= {"docs", "postings", "fastfields"}
     assert os.path.exists(os.path.join(tgt, "postings"))
+
+
+def test_source_management_and_source_scoped_ingest(spark, tmp_path):
+    """source add/list/describe/delete (source.rs analog); ingest --source
+    pulls path/format from the record, prefixes build ids with the source
+    id, and delete_source drops exactly that source's checkpoints."""
+    from quickwit_spark.cli import cmd_ingest, cmd_source
+    from quickwit_spark.fixtures.transcripts import write_transcripts_parquet
+
+    idx = str(tmp_path / "idx")
+    data = str(tmp_path / "in.parquet")
+    write_transcripts_parquet(data, n_conversations=6, seed=4)
+    cfg = transcripts_config(split_num_docs_target=500, segment_num_docs_target=64)
+    (tmp_path / "conf.json").write_text(json.dumps(cfg.to_dict()))
+    cmd_create(argparse.Namespace(index_dir=idx, config=str(tmp_path / "conf.json"), split_docs=1, segment_docs=1))
+
+    ns = argparse.Namespace
+    out = cmd_source(ns(index_dir=idx, action="add", source_id="s1", type="parquet",
+                        params=json.dumps({"path": data, "format": "parquet"})))
+    assert out == {"cmd": "source-add", "source_id": "s1"}
+    assert "error" in cmd_source(ns(index_dir=idx, action="add", source_id="s1", type="parquet", params="{}"))
+    assert "s1" in cmd_source(ns(index_dir=idx, action="list"))["sources"]
+
+    rep = cmd_ingest(ns(index_dir=idx, input=None, source="s1", build_id="b0",
+                        config=None, split_docs=1, segment_docs=1,
+                        local_cpus=None, shuffle_partitions=None))
+    assert rep["total_docs"] > 0
+
+    desc = cmd_source(ns(index_dir=idx, action="describe", source_id="s1"))
+    assert desc["source_type"] == "parquet" and desc["checkpoint"]  # positions recorded
+    assert all(k.startswith("s1-") for k in desc["checkpoint"])
+
+    cmd_source(ns(index_dir=idx, action="delete", source_id="s1"))
+    assert cmd_source(ns(index_dir=idx, action="list"))["sources"] == {}
+    assert not {k for k in Catalog(idx).checkpoint() if k.startswith("s1-")}
+    # the published splits themselves survive (delete source != delete data)
+    assert Catalog(idx).splits()
