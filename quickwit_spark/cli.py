@@ -232,7 +232,7 @@ def cmd_ingest(args) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     cfg = _resolve_config(args)
     input_path, fmt, build_id = args.input, "ndjson", args.build_id
-    if args.source:
+    if getattr(args, "source", None):
         # registered source: path/format from the catalog record; build ids
         # prefixed by the source id so its checkpoints are source-scoped
         src = Catalog(args.index_dir).sources().get(args.source)
