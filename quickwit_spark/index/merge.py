@@ -194,12 +194,23 @@ def execute_merge_round(
         dirs = [os.path.join(paths[table], f"split_id={sid}") for sid in in_sids]
         return spark.read.option("basePath", paths[table]).parquet(*dirs)
 
+    # Bounded row groups for the rewritten files: Spark's default writer
+    # makes ONE giant row group per split file, which silences the min/max
+    # stats the query path prunes with (bucket for postings, doc_id for the
+    # doc store) — a cold term read on a 10M-doc merged split would then
+    # decompress the whole postings file.  Access is point-lookup-shaped
+    # (a few terms / offset+k docs), so small groups win; the builder's
+    # equivalents are row_group_size=4096 (postings) / 8192 (docs).
+    _blk = int(os.environ.get("QW_MERGE_BLOCK_BYTES", str(512 << 10)))
+    _BLOCK_BYTES = {"postings": _blk, "docs": _blk, "fastfields": 4 << 20}
+
     def write_moved(df, table: str, sort_cols: list[str]):
         tmp = os.path.join(paths[table], f".merge-tmp-{uuid.uuid4().hex[:8]}")
         (
             df.repartition(n_out, "split_id")
             .sortWithinPartitions("split_id", *sort_cols)
             .write.partitionBy("split_id")
+            .option("parquet.block.size", str(_BLOCK_BYTES[table]))
             .mode("overwrite")
             .parquet(tmp)
         )

@@ -203,3 +203,28 @@ def test_merge_crash_before_publish_is_invisible_and_retryable(spark, tmp_index_
     r_after = search(spark, tmp_index_dir, SearchRequest("the"))
     assert r_after.num_hits == r_before.num_hits
     assert [h["conv_id"] for h in r_after.hits] == [h["conv_id"] for h in r_before.hits]
+
+
+def test_merged_files_keep_bounded_row_groups(spark, tmp_path_factory, monkeypatch):
+    """Merged postings/docs files must carry multiple row groups so bucket /
+    doc_id min-max pruning survives compaction (the builder writes 4096/8192
+    -row groups; Spark's default writer would emit one giant group)."""
+    import pyarrow.parquet as pq
+
+    from quickwit_spark.search import executor as ex
+
+    monkeypatch.setenv("QW_MERGE_BLOCK_BYTES", str(16 << 10))  # force tiny groups
+    pdf = generate_transcripts(n_conversations=50, seed=3)
+    idx = str(tmp_path_factory.mktemp("rg-idx"))
+    cfg = transcripts_config(
+        split_num_docs_target=5000, segment_num_docs_target=64,
+        merge_factor=3, max_merge_factor=4,
+    )
+    build_index(spark, spark.createDataFrame(pdf), cfg, idx, n_splits=6)
+    produced = run_merge_pipeline(spark, idx)
+    assert produced
+    sid = produced[-1].split_id
+    for table in ("postings", "docs"):
+        f = ex._split_files(idx, table, sid)[0]
+        md = pq.ParquetFile(f).metadata
+        assert md.num_row_groups > 1, (table, md.num_rows, md.num_row_groups)
