@@ -58,9 +58,29 @@ def _pack(vals: np.ndarray, width: int) -> bytes:
 
 
 def _unpack(buf: np.ndarray, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`_pack`: decode n uint32 values at the given width."""
+    """Inverse of :func:`_pack`: decode n uint32 values at the given width.
+
+    Fast path (width <= 25, i.e. every real posting/tf/position width):
+    gather each value's 4-byte window and shift its bit span out — ~5x less
+    memory traffic than the unpackbits→packbits route, which inflates every
+    value to ``width`` whole bytes and back."""
     if n == 0:
         return np.empty(0, np.uint32)
+    if width <= 25:
+        bit0 = np.arange(0, n * width, width, dtype=np.int64)
+        byte0 = bit0 >> 3
+        padded = np.empty(len(buf) + 4, np.uint8)
+        padded[: len(buf)] = buf
+        padded[len(buf) :] = 0
+        win = np.lib.stride_tricks.sliding_window_view(padded, 4)[byte0]
+        be = (
+            (win[:, 0].astype(np.uint32) << 24)
+            | (win[:, 1].astype(np.uint32) << 16)
+            | (win[:, 2].astype(np.uint32) << 8)
+            | win[:, 3].astype(np.uint32)
+        )
+        shift = (32 - width - (bit0 & 7)).astype(np.uint32)
+        return (be >> shift) & np.uint32((1 << width) - 1)
     nb, dt = _width_bytes(width)
     bits = np.unpackbits(buf)[: n * width].reshape(n, width)
     out = np.zeros((n, nb * 8), np.uint8)
