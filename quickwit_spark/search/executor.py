@@ -452,7 +452,9 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     order = sorted(range(len(keys)), key=lambda i: len(doclists[i][0]))
     cand = doclists[order[0]][0].astype(np.int64)
     for oi in order[1:]:
-        cand = cand[np.isin(cand, doclists[oi][0].astype(np.int64), assume_unique=True)]
+        # both sides sorted unique: one searchsorted membership beats
+        # isin's internal concat+sort (the dominant cost on hot terms)
+        cand = cand[_sorted_member(cand, doclists[oi][0].astype(np.int64))]
         if len(cand) == 0:
             return cand
     base: np.ndarray | None = None
@@ -466,7 +468,14 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         if base is None:
             base = keys_i
         else:
-            base = base[np.isin(base + np.uint64(i), keys_i)]
+            # keys_i ascends (docs ascend; positions ascend within a doc)
+            # and base+i ascends, so sorted membership applies here too;
+            # keys_i may repeat a value only across docs, never within, so
+            # the searchsorted probe stays exact
+            probe = base + np.uint64(i)
+            pos = np.searchsorted(keys_i, probe)
+            ok = np.minimum(pos, len(keys_i) - 1)
+            base = base[keys_i[ok] == probe]
         if len(base) == 0:
             return np.empty(0, np.int64)
     return np.unique((base >> np.uint64(32)).astype(np.int64))
