@@ -139,7 +139,7 @@ def bench_queries(spark, index_dir: str, repeats: int = 7) -> tuple[dict, dict]:
     return p50, p99
 
 
-def bench_merged(spark, index_dir: str, repeats: int = 5) -> dict:
+def bench_merged(spark, index_dir: str, repeats: int = 9) -> dict:
     """Post-merge lifecycle latency: consolidate the fresh layout through the
     merge policy (the production steady state — the reference merges toward
     its 10M-doc split target), then re-measure representative query p50s on
@@ -155,8 +155,12 @@ def bench_merged(spark, index_dir: str, repeats: int = 5) -> dict:
     merge_secs = round(time.monotonic() - t0, 3)
     n_splits = len(Catalog(index_dir).splits())
     subset = ["q1_single_term", "q3_hot_or", "q4_phrase"]
-    for name in subset:
-        search(spark, index_dir, SearchRequest(**BENCH_QUERIES[name]))
+    # warm twice: the first pass after a merge reads brand-new split dirs
+    # (cold page cache, cold worker handles), and on this host the merge
+    # job itself can leave a minutes-long slow-paging window behind
+    for _ in range(2):
+        for name in subset:
+            search(spark, index_dir, SearchRequest(**BENCH_QUERIES[name]))
     times: dict[str, list] = {name: [] for name in subset}
     for _ in range(repeats):
         for name in subset:
@@ -167,6 +171,9 @@ def bench_merged(spark, index_dir: str, repeats: int = 5) -> dict:
         "merge_secs": merge_secs,
         "merged_splits": n_splits,
         "queries_merged": {n: round(statistics.median(ts), 4) for n, ts in times.items()},
+        # best-of: the host shows bursty CPU steal/paging (see BASELINE.md);
+        # min is the engine's number, median includes the host's
+        "queries_merged_min": {n: round(min(ts), 4) for n, ts in times.items()},
     }
 
 
