@@ -378,17 +378,34 @@ def decode_positions_subset(blob: bytes, tfs: np.ndarray, doc_idx: np.ndarray) -
     vstarts = np.concatenate(([0], np.cumsum(tfs)[:-1]))[doc_idx]
     run_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
     vidx = np.repeat(vstarts - run_off, counts) + np.arange(m, dtype=np.int64)
-    # gather each value's byte window and cut its bit span
+    # gather each value's 4-byte window and shift its bit span out (same
+    # kernel as _unpack's fast path, at arbitrary rather than regular
+    # offsets); widths > 25 can't fit a shifted 32-bit window
     payload = np.frombuffer(blob, dtype=np.uint8, offset=5)
-    nb = (w + 7) // 8 + 1  # enough bytes to cover any bit alignment
-    byte0 = (vidx * w) >> 3
-    padded = np.concatenate((payload, np.zeros(nb, np.uint8)))
-    raw = padded[byte0[:, None] + np.arange(nb)]  # (m, nb)
-    bits = np.unpackbits(raw, axis=1)  # (m, nb*8)
-    off = (vidx * w - (byte0 << 3)).astype(np.int64)  # 0..7
-    sel = bits[np.arange(m)[:, None], off[:, None] + np.arange(w)]  # (m, w)
-    weights = (np.uint64(1) << np.arange(w - 1, -1, -1, dtype=np.uint64))
-    deltas = sel.astype(np.uint64) @ weights
+    bit0 = vidx * w
+    byte0 = bit0 >> 3
+    if w <= 25:
+        padded = np.empty(len(payload) + 4, np.uint8)
+        padded[: len(payload)] = payload
+        padded[len(payload) :] = 0
+        win = np.lib.stride_tricks.sliding_window_view(padded, 4)[byte0]
+        be = (
+            (win[:, 0].astype(np.uint32) << 24)
+            | (win[:, 1].astype(np.uint32) << 16)
+            | (win[:, 2].astype(np.uint32) << 8)
+            | win[:, 3].astype(np.uint32)
+        )
+        shift = (32 - w - (bit0 & 7)).astype(np.uint32)
+        deltas = ((be >> shift) & np.uint32((1 << w) - 1)).astype(np.uint64)
+    else:
+        nb = (w + 7) // 8 + 1  # enough bytes to cover any bit alignment
+        padded = np.concatenate((payload, np.zeros(nb, np.uint8)))
+        raw = padded[byte0[:, None] + np.arange(nb)]  # (m, nb)
+        bits = np.unpackbits(raw, axis=1)  # (m, nb*8)
+        off = (bit0 - (byte0 << 3)).astype(np.int64)  # 0..7
+        sel = bits[np.arange(m)[:, None], off[:, None] + np.arange(w)]  # (m, w)
+        weights = (np.uint64(1) << np.arange(w - 1, -1, -1, dtype=np.uint64))
+        deltas = sel.astype(np.uint64) @ weights
     # segmented cumsum per run (first value of each run is absolute)
     starts = run_off
     csum = np.cumsum(deltas)
