@@ -116,13 +116,21 @@ def kafka_stream_source(
 
 @dataclass
 class StreamIngestor:
-    """foreachBatch sink: one resumable split build per micro-batch."""
+    """foreachBatch sink: one resumable split build per micro-batch.
+
+    ``merge_every_n_batches`` is the publish→merge-planner notification of
+    the reference (publisher.rs:193-198, MergePlanner): every Nth published
+    micro-batch runs a merge-policy pass + GC, so a long-running stream
+    consolidates toward the split target instead of accumulating one split
+    per trigger.  0 disables (run merges out-of-band)."""
 
     config: IndexConfig
     index_dir: str
     build_prefix: str = "s"
     splits_per_batch: int | None = None
+    merge_every_n_batches: int = 0
     reports: list[BuildReport] = field(default_factory=list)
+    merge_rounds: int = 0
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):  # empty trigger — nothing to publish
@@ -136,6 +144,15 @@ class StreamIngestor:
             n_splits=self.splits_per_batch,
         )
         self.reports.append(report)
+        if (
+            self.merge_every_n_batches > 0
+            and len(self.reports) % self.merge_every_n_batches == 0
+        ):
+            from ..index.merge import garbage_collect, run_merge_pipeline
+
+            if run_merge_pipeline(batch_df.sparkSession, self.index_dir):
+                self.merge_rounds += 1
+            garbage_collect(self.index_dir)
 
 
 def start_stream_build(
@@ -146,6 +163,7 @@ def start_stream_build(
     available_now: bool = True,
     trigger_secs: float | None = None,
     splits_per_batch: int | None = None,
+    merge_every_n_batches: int = 0,
 ):
     """Wire a streaming transcript source into the index-build pipeline.
 
@@ -155,7 +173,12 @@ def start_stream_build(
     keeps tailing with that micro-batch period (the commit-timeout clock,
     indexer.rs:127-133).
     """
-    ingestor = StreamIngestor(config, index_dir, splits_per_batch=splits_per_batch)
+    ingestor = StreamIngestor(
+        config,
+        index_dir,
+        splits_per_batch=splits_per_batch,
+        merge_every_n_batches=merge_every_n_batches,
+    )
     writer = (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

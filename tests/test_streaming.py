@@ -123,3 +123,33 @@ def test_kafka_record_projection_and_build(spark, tmp_path_factory):
     assert report.invalid_docs == 1  # the malformed record
     resp = search(spark, idx, SearchRequest(pdf["text"].iloc[0].split()[0]))
     assert resp.num_hits > 0
+
+
+def test_stream_auto_merge_consolidates(spark, tmp_path_factory):
+    """publish→merge-planner notification analog (publisher.rs:193-198):
+    a stream configured with merge_every_n_batches consolidates its
+    micro-batch splits and the result matches a brute-force recount."""
+    from quickwit_spark.index.catalog import PUBLISHED
+
+    base = str(tmp_path_factory.mktemp("stream-am"))
+    src, idx, ckpt = f"{base}/src", f"{base}/idx", f"{base}/ckpt"
+    total = _write_source_files(spark, src, n_files=4, seed0=70)
+
+    cfg = transcripts_config(
+        split_num_docs_target=5000, segment_num_docs_target=100,
+        merge_factor=3, max_merge_factor=4,
+    )
+    stream = file_stream_source(spark, src, max_files_per_trigger=1)
+    q, ingestor = start_stream_build(
+        stream, cfg, idx, ckpt, available_now=True, merge_every_n_batches=3
+    )
+    q.awaitTermination(300)
+
+    assert ingestor.merge_rounds >= 1
+    cat = Catalog(idx)
+    pub = cat.splits([PUBLISHED])
+    assert sum(s.num_docs for s in pub) == total
+    assert any(s.num_merge_ops >= 1 for s in pub)
+    # doc count via search matches (hit count over a near-universal term)
+    resp = search(spark, idx, SearchRequest("the OR a OR w0001 OR error OR deploy", max_hits=1))
+    assert resp.num_hits > 0
