@@ -423,7 +423,12 @@ def cmd_gc(args) -> dict:
     delete MarkedForDeletion split data + drop catalog rows."""
     from quickwit_spark.index.merge import garbage_collect
 
-    return {"cmd": "gc", "deleted": garbage_collect(args.index_dir)}
+    return {
+        "cmd": "gc",
+        "deleted": garbage_collect(
+            args.index_dir, include_staged=getattr(args, "staged", False)
+        ),
+    }
 
 
 def cmd_delete(args) -> dict:
@@ -564,6 +569,10 @@ def main(argv=None):
 
     g = sub.add_parser("gc")
     g.add_argument("--index-dir", required=True)
+    g.add_argument(
+        "--staged", action="store_true",
+        help="also remove Staged splits (stale-staged cleanup; no build may be running)",
+    )
     g.set_defaults(fn=cmd_gc)
 
     dl = sub.add_parser("delete")

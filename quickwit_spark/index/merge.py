@@ -47,7 +47,7 @@ from ..functions.codec import (
     encode_u32_column,
 )
 from .builder import POSTINGS_SCHEMA, _paths
-from .catalog import MARKED_FOR_DELETION, PUBLISHED, Catalog, SplitMetadata
+from .catalog import MARKED_FOR_DELETION, PUBLISHED, STAGED, Catalog, SplitMetadata
 
 # scaled default of the reference's min_level_num_docs (merge_policy.rs:169)
 MIN_LEVEL_NUM_DOCS = 100
@@ -333,11 +333,15 @@ def compact_termstats_deltas(spark: SparkSession, index_dir: str) -> str | None:
     return new_rel
 
 
-def garbage_collect(index_dir: str) -> list[str]:
+def garbage_collect(index_dir: str, include_staged: bool = False) -> list[str]:
     """Delete data of MarkedForDeletion splits + drop their catalog rows
-    (garbage_collection.rs:34,76,156 analog)."""
+    (garbage_collection.rs:34,76,156 analog).  ``include_staged`` also
+    removes Staged splits — the reference's stale-staged cleanup
+    (garbage_collector.rs:56-146; a build that died between stage and
+    publish leaves them); only safe when no build is currently running."""
     cat = Catalog(index_dir)
-    dead = [s.split_id for s in cat.splits([MARKED_FOR_DELETION])]
+    states = [MARKED_FOR_DELETION] + ([STAGED] if include_staged else [])
+    dead = [s.split_id for s in cat.splits(states)]
     paths = _paths(index_dir)
     for sid in dead:
         for table in paths.values():

@@ -228,3 +228,27 @@ def test_merged_files_keep_bounded_row_groups(spark, tmp_path_factory, monkeypat
         f = ex._split_files(idx, table, sid)[0]
         md = pq.ParquetFile(f).metadata
         assert md.num_row_groups > 1, (table, md.num_rows, md.num_row_groups)
+
+
+def test_gc_stale_staged(spark, tmp_index_dir):
+    """gc --staged removes splits stuck in Staged (a build that died between
+    stage and publish; garbage_collector.rs:56-146 stale-staged cleanup)."""
+    import os
+
+    from quickwit_spark.index.catalog import STAGED
+
+    pdf = generate_transcripts(n_conversations=10, seed=2)
+    cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
+    build_index(spark, spark.createDataFrame(pdf), cfg, tmp_index_dir)
+    cat = Catalog(tmp_index_dir)
+    # simulate a crashed build: a staged row + orphan data dir
+    cat.stage_split(SplitMetadata(split_id="stale-1", num_docs=3))
+    os.makedirs(f"{tmp_index_dir}/docs/split_id=stale-1", exist_ok=True)
+
+    assert garbage_collect(tmp_index_dir) == []  # default leaves Staged alone
+    assert Catalog(tmp_index_dir).splits([STAGED])
+    assert garbage_collect(tmp_index_dir, include_staged=True) == ["stale-1"]
+    cat = Catalog(tmp_index_dir)
+    assert cat.splits([STAGED]) == []
+    assert not os.path.exists(f"{tmp_index_dir}/docs/split_id=stale-1")
+    assert cat.splits()  # published splits untouched
