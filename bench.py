@@ -98,18 +98,7 @@ def bench_build(spark, corpus_path: str) -> dict:
     }
 
 
-BENCH_QUERIES = {
-    "q1_single_term": dict(query="deploy"),
-    "q2_and": dict(query="deploy failure"),
-    "q3_hot_or": dict(query="the OR error", max_hits=20),
-    "q4_phrase": dict(query='"the error"'),
-    "q5_field_time": dict(
-        query="role:assistant error", start_timestamp=1767225600, end_timestamp=1767225600 + 90 * 86400
-    ),
-    "q6_not": dict(query="error NOT timeout"),
-    "q7_sort_ts": dict(query="deploy", sort_by_field="ts"),
-    "q8_offset": dict(query="error", start_offset=20, max_hits=10),
-}
+from quickwit_spark.bench_queries import BENCH_QUERIES  # noqa: E402
 
 
 def bench_queries(spark, index_dir: str, repeats: int = 7) -> tuple[dict, dict]:

@@ -1,0 +1,19 @@
+"""The canonical bench query set — one per query class (single term, AND,
+hot OR, phrase, field+time, NOT, fast-field sort, offset).  Shared by
+bench.py, the CLI's bench-queries subcommand, and the profiling tools so
+every harness measures the same workload."""
+
+BENCH_QUERIES = {
+    "q1_single_term": dict(query="deploy"),
+    "q2_and": dict(query="deploy failure"),
+    "q3_hot_or": dict(query="the OR error", max_hits=20),
+    "q4_phrase": dict(query='"the error"'),
+    "q5_field_time": dict(
+        query="role:assistant error",
+        start_timestamp=1767225600,
+        end_timestamp=1767225600 + 90 * 86400,
+    ),
+    "q6_not": dict(query="error NOT timeout"),
+    "q7_sort_ts": dict(query="deploy", sort_by_field="ts"),
+    "q8_offset": dict(query="error", start_offset=20, max_hits=10),
+}

@@ -165,6 +165,44 @@ def cmd_bench_build(args) -> dict:
     }
 
 
+def cmd_bench_queries(args) -> dict:
+    """Batched query throughput on an existing index: the 8-query canonical
+    batch (bench_queries.py) through multi_search, repeated --batches times
+    after one warm pass.  Used by tools/query_scaling_bench.py for the
+    N-vs-4N query-side scaling evidence."""
+    from quickwit_spark.bench_queries import BENCH_QUERIES
+    from quickwit_spark.search.executor import multi_search
+    from quickwit_spark.search.request import SearchRequest
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = _get_spark("qw-bench-queries", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    reqs = [SearchRequest(**kw) for kw in BENCH_QUERIES.values()]
+    conc = max(1, getattr(args, "concurrency", 1))
+    for _ in range(2):  # warm workers, split caches, codegen
+        multi_search(spark, args.index_dir, reqs)
+    # `concurrency` client threads each submit batches back-to-back (the
+    # searcher-under-load shape: Spark runs concurrent jobs, so one
+    # client's driver-side plan/merge overlaps another's executor work)
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(conc) as pool:
+        list(pool.map(
+            lambda _i: [multi_search(spark, args.index_dir, reqs) for _ in range(args.batches)],
+            range(conc),
+        ))
+    secs = time.monotonic() - t0
+    q = len(reqs) * args.batches * conc
+    return {
+        "cmd": "bench-queries",
+        "queries": q,
+        "secs": round(secs, 3),
+        "queries_per_sec": round(q / secs, 2),
+        "concurrency": conc,
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }
+
+
 def cmd_search(args) -> dict:
     from quickwit_spark.search.executor import search
     from quickwit_spark.search.request import SearchRequest
@@ -501,6 +539,12 @@ def main(argv=None):
     bb.add_argument("--segment-docs", type=int, default=8_000)
     bb.add_argument("--runs", type=int, default=2, help="best-of runs (cold-start + host-noise control)")
     bb.set_defaults(fn=cmd_bench_build)
+
+    bq = sub.add_parser("bench-queries")
+    bq.add_argument("--index-dir", required=True)
+    bq.add_argument("--batches", type=int, default=5)
+    bq.add_argument("--concurrency", type=int, default=1, help="client threads")
+    bq.set_defaults(fn=cmd_bench_queries)
 
     s = sub.add_parser("search")
     s.add_argument("--index-dir", required=True)
