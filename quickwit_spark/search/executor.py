@@ -1349,10 +1349,18 @@ def export_stream(
       fast-field path); without partition_by, a single payload row.
     The partition column is fetched through the doc store (fetch_docs
     semantics), so any stored column can partition the export."""
-    hits = search_stream(spark, index_dir, request, fast_field)
+    req = _dc_replace(request, start_offset=0, sort_by_field=fast_field)
+    hits_df, splits, _ast, _config = _leaf_hits_df(spark, index_dir, req, mode="stream")
+    hits = hits_df.select("split_id", "doc_id", F.col("sort_value").alias(fast_field))
     if partition_by is not None:
-        docs = _table_scan(spark, index_dir, "docs").select(
-            "split_id", "doc_id", partition_by
+        # the doc-store side of the partition-by join scans ONLY the
+        # query's candidate splits: split_id is the partition column, so
+        # the isin becomes Catalyst partition pruning — at 10^4 splits a
+        # time-bounded export reads just the overlapping split dirs
+        docs = (
+            _table_scan(spark, index_dir, "docs")
+            .filter(F.col("split_id").isin([s.split_id for s in splits]))
+            .select("split_id", "doc_id", partition_by)
         )
         hits = hits.join(docs, ["split_id", "doc_id"])
     if output_format == "csv":
@@ -1361,7 +1369,6 @@ def export_stream(
     if output_format != "rowbinary":
         raise ValueError(f"unknown output format {output_format!r}")
 
-    part_col = partition_by or F.lit("").alias("__part")
     key = partition_by or "__part"
     grouped = hits.select(
         (F.col(partition_by) if partition_by else F.lit("")).alias(key),

@@ -76,3 +76,26 @@ def test_export_rowbinary_partitioned(spark, small_idx):
         assert len(vals) == r.n
         want = np.sort(expected[expected["role"] == r.role]["ts"].to_numpy(np.int64))
         assert np.array_equal(vals, want)
+
+
+def test_export_join_is_partition_pruned(spark, tmp_path_factory):
+    """The partition-by export's doc-store scan must prune to the query's
+    candidate splits: split_id is the partition column, so the isin shows
+    up as PartitionFilters in the physical plan (Catalyst partition
+    pruning — the split-pruning analog on the DataFrame path)."""
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.search.executor import export_stream
+    from quickwit_spark.search.request import SearchRequest
+
+    pdf = generate_transcripts(n_conversations=20, seed=31)
+    idx = str(tmp_path_factory.mktemp("exp-idx"))
+    cfg = transcripts_config(split_num_docs_target=150, segment_num_docs_target=64)
+    build_index(spark, spark.createDataFrame(pdf), cfg, idx)
+
+    df = export_stream(spark, idx, SearchRequest("deploy"), "ts", "csv", partition_by="role")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln and "/docs" in ln]
+    assert scan_lines, plan
+    assert any("PartitionFilters: [" in ln and "split_id" in ln for ln in scan_lines), scan_lines
+    # column pruning: only the 3 needed columns reach the scan
+    assert any("[doc_id" in ln and "role" in ln and "text" not in ln for ln in scan_lines), scan_lines
