@@ -62,6 +62,20 @@ class _Handler(BaseHTTPRequestHandler):
     def _err(self, code: int, msg: str):
         self._reply(code, json.dumps({"error": msg}).encode())
 
+    def _reply_chunked(self, chunks, ctype: str) -> None:
+        """Stream an iterator of byte chunks with chunked transfer encoding —
+        the search-stream path is every-matching-doc-sized, so the driver
+        must never hold the whole payload (the reference streams per split
+        too, search_stream/leaf.rs:47-62)."""
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        for chunk in chunks:
+            if chunk:
+                self.wfile.write(f"{len(chunk):X}\r\n".encode() + chunk + b"\r\n")
+        self.wfile.write(b"0\r\n\r\n")
+
     def do_POST(self):  # noqa: N802 (stdlib handler naming)
         from quickwit_spark.search.executor import multi_search
         from quickwit_spark.search.request import SearchRequest
@@ -151,20 +165,42 @@ class _Handler(BaseHTTPRequestHandler):
                     fmt = qs.get("outputFormat", ["csv"])[0]
                     if fmt not in ("csv", "clickHouseRowBinary"):
                         return self._err(400, f"unsupported outputFormat {fmt!r}")
-                    rows = search_stream(
-                        self.spark, index_dir, req, fast_field
-                    ).collect()
-                    vals = [r[fast_field] for r in rows]
-                    if fmt == "csv":
-                        return self._reply(
-                            200, "\n".join(str(v) for v in vals).encode(), "text/csv"
-                        )
-                    # ClickHouse RowBinary: little-endian i64 per value
-                    # (docs/reference/rest-api.md:70-114, search_stream/leaf.rs)
+                    # toLocalIterator: partitions stream to the driver one
+                    # at a time — memory stays bounded no matter how many
+                    # docs match (collect() of a hot query's export could
+                    # be index-sized)
                     import numpy as np
 
-                    body = np.asarray(vals, dtype="<i8").tobytes()
-                    return self._reply(200, body, "application/octet-stream")
+                    it = search_stream(
+                        self.spark, index_dir, req, fast_field
+                    ).toLocalIterator(prefetchPartitions=True)
+
+                    if fmt == "csv":
+                        def csv_chunks():
+                            buf = []
+                            for r in it:
+                                buf.append(str(r[fast_field]))
+                                if len(buf) >= 8192:
+                                    yield ("\n".join(buf) + "\n").encode()
+                                    buf.clear()
+                            if buf:
+                                yield "\n".join(buf).encode()
+
+                        return self._reply_chunked(csv_chunks(), "text/csv")
+
+                    # ClickHouse RowBinary: little-endian i64 per value
+                    # (docs/reference/rest-api.md:70-114, search_stream/leaf.rs)
+                    def bin_chunks():
+                        buf = []
+                        for r in it:
+                            buf.append(r[fast_field])
+                            if len(buf) >= 8192:
+                                yield np.asarray(buf, dtype="<i8").tobytes()
+                                buf.clear()
+                        if buf:
+                            yield np.asarray(buf, dtype="<i8").tobytes()
+
+                    return self._reply_chunked(bin_chunks(), "application/octet-stream")
                 resp = search(self.spark, index_dir, req)
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))
