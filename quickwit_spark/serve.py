@@ -209,7 +209,12 @@ class _Handler(BaseHTTPRequestHandler):
             "hits": resp.hits,
             "elapsedTimeMicros": resp.elapsed_time_micros,
         }
-        return self._reply(200, json.dumps(out).encode())
+        # format=json|prettyjson (reference rest-api.md: default prettyjson)
+        fmt = qs.get("format", ["prettyjson"])[0]
+        if fmt not in ("json", "prettyjson"):
+            return self._err(400, f"unsupported format {fmt!r}")
+        body = json.dumps(out, indent=2 if fmt == "prettyjson" else None)
+        return self._reply(200, body.encode())
 
 
 def make_server(spark, index_root: str, port: int = 0) -> ThreadingHTTPServer:
