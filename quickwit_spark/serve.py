@@ -132,8 +132,23 @@ class _Handler(BaseHTTPRequestHandler):
 
         url = urlparse(self.path)
         parts = [p for p in url.path.split("/") if p]
-        if parts == ["health"]:
+        if parts in (["health"], ["health", "livez"]):  # health_check.rs:50
             return self._reply(200, b'{"status": "ok"}')
+        if parts == ["cluster", "members"]:
+            # cluster.rs:52 analog — on Spark the "cluster" is the app and
+            # its executors (the scheduler owns membership/retry, so this
+            # is observability, not routing)
+            sc = self.spark.sparkContext
+            out = {
+                "members": [
+                    {
+                        "id": sc.applicationId,
+                        "master": sc.master,
+                        "default_parallelism": sc.defaultParallelism,
+                    }
+                ]
+            }
+            return self._reply(200, json.dumps(out).encode())
         # /api/v1/{index_id}/search[/stream]
         if len(parts) < 4 or parts[:2] != ["api", "v1"] or parts[3] != "search":
             return self._err(404, f"no route for {url.path}")

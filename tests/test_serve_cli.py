@@ -50,6 +50,14 @@ def _get(url: str):
 def test_health(server):
     code, body, _ = _get(f"{server}/health")
     assert code == 200 and json.loads(body)["status"] == "ok"
+    code, body, _ = _get(f"{server}/health/livez")  # health_check.rs:50
+    assert code == 200 and json.loads(body)["status"] == "ok"
+
+
+def test_cluster_members(server):
+    code, body, _ = _get(f"{server}/cluster/members")
+    members = json.loads(body)["members"]
+    assert code == 200 and members and members[0]["default_parallelism"] >= 1
 
 
 def test_search_endpoint_matches_library(spark, server, index_root):
