@@ -1236,21 +1236,25 @@ def _search_rows(
     then just sorts <= splits*(offset+k) fully-materialized rows and pages."""
     _, config = open_index(spark, index_dir)
     request = resolve_sort(request, config)
-    try:
-        hit_rows = _leaf_hit_rows(spark, index_dir, request)
-    except SplitVanishedError:
-        # concurrent merge+GC replaced splits mid-query: re-plan once
-        # against the fresh catalog (retry/search.rs analog)
-        hit_rows = _leaf_hit_rows(spark, index_dir, request)
-    per_split_hits: dict[str, int] = {}
-    for r in hit_rows:
-        per_split_hits[r["split_id"]] = int(r["split_num_hits"])
-    num_hits = sum(per_split_hits.values())
-    hit_rows.sort(key=_sort_key(request))
-    page = hit_rows[request.start_offset : request.start_offset + request.max_hits]
-    if page and "text" not in page[0]:
-        _fetch_page_fields(index_dir, page)
-    return page, num_hits
+    for attempt in (0, 1):
+        try:
+            hit_rows = _leaf_hit_rows(spark, index_dir, request)
+            per_split_hits: dict[str, int] = {}
+            for r in hit_rows:
+                per_split_hits[r["split_id"]] = int(r["split_num_hits"])
+            num_hits = sum(per_split_hits.values())
+            hit_rows.sort(key=_sort_key(request))
+            page = hit_rows[request.start_offset : request.start_offset + request.max_hits]
+            if page and "text" not in page[0]:
+                _fetch_page_fields(index_dir, page)
+            return page, num_hits
+        except SplitVanishedError:
+            # concurrent merge+GC replaced splits mid-query (possibly
+            # between the leaf pass and the page fetch): re-plan once
+            # against the fresh catalog (retry/search.rs analog)
+            if attempt:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _fetch_page_fields(index_dir: str, page: list[dict]) -> None:
@@ -1262,6 +1266,8 @@ def _fetch_page_fields(index_dir: str, page: list[dict]) -> None:
     for r in page:
         by_split.setdefault(r["split_id"], []).append(int(r["doc_id"]))
     for sid, ids in by_split.items():
+        if _cached_docs_dataset(index_dir, sid) is None:  # GC raced us
+            raise SplitVanishedError(f"split vanished during fetch: {sid}")
         pdf = _fetch_doc_fields(index_dir, sid, ids)
         fields = {int(row.doc_id): row for row in pdf.itertuples(index=False)}
         for r in page:
