@@ -29,13 +29,34 @@ DAY = 86400
 _STATE: dict = {}
 
 
-@pytest.fixture(scope="module")
-def built(spark, tmp_path_factory):
+@pytest.fixture(scope="module", params=["fresh", "merged"])
+def built(spark, tmp_path_factory, request):
+    """Fresh-build layout AND post-merge layout: the same random queries
+    must be rank+score identical to the oracle on both (merges remap docIDs
+    and re-encode postings — the differential suite covers that path too)."""
     pdf = generate_transcripts(n_conversations=40, seed=7)
-    index_dir = str(tmp_path_factory.mktemp("idx_rand"))
-    build_index(spark, spark.createDataFrame(pdf), CFG, index_dir)
+    index_dir = str(tmp_path_factory.mktemp(f"idx_rand_{request.param}"))
+    cfg = (
+        CFG
+        if request.param == "fresh"
+        else transcripts_config(
+            split_num_docs_target=5000, segment_num_docs_target=64,
+            merge_factor=3, max_merge_factor=4,
+        )
+    )
+    build_index(spark, spark.createDataFrame(pdf), cfg, index_dir,
+                n_splits=6 if request.param == "merged" else None)
+    if request.param == "merged":
+        from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
+
+        assert run_merge_pipeline(spark, index_dir)
+        garbage_collect(index_dir)
+    from quickwit_spark.index.catalog import Catalog
+
+    live = {s.split_id for s in Catalog(index_dir).splits()}
     docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
-    oracle = OracleIndex(docs, CFG)
+    docs = docs[docs["split_id"].isin(live)]
+    oracle = OracleIndex(docs, cfg)
 
     # vocabulary by document frequency: hot / mid / rare + unknowns, plus
     # real adjacent-word phrases so generated queries actually hit
