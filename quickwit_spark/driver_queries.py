@@ -233,6 +233,10 @@ def dd_exact(spark, sf_dir):
     )
 
 
+def dd_keep_best(spark, sf_dir):
+    return dd.keep_best(_docs(spark, sf_dir))
+
+
 def dd_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold_ppm=400_000, n=3)
 
@@ -318,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
         "dd_exact": dd_exact,
+        "dd_keep_best": dd_keep_best,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "dd_minhash_lsh": dd_minhash_lsh,
         "dd_simhash": dd_simhash,
@@ -380,6 +385,16 @@ SELECT doc_id, tf FROM tf WHERE term = 'dup'""",
 SELECT md5(array_to_string({TOKS}, ' ')) AS fingerprint,
        min(doc_id) AS keeper_doc_id, count(*) AS group_size
 FROM documents GROUP BY 1""",
+        "dd_keep_best": f"""
+SELECT fingerprint, doc_id AS kept_doc_id, CAST(n_chars AS BIGINT) AS kept_score
+FROM (
+  SELECT doc_id, n_chars, md5(array_to_string({TOKS}, ' ')) AS fingerprint,
+         row_number() OVER (
+           PARTITION BY md5(array_to_string({TOKS}, ' '))
+           ORDER BY CAST(n_chars AS BIGINT) DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn = 1""",
         "dd_ngram_jaccard": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
         "dd_minhash_lsh": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
         "tx_token_count": f"SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents",

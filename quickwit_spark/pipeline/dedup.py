@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -38,6 +38,32 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             F.min("doc_id").alias("keeper_doc_id"),
             F.count("*").alias("group_size"),
         )
+    )
+
+
+def keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection after exact dedup: per duplicate cluster
+    keep the highest-scoring doc (ties -> lowest id) — the standard
+    'keep best' winner step of a training-data pipeline.  One shuffle
+    (window over the fingerprint)."""
+    fp = F.md5(F.concat_ws(" ", tokens_col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("kept_score").desc(), F.col("kept_doc_id").asc()
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("kept_doc_id"),
+            F.col(score_col).cast("long").alias("kept_score"),
+            fp.alias("fingerprint"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fingerprint", "kept_doc_id", "kept_score")
     )
 
 
