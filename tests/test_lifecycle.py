@@ -96,3 +96,63 @@ def test_lifecycle_merged_to_few_splits(spark, lifecycle):
     pub = cat.splits([PUBLISHED])
     assert len(pub) < 9
     assert any(s.num_merge_ops >= 1 for s in pub)
+
+
+def test_search_during_concurrent_build_merge_gc(spark, tmp_path_factory):
+    """Searches racing a build→merge→GC loop must never raise (the
+    vanished-split retry re-plans) and never return a PARTIAL count: every
+    observed num_hits must equal the exact count of one published state
+    (atomic publish/replace means readers see whole states only)."""
+    import threading
+
+    from quickwit_spark.config import transcripts_config
+    from quickwit_spark.fixtures.transcripts import generate_transcripts
+    from quickwit_spark.functions.tokenizer import tokenize_text
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    idx = str(tmp_path_factory.mktemp("conc")) + "/idx"
+    cfg = transcripts_config(
+        split_num_docs_target=5000, segment_num_docs_target=64,
+        merge_factor=3, max_merge_factor=4,
+    )
+    batches = [generate_transcripts(n_conversations=12, seed=40 + i) for i in range(3)]
+    for i, b in enumerate(batches):
+        b["conv_id"] = b["conv_id"] + f"-c{i}"
+
+    # exact "the" count after each publish state (cumulative batches)
+    def count_the(pdfs):
+        return sum("the" in tokenize_text(t) for p in pdfs for t in p["text"])
+
+    valid = {0} | {count_the(batches[: i + 1]) for i in range(3)}
+
+    build_index(spark, spark.createDataFrame(batches[0]), cfg, idx, build_id="c0", n_splits=4)
+    errors: list = []
+    observed: set = set()
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                observed.add(search(spark, idx, SearchRequest("the", max_hits=3)).num_hits)
+            except Exception as e:  # noqa: BLE001 — record everything
+                errors.append(repr(e))
+
+    t = threading.Thread(target=searcher)
+    t.start()
+    try:
+        for i in (1, 2):
+            build_index(
+                spark, spark.createDataFrame(batches[i]), cfg, idx,
+                build_id=f"c{i}", n_splits=4,
+            )
+            run_merge_pipeline(spark, idx)
+            garbage_collect(idx)
+    finally:
+        stop.set()
+        t.join(60)
+
+    assert not errors, errors[:3]
+    assert observed and observed <= valid, (sorted(observed), sorted(valid))
