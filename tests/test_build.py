@@ -200,3 +200,38 @@ def test_sorted_index_build(spark, small_corpus, tmp_index_dir):
             )
     finally:
         shutil.rmtree(plain, ignore_errors=True)
+
+
+def test_multichunk_build_identical(spark, small_corpus, tmp_path_factory, monkeypatch):
+    """A split bigger than one encode chunk takes the in-task per-term
+    chunk-merge path (_merge_term_entries — the path EVERY 10M-doc split
+    takes at the reference scale, since CHUNK_DOCS is 262k).  Forcing tiny
+    chunks must yield byte-identical postings/fastfields to the single-pass
+    build: the merge decodes chunk blobs and re-encodes the full list."""
+    import functools
+
+    from quickwit_spark.index import builder as B
+
+    cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
+    df = spark.createDataFrame(small_corpus)
+    d1 = str(tmp_path_factory.mktemp("chunk1"))
+    build_index(spark, df, cfg, d1)
+
+    orig = B.make_split_builder
+    monkeypatch.setattr(
+        B, "make_split_builder", functools.partial(orig, chunk_docs=64)
+    )
+    d2 = str(tmp_path_factory.mktemp("chunkN"))
+    build_index(spark, df, cfg, d2)
+
+    for table, key in (
+        ("postings", ["split_id", "bucket", "field", "term"]),
+        ("fastfields", ["split_id", "seg_id"]),
+        ("docs", ["split_id", "doc_id"]),
+    ):
+        a = spark.read.parquet(f"{d1}/{table}").toPandas().sort_values(key).reset_index(drop=True)
+        b = spark.read.parquet(f"{d2}/{table}").toPandas().sort_values(key).reset_index(drop=True)
+        assert list(a.columns) == list(b.columns), table
+        norm = lambda s: [x.tolist() if hasattr(x, "tolist") else x for x in s]  # noqa: E731
+        for col in a.columns:
+            assert norm(a[col]) == norm(b[col]), f"{table}.{col} differs"
