@@ -626,6 +626,15 @@ class _SplitAccumulator:
         }
         n = len(ts)
         ff_rows = []
+        if n and (int(ts.min()) < 0 or int(ts.max()) >= 1 << 32):
+            # the ts fast-field blob bitpacks u32 epoch seconds (covers
+            # 1970..2106); wrapping silently would corrupt time pruning —
+            # fail the build instead (RequiredFastField-style hard error)
+            raise ValueError(
+                f"split {self.split_id}: ts_epoch outside [0, 2^32) "
+                f"(min={int(ts.min())}, max={int(ts.max())}) — the u32 "
+                "fast-field encoding covers 1970-2106"
+            )
         for seg_id, base in enumerate(range(0, n, self.seg_target)):
             end = min(base + self.seg_target, n)
             seg_ts = ts[base:end]

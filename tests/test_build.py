@@ -235,3 +235,16 @@ def test_multichunk_build_identical(spark, small_corpus, tmp_path_factory, monke
         norm = lambda s: [x.tolist() if hasattr(x, "tolist") else x for x in s]  # noqa: E731
         for col in a.columns:
             assert norm(a[col]) == norm(b[col]), f"{table}.{col} differs"
+
+
+def test_out_of_range_timestamp_fails_build(spark, tmp_path_factory):
+    """ts_epoch outside u32 range must fail the build loudly (the fastfield
+    blob bitpacks u32 seconds; silent wraparound would corrupt pruning)."""
+    import datetime
+
+    pdf = generate_transcripts(n_conversations=3, seed=1)
+    pdf.loc[0, "ts"] = pd.Timestamp("2200-01-01", tz="UTC")  # > 2^32 epoch
+    cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
+    with pytest.raises(Exception, match="2\\^32|u32|PythonException") as ei:
+        build_index(spark, spark.createDataFrame(pdf), cfg, str(tmp_path_factory.mktemp("oor")))
+    assert "2^32" in str(ei.value) or "1970-2106" in str(ei.value)
