@@ -215,6 +215,9 @@ def cmd_search(args) -> dict:
         start_offset=args.start_offset,
         start_timestamp=args.start_timestamp,
         end_timestamp=args.end_timestamp,
+        search_fields=(
+            tuple(args.search_fields.split(",")) if getattr(args, "search_fields", None) else None
+        ),
         sort_by_field=args.sort_by,
     )
     resp = search(spark, args.index_dir, req)
@@ -554,6 +557,10 @@ def main(argv=None):
     s.add_argument("--start-timestamp", type=int, default=None)
     s.add_argument("--end-timestamp", type=int, default=None)
     s.add_argument("--sort-by", default=None)
+    s.add_argument(
+        "--search-fields", default=None,
+        help="comma-separated default fields for unscoped clauses (overrides config)",
+    )
     s.set_defaults(fn=cmd_search)
 
     m = sub.add_parser("merge")
