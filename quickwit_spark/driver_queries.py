@@ -377,7 +377,7 @@ SELECT count(DISTINCT doc_id) AS num_hits FROM tf WHERE term = 'query'""",
         "ft_stream_export": f"""{BM25_CTE}
 SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'""",
         "ft_termdict": f"""{BM25_CTE}
-SELECT term, count(*) AS doc_freq, sum(tf) AS total_tf
+SELECT term, CAST(count(*) AS BIGINT) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf
 FROM tf GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 50""",
         "ft_postings_roundtrip": f"""{BM25_CTE}
 SELECT doc_id, tf FROM tf WHERE term = 'dup'""",

@@ -81,6 +81,17 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e)[:400]}")
             continue
+        # dtype-class check BEFORE canon: the driver's hasher is
+        # dtype-sensitive (DuckDB HUGEINT -> float64 broke ft_termdict r1)
+        for c in sorted(set(got.columns) & set(exp.columns)):
+            gk = got[c].dtype.kind
+            ek = exp[c].dtype.kind
+            if {gk, ek} == {"i", "f"} or {gk, ek} == {"u", "f"}:
+                failures.append(name)
+                print(f"FAIL {name}: dtype-class mismatch on '{c}': spark {got[c].dtype} vs oracle {exp[c].dtype}")
+                break
+        if failures and failures[-1] == name:
+            continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             failures.append(name)
