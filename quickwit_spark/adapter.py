@@ -29,13 +29,15 @@ from .config import documents_config
 from .index.builder import build_index
 
 CACHE_ROOT = "/tmp/qwspark_index_cache"
+# v6: generic DocMapper schemas — doc-store column order is config-derived
+# and fastfields may carry per-field doc_lens_* columns
 # v5: term-stats LSM (termstats sidecars + publish deltas) — old caches
 # lack the deltas and would fall back to the O(splits) doc_freq scan.
 # v4: turn_idx carries doc_id (generic fast-field sort is oracle-checkable);
 # fastfields table gained ff_turn_idx.
 # v3: single-job in-task build, crc32 term buckets (was xxhash64 — stale
 # caches would silently mis-prune the postings scan)
-CONFIG_VERSION = "v5"
+CONFIG_VERSION = "v6"
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,38 +4,91 @@ quickwit-config/src/index_config.rs), reduced to what a Spark-native engine
 needs.
 
 A ``FieldMapping`` mirrors the reference FieldMappingEntry
-(field_mapping_entry.rs:43-48): name, type, tokenizer (text only), record
-option, fast/stored flags.  Validation rules mirror the reference:
+(field_mapping_entry.rs:43-48): name, type (scalar or ``array<T>``),
+tokenizer (text only), record option, fast/stored/indexed flags.  Nested
+``object`` mappings are flattened to dotted leaf names by
+``IndexConfig.from_doc_mapper`` (FieldPath analog,
+field_mapping_entry.rs:445-470) — the engine works on flat leaves.
 
-* timestamp_field must be a fast i64-like field (default_mapper.rs:208-245)
+Validation rules mirror the reference:
+
+* timestamp_field must be a fast single-valued i64/date field
+  (default_mapper.rs:208-245)
 * tag fields must be raw-tokenized text (default_mapper.rs:170-189)
 * text fields cannot be fast (field_mapping_entry.rs:596-601)
+
+Engine-specific restrictions (documented divergences):
+
+* ``fast`` on bytes or array fields is rejected (the reference allows
+  both; our fast-field store is scalar int64/float64 columns)
+* non-text fields default to ``indexed=False`` (reference default is
+  true); an indexed numeric/date/bytes field is term-indexed by its
+  canonical string (exact-value match), which is what the reference's
+  numeric term queries do, but indexing every distinct timestamp of a
+  transcript corpus by default would bloat postings — mapper-driven
+  configs carry the flag explicitly either way
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+SCALAR_FIELD_TYPES = ("text", "i64", "u64", "f64", "date", "datetime", "bytes")
+
 
 @dataclass(frozen=True)
 class FieldMapping:
     name: str
-    type: str  # text | i64 | u64 | f64 | datetime
+    type: str  # text | i64 | u64 | f64 | date | bytes | array<T>
     tokenizer: str = "default"  # text only: default | raw | stem_en
     record: str = "basic"  # basic | freq | position
     fast: bool = False
     stored: bool = True
+    indexed: bool | None = None  # None → text: True, non-text: False
+
+    @property
+    def is_array(self) -> bool:
+        return self.type.startswith("array<") and self.type.endswith(">")
+
+    @property
+    def scalar_type(self) -> str:
+        """'datetime' normalizes to 'date' (both accepted on input)."""
+        t = self.type[6:-1] if self.is_array else self.type
+        return "date" if t == "datetime" else t
+
+    @property
+    def is_indexed(self) -> bool:
+        if self.indexed is not None:
+            return self.indexed
+        return self.scalar_type == "text"
 
     def __post_init__(self):
-        if self.type == "text" and self.fast:
+        st = self.scalar_type
+        if st not in ("text", "i64", "u64", "f64", "date", "bytes"):
+            raise ValueError(f"field {self.name}: unknown type {self.type!r}")
+        if st == "text" and self.fast:
             raise ValueError(
                 f"field {self.name}: fast is not supported for text "
                 "(reference field_mapping_entry.rs:596-601)"
+            )
+        if self.fast and self.is_array:
+            raise ValueError(
+                f"field {self.name}: fast array fields are not supported by "
+                "this engine (scalar fast columns only)"
+            )
+        if self.fast and st == "bytes":
+            raise ValueError(
+                f"field {self.name}: fast bytes fields are not supported by "
+                "this engine"
             )
         if self.tokenizer not in ("default", "raw", "stem_en"):
             raise ValueError(f"field {self.name}: unknown tokenizer {self.tokenizer!r}")
         if self.record not in ("basic", "freq", "position"):
             raise ValueError(f"field {self.name}: unknown record option {self.record!r}")
+
+
+# internal plumbing columns every index carries (doc identity, order, time)
+PLUMBING_COLS = ("doc_id", "conv_id", "turn_idx", "ts", "ts_epoch")
 
 
 @dataclass(frozen=True)
@@ -84,14 +137,19 @@ class IndexConfig:
             raise ValueError("sort_by_order must be 'asc' or 'desc'")
         if self.timestamp_field is not None:
             ts = by_name.get(self.timestamp_field)
-            if ts is None or ts.type not in ("i64", "u64", "datetime") or not ts.fast:
+            if (
+                ts is None
+                or ts.scalar_type not in ("i64", "u64", "date")
+                or ts.is_array
+                or not ts.fast
+            ):
                 raise ValueError(
-                    "timestamp_field must be a fast i64/datetime field "
-                    "(reference default_mapper.rs:208-245)"
+                    "timestamp_field must be a fast single-valued i64/date "
+                    "field (reference default_mapper.rs:208-245)"
                 )
         for tag in self.tag_fields:
             tm = by_name.get(tag)
-            if tm is None or tm.type != "text" or tm.tokenizer != "raw":
+            if tm is None or tm.scalar_type != "text" or tm.tokenizer != "raw":
                 raise ValueError(
                     f"tag field {tag} must be raw-tokenized text "
                     "(reference default_mapper.rs:170-189)"
@@ -106,17 +164,67 @@ class IndexConfig:
 
     @property
     def indexed_text_fields(self) -> list[FieldMapping]:
-        return [m for m in self.field_mappings if m.type == "text"]
+        return [
+            m for m in self.field_mappings if m.scalar_type == "text" and m.is_indexed
+        ]
+
+    @property
+    def tokenized_text_fields(self) -> tuple[str, ...]:
+        """Indexed text fields whose terms carry real document lengths for
+        BM25 (default / stem_en tokenizers; raw fields score with length 1)."""
+        return tuple(
+            m.name for m in self.indexed_text_fields if m.tokenizer != "raw"
+        )
+
+    @property
+    def indexed_typed_fields(self) -> list[FieldMapping]:
+        """Non-text indexed leaves: term-indexed by canonical string value
+        (exact-value match — the reference's numeric term queries)."""
+        return [
+            m
+            for m in self.field_mappings
+            if m.scalar_type != "text" and m.is_indexed
+        ]
 
     @property
     def extra_fast_fields(self) -> tuple[str, ...]:
-        """fast i64/u64 fields beyond the timestamp — materialized as
-        per-segment columns in the fastfields table (sortable/exportable,
-        reference collector.rs:47-64)."""
+        """fast i64/u64/date fields beyond the timestamp — materialized as
+        per-segment int64 columns in the fastfields table (sortable /
+        exportable, reference collector.rs:47-64).  date values are epoch
+        microseconds."""
         return tuple(
             m.name
             for m in self.field_mappings
-            if m.fast and m.type in ("i64", "u64") and m.name != self.timestamp_field
+            if m.fast
+            and m.scalar_type in ("i64", "u64", "date")
+            and m.name != self.timestamp_field
+        )
+
+    @property
+    def extra_fast_float_fields(self) -> tuple[str, ...]:
+        """fast f64 fields — float64 fastfield columns (exportable; sorting
+        keeps the reference's u64-fast-field contract, collector.rs:47-64)."""
+        return tuple(
+            m.name for m in self.field_mappings if m.fast and m.scalar_type == "f64"
+        )
+
+    @property
+    def stored_extra_fields(self) -> list[FieldMapping]:
+        """Stored schema fields beyond the plumbing columns, in mapping
+        order — these become extra doc-store columns."""
+        return [
+            m
+            for m in self.field_mappings
+            if m.stored and m.name not in ("conv_id", "turn_idx", "ts")
+        ]
+
+    def doc_cols(self) -> list[str]:
+        """Doc-store column order: plumbing identity, stored schema fields,
+        time columns."""
+        return (
+            ["doc_id", "conv_id", "turn_idx"]
+            + [m.name for m in self.stored_extra_fields]
+            + ["ts", "ts_epoch"]
         )
 
     def to_dict(self) -> dict:
@@ -155,6 +263,38 @@ class IndexConfig:
             sort_by_field=d.get("sort_by_field"),
             sort_by_order=d.get("sort_by_order", "desc"),
         )
+
+    @staticmethod
+    def from_doc_mapper(mapper, index_id: str, **overrides) -> "IndexConfig":
+        """Flatten a general DocMapper (docmapper.py) into the engine's
+        leaf-level config: nested object fields become dotted leaf names,
+        tokenizer/record/fast/stored/indexed flags carry over."""
+        mappings = []
+        for lf in mapper.leaves.values():
+            e = lf.entry
+            mappings.append(
+                FieldMapping(
+                    name=lf.name,
+                    type=f"array<{e.type}>" if e.array else e.type,
+                    tokenizer=e.tokenizer or "default",
+                    record=e.record or "basic",
+                    fast=e.fast,
+                    stored=e.stored,
+                    indexed=e.indexed,
+                )
+            )
+        defaults = dict(
+            index_id=index_id,
+            field_mappings=tuple(mappings),
+            timestamp_field=mapper.timestamp_field,
+            tag_fields=tuple(mapper.tag_fields),
+            default_search_fields=tuple(mapper.default_search_fields),
+            store_source=mapper.store_source,
+            sort_by_field=mapper.sort_by_field,
+            sort_by_order=mapper.sort_by_order,
+        )
+        defaults.update(overrides)
+        return IndexConfig(**defaults)  # type: ignore[arg-type]
 
 
 def load_config(path: str) -> IndexConfig:

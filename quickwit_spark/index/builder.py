@@ -101,6 +101,9 @@ POSTINGS_SCHEMA = (
     "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
 )
 
+# legacy constant (the transcript shape); the build path derives columns
+# from the config via IndexConfig.doc_cols() so generic mapper-built
+# schemas (docmapper.py) carry their own stored leaves
 DOC_COLS = ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "ts_epoch"]
 
 # docs per in-task encode chunk: splits at or under this size take a single
@@ -373,7 +376,31 @@ POSTINGS_COLUMNS = [
 STATS_SCHEMA = "split_id string, meta string"
 
 
-def _pa_schemas(extra_fast: tuple[str, ...] = ()):
+def _pa_scalar(scalar_type: str):
+    import pyarrow as pa
+
+    return {
+        "text": pa.string(),
+        "i64": pa.int64(),
+        "u64": pa.int64(),
+        "f64": pa.float64(),
+        "date": pa.timestamp("us"),
+        "bytes": pa.binary(),
+    }[scalar_type]
+
+
+def _pa_doc_field(m) -> tuple:
+    import pyarrow as pa
+
+    t = _pa_scalar(m.scalar_type)
+    return (m.name, pa.list_(t) if m.is_array else t)
+
+
+def _pa_schemas(config: IndexConfig):
+    """Config-derived split-table schemas: docs = plumbing + stored schema
+    leaves (generic DocMapper fields flow through as typed columns);
+    fastfields = per-segment doc lens (one blob per tokenized text field),
+    the u32 ts column, and the generic fast columns."""
     import pyarrow as pa
 
     docs = pa.schema(
@@ -381,9 +408,7 @@ def _pa_schemas(extra_fast: tuple[str, ...] = ()):
             ("doc_id", pa.int64()),
             ("conv_id", pa.string()),
             ("turn_idx", pa.int32()),
-            ("role", pa.string()),
-            ("text", pa.string()),
-            ("tool", pa.string()),
+            *[_pa_doc_field(m) for m in config.stored_extra_fields],
             ("ts", pa.timestamp("us")),
             ("ts_epoch", pa.int64()),
         ]
@@ -409,12 +434,24 @@ def _pa_schemas(extra_fast: tuple[str, ...] = ()):
             ("base_doc", pa.int64()),
             ("num_docs", pa.int64()),
             ("doc_lens", pa.binary()),
+            # per-field exact doc lengths for BM25 on additional tokenized
+            # text fields ("text" itself uses the legacy doc_lens column)
+            *[
+                (f"doc_lens_{name}", pa.binary())
+                for name in config.tokenized_text_fields
+                if name != "text"
+            ],
             ("ts", pa.binary()),
             ("ts_min", pa.int64()),
             ("ts_max", pa.int64()),
-            # generic fast i64/u64 columns (config.extra_fast_fields),
-            # plain int64 lists — parquet encodes them compactly
-            *[(f"ff_{name}", pa.list_(pa.int64())) for name in extra_fast],
+            # generic fast i64/u64/date columns (config.extra_fast_fields),
+            # plain int64 lists — parquet encodes them compactly (date =
+            # epoch microseconds); f64 fast fields are float64 lists
+            *[(f"ff_{name}", pa.list_(pa.int64())) for name in config.extra_fast_fields],
+            *[
+                (f"ff_{name}", pa.list_(pa.float64()))
+                for name in config.extra_fast_float_fields
+            ],
         ]
     )
     return docs, postings, fastfields
@@ -461,8 +498,15 @@ class _SplitAccumulator:
         self.split_id = split_id
         self.config = config
         self.paths = paths
+        self.doc_cols = config.doc_cols()
         self.text_fields = [
-            (m.name, m.record == "position", m.tokenizer) for m in config.indexed_text_fields
+            (m.name, m.record == "position", m.tokenizer, m.is_array)
+            for m in config.indexed_text_fields
+        ]
+        # non-text indexed leaves: term = canonical value string (exact-value
+        # match, the reference's numeric term queries)
+        self.typed_fields = [
+            (m.name, m.scalar_type, m.is_array) for m in config.indexed_typed_fields
         ]
         self.seg_target = config.segment_num_docs_target
         self.chunk_docs = chunk_docs
@@ -471,9 +515,21 @@ class _SplitAccumulator:
         self.raw_docs = 0
         self.next_doc = 0  # dense per-split docID counter (rows arrive sorted)
         self.text_lens: list[np.ndarray] = []  # per-chunk per-doc token counts
+        # additional tokenized text fields keep their own per-doc lengths
+        # (exact fieldnorms for BM25 on that field)
+        self.tok_lens: dict[str, list[np.ndarray]] = {
+            name: [] for name in config.tokenized_text_fields if name != "text"
+        }
         self.ts: list[np.ndarray] = []
         self.extra_fast: dict[str, list[np.ndarray]] = {
             name: [] for name in config.extra_fast_fields
+        }
+        self.extra_fast_float: dict[str, list[np.ndarray]] = {
+            name: [] for name in config.extra_fast_float_fields
+        }
+        by_name = config.fields
+        self._fast_scalar = {
+            name: by_name[name].scalar_type for name in config.extra_fast_fields
         }
         self._docs_writer = None
         self._docs_tmp = None
@@ -500,9 +556,9 @@ class _SplitAccumulator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        docs_schema, _, _ = _pa_schemas()
+        docs_schema, _, _ = _pa_schemas(self.config)
         table = pa.Table.from_pandas(
-            pdf[DOC_COLS], schema=docs_schema, preserve_index=False
+            pdf[self.doc_cols], schema=docs_schema, preserve_index=False
         )
         if self._docs_writer is None:
             final = self._split_file("docs")
@@ -524,13 +580,23 @@ class _SplitAccumulator:
         base_doc = int(doc_ids[0])
         span = int(doc_ids[-1]) - base_doc + 1
         chunk_text_lens = np.zeros(span, np.uint32)
-        for fname, want_pos, tok in self.text_fields:
+        for fname, want_pos, tok, is_array in self.text_fields:
+            col = pdf[fname]
             if tok in ("default", "stem_en"):
-                token_lists = tokenize_series(pdf[fname])
+                if is_array:
+                    # multi-valued text: elements concatenate with a 1-token
+                    # position gap (adjacent elements phrase-match across the
+                    # boundary; tantivy's multi-value position stream analog)
+                    col = col.map(
+                        lambda v: " ".join(v) if v is not None and len(v) else ""
+                    )
+                token_lists = tokenize_series(col)
                 lens_by_doc = np.zeros(span, np.uint32)
                 lens_by_doc[doc_ids - base_doc] = token_lists.map(len).to_numpy(np.uint32)
                 if fname == "text":
                     chunk_text_lens = lens_by_doc
+                if fname in self.tok_lens:
+                    self.tok_lens[fname].append(lens_by_doc[doc_ids - base_doc])
                 flat = _flatten_tokens(doc_ids, token_lists)
                 if flat is not None and tok == "stem_en":
                     # stem only the chunk's unique terms (positions and token
@@ -538,8 +604,15 @@ class _SplitAccumulator:
                     from ..functions.stemmer import stem_factorized
 
                     flat = (stem_factorized(flat[0]), flat[1], flat[2])
+            elif is_array:  # raw multi-value: each element its own term
+                value_lists = col.map(
+                    lambda v: [x for x in v if x] if v is not None else []
+                )
+                lens_by_doc = np.zeros(span, np.uint32)
+                lens_by_doc[doc_ids - base_doc] = value_lists.map(len).to_numpy(np.uint32)
+                flat = _flatten_tokens(doc_ids, value_lists)
             else:  # raw: whole value = one term, field length 1, position 0
-                vals = pdf[fname].fillna("")
+                vals = col.fillna("")
                 mask = (vals != "").to_numpy()
                 lens_by_doc = np.zeros(span, np.uint32)
                 lens_by_doc[doc_ids - base_doc] = mask.astype(np.uint32)
@@ -557,11 +630,42 @@ class _SplitAccumulator:
                 *flat, lens_by_doc, base_doc, want_pos
             ):
                 self.acc.setdefault((fname, term), []).append(_encode_term(d, t, p, plens))
+        # non-text indexed leaves: canonical value strings through the same
+        # raw-term path (exact-value term queries)
+        for fname, scalar, is_array in self.typed_fields:
+            from ..functions.typed_terms import canonical_value
+
+            if is_array:
+                value_lists = pdf[fname].map(
+                    lambda v, s=scalar: [canonical_value(s, x) for x in v]
+                    if v is not None
+                    else []
+                )
+            else:
+                value_lists = pdf[fname].map(
+                    lambda v, s=scalar: [] if pd.isna(v) else [canonical_value(s, v)]
+                )
+            lens_by_doc = np.zeros(span, np.uint32)
+            lens_by_doc[doc_ids - base_doc] = value_lists.map(len).to_numpy(np.uint32)
+            flat = _flatten_tokens(doc_ids, value_lists)
+            if flat is None:
+                continue
+            for term, d, t, p, plens in _postings_from_flat(
+                *flat, lens_by_doc, base_doc, False
+            ):
+                self.acc.setdefault((fname, term), []).append(_encode_term(d, t, p, plens))
         # doc ids are dense per split, so chunk arrays concatenate aligned
         self.text_lens.append(chunk_text_lens[doc_ids - base_doc])
         self.ts.append(pdf["ts_epoch"].to_numpy(np.int64))
         for name, chunks in self.extra_fast.items():
-            chunks.append(pdf[name].to_numpy(np.int64))
+            if self._fast_scalar.get(name) == "date":
+                chunks.append(
+                    pdf[name].to_numpy("datetime64[us]").astype(np.int64)
+                )
+            else:
+                chunks.append(pdf[name].to_numpy(np.int64))
+        for name, chunks in self.extra_fast_float.items():
+            chunks.append(pdf[name].to_numpy(np.float64))
 
     def finish(self) -> tuple[str, str]:
         """Write postings + fastfields, close the doc store, return the
@@ -576,7 +680,7 @@ class _SplitAccumulator:
         if self._docs_writer is not None:
             self._docs_writer.close()
             os.replace(self._docs_tmp, self._split_file("docs"))
-        _, postings_schema, ff_schema = _pa_schemas(self.config.extra_fast_fields)
+        _, postings_schema, ff_schema = _pa_schemas(self.config)
         cfg = self.config
         tag_fields = set(cfg.tag_fields)
         n_buckets = cfg.term_merge_buckets
@@ -619,10 +723,18 @@ class _SplitAccumulator:
         # analog — the per-split scorer reads these small blobs instead of
         # the doc store; warmup analog, leaf.rs:139-171)
         text_lens = np.concatenate(self.text_lens) if self.text_lens else np.empty(0, np.uint32)
+        tok_lens = {
+            name: (np.concatenate(chunks) if chunks else np.empty(0, np.uint32))
+            for name, chunks in self.tok_lens.items()
+        }
         ts = np.concatenate(self.ts) if self.ts else np.empty(0, np.int64)
         extra = {
             name: (np.concatenate(chunks) if chunks else np.empty(0, np.int64))
             for name, chunks in self.extra_fast.items()
+        }
+        extra_f = {
+            name: (np.concatenate(chunks) if chunks else np.empty(0, np.float64))
+            for name, chunks in self.extra_fast_float.items()
         }
         n = len(ts)
         ff_rows = []
@@ -642,15 +754,20 @@ class _SplitAccumulator:
                 (
                     seg_id, base, end - base,
                     encode_u32_column(text_lens[base:end]),
+                    *[encode_u32_column(tok_lens[name][base:end]) for name in self.tok_lens],
                     encode_u32_column(seg_ts.astype(np.uint32)),
                     int(seg_ts.min()), int(seg_ts.max()),
                     *[extra[name][base:end].tolist() for name in self.extra_fast],
+                    *[extra_f[name][base:end].tolist() for name in self.extra_fast_float],
                 )
             )
         ff_pdf = pd.DataFrame(
             ff_rows,
-            columns=["seg_id", "base_doc", "num_docs", "doc_lens", "ts", "ts_min", "ts_max"]
-            + [f"ff_{name}" for name in self.extra_fast],
+            columns=["seg_id", "base_doc", "num_docs", "doc_lens"]
+            + [f"doc_lens_{name}" for name in self.tok_lens]
+            + ["ts", "ts_min", "ts_max"]
+            + [f"ff_{name}" for name in self.extra_fast]
+            + [f"ff_{name}" for name in self.extra_fast_float],
         )
         _atomic_write_table(
             pa.Table.from_pandas(ff_pdf, schema=ff_schema, preserve_index=False),
@@ -680,6 +797,9 @@ class _SplitAccumulator:
 
 
 INVALID_SENTINEL = "__invalid__"
+# dotted leaf names (nested objects) can't pass through mapInPandas's
+# per-name column resolution — swapped for this sentinel around the task
+DOT_SENTINEL = "\x1f"
 
 
 def make_split_builder(
@@ -694,6 +814,10 @@ def make_split_builder(
     HERE, where the rows already are: the taxonomy travels back in a
     sentinel stats row instead of costing a separate count job."""
 
+    extra_required = tuple(config.extra_fast_fields) + tuple(
+        config.extra_fast_float_fields
+    )
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
 
@@ -702,6 +826,8 @@ def make_split_builder(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if any(DOT_SENTINEL in c for c in pdf.columns):
+                pdf.columns = [c.replace(DOT_SENTINEL, ".") for c in pdf.columns]
             conv_null = pdf["conv_id"].isna()
             ti_null = pdf["turn_idx"].isna()
             ts_null = pdf["ts_epoch"].isna()
@@ -710,6 +836,15 @@ def make_split_builder(
                 inv["missing_conv_id"] += int(conv_null.sum())
                 inv["missing_turn_idx"] += int((~conv_null & ti_null).sum())
                 inv["missing_timestamp"] += int((~conv_null & ~ti_null & ts_null).sum())
+            # every declared fast field is implicitly required
+            # (RequiredFastField, default_mapper.rs:375-389)
+            for name in extra_required:
+                f_null = pdf[name].isna() & ~bad
+                if f_null.any():
+                    k = f"missing_fast_field:{name}"
+                    inv[k] = inv.get(k, 0) + int(f_null.sum())
+                    bad = bad | f_null
+            if bad.any():
                 pdf = pdf[~bad]
                 if len(pdf) == 0:
                     continue
@@ -747,11 +882,28 @@ def make_split_builder(
 # ---------------------------------------------------------------------------
 
 
+_SPARK_SCALAR = {
+    "text": "string",
+    "i64": "long",
+    "u64": "long",
+    "f64": "double",
+    "date": "timestamp",
+    "bytes": "binary",
+}
+
+
+def spark_field_type(m) -> str:
+    base = _SPARK_SCALAR[m.scalar_type]
+    return f"array<{base}>" if m.is_array else base
+
+
 def _project(
     df: DataFrame, config: IndexConfig, passthrough: tuple[str, ...] = ()
 ) -> DataFrame:
     """doc_from_json analog, projection half: select/cast the schema columns
     (unknown input columns silently dropped, default_mapper.rs:582-595).
+    Every schema field beyond the plumbing identity/time columns is
+    projected typed (missing input columns become empty text / typed null).
     Validity is NOT filtered here — the build task classifies and counts
     invalid rows where the data already is (zero extra jobs)."""
     cols = set(df.columns)
@@ -762,16 +914,39 @@ def _project(
     ts_epoch = (
         F.col("ts").cast("long") if ts_type in ("bigint", "int", "long") else F.unix_timestamp("ts")
     )
+    extra_exprs = []
+    for m in config.field_mappings:
+        if m.name in ("conv_id", "turn_idx", "ts"):
+            continue
+        t = spark_field_type(m)
+        if m.name not in cols:
+            e = F.lit("") if t == "string" else F.lit(None).cast(t)
+        elif t == "string":
+            e = F.coalesce(F.col(f"`{m.name}`").cast(t), F.lit(""))
+        else:
+            e = F.col(f"`{m.name}`").cast(t)
+        extra_exprs.append(e.alias(m.name))
     return df.select(
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.coalesce(F.col("role"), F.lit("")).alias("role") if "role" in cols else F.lit("").alias("role"),
-        F.coalesce(F.col("text"), F.lit("")).alias("text") if "text" in cols else F.lit("").alias("text"),
-        F.coalesce(F.col("tool"), F.lit("")).alias("tool") if "tool" in cols else F.lit("").alias("tool"),
+        *extra_exprs,
         F.col("ts").cast("timestamp").alias("ts"),
         ts_epoch.alias("ts_epoch"),
         *[F.col(c) for c in passthrough],
     )
+
+
+def _build_cols(config: IndexConfig) -> list[str]:
+    """Columns the build task needs: the doc-store columns (minus the
+    task-assigned doc_id) plus indexed-but-not-stored schema fields (they
+    feed postings without landing in the doc store)."""
+    cols = [c for c in config.doc_cols() if c != "doc_id"]
+    have = set(cols)
+    for m in config.field_mappings:
+        if (m.is_indexed or m.fast) and m.name not in have and m.name not in ("conv_id", "turn_idx", "ts"):
+            cols.append(m.name)
+            have.add(m.name)
+    return cols
 
 
 def _valid_pred() -> F.Column:
@@ -987,8 +1162,12 @@ def build_index(
                     F.lit(build_id + "-"), F.lpad(F.col("split_ord").cast("string"), 5, "0")
                 ),
             )
-            .select(*[c for c in DOC_COLS if c != "doc_id"], "split_id")
+            .select(*[F.col(f"`{c}`") for c in _build_cols(config)], "split_id")
         )
+        # mapInPandas resolves df[col] per column name, which parses dots as
+        # struct access — rename dotted leaves (nested-object fields) to a
+        # sentinel; the build task restores them on each pandas batch
+        docs = docs.toDF(*[c.replace(".", DOT_SENTINEL) for c in docs.columns])
         stat_rows = docs.mapInPandas(
             make_split_builder(config, build_fn_paths), STATS_SCHEMA
         ).collect()

@@ -75,15 +75,37 @@ HITS_SCHEMA = "split_id string, doc_id long, score double, sort_value long, spli
 
 # topk mode fetches the winners' stored fields inside the leaf task (one job
 # per query instead of leaf + fetch): per split only offset+k docs are read,
-# pruned to row groups by doc_id min/max stats
-_DOC_FETCH_COLS = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts_epoch", "text"]
-FETCHED_HITS_SCHEMA = (
-    HITS_SCHEMA + ", conv_id string, turn_idx int, role string, tool string, "
-    "ts_epoch long, text string"
-)
+# pruned to row groups by doc_id min/max stats.  The fetched column set is
+# config-derived (generic DocMapper schemas carry their own stored leaves).
+_PLUMBING_SPARK = {"doc_id": "long", "conv_id": "string", "turn_idx": "int", "ts_epoch": "long"}
 
 
-def _fetch_doc_fields(index_dir: str, split_id: str, doc_ids) -> pd.DataFrame:
+def fetch_cols(config: IndexConfig) -> list[str]:
+    """Stored columns returned with every hit: all doc-store columns except
+    the raw timestamp (ts_epoch carries it)."""
+    return [c for c in config.doc_cols() if c != "ts"]
+
+
+def _fetch_ddl(config: IndexConfig, include_doc_id: bool) -> str:
+    from ..index.builder import spark_field_type
+
+    by_name = config.fields
+    parts = []
+    for c in fetch_cols(config):
+        if c == "doc_id" and not include_doc_id:
+            continue
+        t = _PLUMBING_SPARK.get(c) or spark_field_type(by_name[c])
+        parts.append(f"`{c}` {t}")
+    return ", ".join(parts)
+
+
+def fetched_hits_schema(config: IndexConfig) -> str:
+    return HITS_SCHEMA + ", " + _fetch_ddl(config, include_doc_id=False)
+
+
+def _fetch_doc_fields(
+    index_dir: str, split_id: str, doc_ids, cols: list[str]
+) -> pd.DataFrame:
     """Doc-store read of a split's winning docs (fetch_docs.rs analog):
     pyarrow dataset over the split dir with a doc_id filter — docs files are
     doc_id-sorted in 8k-row groups, so row-group statistics prune to a
@@ -92,9 +114,9 @@ def _fetch_doc_fields(index_dir: str, split_id: str, doc_ids) -> pd.DataFrame:
 
     dset = _cached_docs_dataset(index_dir, split_id)
     if dset is None:
-        return pd.DataFrame(columns=_DOC_FETCH_COLS)
+        return pd.DataFrame(columns=cols)
     table = dset.to_table(
-        columns=_DOC_FETCH_COLS,
+        columns=cols,
         filter=pads.field("doc_id").isin([int(x) for x in doc_ids]),
     )
     return table.to_pandas()
@@ -150,11 +172,18 @@ def resolve_sort(request: SearchRequest, config: IndexConfig) -> SearchRequest:
     explicit sort uses the index's declared sort_by field; absent both, BM25
     relevance (north rule — the reference's DocId order is the tiebreak)."""
     if request.sort_by_field is None and config.sort_by_field is not None:
-        return _dc_replace(
+        request = _dc_replace(
             request,
             sort_by_field=config.sort_by_field,
             sort_asc=config.sort_by_order == "asc",
         )
+    # the timestamp field's fast values live in the ts plumbing column
+    # (epoch seconds) rather than a ff_<name> column
+    if (
+        request.sort_by_field is not None
+        and request.sort_by_field == config.timestamp_field
+    ):
+        request = _dc_replace(request, sort_by_field="ts")
     return request
 
 
@@ -466,6 +495,8 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
 
 
 def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray, np.ndarray]:
+    # ``lens`` is the field's exact per-doc length array for tokenized text
+    # fields, or None for raw/typed fields (fieldnorm 1)
     """Block-max WAND for a single-term query: decode blocks in descending
     score-upper-bound order, stop once the running k-th best score beats the
     next block's bound (SURVEY.md §2.7 block-max WAND; here the bound is
@@ -501,7 +532,7 @@ def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray
         d, t = decode_blocks(row.blob, last_doc_u32, np.sort(order[i:j]))
         # raw-tokenizer fields hold one term per doc: fieldnorm is 1, not the
         # text length (block_min_len already stores 1 for these postings)
-        dl = lens[d.astype(np.int64)] if field == "text" else np.ones(len(d), np.int64)
+        dl = lens[d.astype(np.int64)] if lens is not None else np.ones(len(d), np.int64)
         sc = term_idf * tf_norm(t, dl, avg)
         got_docs.append(d.astype(np.int64))
         got_scores.append(sc)
@@ -554,6 +585,10 @@ def make_split_scorer(
         and isinstance(ast, TermQuery)
     )
 
+    tokenized = set(config.tokenized_text_fields)
+    f_cols = fetch_cols(config)
+    _EMPTY_DTYPES = {"turn_idx": np.int32, "ts_epoch": np.int64}
+
     def score_split(key, postings_pdf: pd.DataFrame, ff_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -564,12 +599,9 @@ def make_split_scorer(
                 "split_num_hits": pd.Series(dtype=np.int64),
                 **(
                     {
-                        "conv_id": pd.Series(dtype=object),
-                        "turn_idx": pd.Series(dtype=np.int32),
-                        "role": pd.Series(dtype=object),
-                        "tool": pd.Series(dtype=object),
-                        "ts_epoch": pd.Series(dtype=np.int64),
-                        "text": pd.Series(dtype=object),
+                        c: pd.Series(dtype=_EMPTY_DTYPES.get(c, object))
+                        for c in f_cols
+                        if c != "doc_id"
                     }
                     if fetch
                     else {}
@@ -585,11 +617,36 @@ def make_split_scorer(
         lens = np.concatenate(
             [decode_u32_column(b) for b in ff_pdf["doc_lens"]]
         ).astype(np.int64)
+        lens_cache: dict[str, np.ndarray | None] = {}
+
+        def field_lens(field: str) -> np.ndarray | None:
+            """Exact per-doc lengths for BM25 on a tokenized text field;
+            None (fieldnorm 1) for raw/typed fields."""
+            if field not in tokenized:
+                return None
+            if field == "text":
+                return lens
+            if field not in lens_cache:
+                col = f"doc_lens_{field}"
+                lens_cache[field] = (
+                    np.concatenate(
+                        [decode_u32_column(b) for b in ff_pdf[col]]
+                    ).astype(np.int64)
+                    if col in ff_pdf.columns
+                    else None
+                )
+            return lens_cache[field]
+
         postings = _SplitPostings(postings_pdf)
 
         if single_term_wand and postings.has((ast.field, ast.term)):
             docs, scores = _wand_single_term(
-                postings.rows[(ast.field, ast.term)], gstats, ast.field, ast.term, lens, n_top
+                postings.rows[(ast.field, ast.term)],
+                gstats,
+                ast.field,
+                ast.term,
+                field_lens(ast.field),
+                n_top,
             )
             num_hits = int(postings.rows[(ast.field, ast.term)].doc_freq)
         else:
@@ -614,10 +671,11 @@ def make_split_scorer(
                 valid = docs[np.minimum(pos, len(docs) - 1)] == d
                 pv = pos[valid]
                 tf = t[valid].astype(np.float64)
-                if field == "text":
-                    dl = lens[d[valid]]
+                fl = field_lens(field)
+                if fl is not None:
+                    dl = fl[d[valid]]
                 else:
-                    dl = np.ones(len(pv), np.int64)  # raw fields: len 1
+                    dl = np.ones(len(pv), np.int64)  # raw/typed fields: len 1
                 avg = gstats["avg_len"].get(field, 1.0) or 1.0
                 term_idf = bm25_idf(gstats["df"].get((field, term), 0), gstats["num_docs"])
                 scores[pv] += term_idf * tf_norm(tf, dl, avg)
@@ -647,7 +705,7 @@ def make_split_scorer(
             }
         )
         if fetch:
-            fields = _fetch_doc_fields(index_dir, split_id, docs[take])
+            fields = _fetch_doc_fields(index_dir, split_id, docs[take], f_cols)
             out = out.merge(fields, on="doc_id", how="left")
         return out
 
@@ -709,7 +767,7 @@ def _leaf_hits_df(
     cat, config, ast, splits, terms, buckets, scorer, _gstats = _plan_leaf(
         spark, index_dir, request, mode
     )
-    schema = FETCHED_HITS_SCHEMA if mode == "topk" else HITS_SCHEMA
+    schema = fetched_hits_schema(config) if mode == "topk" else HITS_SCHEMA
     if not splits:
         empty = spark.createDataFrame([], schema)
         return empty, splits, ast, config
@@ -1114,9 +1172,6 @@ def multi_search(
             raise SplitVanishedError(f"splits vanished during query: {gone}")
         return multi_search(spark, index_dir, requests, _retry=True)
 
-    def py(v):
-        return v.item() if hasattr(v, "item") else v
-
     responses = []
     for qi, (req, _, _) in enumerate(plans):
         hit_rows = [r for r in rows if r["__qi"] == qi]
@@ -1124,20 +1179,9 @@ def multi_search(
         num_hits = sum(per_split_hits.values())
         hit_rows.sort(key=_sort_key(req))
         page = hit_rows[req.start_offset : req.start_offset + req.max_hits]
-        if page and "text" not in page[0]:
+        if page and "conv_id" not in page[0]:
             _fetch_page_fields(index_dir, page)
-        hits = [
-            {
-                "conv_id": r["conv_id"],
-                "turn_idx": py(r["turn_idx"]),
-                "split_id": r["split_id"],
-                "doc_id": py(r["doc_id"]),
-                "score": py(r["score"]),
-                "sort_value": py(r["sort_value"]),
-                "text": r["text"],
-            }
-            for r in page
-        ]
+        hits = [_hit_dict(config, r) for r in page]
         _maybe_add_source(index_dir, hits, page)
         responses.append(
             SearchResponse(num_hits, hits, int((time.monotonic() - t0) * 1e6))
@@ -1168,11 +1212,58 @@ def _make_leaf_runner(scorer, index_dir: str, terms: list[tuple[str, str]], buck
     return run
 
 
-FETCH_COLS = ["conv_id", "turn_idx", "role", "tool", "ts_epoch", "split_id", "doc_id", "score", "text"]
-_FETCH_SCHEMA = (
-    "conv_id string, turn_idx int, role string, tool string, ts_epoch long, "
-    "split_id string, doc_id long, score double, text string"
-)
+def _df_cols_and_schema(config: IndexConfig) -> tuple[list[str], str]:
+    """search_df's output columns: the fetched stored fields + hit identity
+    and score, config-derived so generic schemas flow through."""
+    cols = [c for c in fetch_cols(config) if c != "doc_id"]
+    ddl = _fetch_ddl(config, include_doc_id=False)
+    cols += ["split_id", "doc_id", "score"]
+    ddl += ", split_id string, doc_id long, score double"
+    return cols, ddl
+
+
+def _json_safe(v):
+    """JSON-representable value for hit dicts / _source: bytes → base64,
+    timestamps → RFC-3339, numpy scalars/arrays → python."""
+    import base64
+
+    from ..functions.typed_terms import canonical_date
+
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, np.ndarray):
+        return [_json_safe(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, pd.Timestamp):
+        return canonical_date(v.to_pydatetime())
+    if hasattr(v, "item"):
+        v = v.item()
+    from datetime import datetime
+
+    if isinstance(v, datetime):
+        return canonical_date(v)
+    if isinstance(v, float) and v != v:  # fetched-missing NaN
+        return None
+    return v
+
+
+def _hit_dict(config: IndexConfig, r: dict) -> dict:
+    """One hit's JSON shape: identity + score + every stored field."""
+    h = {
+        "conv_id": r.get("conv_id"),
+        "turn_idx": _json_safe(r.get("turn_idx")),
+        "split_id": r["split_id"],
+        "doc_id": _json_safe(r["doc_id"]),
+        "score": _json_safe(r["score"]),
+        "sort_value": _json_safe(r.get("sort_value")),
+    }
+    for c in fetch_cols(config):
+        if c not in ("doc_id", "conv_id", "turn_idx"):
+            h[c] = _json_safe(r.get(c))
+    return h
 
 
 def _maybe_add_source(index_dir: str, hits: list[dict], page: list[dict]) -> None:
@@ -1192,6 +1283,7 @@ def _maybe_add_source(index_dir: str, hits: list[dict], page: list[dict]) -> Non
         return
     if not config.store_source:
         return
+    stored = [m.name for m in config.stored_extra_fields]
     for h, r in zip(hits, page):
         ts_epoch = r.get("ts_epoch")
         ts = (
@@ -1201,17 +1293,14 @@ def _maybe_add_source(index_dir: str, hits: list[dict], page: list[dict]) -> Non
             if ts_epoch is not None
             else None
         )
-        h["_source"] = json.dumps(
-            {
-                "conv_id": r.get("conv_id"),
-                "turn_idx": int(r["turn_idx"]) if r.get("turn_idx") is not None else None,
-                "role": r.get("role"),
-                "text": r.get("text"),
-                "tool": r.get("tool"),
-                "ts": ts,
-            },
-            sort_keys=True,
-        )
+        src = {
+            "conv_id": r.get("conv_id"),
+            "turn_idx": int(r["turn_idx"]) if r.get("turn_idx") is not None else None,
+            "ts": ts,
+        }
+        for c in stored:
+            src[c] = _json_safe(r.get(c))
+        h["_source"] = json.dumps(src, sort_keys=True)
 
 
 def _sort_key(request: SearchRequest):
@@ -1245,7 +1334,7 @@ def _search_rows(
             num_hits = sum(per_split_hits.values())
             hit_rows.sort(key=_sort_key(request))
             page = hit_rows[request.start_offset : request.start_offset + request.max_hits]
-            if page and "text" not in page[0]:
+            if page and "conv_id" not in page[0]:
                 _fetch_page_fields(index_dir, page)
             return page, num_hits
         except SplitVanishedError:
@@ -1262,34 +1351,42 @@ def _fetch_page_fields(index_dir: str, page: list[dict]) -> None:
     stored fields of ONLY the final page's rows — at most (offset+k) docs
     across at most that many splits, a few row-group-pruned pyarrow reads
     of metadata-scale size.  Mutates the page rows in place."""
+    _, config = open_index(None, index_dir)
+    cols = fetch_cols(config)
     by_split: dict[str, list[int]] = {}
     for r in page:
         by_split.setdefault(r["split_id"], []).append(int(r["doc_id"]))
     for sid, ids in by_split.items():
         if _cached_docs_dataset(index_dir, sid) is None:  # GC raced us
             raise SplitVanishedError(f"split vanished during fetch: {sid}")
-        pdf = _fetch_doc_fields(index_dir, sid, ids)
-        fields = {int(row.doc_id): row for row in pdf.itertuples(index=False)}
+        pdf = _fetch_doc_fields(index_dir, sid, ids, cols)
+        fields = {int(row[cols.index("doc_id")]): row for row in pdf.itertuples(index=False, name=None)}
         for r in page:
             if r["split_id"] != sid:
                 continue
             row = fields.get(int(r["doc_id"]))
-            for c in _DOC_FETCH_COLS:
+            for i, c in enumerate(cols):
                 if c != "doc_id":
-                    r[c] = getattr(row, c) if row is not None else None
+                    r[c] = row[i] if row is not None else None
 
 
 def search_df(spark: SparkSession, index_dir: str, request: SearchRequest) -> DataFrame:
     """Full search as a DataFrame of hits joined back to the doc store:
-    columns (conv_id, turn_idx, role, text, tool, ts_epoch, split_id,
-    doc_id, score), globally ordered and offset/limited."""
+    the config's stored columns plus (split_id, doc_id, score), globally
+    ordered and offset/limited."""
+    _, config = open_index(spark, index_dir)
+    cols, schema = _df_cols_and_schema(config)
     page, _ = _search_rows(spark, index_dir, request)
 
     def py(v):
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime()
         return v.item() if hasattr(v, "item") else v
 
-    data = [tuple(py(r[c]) for c in FETCH_COLS) for r in page]
-    return spark.createDataFrame(data, _FETCH_SCHEMA)
+    data = [tuple(py(r[c]) for c in cols) for r in page]
+    return spark.createDataFrame(data, schema)
 
 
 def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> SearchResponse:
@@ -1297,22 +1394,8 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
     the total hit count (collector.rs:180-187)."""
     t0 = time.monotonic()
     page, num_hits = _search_rows(spark, index_dir, request)
-
-    def py(v):
-        return v.item() if hasattr(v, "item") else v
-
-    out = [
-        {
-            "conv_id": r["conv_id"],
-            "turn_idx": py(r["turn_idx"]),
-            "split_id": r["split_id"],
-            "doc_id": py(r["doc_id"]),
-            "score": py(r["score"]),
-            "sort_value": py(r["sort_value"]),
-            "text": r["text"],
-        }
-        for r in page
-    ]
+    _, config = open_index(spark, index_dir)
+    out = [_hit_dict(config, r) for r in page]
     _maybe_add_source(index_dir, out, page)
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 

@@ -223,9 +223,17 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
     fm = config.fields.get(node.field)
     if fm is None:
         raise QueryParserError(f"field does not exist in schema: {node.field}")
-    if fm.type != "text":
-        # numeric term query on i64 fast fields: exact value match
-        return TermQuery(node.field, node.text)
+    if fm.scalar_type != "text":
+        # typed term query (i64/u64/f64/date/bytes): exact value match on
+        # the canonical term string (same form the build task indexed)
+        from ..functions.typed_terms import canonical_query_term
+
+        try:
+            return TermQuery(node.field, canonical_query_term(fm.scalar_type, node.text))
+        except ValueError as e:
+            raise QueryParserError(
+                f"invalid {fm.scalar_type} value for field {node.field}: {node.text!r}"
+            ) from e
     if fm.tokenizer == "raw":
         return TermQuery(node.field, node.text)
     toks = tokenize_text(node.text)
