@@ -548,6 +548,95 @@ def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray
     return np.concatenate(got_docs), np.concatenate(got_scores)
 
 
+def _maxscore_union(
+    postings: _SplitPostings, gstats, keys, field_lens, n_top
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """MaxScore over a pure disjunction of term queries (the block-max
+    family's term-at-a-time variant; reference semantics SURVEY §2.7 /
+    collector.rs:146-167): terms are processed in descending
+    score-upper-bound order, and a doc appearing ONLY in terms whose
+    remaining combined upper bound is strictly below the running k-th best
+    exact score is counted but never scored.
+
+    num_hits stays EXACT — every doc list is decoded once for the union
+    count (the engine reports true hit totals, ft_count contract) — the
+    saving is the BM25 + top-k work on the pruned tail, which for a
+    stopword OR ("the OR error") is most of the union.  Strict `<` in the
+    prune test keeps score-ties eligible, so tie-breaks (doc order) are
+    unaffected.  Returns (docs, exact_scores, num_hits) for the scored
+    subset; every doc that can appear in the top-k is in it."""
+    present = []
+    for k in sorted(set(keys)):
+        r = postings.rows.get(k)
+        if r is None:
+            continue
+        avg = gstats["avg_len"].get(k[0], 1.0) or 1.0
+        idf = bm25_idf(gstats["df"].get(k, r.doc_freq), gstats["num_docs"])
+        bmax_tf = np.asarray(r.block_max_tf, np.float64)
+        bmin_len = np.maximum(np.asarray(r.block_min_len, np.int64), 1)
+        ub = float((idf * tf_norm(bmax_tf, bmin_len, avg)).max()) if len(bmax_tf) else 0.0
+        present.append((ub, k, idf, avg))
+    if not present:
+        return np.empty(0, np.int64), np.empty(0, np.float64), 0
+    present.sort(key=lambda x: (-x[0], x[1]))
+    ubs = np.array([p[0] for p in present])
+    rem = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])  # rem[i] = Σ ubs[i:]
+    doclists = [postings.full(p[1]) for p in present]
+    lens_list = [field_lens(p[1][0]) for p in present]
+
+    seen: np.ndarray | None = None  # sorted union of doc ids so far
+    out_docs, out_scores = [], []
+    topk = np.empty(0, np.float64)
+    threshold = -np.inf
+    num_hits = 0
+    for i, (ub, key, idf, avg) in enumerate(present):
+        d_i = doclists[i][0].astype(np.int64)
+        t_i = doclists[i][1]
+        last = i == len(present) - 1
+        if seen is None:
+            new_docs, new_tf = d_i, t_i
+            seen = d_i
+        else:
+            fresh = ~_sorted_member(d_i, seen)
+            new_docs, new_tf = d_i[fresh], t_i[fresh]
+            if len(new_docs) and not last:  # nothing consumes seen after the last phase
+                seen = np.concatenate((seen, new_docs))
+                seen.sort()
+        num_hits += len(new_docs)
+        if len(new_docs) == 0:
+            continue
+        if len(topk) >= n_top and rem[i] < threshold:
+            continue  # counted, not scored: bounded strictly below k-th best
+        fl = lens_list[i]
+        dl = fl[new_docs] if fl is not None else np.ones(len(new_docs), np.int64)
+        sc = idf * tf_norm(new_tf.astype(np.float64), dl, avg)
+        # exact totals: add every LATER term's contribution (docs new at
+        # phase i contain none of the earlier terms by construction)
+        for j in range(i + 1, len(present)):
+            d_j, t_j = doclists[j]
+            if len(d_j) == 0:
+                continue
+            dj = d_j.astype(np.int64)
+            pos = np.searchsorted(dj, new_docs)
+            valid = dj[np.minimum(pos, len(dj) - 1)] == new_docs
+            if not valid.any():
+                continue
+            flj = lens_list[j]
+            dv = new_docs[valid]
+            dlj = flj[dv] if flj is not None else np.ones(len(dv), np.int64)
+            _, _, idf_j, avg_j = present[j]
+            sc[valid] += idf_j * tf_norm(t_j[pos[valid]].astype(np.float64), dlj, avg_j)
+        out_docs.append(new_docs)
+        out_scores.append(sc)
+        merged = np.concatenate((topk, sc))
+        if len(merged) > n_top:
+            merged = np.partition(merged, len(merged) - n_top)[len(merged) - n_top :]
+        topk = merged
+        if len(topk) >= n_top:
+            threshold = topk.min()
+    return np.concatenate(out_docs), np.concatenate(out_scores), num_hits
+
+
 def _topk_take(values: np.ndarray, docs: np.ndarray, n_top: int) -> np.ndarray:
     """Indices of the top-n_top rows by (value desc, doc asc).  A partition
     prefilter keeps the O(n log n) lexsort to the boundary candidates only —
@@ -577,12 +666,19 @@ def make_split_scorer(
     ts_lo, ts_hi = request.start_timestamp, request.end_timestamp
     sort_field = request.sort_by_field
     fetch = mode == "topk" and index_dir is not None
-    single_term_wand = (
-        mode == "topk"
-        and sort_field is None
-        and ts_lo is None
-        and ts_hi is None
-        and isinstance(ast, TermQuery)
+    unfiltered_topk = (
+        mode == "topk" and sort_field is None and ts_lo is None and ts_hi is None
+    )
+    single_term_wand = unfiltered_topk and isinstance(ast, TermQuery)
+    # pure disjunction of term queries → MaxScore (exact count, pruned
+    # scoring); any must/must_not/phrase falls back to full evaluation
+    disjunction_maxscore = (
+        unfiltered_topk
+        and isinstance(ast, BoolQuery)
+        and not ast.must
+        and not ast.must_not
+        and len(ast.should) >= 2
+        and all(isinstance(c, TermQuery) for c in ast.should)
     )
 
     tokenized = set(config.tokenized_text_fields)
@@ -649,6 +745,14 @@ def make_split_scorer(
                 n_top,
             )
             num_hits = int(postings.rows[(ast.field, ast.term)].doc_freq)
+        elif disjunction_maxscore:
+            docs, scores, num_hits = _maxscore_union(
+                postings,
+                gstats,
+                [(c.field, c.term) for c in ast.should],
+                field_lens,
+                n_top,
+            )
         else:
             docs = _eval_node(ast, postings)
             if len(docs) and (ts_lo is not None or ts_hi is not None):
