@@ -66,7 +66,6 @@ see tools/scaling_bench.py for methodology).
 from __future__ import annotations
 
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -78,6 +77,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
+from ..storage import storage_for
 from ..functions.codec import (
     BLOCK,
     decode_positions,
@@ -166,11 +166,13 @@ def _expand_parquet_paths(paths: list[str]) -> list[str]:
     the Spark path)."""
     out: list[str] = []
     for p in paths:
-        if os.path.isdir(p):
-            out.extend(
-                os.path.join(p, n) for n in sorted(os.listdir(p)) if n.endswith(".parquet")
-            )
-        elif os.path.exists(p):
+        st = storage_for(p)
+        info = st.info(p)
+        import pyarrow.fs as pafs
+
+        if info.type == pafs.FileType.Directory:
+            out.extend(st.list_files(p))
+        elif info.type == pafs.FileType.File:
             out.append(p)
     return out
 
@@ -197,55 +199,55 @@ def _write_termstats_delta(
     Spark groupBy (cluster-scale publishes: 100 splits × millions of terms
     never pass through the driver)."""
     import pyarrow as pa
-    import pyarrow.dataset as pads
 
+    storage = storage_for(index_dir)
     files = _expand_parquet_paths(files)
     if not files:
         return None
-    os.makedirs(os.path.join(index_dir, "termstats_deltas"), exist_ok=True)
     rel = os.path.join("termstats_deltas", f"{tag}-{uuid.uuid4().hex[:8]}.parquet")
-    out_abs = os.path.join(index_dir, rel)
+    out_path = os.path.join(index_dir, rel)
     max_mb = int(os.environ.get("QW_TERMSTATS_DRIVER_MAX_MB", "256"))
-    if sum(os.path.getsize(f) for f in files) <= max_mb * (1 << 20):
+    if sum(storage.size(f) for f in files) <= max_mb * (1 << 20):
         pdf = (
-            pads.dataset(files, format="parquet")
+            storage.dataset(files)
             .to_table()
             .to_pandas()
             .groupby(["bucket", "field", "term"], as_index=False)["doc_freq"]
             .sum()
             .sort_values(["bucket", "field", "term"], kind="mergesort")
         )
-        _atomic_write_table(
+        storage.write_table(
             pa.Table.from_pandas(pdf, schema=_termstats_schema(), preserve_index=False),
-            out_abs,
+            out_path,
             row_group_size=4096,
         )
     else:
-        tmp = out_abs + f".tmp-{uuid.uuid4().hex[:8]}"
+        # Spark-scale aggregation writes the delta as a DIRECTORY of parts
+        # at its final (unique) name — no rename; the delta is garbage until
+        # the catalog commit references it, so partial writes are invisible
+        # (and GC'd as orphans)
         (
-            spark.read.parquet(*files)
+            spark.read.parquet(*[storage.spark_url(f) for f in files])
             .groupBy("bucket", "field", "term")
             .agg(F.sum("doc_freq").alias("doc_freq"))
             .repartition("bucket")
             .sortWithinPartitions("bucket", "field", "term")
             .write.mode("overwrite")
-            .parquet(tmp)
+            .parquet(storage.spark_url(out_path))
         )
-        for n in os.listdir(tmp):  # keep only parquet parts (drop _SUCCESS)
-            if not n.endswith(".parquet"):
-                os.remove(os.path.join(tmp, n))
-        os.replace(tmp, out_abs)
+        for f in storage.list_files(out_path, suffix=""):  # drop _SUCCESS etc.
+            if not f.endswith(".parquet"):
+                storage.delete_file(f)
     return rel
 
 
 def _cleanup_split_dirs(index_dir: str, split_ids: list[str]) -> None:
     """Remove data dirs of staged-but-unpublished splits before a retry
     (the GC-of-stale-staged-splits analog, garbage_collector.rs:56-146)."""
+    storage = storage_for(index_dir)
     for table, path in _paths(index_dir).items():
         for sid in split_ids:
-            d = os.path.join(path, f"split_id={sid}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+            storage.delete_dir(os.path.join(path, f"split_id={sid}"))
 
 
 # ---------------------------------------------------------------------------
@@ -471,20 +473,17 @@ def _termstats_schema():
 
 
 def _atomic_write_table(table, final_path: str, row_group_size: int | None = None) -> int:
-    """Write a parquet file via a temp name + atomic rename (idempotent under
-    task retry; a re-attempt rewrites identical content).  Returns bytes.
+    """Write one parquet object through the storage layer (idempotent under
+    task retry; a re-attempt rewrites identical content).  Local stores get
+    temp-name + atomic-rename hygiene; object stores a direct PUT — safe
+    either way because split files are only read once their split id is
+    published (the catalog commit is the publish point).  Returns bytes.
 
     ``row_group_size`` matters for the query path: postings files are sorted
     by (bucket, field, term), so small row groups give the scan real min/max
     pruning on `bucket` — one giant row group per split would make every
     bucket's min/max span the whole file and prune nothing."""
-    import pyarrow.parquet as pq
-
-    tmp = f"{final_path}.tmp-{os.getpid()}"
-    pq.write_table(table, tmp, compression="snappy", row_group_size=row_group_size)
-    size = os.path.getsize(tmp)
-    os.replace(tmp, final_path)
-    return size
+    return storage_for(final_path).write_table(table, final_path, row_group_size)
 
 
 class _SplitAccumulator:
@@ -532,7 +531,7 @@ class _SplitAccumulator:
             name: by_name[name].scalar_type for name in config.extra_fast_fields
         }
         self._docs_writer = None
-        self._docs_tmp = None
+        self._docs_finish = None
 
     def add(self, pdf: pd.DataFrame) -> None:
         k = len(pdf)
@@ -547,7 +546,6 @@ class _SplitAccumulator:
 
     def _split_file(self, table: str) -> str:
         d = os.path.join(self.paths[table], f"split_id={self.split_id}")
-        os.makedirs(d, exist_ok=True)
         return os.path.join(d, "part-0.parquet")
 
     def _write_docs_chunk(self, pdf: pd.DataFrame) -> None:
@@ -561,11 +559,9 @@ class _SplitAccumulator:
             pdf[self.doc_cols], schema=docs_schema, preserve_index=False
         )
         if self._docs_writer is None:
-            final = self._split_file("docs")
-            self._docs_tmp = f"{final}.tmp-{os.getpid()}"
-            self._docs_writer = pq.ParquetWriter(
-                self._docs_tmp, docs_schema, compression="snappy"
-            )
+            self._docs_writer, self._docs_finish = storage_for(
+                self.paths["docs"]
+            ).parquet_writer(self._split_file("docs"), docs_schema)
         # ~8k-row groups: docs are doc_id-sorted, so the hit-fetch scan
         # prunes to a handful of row groups via doc_id min/max stats
         self._docs_writer.write_table(table, row_group_size=8192)
@@ -679,7 +675,7 @@ class _SplitAccumulator:
         self._encode_chunk()
         if self._docs_writer is not None:
             self._docs_writer.close()
-            os.replace(self._docs_tmp, self._split_file("docs"))
+            self._docs_finish()
         _, postings_schema, ff_schema = _pa_schemas(self.config)
         cfg = self.config
         tag_fields = set(cfg.tag_fields)
@@ -1113,8 +1109,12 @@ def build_index(
             if approx is None:
                 approx = base.count()
             n_splits = max(1, -(-approx // config.split_num_docs_target))
-        builds[build_id] = {"n_splits": n_splits, "total_docs": None}
-        cat._save()
+        ns = n_splits
+        cat.update(
+            lambda st: st.setdefault("builds", {}).setdefault(
+                build_id, {"n_splits": ns, "total_docs": None}
+            )
+        )
     tm.lap("plan")
 
     checkpoint = cat.checkpoint()
@@ -1127,7 +1127,8 @@ def build_index(
     )
     invalid_by_reason = {"missing_conv_id": 0, "missing_turn_idx": 0, "missing_timestamp": 0}
     if not todo_ords:
-        report.total_docs = builds[build_id].get("total_docs") or 0
+        build_row = cat._state.setdefault("builds", {}).get(build_id, {})
+        report.total_docs = build_row.get("total_docs") or 0
         return report
 
     if split_ord_expr is None:
@@ -1232,8 +1233,12 @@ def build_index(
         v["num_docs"] for k, v in split_rows.items() if k in in_build
     )
     report.invalid_docs = sum(invalid_by_reason.values())
-    builds[build_id]["total_docs"] = report.total_docs
-    cat._save()
+    total = report.total_docs
+    cat.update(
+        lambda st: st.setdefault("builds", {}).setdefault(build_id, {}).__setitem__(
+            "total_docs", total
+        )
+    )
 
     report.metrics = {
         "splits": {s.split_id: s.metrics for s in cat.splits([PUBLISHED])},

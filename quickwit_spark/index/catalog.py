@@ -6,13 +6,22 @@ quickwit-metastore/src/split_metadata.rs:56-136) and a per-source checkpoint
 map partition_id→position with atomic, overlap-rejecting delta application
 (quickwit-metastore/src/checkpoint.rs:299-353).
 
-Here the catalog is a single JSON file updated by atomic write-then-rename
-(the analog of the reference's file-backed metastore; an Iceberg/Delta table
-commit would replace this on a real deployment — the read path only needs
-"list splits with state/ts_range/tags").  Data files live under the index
-dir partitioned by split_id; readers only look at split dirs the catalog
-lists as Published, which is what makes publish atomic and staged data
-invisible (same trick as the reference's stage/publish split lifecycle).
+Here the catalog is a single JSON object updated by whole-object PUT
+through the storage abstraction (storage.py) — the analog of the
+reference's file-backed metastore; an Iceberg/Delta table commit would
+replace this on a real deployment.  Data files live under the index dir
+partitioned by split_id; readers only look at split dirs the catalog lists
+as Published, which is what makes publish atomic and staged data invisible
+(same trick as the reference's stage/publish split lifecycle).
+
+Concurrent writers (reference metastore contract,
+quickwit-metastore/src/tests.rs): every mutation is a locked
+read-modify-write — an exclusive flock on `<index>/.catalog.lock` guards
+reload→apply→write, so two processes racing publish/merge/GC serialize
+instead of silently losing updates.  On object stores there is no lock
+primitive; the engine assumes ONE metastore-writer process there (exactly
+the reference's metastore-service deployment shape) and writes are
+last-writer-wins whole-object PUTs.
 """
 
 from __future__ import annotations
@@ -21,8 +30,11 @@ import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
-from typing import Iterable
+from typing import Callable, Iterable
+
+from ..storage import storage_for
 
 STAGED = "Staged"
 PUBLISHED = "Published"
@@ -54,48 +66,103 @@ class SplitMetadata:
         return SplitMetadata(**d)
 
 
+def _fresh_state() -> dict:
+    return {
+        "config": None,
+        "splits": {},  # split_id -> SplitMetadata dict
+        "checkpoint": {},  # partition_id -> position (lexicographic order = natural)
+        "next_seq": 0,
+        # global term-stats LSM: delta files (paths relative to the
+        # index dir) whose summed (field, term) doc_freq equals the
+        # whole published index's — maintained by publish (insert) and
+        # merge rounds (compaction); merges/demux never change it (they
+        # rewrite the same docs).  `complete` turns False forever if
+        # anything publishes docs without a delta — readers then fall
+        # back to scanning per-split postings for doc_freq.
+        "termstats": {"deltas": [], "complete": True},
+    }
+
+
 class Catalog:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
+        self.storage = storage_for(index_dir)
         self.path = os.path.join(index_dir, "catalog.json")
-        self._state = {
-            "config": None,
-            "splits": {},  # split_id -> SplitMetadata dict
-            "checkpoint": {},  # partition_id -> position (lexicographic order = natural)
-            "next_seq": 0,
-            # global term-stats LSM: delta files (paths relative to the
-            # index dir) whose summed (field, term) doc_freq equals the
-            # whole published index's — maintained by publish (insert) and
-            # merge rounds (compaction); merges/demux never change it (they
-            # rewrite the same docs).  `complete` turns False forever if
-            # anything publishes docs without a delta — readers then fall
-            # back to scanning per-split postings for doc_freq.
-            "termstats": {"deltas": [], "complete": True},
-        }
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                self._state = json.load(f)
-            # catalogs written before termstats existed: mark incomplete
-            self._state.setdefault("termstats", {"deltas": [], "complete": False})
+        self._lock_path = (
+            os.path.join(self.storage.fs_path(index_dir), ".catalog.lock")
+            if self.storage.is_local
+            else None
+        )
+        self._state = self._load() or _fresh_state()
+
+    def _load(self) -> dict | None:
+        if not self.storage.exists(self.path):
+            return None
+        state = json.loads(self.storage.read_bytes(self.path))
+        # catalogs written before termstats existed: mark incomplete
+        state.setdefault("termstats", {"deltas": [], "complete": False})
+        return state
+
+    # -- locked read-modify-write ----------------------------------------
+    @contextmanager
+    def _locked(self):
+        """Exclusive inter-process lock for the mutation window (local
+        filesystems only; object stores run single-metastore-writer)."""
+        if self._lock_path is None:
+            yield
+            return
+        import fcntl
+
+        os.makedirs(os.path.dirname(self._lock_path), exist_ok=True)
+        with open(self._lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def update(self, fn: Callable[[dict], None]) -> None:
+        """Apply ``fn`` to the CURRENT persisted state under the writer
+        lock and commit — the one mutation primitive.  fn sees fresh state
+        (another process may have published/merged since we loaded), so
+        concurrent writers serialize instead of losing updates."""
+        with self._locked():
+            state = self._load()
+            if state is not None:
+                self._state = state
+            fn(self._state)
+            self._save_unlocked()
+
+    def _save_unlocked(self) -> None:
+        self.storage.write_bytes(
+            self.path, json.dumps(self._state).encode("utf-8")
+        )
+
+    def _save(self) -> None:
+        """Commit the in-memory state as-is (no reload).  Only for
+        single-writer flows that built self._state from scratch; racing
+        writers should use update()."""
+        with self._locked():
+            self._save_unlocked()
+
+    def reload(self) -> "Catalog":
+        return Catalog(self.index_dir)
 
     # -- basic ----------------------------------------------------------
     @staticmethod
     def create(index_dir: str, config_dict: dict) -> "Catalog":
-        os.makedirs(index_dir, exist_ok=True)
+        st = storage_for(index_dir)
+        if st.is_local:
+            os.makedirs(st.fs_path(index_dir), exist_ok=True)
         cat = Catalog(index_dir)
         if cat._state["config"] is None:
-            cat._state["config"] = config_dict
-            cat._save()
+
+            def init(state):
+                if state["config"] is None:
+                    state["config"] = config_dict
+
+            cat.update(init)
         return cat
-
-    def _save(self) -> None:
-        tmp = self.path + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(self._state, f)
-        os.replace(tmp, self.path)  # atomic publish
-
-    def reload(self) -> "Catalog":
-        return Catalog(self.index_dir)
 
     @property
     def config_dict(self) -> dict:
@@ -115,10 +182,13 @@ class Catalog:
 
     def stage_split(self, meta: SplitMetadata) -> None:
         meta.state = STAGED
-        meta.create_seq = self._state["next_seq"]
-        self._state["next_seq"] += 1
-        self._state["splits"][meta.split_id] = asdict(meta)
-        self._save()
+
+        def apply(state):
+            meta.create_seq = state["next_seq"]
+            state["next_seq"] += 1
+            state["splits"][meta.split_id] = asdict(meta)
+
+        self.update(apply)
 
     def publish_splits(
         self,
@@ -137,35 +207,43 @@ class Catalog:
         path), committed in the same atomic catalog write; publishing docs
         WITHOUT one permanently marks the term-stats LSM incomplete.
         """
-        cp = self._state["checkpoint"]
-        for pid, (frm, to) in checkpoint_delta.items():
-            cur = cp.get(pid)
-            if cur != frm:
-                raise IncompatibleCheckpointDelta(
-                    f"partition {pid}: delta from {frm!r} but checkpoint is at {cur!r}"
-                )
-            if frm is not None and to <= frm:
-                raise IncompatibleCheckpointDelta(f"partition {pid}: regressing {frm!r}→{to!r}")
-        for sid in split_ids:
-            if sid not in self._state["splits"]:
-                raise KeyError(f"unknown split {sid}")
-            self._state["splits"][sid]["state"] = PUBLISHED
-        for pid, (_frm, to) in checkpoint_delta.items():
-            cp[pid] = to
-        ts = self._state["termstats"]
-        if termstats_delta is not None:
-            ts["deltas"].append(termstats_delta)
-        elif any(self._state["splits"][sid]["num_docs"] > 0 for sid in split_ids):
-            ts["complete"] = False
-        self._save()
+
+        def apply(state):
+            cp = state["checkpoint"]
+            for pid, (frm, to) in checkpoint_delta.items():
+                cur = cp.get(pid)
+                if cur != frm:
+                    raise IncompatibleCheckpointDelta(
+                        f"partition {pid}: delta from {frm!r} but checkpoint is at {cur!r}"
+                    )
+                if frm is not None and to <= frm:
+                    raise IncompatibleCheckpointDelta(
+                        f"partition {pid}: regressing {frm!r}→{to!r}"
+                    )
+            for sid in split_ids:
+                if sid not in state["splits"]:
+                    raise KeyError(f"unknown split {sid}")
+                state["splits"][sid]["state"] = PUBLISHED
+            for pid, (_frm, to) in checkpoint_delta.items():
+                cp[pid] = to
+            ts = state["termstats"]
+            if termstats_delta is not None:
+                ts["deltas"].append(termstats_delta)
+            elif any(state["splits"][sid]["num_docs"] > 0 for sid in split_ids):
+                ts["complete"] = False
+
+        self.update(apply)
 
     def replace_splits(self, new_split_ids: list[str], replaced_split_ids: list[str]) -> None:
         """Merge/compaction transaction (reference publisher.rs:109-127)."""
-        for sid in new_split_ids:
-            self._state["splits"][sid]["state"] = PUBLISHED
-        for sid in replaced_split_ids:
-            self._state["splits"][sid]["state"] = MARKED_FOR_DELETION
-        self._save()
+
+        def apply(state):
+            for sid in new_split_ids:
+                state["splits"][sid]["state"] = PUBLISHED
+            for sid in replaced_split_ids:
+                state["splits"][sid]["state"] = MARKED_FOR_DELETION
+
+        self.update(apply)
 
     def checkpoint(self) -> dict[str, str]:
         return dict(self._state["checkpoint"])
@@ -175,28 +253,33 @@ class Catalog:
         return dict(self._state.setdefault("sources", {}))
 
     def add_source(self, source_id: str, source_type: str, params: dict) -> None:
-        srcs = self._state.setdefault("sources", {})
-        if source_id in srcs:
-            raise ValueError(f"source {source_id!r} already exists")
-        srcs[source_id] = {"source_type": source_type, "params": params}
-        self._save()
+        def apply(state):
+            srcs = state.setdefault("sources", {})
+            if source_id in srcs:
+                raise ValueError(f"source {source_id!r} already exists")
+            srcs[source_id] = {"source_type": source_type, "params": params}
+
+        self.update(apply)
 
     def delete_source(self, source_id: str) -> None:
         """Remove the source and ITS checkpoint entries (the reference
         deletes a source's checkpoint with it; ingest build ids are
         prefixed '{source_id}-', so its positions are the prefixed keys)."""
-        srcs = self._state.setdefault("sources", {})
-        if source_id not in srcs:
-            raise KeyError(f"no source {source_id!r}")
-        del srcs[source_id]
-        cp = self._state["checkpoint"]
-        for k in [k for k in cp if k.startswith(f"{source_id}-")]:
-            del cp[k]
-        self._save()
+
+        def apply(state):
+            srcs = state.setdefault("sources", {})
+            if source_id not in srcs:
+                raise KeyError(f"no source {source_id!r}")
+            del srcs[source_id]
+            cp = state["checkpoint"]
+            for k in [k for k in cp if k.startswith(f"{source_id}-")]:
+                del cp[k]
+
+        self.update(apply)
 
     # -- term-stats LSM ----------------------------------------------------
     def termstats_files(self) -> list[str] | None:
-        """Absolute paths of the committed term-stats delta files (each a
+        """Logical paths of the committed term-stats delta files (each a
         parquet file or a directory of parts), or None if the LSM is
         incomplete and readers must fall back to scanning split postings."""
         ts = self._state["termstats"]
@@ -207,15 +290,20 @@ class Catalog:
     def compact_termstats(self, new_delta: str, replaced: list[str]) -> None:
         """Swap ``replaced`` delta entries for the single compacted one
         (atomic; the merge-round compaction commit)."""
-        ts = self._state["termstats"]
         gone = set(replaced)
-        ts["deltas"] = [d for d in ts["deltas"] if d not in gone] + [new_delta]
-        self._save()
+
+        def apply(state):
+            ts = state["termstats"]
+            ts["deltas"] = [d for d in ts["deltas"] if d not in gone] + [new_delta]
+
+        self.update(apply)
 
     def delete_splits(self, split_ids: list[str]) -> None:
-        for sid in split_ids:
-            self._state["splits"].pop(sid, None)
-        self._save()
+        def apply(state):
+            for sid in split_ids:
+                state["splits"].pop(sid, None)
+
+        self.update(apply)
 
     # -- derived global stats (query-time BM25 inputs) --------------------
     def global_stats(self) -> dict:

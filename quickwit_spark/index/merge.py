@@ -26,7 +26,6 @@ MergeExecutor + GarbageCollector analog (SURVEY.md §2.4).
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from dataclasses import dataclass
 from typing import Callable
@@ -46,6 +45,7 @@ from ..functions.codec import (
     encode_postings,
     encode_u32_column,
 )
+from ..storage import storage_for
 from .builder import POSTINGS_SCHEMA, _paths
 from .catalog import MARKED_FOR_DELETION, PUBLISHED, STAGED, Catalog, SplitMetadata
 
@@ -190,9 +190,14 @@ def execute_merge_round(
     map_ord = F.create_map(*[F.lit(x) for r in rows for x in (r[0], r[3])])
     n_out = len(ops)
 
+    storage = storage_for(index_dir)
+
     def read(table: str):
-        dirs = [os.path.join(paths[table], f"split_id={sid}") for sid in in_sids]
-        return spark.read.option("basePath", paths[table]).parquet(*dirs)
+        dirs = [
+            storage.spark_url(os.path.join(paths[table], f"split_id={sid}"))
+            for sid in in_sids
+        ]
+        return spark.read.option("basePath", storage.spark_url(paths[table])).parquet(*dirs)
 
     # Bounded row groups for the rewritten files: Spark's default writer
     # makes ONE giant row group per split file, which silences the min/max
@@ -205,22 +210,22 @@ def execute_merge_round(
     _BLOCK_BYTES = {"postings": _blk, "docs": _blk, "fastfields": 4 << 20}
 
     def write_moved(df, table: str, sort_cols: list[str]):
-        tmp = os.path.join(paths[table], f".merge-tmp-{uuid.uuid4().hex[:8]}")
+        """Write each output split DIRECTLY to its final partition dir —
+        no temp dir, no directory rename (object-store-safe: output split
+        ids are new and unpublished, so readers cannot see partial data;
+        the catalog replace below is the only commit point).  Stale data
+        from a crashed earlier attempt is prefix-deleted first, so a
+        retried merge self-heals without touching live splits."""
+        for sid in [op.output_split_id for op in ops]:
+            storage.delete_dir(os.path.join(paths[table], f"split_id={sid}"))
         (
             df.repartition(n_out, "split_id")
             .sortWithinPartitions("split_id", *sort_cols)
             .write.partitionBy("split_id")
             .option("parquet.block.size", str(_BLOCK_BYTES[table]))
-            .mode("overwrite")
-            .parquet(tmp)
+            .mode("append")
+            .parquet(storage.spark_url(paths[table]))
         )
-        for op in ops:
-            src = os.path.join(tmp, f"split_id={op.output_split_id}")
-            dst = os.path.join(paths[table], f"split_id={op.output_split_id}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.exists(src):
-                os.replace(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
 
     off, out = map_off[F.col("split_id")], map_out[F.col("split_id")]
 
@@ -324,12 +329,13 @@ def compact_termstats_deltas(spark: SparkSession, index_dir: str) -> str | None:
     if new_rel is None:
         return None
     cat.compact_termstats(new_rel, old)
+    storage = storage_for(index_dir)
     for d in old:  # committed — the replaced files are garbage now
         p = os.path.join(index_dir, d)
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
-        elif os.path.exists(p):
-            os.remove(p)
+        if storage.isdir(p):
+            storage.delete_dir(p)
+        else:
+            storage.delete_file(p)
     return new_rel
 
 
@@ -340,24 +346,33 @@ def garbage_collect(index_dir: str, include_staged: bool = False) -> list[str]:
     (garbage_collector.rs:56-146; a build that died between stage and
     publish leaves them); only safe when no build is currently running."""
     cat = Catalog(index_dir)
+    storage = storage_for(index_dir)
     states = [MARKED_FOR_DELETION] + ([STAGED] if include_staged else [])
     dead = [s.split_id for s in cat.splits(states)]
     paths = _paths(index_dir)
     for sid in dead:
         for table in paths.values():
-            d = os.path.join(table, f"split_id={sid}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+            storage.delete_dir(os.path.join(table, f"split_id={sid}"))
     cat.delete_splits(dead)
     # orphaned term-stats deltas: written but never committed (a publish or
-    # compaction that died before its catalog rename)
+    # compaction that died before its catalog commit)
     ddir = os.path.join(index_dir, "termstats_deltas")
-    if os.path.isdir(ddir):
-        live = {os.path.basename(d) for d in cat._state["termstats"]["deltas"]}
-        for name in os.listdir(ddir):
-            if name not in live:
-                p = os.path.join(ddir, name)
-                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    live = {os.path.basename(d) for d in cat._state["termstats"]["deltas"]}
+    # a delta is a single file (driver-aggregated) or a directory of parts
+    # (Spark-aggregated) — anything under ddir not named in the catalog is
+    # an orphan from a crashed publish/compaction
+    if storage.exists(ddir):
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(storage.fs_path(ddir), allow_not_found=True)
+        for i in storage.fs.get_file_info(sel):
+            name = os.path.basename(i.path)
+            if name in live:
+                continue
+            if i.type == pafs.FileType.Directory:
+                storage.delete_dir(os.path.join(ddir, name))
+            elif i.type == pafs.FileType.File:
+                storage.delete_file(os.path.join(ddir, name))
     return dead
 
 
@@ -414,8 +429,12 @@ def execute_demux(
     if demux_field not in config.fields:
         raise ValueError(f"demux field {demux_field!r} not in schema")
     paths = _paths(index_dir)
-    dirs = [os.path.join(paths["docs"], f"split_id={sid}") for sid in split_ids]
-    docs = spark.read.option("basePath", paths["docs"]).parquet(*dirs)
+    storage = storage_for(index_dir)
+    dirs = [
+        storage.spark_url(os.path.join(paths["docs"], f"split_id={sid}"))
+        for sid in split_ids
+    ]
+    docs = spark.read.option("basePath", storage.spark_url(paths["docs"])).parquet(*dirs)
 
     # the demux value must be conversation-constant (doc ids are dense per
     # split in (conv_id, turn_idx) order): a conversation's value is its
@@ -454,9 +473,12 @@ def execute_demux(
     )
     cat = Catalog(index_dir)  # reload: build staged new rows
     new_ids = [sid for sid in report.published_splits if sid in cat._state["splits"]]
-    for sid in new_ids:  # record demux lineage (SplitMetadata.demux analog)
-        cat._state["splits"][sid]["num_merge_ops"] = (
-            max(cat._state["splits"][s]["num_merge_ops"] for s in split_ids) + 1
-        )
+
+    def record_lineage(state):  # SplitMetadata.demux analog
+        ops = max(state["splits"][s]["num_merge_ops"] for s in split_ids) + 1
+        for sid in new_ids:
+            state["splits"][sid]["num_merge_ops"] = ops
+
+    cat.update(record_lineage)
     cat.replace_splits(new_ids, split_ids)
     return [s for s in cat.splits([PUBLISHED]) if s.split_id in set(new_ids)]

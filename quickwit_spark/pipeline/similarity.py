@@ -346,56 +346,184 @@ def lsh_topk(
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
-    Exact all-pairs by construction (the APPROXIMATE scale path is LSH/IVF
-    in this module — exact all-pairs is quadratic no matter the engine).
-    Up to QW_NEARDUP_GEMM_MAX rows (default 300k) the pair space runs as
-    blocked numpy matrix products over a broadcast of the vectors: chunk
-    the rows, one task per upper-triangle chunk pair, ``A @ B.T`` per task
-    — ~100x the per-pair throughput of evaluating the dot as a Catalyst
-    aggregate expression inside an inequality join (measured 58 s → ~2 s on
-    100k pairs-of-10k-rows at sf0.1).  Above the gate it falls back to the
-    declarative self-join (no driver materialization)."""
+    Up to QW_NEARDUP_GEMM_MAX rows (default 300k) the pair space runs
+    EXACTLY as blocked numpy matrix products: rows are chunked into a temp
+    parquet, one task per upper-triangle chunk pair streams ITS two chunks
+    and computes ``A @ B.T`` — ~100x the per-pair throughput of a Catalyst
+    aggregate expression inside an inequality join, with no driver-side
+    vector materialization.
+
+    Above the gate the default switches to banded-LSH candidate generation
+    + exact cosine verification (the minhash_lsh_pairs shape): equality
+    joins on band signatures, never an all-pairs join.  Recall is not
+    literally 1.0 but the band parameters make a miss astronomically rare
+    (see _near_dup_lsh_verified).  Pass ``exact=True`` to force the
+    quadratic all-pairs join regardless of size (the reference-exact
+    escape hatch)."""
     gemm_max = int(__import__("os").environ.get("QW_NEARDUP_GEMM_MAX", "300000"))
     n = df.count()
-    if n <= gemm_max:
-        return _near_dup_gemm(df, threshold, id_col, vec_col)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    joined = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = (_dot(F.col("va"), F.col("vb")) / (_norm_col("va") * _norm_col("vb"))).alias("cosine")
+    if exact is None:
+        exact = n <= gemm_max
+    if exact:
+        if n <= gemm_max:
+            return _near_dup_gemm(df, threshold, id_col, vec_col)
+        # exact above the gate: the unavoidable quadratic join, explicit
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+        cos = (_dot(F.col("va"), F.col("vb")) / (_norm_col("va") * _norm_col("vb"))).alias(
+            "cosine"
+        )
+        return (
+            joined.select("id_a", "id_b", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        )
+    return _near_dup_lsh_verified(df, threshold, id_col, vec_col)
+
+
+def _near_dup_lsh_verified(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    seed: int = 0xB1A5,
+) -> DataFrame:
+    """Banded random-hyperplane LSH candidates + exact cosine verify — the
+    100-TB-scale near-dup plan: equality joins on (band, signature) only.
+
+    Recall math: a pair at cosine s agrees on one hyperplane with
+    p = 1 - arccos(s)/π; it collides in a band of r planes with p^r and is
+    MISSED entirely with (1 - p^r)^b.  Defaults adapt to the threshold:
+    r is picked so p^r ≈ 0.5 (r=6 at 0.95, r=2 at 0.45) and b so the miss
+    probability per qualifying pair is ≤ 1e-9 (b ≈ 30).  Low thresholds
+    make LSH unselective by nature (candidates approach all pairs) but
+    never incorrect.  All signature work is one Arrow-batched matmul per
+    partition; candidates dedup on (id_a, id_b) before the exact verify."""
+    import math
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    if rows_per_band is None or bands is None:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        r = max(2, int(math.log(0.5) / math.log(p))) if 0 < p < 1 else 2
+        pr = p**r
+        b = min(64, max(8, math.ceil(math.log(1e-9) / math.log(1 - pr))))
+        rows_per_band = rows_per_band or r
+        bands = bands or b
+
+    dim = len(df.select(vec_col).head()[0])
+    planes = random_planes(dim, bands * rows_per_band, seed).astype(np.float64)
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, np.float64) for v in vecs])
+        bits = (mat @ planes.T) >= 0  # (n, bands*rows)
+        sig = (
+            bits.reshape(len(mat), bands, rows_per_band).astype(np.int64) * weights
+        ).sum(axis=2)
+        return pd.Series(list(sig))
+
+    sigs = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), band_sigs(F.col(vec_col)).alias("_sig")
+    )
+    exploded = sigs.select(
+        "_id", F.posexplode("_sig").alias("_band", "_hash")
+    )
+    cand = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._hash") == F.col("b._hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = sigs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = sigs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    cos = _cosine_udf(F.col("va"), F.col("vb")).alias("cosine")
     return (
-        joined.select("id_a", "id_b", cos)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
 
 def _near_dup_gemm(df: DataFrame, threshold: float, id_col: str, vec_col: str) -> DataFrame:
+    """Blocked exact GEMM: the vectors are spilled ONCE to a chunk-
+    partitioned temp parquet (one Spark job, nothing through the driver),
+    then each upper-triangle (chunk i, chunk j) task reads just its TWO
+    ~2k-row chunks with pyarrow and emits the qualifying pairs of an
+    ``A @ B.T`` block.  Peak memory anywhere = two chunks of vectors."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import Window
+
     spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    norms = np.sqrt((mat * mat).sum(axis=1))
     chunk = 2048
-    nchunks = max(1, -(-len(ids) // chunk))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    # workers read the chunks directly: on a multi-node cluster point
+    # QW_NEARDUP_SCRATCH at shared storage (local mode: any tmpdir works)
+    tmp = tempfile.mkdtemp(
+        prefix="qw-neardup-", dir=_os.environ.get("QW_NEARDUP_SCRATCH")
+    )
+    vec_dir = _os.path.join(tmp, "vectors")
+    w = Window.orderBy(id_col)
+    (
+        df.select(id_col, vec_col)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_chunk", (F.col("_rn") / chunk).cast("int"))
+        .repartition(1)
+        .sortWithinPartitions("_rn")
+        .write.partitionBy("_chunk")
+        .mode("overwrite")
+        .parquet(vec_dir)
+    )
+    nchunks = len([d for d in _os.listdir(vec_dir) if d.startswith("_chunk=")])
     pairs = [(i, j) for i in range(nchunks) for j in range(i, nchunks)]
 
     def work(it):
-        ids_, mat_, norms_ = bc.value
+        import pyarrow.dataset as pads
+
+        cache: dict[int, tuple] = {}
+
+        def load(c: int):
+            if c not in cache:
+                d = _os.path.join(vec_dir, f"_chunk={c}")
+                t = pads.dataset(d, format="parquet").to_table().to_pandas()
+                t = t.sort_values("_rn")
+                ids_ = t[id_col].to_numpy()
+                mat_ = np.array([np.asarray(v, np.float64) for v in t[vec_col]])
+                cache[c] = (ids_, mat_, np.sqrt((mat_ * mat_).sum(axis=1)))
+                while len(cache) > 4:
+                    cache.pop(next(iter(cache)))
+            return cache[c]
+
         for i, j in it:
-            ai, aj = slice(i * chunk, (i + 1) * chunk), slice(j * chunk, (j + 1) * chunk)
+            ids_i, mat_i, norms_i = load(i)
+            ids_j, mat_j, norms_j = load(j)
             # dot-then-divide, same form as the SQL oracle (not pre-normalized
             # rows), so the float64 rounding matches to the last ulp class
-            sim = (mat_[ai] @ mat_[aj].T) / np.outer(norms_[ai], norms_[aj])
+            sim = (mat_i @ mat_j.T) / np.outer(norms_i, norms_j)
             ia, ja = np.nonzero(sim >= threshold)
             if not len(ia):
                 continue
-            left, right = ids_[ai][ia], ids_[aj][ja]
+            left, right = ids_i[ia], ids_j[ja]
             lo = np.minimum(left, right)
             hi = np.maximum(left, right)
             keep = lo < hi  # drop self-pairs; orient id_a < id_b

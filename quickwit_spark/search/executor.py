@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
+from ..storage import storage_for
 from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import tf_norm
 from ..functions.codec import (
@@ -148,10 +149,13 @@ def open_index(spark: SparkSession, index_dir: str) -> tuple[Catalog, IndexConfi
     (mtime, size) key makes publish/merge/GC invalidate naturally — the
     same trick as the scan/gstats caches."""
     path = os.path.join(index_dir, "catalog.json")
-    try:
-        state = (os.path.getmtime(path), os.path.getsize(path))
-    except OSError:
+    st = storage_for(index_dir)
+    info = st.info(path)
+    import pyarrow.fs as _pafs
+
+    if info.type != _pafs.FileType.File:
         raise FileNotFoundError(f"no index at {index_dir} (missing catalog.json)")
+    state = (info.mtime_ns, info.size)
     key = (index_dir, state)
     hit = _CATALOG_CACHE.get(key)
     if hit is None:
@@ -231,16 +235,16 @@ def _table_scan(spark: SparkSession, index_dir: str, table: str):
     search reads split files directly with worker-side pyarrow.
     Invalidated whenever the catalog file changes (publish/merge/GC add or
     drop split dirs)."""
-    cat_path = os.path.join(index_dir, "catalog.json")
-    try:
-        state = (os.path.getmtime(cat_path), os.path.getsize(cat_path))
-    except OSError:
-        state = None
+    st = storage_for(index_dir)
+    info = st.info(os.path.join(index_dir, "catalog.json"))
+    state = (info.mtime_ns, info.size) if info.size is not None else None
     key = (index_dir, table, state)
     if key not in _SCAN_DF_CACHE:
         for k in [k for k in _SCAN_DF_CACHE if k[:2] == (index_dir, table)]:
             _SCAN_DF_CACHE.pop(k)  # drop scans of older catalog states
-        _SCAN_DF_CACHE[key] = spark.read.parquet(f"{index_dir}/{table}")
+        _SCAN_DF_CACHE[key] = spark.read.parquet(
+            st.spark_url(os.path.join(index_dir, table))
+        )
         if len(_SCAN_DF_CACHE) > 256:
             _SCAN_DF_CACHE.pop(next(iter(_SCAN_DF_CACHE)))
     return _SCAN_DF_CACHE[key]
@@ -258,10 +262,8 @@ def global_term_stats(
     the term-dictionary rows of all published splits.  df is cached per
     (index state, term) — the split-footer/fast-field cache analog
     (leaf.rs:47-55), invalidated whenever the catalog file changes."""
-    try:
-        cat_state = os.path.getmtime(cat.path), os.path.getsize(cat.path)
-    except OSError:
-        cat_state = None
+    info = storage_for(index_dir).info(cat.path)
+    cat_state = (info.mtime_ns, info.size) if info.size is not None else None
     stats = cat.global_stats()
     # per-TERM cache (not per-query): "deploy" then "deploy AND failure"
     # reads only the new term's df; invalidated with the catalog state
@@ -310,7 +312,7 @@ def global_term_stats(
             dkey = ("gstats-dset", tuple(files))
             dset = _GSTATS_CACHE.get(dkey)
             if dset is None:
-                dset = pads.dataset(files, format="parquet")
+                dset = storage_for(index_dir).dataset(files)
                 _GSTATS_CACHE[dkey] = dset
             tbl = dset.to_table(
                 columns=["field", "term", "doc_freq"], filter=cond
@@ -891,10 +893,7 @@ def _leaf_hits_df(
 
 def _split_files(index_dir: str, table: str, split_id: str) -> list[str]:
     d = os.path.join(index_dir, table, f"split_id={split_id}")
-    try:
-        return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    except FileNotFoundError:
-        return []
+    return storage_for(index_dir).list_files(d)
 
 
 def _limit_arrow_threads():
@@ -930,23 +929,21 @@ def _split_epoch(index_dir: str, table: str, split_id: str) -> float:
     """Split-dir mtime, folded into every cache key.  Published split DIRS
     never mutate, but deterministic build ids mean a delete-and-rebuild at
     the same path REUSES split ids — one stat per lookup makes the caches
-    safe for long-lived servers at ~µs cost."""
-    try:
-        return os.path.getmtime(os.path.join(index_dir, table, f"split_id={split_id}"))
-    except OSError:
-        return 0.0
+    safe for long-lived servers at ~µs cost.  (Object stores without
+    directory entries report 0.0 — their listings change instead, and the
+    file list is part of the dataset construction.)"""
+    return storage_for(index_dir).mtime(
+        os.path.join(index_dir, table, f"split_id={split_id}")
+    )
 
 
 def _cached_fastfields(index_dir: str, split_id: str) -> pd.DataFrame | None:
     key = (index_dir, split_id, _split_epoch(index_dir, "fastfields", split_id))
     if key in _WORKER_FF_CACHE:
         return _WORKER_FF_CACHE[key]
-    import pyarrow.dataset as pads
-
+    st = storage_for(index_dir)
     files = _split_files(index_dir, "fastfields", split_id)
-    pdf = (
-        pads.dataset(files, format="parquet").to_table().to_pandas() if files else None
-    )
+    pdf = st.dataset(files).to_table().to_pandas() if files else None
     _lru_put(_WORKER_FF_CACHE, key, pdf, 256)
     return pdf
 
@@ -955,10 +952,9 @@ def _cached_docs_dataset(index_dir: str, split_id: str):
     key = (index_dir, "docs", split_id, _split_epoch(index_dir, "docs", split_id))
     if key in _WORKER_DSET_CACHE:
         return _WORKER_DSET_CACHE[key]
-    import pyarrow.dataset as pads
-
+    st = storage_for(index_dir)
     files = _split_files(index_dir, "docs", split_id)
-    dset = pads.dataset(files, format="parquet") if files else None
+    dset = st.dataset(files) if files else None
     _lru_put(_WORKER_DSET_CACHE, key, dset, 256)
     return dset
 
@@ -969,10 +965,9 @@ def _cached_postings_dataset(index_dir: str, split_id: str):
     key = (index_dir, split_id, _split_epoch(index_dir, "postings", split_id))
     if key in _WORKER_DSET_CACHE:
         return _WORKER_DSET_CACHE[key]
-    import pyarrow.dataset as pads
-
+    st = storage_for(index_dir)
     files = _split_files(index_dir, "postings", split_id)
-    dset = pads.dataset(files, format="parquet") if files else None
+    dset = st.dataset(files) if files else None
     _lru_put(_WORKER_DSET_CACHE, key, dset, 256)
     return dset
 

@@ -57,3 +57,25 @@ def test_ann_recall_and_exact_scores(spark, embs, fn, kw):
     # recall floor on clustered data
     recall = len(set(approx) & set(exact)) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_near_dup_lsh_scale_path_matches_exact(spark, embs):
+    """The above-the-GEMM-gate default (banded-LSH candidates + exact
+    verify) must agree pair-for-pair with the exact blocked GEMM — the
+    adaptive band parameters keep the per-pair miss probability ~1e-9 at
+    any threshold."""
+    for th in (0.9, 0.75):
+        exact = {tuple(r) for r in sim.embedding_near_dup_pairs(embs, th, exact=True).collect()}
+        lsh = {tuple(r) for r in sim.embedding_near_dup_pairs(embs, th, exact=False).collect()}
+        assert exact == lsh
+        assert len(exact) > 0  # clustered fixture: thresholds chosen to hit
+
+
+def test_near_dup_gemm_streams_chunks(spark, embs, monkeypatch):
+    """The exact GEMM path spills vectors to a chunk parquet and each task
+    reads only its two chunks — no driver-side matrix (QW_NEARDUP_GEMM_MAX
+    gates which inputs take it; force it here)."""
+    monkeypatch.setenv("QW_NEARDUP_GEMM_MAX", "1000000")
+    out = sim.embedding_near_dup_pairs(embs, 0.9).collect()
+    assert len(out) > 0
+    assert all(r["id_a"] < r["id_b"] for r in out)
