@@ -125,7 +125,23 @@ def bench_queries(spark, index_dir: str, repeats: int = 7) -> tuple[dict, dict]:
             times[name].append(time.monotonic() - t0)
     p50 = {n: round(statistics.median(ts), 4) for n, ts in times.items()}
     p99 = {n: round(max(ts), 4) for n, ts in times.items()}
-    return p50, p99
+    pmin = {n: round(min(ts), 4) for n, ts in times.items()}
+    return p50, p99, pmin
+
+
+def probe_page_fault_gbps(size_mb: int = 96) -> float:
+    """First-touch page-fault bandwidth probe: this VM's host sometimes
+    serves fresh anonymous pages at ~0.05 GB/s (vs 15+ GB/s warm — see
+    quickwit_spark/mem.py).  Reporting the probe alongside the numbers lets
+    a reader tell engine regressions from host-paging windows."""
+    import numpy as np
+
+    t0 = time.monotonic()
+    a = np.empty(size_mb << 20, dtype=np.uint8)
+    a[::4096] = 1  # touch every page
+    secs = time.monotonic() - t0
+    del a
+    return round((size_mb / 1024) / secs, 2)
 
 
 def bench_merged(spark, index_dir: str, repeats: int = 9) -> dict:
@@ -239,9 +255,10 @@ def main():
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    page_gbps_start = probe_page_fault_gbps()
     corpus = ensure_corpus(n_conv)
     build = bench_build(spark, corpus)
-    queries, queries_p99 = bench_queries(spark, build["index_dir"])
+    queries, queries_p99, queries_min = bench_queries(spark, build["index_dir"])
     queries["q9_stream_export"] = bench_stream(spark, build["index_dir"])
     batched_qps = bench_multi(spark, build["index_dir"])
     merged = bench_merged(spark, build["index_dir"])
@@ -255,6 +272,12 @@ def main():
         "unit": "sec",
         "queries": queries,
         "queries_p99": queries_p99,
+        "queries_min": queries_min,
+        # first-touch page-fault GB/s at bench start/end: < ~1 means the
+        # host was serving fresh pages slowly (0.05 GB/s windows observed;
+        # warm memory runs 15+ GB/s) and wall times are host-bound, not
+        # engine-bound — read queries_min/best-of builds in that case
+        "host_page_gbps": [page_gbps_start, probe_page_fault_gbps()],
         "sf": sf_dir,
         "build_turns": build["turns"],
         "build_secs": build["build_secs"],
