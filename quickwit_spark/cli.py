@@ -284,6 +284,23 @@ def cmd_ingest(args) -> dict:
         build_id = f"{args.source}-{args.build_id}"
     if input_path is None:
         return {"cmd": "ingest", "error": "pass --input or --source"}
+    if cfg.doc_mapper_json is not None and fmt not in ("parquet",):
+        # general typed schema: the mapper stored at create time parses and
+        # validates every NDJSON doc (nested objects/arrays/typed leaves)
+        from quickwit_spark.index.generic import build_index_from_ndjson
+
+        report, err_counts = build_index_from_ndjson(
+            spark, input_path, None, args.index_dir, config=cfg, build_id=build_id
+        )
+        return {
+            "cmd": "ingest",
+            "index_dir": report.index_dir,
+            "total_docs": report.total_docs,
+            "invalid_docs": report.invalid_docs,
+            "invalid_by_reason": err_counts,
+            "published_splits": len(report.published_splits),
+            "skipped_splits": len(report.skipped_splits),
+        }
     if fmt in ("parquet",):
         df = read_transcripts_parquet(spark, input_path)
     else:

@@ -123,6 +123,11 @@ class IndexConfig:
     # sort_by_field always win over this default.
     sort_by_field: str | None = None
     sort_by_order: str = "desc"
+    # when this config came from a general DocMapper (docmapper.py), the
+    # nested mapper serialized as JSON (string keeps the frozen dataclass
+    # hashable) — ingest paths re-hydrate it to parse/validate NDJSON with
+    # the full nested-object/array semantics the flat leaves can't express
+    doc_mapper_json: str | None = None
 
     def __post_init__(self):
         by_name = {m.name: m for m in self.field_mappings}
@@ -243,6 +248,11 @@ class IndexConfig:
             "store_source": self.store_source,
             "sort_by_field": self.sort_by_field,
             "sort_by_order": self.sort_by_order,
+            **(
+                {"doc_mapper_json": self.doc_mapper_json}
+                if self.doc_mapper_json is not None
+                else {}
+            ),
         }
 
     @staticmethod
@@ -262,6 +272,7 @@ class IndexConfig:
             store_source=d.get("store_source", False),
             sort_by_field=d.get("sort_by_field"),
             sort_by_order=d.get("sort_by_order", "desc"),
+            doc_mapper_json=d.get("doc_mapper_json"),
         )
 
     @staticmethod
@@ -283,6 +294,8 @@ class IndexConfig:
                     indexed=e.indexed,
                 )
             )
+        import json as _json
+
         defaults = dict(
             index_id=index_id,
             field_mappings=tuple(mappings),
@@ -292,6 +305,7 @@ class IndexConfig:
             store_source=mapper.store_source,
             sort_by_field=mapper.sort_by_field,
             sort_by_order=mapper.sort_by_order,
+            doc_mapper_json=_json.dumps(mapper.to_dict(), sort_keys=True),
         )
         defaults.update(overrides)
         return IndexConfig(**defaults)  # type: ignore[arg-type]
@@ -300,8 +314,17 @@ class IndexConfig:
 def load_config(path: str) -> IndexConfig:
     """Load an index config file — the index-config-uri of the reference CLI
     (`quickwit index create --index-config-uri`, docs/reference/index-config.md).
-    JSON always; YAML when PyYAML is importable.  The file format is exactly
-    ``IndexConfig.to_dict()`` (what catalog.json embeds)."""
+    JSON always; YAML when PyYAML is importable.  Three accepted shapes:
+
+    1. the engine's own flat ``IndexConfig.to_dict()`` (what catalog.json
+       embeds);
+    2. the REFERENCE index-config file: ``{version, index_id, doc_mapping:
+       {field_mappings, tag_fields, store_source}, search_settings:
+       {default_search_fields}, indexing_settings: {timestamp_field,
+       split_num_docs_target, merge_policy...}}`` — nested objects and
+       arrays included (docs/reference/index-config.md:24-162);
+    3. a bare DocMapper dict (docmapper.py shape, nested mappings).
+    """
     import json
 
     with open(path) as f:
@@ -311,8 +334,47 @@ def load_config(path: str) -> IndexConfig:
             import yaml  # type: ignore[import-not-found]
         except ImportError as e:
             raise ValueError("YAML config requires PyYAML; use JSON instead") from e
-        return IndexConfig.from_dict(yaml.safe_load(raw))
-    return IndexConfig.from_dict(json.loads(raw))
+        d = yaml.safe_load(raw)
+    else:
+        d = json.loads(raw)
+    return config_from_any(d)
+
+
+def config_from_any(d: dict) -> IndexConfig:
+    """Dict of any accepted config shape (see load_config) → IndexConfig."""
+    from .docmapper import DocMapper
+
+    if "doc_mapping" in d:  # reference index-config file format
+        dm = dict(d["doc_mapping"])
+        search = d.get("search_settings", {}) or {}
+        indexing = d.get("indexing_settings", {}) or {}
+        if "default_search_fields" in search:
+            dm["default_search_fields"] = search["default_search_fields"]
+        # reference puts timestamp_field under indexing_settings
+        if "timestamp_field" in indexing and "timestamp_field" not in dm:
+            dm["timestamp_field"] = indexing["timestamp_field"]
+        if "demux_field" in indexing and "demux_field" not in dm:
+            dm["demux_field"] = indexing["demux_field"]
+        mapper = DocMapper.from_dict(dm)
+        knobs = {}
+        for k in ("split_num_docs_target", "segment_num_docs_target"):
+            if k in indexing:
+                knobs[k] = indexing[k]
+        mp = indexing.get("merge_policy", {}) or {}
+        if "merge_factor" in mp:
+            knobs["merge_factor"] = mp["merge_factor"]
+        if "max_merge_factor" in mp:
+            knobs["max_merge_factor"] = mp["max_merge_factor"]
+        return IndexConfig.from_doc_mapper(mapper, d.get("index_id", "index"), **knobs)
+    mappings = d.get("field_mappings", [])
+    nested = any(
+        m.get("type") == "object" or "field_mappings" in m or "array" in m
+        for m in mappings
+    )
+    if nested:  # bare DocMapper dict
+        mapper = DocMapper.from_dict(d)
+        return IndexConfig.from_doc_mapper(mapper, d.get("index_id", "index"))
+    return IndexConfig.from_dict(d)
 
 
 def transcripts_config(**overrides) -> IndexConfig:

@@ -59,30 +59,42 @@ def mapper_frame(df: DataFrame, mapper: DocMapper) -> tuple[DataFrame, DataFrame
 def build_index_from_ndjson(
     spark: SparkSession,
     source,
-    mapper: DocMapper,
+    mapper: DocMapper | None,
     index_dir: str,
     index_id: str = "ndjson",
+    config: IndexConfig | None = None,
     **build_kwargs,
 ) -> tuple[BuildReport, dict[str, int]]:
     """End-to-end generic build: NDJSON path (or a DataFrame whose first
     column holds JSON lines) + DocMapper → published index.  Returns the
-    build report and the invalid-doc taxonomy counts ('kind:field' → n)."""
+    build report and the invalid-doc taxonomy counts ('kind:field' → n).
+
+    Pass ``config`` to ingest into an EXISTING index (the CLI path: the
+    mapper re-hydrates from config.doc_mapper_json, fixed at create time);
+    otherwise the config is derived from the mapper."""
+    import json
+
+    if config is None:
+        config = IndexConfig.from_doc_mapper(
+            mapper,
+            index_id,
+            **{
+                k: build_kwargs.pop(k)
+                for k in (
+                    "split_num_docs_target",
+                    "segment_num_docs_target",
+                    "merge_factor",
+                    "max_merge_factor",
+                )
+                if k in build_kwargs
+            },
+        )
+    if mapper is None:
+        if not config.doc_mapper_json:
+            raise ValueError("config carries no doc mapper (doc_mapper_json)")
+        mapper = DocMapper.from_dict(json.loads(config.doc_mapper_json))
     df = spark.read.text(source) if isinstance(source, str) else source
     frame, errors = mapper_frame(df, mapper)
-    config = IndexConfig.from_doc_mapper(
-        mapper,
-        index_id,
-        **{
-            k: build_kwargs.pop(k)
-            for k in (
-                "split_num_docs_target",
-                "segment_num_docs_target",
-                "merge_factor",
-                "max_merge_factor",
-            )
-            if k in build_kwargs
-        },
-    )
     err_counts = {
         r["_parse_error"]: int(r["n"])
         for r in errors.groupBy("_parse_error").agg(F.count("*").alias("n")).collect()

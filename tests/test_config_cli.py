@@ -135,3 +135,99 @@ def test_source_management_and_source_scoped_ingest(spark, tmp_path):
     assert not {k for k in Catalog(idx).checkpoint() if k.startswith("s1-")}
     # the published splits themselves survive (delete source != delete data)
     assert Catalog(idx).splits()
+
+
+REFERENCE_FORMAT_CONFIG = {
+    "version": 0,
+    "index_id": "events-generic",
+    "doc_mapping": {
+        "field_mappings": [
+            {"name": "title", "type": "text", "record": "position"},
+            {"name": "body", "type": "text", "record": "position"},
+            {"name": "category", "type": "text", "tokenizer": "raw"},
+            {"name": "created", "type": "date", "fast": True},
+            {"name": "severity", "type": "i64", "fast": True, "indexed": True},
+            {
+                "name": "attributes",
+                "type": "object",
+                "field_mappings": [
+                    {"name": "server", "type": "text", "tokenizer": "raw"},
+                ],
+            },
+        ],
+        "tag_fields": ["category"],
+    },
+    "search_settings": {"default_search_fields": ["title", "body"]},
+    "indexing_settings": {
+        "timestamp_field": "created",
+        "split_num_docs_target": 50,
+        "merge_policy": {"merge_factor": 3, "max_merge_factor": 4},
+    },
+}
+
+
+def test_load_reference_format_config(tmp_path):
+    """The reference's index-config FILE shape (doc_mapping /
+    search_settings / indexing_settings, docs/reference/index-config.md)
+    loads into a mapper-backed IndexConfig with dotted leaves."""
+    p = tmp_path / "ref-config.json"
+    p.write_text(json.dumps(REFERENCE_FORMAT_CONFIG))
+    cfg = load_config(str(p))
+    assert cfg.index_id == "events-generic"
+    assert cfg.timestamp_field == "created"
+    assert cfg.split_num_docs_target == 50 and cfg.merge_factor == 3
+    assert cfg.default_search_fields == ("title", "body")
+    assert "attributes.server" in cfg.fields  # nested leaf flattened
+    assert cfg.doc_mapper_json is not None
+    # catalog round-trip preserves the mapper
+    assert IndexConfig.from_dict(cfg.to_dict()) == cfg
+
+
+def test_cli_generic_create_ingest_search(spark, tmp_path):
+    """Full reference user journey on a NON-transcript schema: create with
+    a reference-format config file, ingest NDJSON (error taxonomy in the
+    output), field-scoped search on a dotted nested leaf."""
+    from quickwit_spark.cli import cmd_ingest, cmd_search
+
+    conf = tmp_path / "conf.json"
+    conf.write_text(json.dumps(REFERENCE_FORMAT_CONFIG))
+    nd = tmp_path / "docs.ndjson"
+    docs = [
+        json.dumps(
+            {
+                "title": f"report {i}",
+                "body": "needle haystack" if i % 2 == 0 else "haystack",
+                "category": "ops",
+                "created": f"2024-02-0{1 + i % 9}T00:00:00Z",
+                "severity": i % 3,
+                "attributes": {"server": f"srv-{i % 2}"},
+            }
+        )
+        for i in range(40)
+    ]
+    docs.append("not json")
+    nd.write_text("\n".join(docs) + "\n")
+    idx = str(tmp_path / "idx")
+
+    out = cmd_create(argparse.Namespace(index_dir=idx, config=str(conf), split_docs=1, segment_docs=1))
+    assert out["index_id"] == "events-generic"
+    out = cmd_ingest(
+        argparse.Namespace(
+            index_dir=idx, config=None, input=str(nd), build_id="b0", source=None,
+            local_cpus="4", shuffle_partitions=8, split_docs=1, segment_docs=1,
+        )
+    )
+    assert out["total_docs"] == 40
+    assert out["invalid_by_reason"] == {"not_json:": 1}
+    out = cmd_search(
+        argparse.Namespace(
+            index_dir=idx, query="attributes.server:srv-0 needle", max_hits=5,
+            start_offset=0, start_timestamp=None, end_timestamp=None,
+            sort_by=None, local_cpus="4",
+            shuffle_partitions=8, search_fields=None,
+        )
+    )
+    assert out["num_hits"] > 0
+    for h in out["hits"]:
+        assert h["attributes.server"] == "srv-0"
+        assert "needle" in h["body"]
