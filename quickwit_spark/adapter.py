@@ -68,3 +68,61 @@ def documents_index(spark: SparkSession, sf_dir: str) -> str:
     else:
         os.replace(tmp, final) if not os.path.exists(final) else shutil.rmtree(tmp)
     return final
+
+
+# the general-DocMapper gate index: documents re-serialized as NDJSON with a
+# NESTED object field, parsed/validated by the mapper, typed i64 term index
+GENERIC_MAPPER_DICT = {
+    "field_mappings": [
+        {"name": "ext_id", "type": "i64", "fast": True, "stored": True, "indexed": False},
+        {"name": "text", "type": "text", "record": "position"},
+        {"name": "lang", "type": "text", "tokenizer": "raw"},
+        {"name": "n_chars", "type": "i64", "fast": True, "indexed": True},
+        {
+            "name": "meta",
+            "type": "object",
+            "field_mappings": [{"name": "source", "type": "text", "tokenizer": "raw"}],
+        },
+    ],
+    "default_search_fields": ["text"],
+}
+
+
+def documents_generic_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) a GENERIC-schema index over the documents table: rows
+    are re-serialized as NDJSON (nested ``meta.source``), then parsed,
+    validated, and indexed by the general DocMapper — the full
+    non-transcript path under the driver's correctness gate."""
+    from .docmapper import DocMapper
+    from .index.generic import build_index_from_ndjson
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:generic:{CONFIG_VERSION}".encode()
+    ).hexdigest()[:12]
+    final = os.path.join(CACHE_ROOT, f"docs-gen-{key}")
+    if os.path.exists(os.path.join(final, "catalog.json")):
+        return final
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = final + f".build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    nd = docs.select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("ext_id"),
+                "text",
+                "lang",
+                "n_chars",
+                F.struct(F.col("source").alias("source")).alias("meta"),
+            )
+        ).alias("value")
+    )
+    mapper = DocMapper.from_dict(GENERIC_MAPPER_DICT)
+    build_index_from_ndjson(
+        spark, nd, mapper, tmp, index_id="documents-generic", split_num_docs_target=2_000
+    )
+    if os.path.exists(os.path.join(final, "catalog.json")):  # lost a race
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, final) if not os.path.exists(final) else shutil.rmtree(tmp)
+    return final

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .adapter import documents_index
+from .adapter import documents_generic_index, documents_index
 from .functions.bm25 import B, K1
 from .functions.tokenizer import DUCKDB_TOKENIZE_LIST
 from .pipeline import dedup as dd
@@ -101,6 +101,32 @@ def _ft(spark: SparkSession, sf_dir: str, query: str, **kw) -> DataFrame:
 # ---------------------------------------------------------------------------
 # fulltext engine queries
 # ---------------------------------------------------------------------------
+
+
+def _ft_generic(spark: SparkSession, sf_dir: str, query: str, cols, **kw) -> DataFrame:
+    """Search the GENERIC-mapper documents index (nested meta.source, raw
+    lang, typed i64 n_chars) and return stored columns — the DocMapper's
+    end-to-end path under the value-hash gate."""
+    idx = documents_generic_index(spark, sf_dir)
+    out = search_df(spark, idx, SearchRequest(query, max_hits=100_000, **kw))
+    return out.select(*cols)
+
+
+def ft_generic_nested(spark, sf_dir):
+    """Field-scoped raw terms incl. a DOTTED nested-object leaf."""
+    return _ft_generic(
+        spark,
+        sf_dir,
+        "lang:en meta.source:src7",
+        [F.col("ext_id").alias("doc_id"), F.col("n_chars")],
+    )
+
+
+def ft_generic_typed(spark, sf_dir):
+    """Exact-value typed i64 term query (canonical value term index)."""
+    return _ft_generic(
+        spark, sf_dir, "n_chars:246", [F.col("ext_id").alias("doc_id")]
+    )
 
 
 def ft_topk_single(spark, sf_dir):
@@ -321,6 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_stream_export": ft_stream_export,
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
+        "ft_generic_nested": ft_generic_nested,
+        "ft_generic_typed": ft_generic_typed,
         "dd_exact": dd_exact,
         "dd_keep_best": dd_keep_best,
         "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -381,6 +409,11 @@ SELECT term, CAST(count(*) AS BIGINT) AS doc_freq, CAST(sum(tf) AS BIGINT) AS to
 FROM tf GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 50""",
         "ft_postings_roundtrip": f"""{BM25_CTE}
 SELECT doc_id, tf FROM tf WHERE term = 'dup'""",
+        "ft_generic_nested": """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE lang = 'en' AND source = 'src7'""",
+        "ft_generic_typed": """
+SELECT doc_id FROM documents WHERE n_chars = 246""",
         "dd_exact": f"""
 SELECT md5(array_to_string({TOKS}, ' ')) AS fingerprint,
        min(doc_id) AS keeper_doc_id, count(*) AS group_size

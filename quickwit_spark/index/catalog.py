@@ -45,6 +45,17 @@ class IncompatibleCheckpointDelta(Exception):
     """Overlapping / regressing checkpoint delta (reference checkpoint.rs:299-353)."""
 
 
+class SplitsNotStagedError(Exception):
+    """publish_splits on a split not in Staged state — the reference's
+    MetastoreError::SplitsNotStaged (tests.rs:420-456: publishing a
+    MarkedForDeletion or already-Published split must fail)."""
+
+
+class SplitsNotDeletableError(Exception):
+    """delete_splits on a Published split — the reference only deletes
+    Staged / MarkedForDeletion splits (MetastoreError::SplitsNotDeletable)."""
+
+
 @dataclass
 class SplitMetadata:
     split_id: str
@@ -223,6 +234,11 @@ class Catalog:
             for sid in split_ids:
                 if sid not in state["splits"]:
                     raise KeyError(f"unknown split {sid}")
+                if state["splits"][sid]["state"] != STAGED:
+                    raise SplitsNotStagedError(
+                        f"split {sid} is {state['splits'][sid]['state']}, not Staged"
+                    )
+            for sid in split_ids:
                 state["splits"][sid]["state"] = PUBLISHED
             for pid, (_frm, to) in checkpoint_delta.items():
                 cp[pid] = to
@@ -300,6 +316,12 @@ class Catalog:
 
     def delete_splits(self, split_ids: list[str]) -> None:
         def apply(state):
+            for sid in split_ids:
+                row = state["splits"].get(sid)
+                if row is not None and row["state"] == PUBLISHED:
+                    raise SplitsNotDeletableError(
+                        f"split {sid} is Published; mark it for deletion first"
+                    )
             for sid in split_ids:
                 state["splits"].pop(sid, None)
 

@@ -1,0 +1,151 @@
+"""Metastore contract suite — port of the split-lifecycle semantics from
+the reference's metastore test contract (quickwit-metastore/src/tests.rs:
+stage_split:238, publish_splits:286, replace_splits:679,
+mark_splits_for_deletion:904, delete_splits:971, list_splits:1210).
+
+The Catalog is the metastore analog; the state machine it must enforce:
+
+    Staged --publish--> Published --replace/mark--> MarkedForDeletion --delete--> gone
+
+* publishing anything not Staged fails (SplitsNotStaged)
+* publishing an unknown split fails (SplitsDoNotExist analog: KeyError)
+* a checkpoint delta that overlaps or regresses rejects the WHOLE publish
+* deleting a Published split fails (SplitsNotDeletable)
+* replace atomically publishes the new ids and marks the old
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quickwit_spark.index.catalog import (
+    MARKED_FOR_DELETION,
+    PUBLISHED,
+    STAGED,
+    Catalog,
+    IncompatibleCheckpointDelta,
+    SplitMetadata,
+    SplitsNotDeletableError,
+    SplitsNotStagedError,
+)
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog.create(str(tmp_path / "idx"), {"index_id": "contract"})
+
+
+def _stage(cat, sid, num_docs=1):
+    cat.stage_split(SplitMetadata(split_id=sid, num_docs=num_docs, ts_min=0, ts_max=99))
+
+
+def _states(cat):
+    return {
+        s.split_id: s.state
+        for s in cat.splits(states=(STAGED, PUBLISHED, MARKED_FOR_DELETION))
+    }
+
+
+def test_publish_unknown_split_rejected(cat):
+    # tests.rs:331-349 (SplitsDoNotExist)
+    with pytest.raises(KeyError):
+        cat.publish_splits(["nope"], {})
+
+
+def test_publish_staged_split(cat):
+    # tests.rs:352-375
+    _stage(cat, "s1")
+    cat.publish_splits(["s1"], {"p0": (None, "00000001")})
+    assert _states(cat) == {"s1": PUBLISHED}
+
+
+def test_publish_published_split_rejected(cat):
+    # tests.rs:377-415 + 420-456 (SplitsNotStaged)
+    _stage(cat, "s1")
+    cat.publish_splits(["s1"], {"p0": (None, "00000001")})
+    with pytest.raises(SplitsNotStagedError):
+        cat.publish_splits(["s1"], {"p0": ("00000001", "00000002")})
+
+
+def test_publish_marked_split_rejected(cat):
+    # tests.rs:420-456: publish after mark-for-deletion must fail
+    _stage(cat, "s1")
+    cat.publish_splits(["s1"], {})
+    _stage(cat, "s2")
+    cat.replace_splits(["s2"], ["s1"])
+    _stage(cat, "s1b")  # a NEW row is fine; republishing the marked one is not
+    with pytest.raises(SplitsNotStagedError):
+        cat.publish_splits(["s1"], {})
+
+
+def test_publish_mixed_staged_and_unknown_rejects_all(cat):
+    # tests.rs:458-498: one bad split poisons the whole publish
+    _stage(cat, "s1")
+    with pytest.raises(KeyError):
+        cat.publish_splits(["s1", "ghost"], {})
+    assert _states(cat)["s1"] == STAGED  # nothing was published
+
+
+def test_overlapping_checkpoint_rejects_publish_atomically(cat):
+    # checkpoint.rs:299-353 via publish (tests.rs:395-415)
+    _stage(cat, "s1")
+    cat.publish_splits(["s1"], {"p0": (None, "00000005")})
+    _stage(cat, "s2")
+    with pytest.raises(IncompatibleCheckpointDelta):
+        cat.publish_splits(["s2"], {"p0": (None, "00000003")})  # wrong from
+    with pytest.raises(IncompatibleCheckpointDelta):
+        cat.publish_splits(["s2"], {"p0": ("00000005", "00000004")})  # regress
+    assert _states(cat)["s2"] == STAGED
+    assert cat.checkpoint() == {"p0": "00000005"}
+
+
+def test_replace_splits_atomic_swap(cat):
+    # tests.rs:679+ (replace_splits): new published, old marked, one commit
+    for sid in ("a", "b"):
+        _stage(cat, sid)
+    cat.publish_splits(["a", "b"], {})
+    _stage(cat, "m")
+    cat.replace_splits(["m"], ["a", "b"])
+    assert _states(cat) == {"m": PUBLISHED, "a": MARKED_FOR_DELETION, "b": MARKED_FOR_DELETION}
+
+
+def test_delete_published_split_rejected(cat):
+    # delete_splits contract: only Staged / MarkedForDeletion are deletable
+    _stage(cat, "s1")
+    cat.publish_splits(["s1"], {})
+    with pytest.raises(SplitsNotDeletableError):
+        cat.delete_splits(["s1"])
+    assert _states(cat)["s1"] == PUBLISHED
+
+
+def test_delete_marked_and_staged_splits(cat):
+    _stage(cat, "s1")
+    cat.publish_splits(["s1"], {})
+    _stage(cat, "m")
+    cat.replace_splits(["m"], ["s1"])
+    _stage(cat, "stale")  # a staged orphan (crashed build)
+    cat.delete_splits(["s1", "stale", "never-existed"])  # unknown ids are no-ops
+    assert _states(cat) == {"m": PUBLISHED}
+
+
+def test_list_splits_filters_by_state_and_orders_by_seq(cat):
+    # tests.rs:1095+ (list_all_splits / list_splits)
+    for sid in ("s1", "s2", "s3"):
+        _stage(cat, sid)
+    cat.publish_splits(["s2"], {})
+    assert [s.split_id for s in cat.splits([STAGED])] == ["s1", "s3"]
+    assert [s.split_id for s in cat.splits([PUBLISHED])] == ["s2"]
+    seqs = [s.create_seq for s in cat.splits([STAGED, PUBLISHED])]
+    assert seqs == sorted(seqs)
+
+
+def test_contract_survives_reload(cat):
+    """Every transition is durable: a fresh Catalog over the same dir sees
+    the same state machine (the file-backed metastore property)."""
+    _stage(cat, "s1")
+    cat.publish_splits(["s1"], {"p0": (None, "00000009")})
+    fresh = cat.reload()
+    assert _states(fresh) == {"s1": PUBLISHED}
+    assert fresh.checkpoint() == {"p0": "00000009"}
+    with pytest.raises(SplitsNotStagedError):
+        fresh.publish_splits(["s1"], {})
