@@ -277,6 +277,13 @@ def dd_simhash(spark, sf_dir):
     return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
 
 
+def dd_components(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the SimHash
+    near-dup pairs (label = component min doc id = the dedup keeper)."""
+    pairs = dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
+    return dd.connected_components(pairs)
+
+
 def tx_token_count(spark, sf_dir):
     return tx.with_token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
 
@@ -354,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "dd_minhash_lsh": dd_minhash_lsh,
         "dd_simhash": dd_simhash,
+        "dd_components": dd_components,
         "tx_token_count": tx_token_count,
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,
@@ -470,4 +478,7 @@ SELECT CAST(i AS BIGINT) AS asset_id,
 FROM generate_series(0, 63) AS t(i)
 """,
         "dd_simhash": dd.simhash_oracle_sql("documents", TOKS, max_hamming=12),
+        "dd_components": dd.components_oracle_sql(
+            dd.simhash_oracle_sql("documents", TOKS, max_hamming=12)
+        ),
     }

@@ -387,3 +387,88 @@ def simhash_pairs(
     return cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+# -- duplicate-cluster resolution ------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → one row per member
+    doc with its component label (= the component's minimum doc id, so the
+    label doubles as the dedup keeper).
+
+    Distributed min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels — two equality joins +
+    one aggregation per round, converging in O(component diameter) rounds
+    (near-dup clusters are shallow: text duplicates of one source document
+    form dense, small-diameter blobs, so 3-5 rounds is typical).  Lineage
+    is cut every round with localCheckpoint, keeping the plan linear
+    instead of exponential in iterations — the standard Spark iterative-
+    algorithm discipline.  At 100 TB the per-round shuffles are keyed on
+    doc ids (uniform), never on component size, so hot clusters don't skew.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(edges["dst"].alias("id2"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["component"], F.coalesce("nbr_min", labels["component"])
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin of connected_components over the SAME pair query:
+    recursive reachability, component = min reachable id.  The recursive
+    UNION dedups (node, comp) states, so it terminates; state count is
+    bounded by members × labels within each component — fine at oracle
+    scale (the Spark side is the one built for big graphs)."""
+    return f"""
+WITH RECURSIVE prs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+walk(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node
+"""

@@ -82,3 +82,16 @@ def test_multimodal_features_deterministic(spark):
 def test_multimodal_real_decoder_stubbed(spark):
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         extract_features(synthesize_assets(spark, n=3), decoder="real").collect()
+
+
+def test_connected_components_resolves_clusters(spark):
+    """CC over pairs: transitive closure (a-b, b-c → one cluster), label =
+    min member id, singletons absent (docs with no pair aren't listed)."""
+    from quickwit_spark.pipeline import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
