@@ -320,6 +320,18 @@ def sim_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(queries, embs, k=5, n_cells=16, n_probe=4)
 
 
+def sim_ivf_trained_topk(spark, sf_dir):
+    """IVF with a k-means-TRAINED coarse quantizer (Lloyd iterations as
+    map-only partial-sum passes).  Iterative training is not
+    SQL-expressible, so this entry has no oracle_sql (rows-only check);
+    the pytest suite pins training determinism + a recall floor vs brute
+    force instead."""
+    embs = _embs(spark, sf_dir)
+    cents = sim.train_ivf_centroids(embs, n_cells=16, n_iters=8)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(queries, embs, k=5, n_probe=2, centroids=cents)
+
+
 def sim_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
 
@@ -369,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_ivf_trained_topk": sim_ivf_trained_topk,
         "sim_near_dup": sim_near_dup,
         "mm_features": mm_features,
     }

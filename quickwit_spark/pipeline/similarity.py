@@ -112,6 +112,67 @@ def _l2sq(a, b):
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means coarse quantizer for IVF — the training step real IVF
+    indexes need (seed centroids are only a zero-train fallback).
+
+    Spark shape per iteration: centroids broadcast (n_cells × dim floats),
+    ONE map-only pass over the corpus computes per-partition partial sums
+    and counts per cell (vectorized: ||x||² + ||c||² − 2·x@cᵀ argmin inside
+    Arrow batches), and only num_partitions × n_cells tiny partial rows
+    reach the driver for the reduce — no corpus shuffle, ever.  Empty cells
+    keep their previous centroid.  Init = the n_cells lowest-id vectors
+    (deterministic, same rule as ivf_topk's zero-train seeds).  Converges
+    or stops after n_iters; returns [(cent_id, centroid)] for ivf_topk's
+    ``centroids`` parameter."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    cents = np.array([np.asarray(r[vec_col], np.float64) for r in rows])
+    spark = corpus.sparkSession
+    vecs = corpus.select(vec_col)
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            c = bc.value
+            c_sq = (c * c).sum(axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array([np.asarray(v, np.float64) for v in pdf.iloc[:, 0]])
+                d = (m * m).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (m @ c.T)
+                a = d.argmin(axis=1)
+                np.add.at(sums, a, m)
+                np.add.at(counts, a, 1)
+            yield pd.DataFrame(
+                {"cell": np.arange(len(c)), "s": list(sums), "n": counts}
+            )
+
+        part_rows = vecs.mapInPandas(
+            partials, schema="cell int, s array<double>, n long"
+        ).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), np.int64)
+        for r in part_rows:
+            sums[r["cell"]] += np.asarray(r["s"], np.float64)
+            counts[r["cell"]] += r["n"]
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        if np.allclose(new, cents, rtol=0, atol=1e-12):
+            break
+        cents = new
+    return [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -120,6 +181,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate cosine top-k: the scale path for ANN over a huge
     corpus.
@@ -133,12 +195,23 @@ def ivf_topk(
     each query probes its ``n_probe`` nearest cells; candidates are only
     the vectors in probed cells; exact cosine + the brute-force tie-break
     inside the candidate set.  Recall < 1 by design; benchmarked against
-    brute force in tests."""
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+    brute force in tests.
+
+    Pass ``centroids`` (train_ivf_centroids output) to use a TRAINED
+    quantizer instead of the zero-train seeds."""
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cents = F.broadcast(
+            spark.createDataFrame(
+                [(i, v) for i, v in centroids], f"cent_id long, centv array<double>"
+            )
         )
-    )
+    else:
+        cents = F.broadcast(
+            corpus.filter(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+            )
+        )
 
     def assign(df: DataFrame, out_id: str, out_vec: str, probes: int) -> DataFrame:
         d = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))

