@@ -273,6 +273,59 @@ def _flatten_tokens(doc_ids: np.ndarray, token_lists: pd.Series):
     return flat_terms, doc_rep, pos
 
 
+# tantivy inserts a gap of 2 positions between consecutive values of a
+# multi-valued text field (segment_writer POSITION_GAP), so phrases never
+# match across array-element boundaries
+ARRAY_POSITION_GAP = 2
+
+
+def _flatten_array_tokens(doc_ids: np.ndarray, elem_lists: pd.Series):
+    """Explode array<text> values to flat (term, doc, pos) arrays with the
+    POSITION_GAP between elements.  Returns (flat, tokens_per_doc) where
+    tokens_per_doc counts REAL tokens only (gaps don't affect fieldnorms).
+    Tokenization is one vectorized pass over every element string."""
+    from itertools import chain
+
+    from ..functions.tokenizer import tokenize_series
+
+    n_elems = elem_lists.map(lambda v: len(v) if v is not None else 0).to_numpy(np.int64)
+    tokens_per_doc = np.zeros(len(elem_lists), np.int64)
+    if n_elems.sum() == 0:
+        return None, tokens_per_doc
+    all_elems = pd.Series(
+        [
+            e if e is not None else ""
+            for lst in elem_lists
+            if lst is not None
+            for e in lst
+        ],
+        dtype=object,
+    )
+    tok_lists = tokenize_series(all_elems)
+    tok_counts = tok_lists.map(len).to_numpy(np.int64)
+    total = int(tok_counts.sum())
+    elem_doc = np.repeat(np.arange(len(elem_lists)), n_elems)  # element → doc ordinal
+    np.add.at(tokens_per_doc, elem_doc, tok_counts)
+    if total == 0:
+        return None, tokens_per_doc
+    # per-element start position within its doc: exclusive cumsum of
+    # (tokens + GAP), re-based at each doc's first element
+    adv = tok_counts + ARRAY_POSITION_GAP
+    csum = np.concatenate(([0], np.cumsum(adv)[:-1]))
+    first_of_doc = np.concatenate(([True], elem_doc[1:] != elem_doc[:-1]))
+    base = np.maximum.accumulate(np.where(first_of_doc, csum, 0))
+    elem_start = csum - base
+    flat_terms = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
+    doc_rep = np.repeat(doc_ids[elem_doc], tok_counts)
+    tok_starts = np.concatenate(([0], np.cumsum(tok_counts)[:-1]))
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(tok_starts, tok_counts)
+        + np.repeat(elem_start, tok_counts)
+    )
+    return (flat_terms, doc_rep, pos), tokens_per_doc
+
+
 def _postings_from_flat(flat_terms, doc_rep, pos, lens_by_doc, base_doc, want_positions):
     """Group flat (term, doc, pos) into per-term posting rows.
 
@@ -580,20 +633,25 @@ class _SplitAccumulator:
             col = pdf[fname]
             if tok in ("default", "stem_en"):
                 if is_array:
-                    # multi-valued text: elements concatenate with a 1-token
-                    # position gap (adjacent elements phrase-match across the
-                    # boundary; tantivy's multi-value position stream analog)
-                    col = col.map(
-                        lambda v: " ".join(v) if v is not None and len(v) else ""
+                    # multi-valued text: each element tokenizes separately
+                    # and elements are separated by ARRAY_POSITION_GAP
+                    # positions (tantivy segment_writer POSITION_GAP = 2),
+                    # so phrases never match across element boundaries;
+                    # fieldnorms count real tokens only
+                    flat, tokens_per_doc = _flatten_array_tokens(doc_ids, col)
+                    lens_by_doc = np.zeros(span, np.uint32)
+                    lens_by_doc[doc_ids - base_doc] = tokens_per_doc.astype(np.uint32)
+                else:
+                    token_lists = tokenize_series(col)
+                    lens_by_doc = np.zeros(span, np.uint32)
+                    lens_by_doc[doc_ids - base_doc] = token_lists.map(len).to_numpy(
+                        np.uint32
                     )
-                token_lists = tokenize_series(col)
-                lens_by_doc = np.zeros(span, np.uint32)
-                lens_by_doc[doc_ids - base_doc] = token_lists.map(len).to_numpy(np.uint32)
+                    flat = _flatten_tokens(doc_ids, token_lists)
                 if fname == "text":
                     chunk_text_lens = lens_by_doc
                 if fname in self.tok_lens:
                     self.tok_lens[fname].append(lens_by_doc[doc_ids - base_doc])
-                flat = _flatten_tokens(doc_ids, token_lists)
                 if flat is not None and tok == "stem_en":
                     # stem only the chunk's unique terms (positions and token
                     # counts are unchanged — stemming is 1:1 per token)

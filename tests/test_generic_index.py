@@ -180,3 +180,40 @@ def test_stored_typed_fields_in_hits(spark, idx):
     assert isinstance(h["severity"], int)
     assert isinstance(h["score_f"], float)
     assert h["created"].startswith("2024-01-")
+
+
+def test_array_text_phrase_position_gap(spark, tmp_path):
+    """Multi-valued text: phrases match WITHIN one array element but never
+    across the element boundary (tantivy POSITION_GAP=2), and BM25 field
+    length counts real tokens only."""
+    mapper = DocMapper.from_dict(
+        {
+            "default_search_fields": ["notes"],
+            "field_mappings": [
+                {"name": "notes", "type": "array<text>", "record": "position"},
+            ],
+        }
+    )
+    nd = tmp_path / "arr.ndjson"
+    nd.write_text(
+        "\n".join(
+            [
+                json.dumps({"notes": ["alpha beta", "gamma delta"]}),
+                json.dumps({"notes": ["beta gamma"]}),
+                json.dumps({"notes": ["alpha", "beta"]}),
+            ]
+        )
+        + "\n"
+    )
+    idx = str(tmp_path / "arr_idx")
+    report, errs = build_index_from_ndjson(spark, str(nd), mapper, idx)
+    assert report.total_docs == 3 and not errs
+
+    # within-element phrase matches
+    assert search(spark, idx, SearchRequest('"alpha beta"')).num_hits == 1
+    assert search(spark, idx, SearchRequest('"beta gamma"')).num_hits == 1  # doc 2 only
+    # the cross-boundary bigram of doc 1 ("beta"|"gamma") must NOT match it
+    hits = search(spark, idx, SearchRequest('"beta gamma"')).hits
+    assert all("beta gamma" in " ".join(h["notes"]) for h in hits)
+    # doc 3's elements ["alpha"],["beta"] — adjacent elements never phrase
+    assert search(spark, idx, SearchRequest('"gamma delta"')).num_hits == 1
