@@ -440,7 +440,10 @@ def execute_demux(
     # split in (conv_id, turn_idx) order): a conversation's value is its
     # first turn's value (min_by turn_idx)
     conv_vals = docs.groupBy("conv_id").agg(
-        F.coalesce(F.min_by(demux_field, "turn_idx"), F.lit("")).alias("__demux_val"),
+        F.coalesce(
+            F.min_by(F.col(f"`{demux_field}`"), F.col("turn_idx")).cast("string"),
+            F.lit(""),
+        ).alias("__demux_val"),
         F.count("*").alias("n"),
     )
     counts = [

@@ -217,3 +217,23 @@ def test_array_text_phrase_position_gap(spark, tmp_path):
     assert all("beta gamma" in " ".join(h["notes"]) for h in hits)
     # doc 3's elements ["alpha"],["beta"] — adjacent elements never phrase
     assert search(spark, idx, SearchRequest('"gamma delta"')).num_hits == 1
+
+
+def test_demux_on_dotted_nested_field(spark, tmp_path):
+    """Demux (tenant re-clustering) works on a dotted nested-object leaf;
+    search results are invariant under the rewrite."""
+    from quickwit_spark.index.catalog import PUBLISHED, Catalog
+    from quickwit_spark.index.merge import execute_demux
+
+    nd = tmp_path / "c.ndjson"
+    nd.write_text("\n".join(_corpus()) + "\n")
+    idx = str(tmp_path / "idx")
+    build_index_from_ndjson(spark, str(nd), MAPPER, idx, split_num_docs_target=50)
+    req = SearchRequest("attributes.server:srv-2 needle")
+    before = search(spark, idx, req)
+    sids = [s.split_id for s in Catalog(idx).splits([PUBLISHED])]
+    out = execute_demux(spark, idx, sids, "attributes.server")
+    assert len(out) == len(sids)
+    after = search(spark, idx, req)
+    assert after.num_hits == before.num_hits
+    assert [h["conv_id"] for h in after.hits] == [h["conv_id"] for h in before.hits]
