@@ -1548,19 +1548,20 @@ def export_stream(
         docs = (
             _table_scan(spark, index_dir, "docs")
             .filter(F.col("split_id").isin([s.split_id for s in splits]))
-            .select("split_id", "doc_id", partition_by)
+            .select("split_id", "doc_id", F.col(f"`{partition_by}`"))
         )
         hits = hits.join(docs, ["split_id", "doc_id"])
     if output_format == "csv":
-        cols = ([partition_by] if partition_by else []) + [fast_field]
-        return hits.select(*cols)
+        # backticks: generic-schema column names may be dotted leaves
+        cols = ([f"`{partition_by}`"] if partition_by else []) + [f"`{fast_field}`"]
+        return hits.select(*[F.col(c) for c in cols])
     if output_format != "rowbinary":
         raise ValueError(f"unknown output format {output_format!r}")
 
     key = partition_by or "__part"
     grouped = hits.select(
-        (F.col(partition_by) if partition_by else F.lit("")).alias(key),
-        F.col(fast_field).alias("v"),
+        (F.col(f"`{partition_by}`") if partition_by else F.lit("")).alias(key),
+        F.col(f"`{fast_field}`").alias("v"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
