@@ -412,6 +412,34 @@ def connected_components(
     algorithm discipline.  At 100 TB the per-round shuffles are keyed on
     doc ids (uniform), never on component size, so hot clusters don't skew.
     """
+    # small graphs: exact union-find in the driver (the single-node escape
+    # hatch — a handful of ms instead of per-round Spark job floors; the
+    # iterative distributed path below is the 100-TB plan)
+    cap = int(__import__("os").environ.get("QW_CC_DRIVER_MAX_PAIRS", "1000000"))
+    head = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).limit(cap + 1).collect()
+    if len(head) <= cap:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r_ in head:
+            ra, rb = find(r_["a"]), find(r_["b"])
+            if ra != rb:  # union by min label (the keeper rule)
+                lo, hi = (ra, rb) if (ra < rb) else (rb, ra)
+                parent[hi] = lo
+        members = sorted({x for r_ in head for x in (r_["a"], r_["b"])})
+        rows = [(m, find(m)) for m in members]
+        sample = pairs.schema[a_col].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            rows, f"doc_id {sample}, component {sample}"
+        )
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
