@@ -237,3 +237,42 @@ def test_demux_on_dotted_nested_field(spark, tmp_path):
     after = search(spark, idx, req)
     assert after.num_hits == before.num_hits
     assert [h["conv_id"] for h in after.hits] == [h["conv_id"] for h in before.hits]
+
+
+def test_merge_preserves_generic_semantics(spark, tmp_path):
+    """Full merge pipeline over a generic-schema index: BM25 scores (per-
+    field exact lengths), typed terms, and nested-leaf scoping are all
+    invariant under split consolidation."""
+    from quickwit_spark.index.catalog import PUBLISHED, Catalog
+    from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
+
+    nd = tmp_path / "c.ndjson"
+    nd.write_text("\n".join(_corpus()) + "\n")
+    idx = str(tmp_path / "idx")
+    build_index_from_ndjson(
+        spark, str(nd), MAPPER, idx,
+        split_num_docs_target=50, segment_num_docs_target=16,
+        merge_factor=2, max_merge_factor=3,
+    )
+    reqs = [
+        SearchRequest("needle", max_hits=8),
+        SearchRequest("attributes.server:srv-2 needle"),
+        SearchRequest("severity:0 needle"),
+        SearchRequest("needle", max_hits=5, sort_by_field="created"),
+    ]
+    # ties at equal score may reorder under merge (doc ids are renumbered;
+    # the reference's merge_fruits tie-break uses the new ids too), so
+    # compare hits sorted by (score desc, conv_id)
+    def canon(r):
+        return (
+            r.num_hits,
+            sorted(((round(h["score"], 9), h["conv_id"]) for h in r.hits), key=lambda t: (-t[0], t[1])),
+        )
+
+    before = [canon(search(spark, idx, q)) for q in reqs]
+    n_before = len(Catalog(idx).splits([PUBLISHED]))
+    run_merge_pipeline(spark, idx)
+    garbage_collect(idx)
+    assert len(Catalog(idx).splits([PUBLISHED])) < n_before
+    after = [canon(search(spark, idx, q)) for q in reqs]
+    assert after == before
