@@ -29,6 +29,8 @@ from .config import documents_config
 from .index.builder import build_index
 
 CACHE_ROOT = "/tmp/qwspark_index_cache"
+# v7: per-field fieldnorm blobs for ALL indexed fields (raw/typed value
+# counts included) — BM25 + WAND bounds read doc_lens_<field>
 # v6: generic DocMapper schemas — doc-store column order is config-derived
 # and fastfields may carry per-field doc_lens_* columns
 # v5: term-stats LSM (termstats sidecars + publish deltas) — old caches
@@ -37,7 +39,7 @@ CACHE_ROOT = "/tmp/qwspark_index_cache"
 # fastfields table gained ff_turn_idx.
 # v3: single-job in-task build, crc32 term buckets (was xxhash64 — stale
 # caches would silently mis-prune the postings scan)
-CONFIG_VERSION = "v6"
+CONFIG_VERSION = "v7"
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -175,10 +175,22 @@ class IndexConfig:
 
     @property
     def tokenized_text_fields(self) -> tuple[str, ...]:
-        """Indexed text fields whose terms carry real document lengths for
-        BM25 (default / stem_en tokenizers; raw fields score with length 1)."""
+        """Indexed text fields with real tokenization (default / stem_en)."""
         return tuple(
             m.name for m in self.indexed_text_fields if m.tokenizer != "raw"
+        )
+
+    @property
+    def lens_tracked_fields(self) -> tuple[str, ...]:
+        """Every indexed field except the legacy ``text`` column keeps a
+        per-doc length blob in the fastfields table (doc_lens_<name>):
+        tantivy's fieldnorm counts TOKENS — for raw/typed fields that is
+        the number of values (1 for scalars, n for arrays) — and both BM25
+        scoring and the WAND block bounds must use the same lengths."""
+        return tuple(
+            m.name
+            for m in self.field_mappings
+            if m.is_indexed and m.name != "text"
         )
 
     @property

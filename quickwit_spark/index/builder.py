@@ -489,12 +489,12 @@ def _pa_schemas(config: IndexConfig):
             ("base_doc", pa.int64()),
             ("num_docs", pa.int64()),
             ("doc_lens", pa.binary()),
-            # per-field exact doc lengths for BM25 on additional tokenized
-            # text fields ("text" itself uses the legacy doc_lens column)
+            # per-field exact doc lengths — the fieldnorm store ("text"
+            # itself uses the legacy doc_lens column): token counts for
+            # tokenized fields, value counts for raw/typed fields
             *[
                 (f"doc_lens_{name}", pa.binary())
-                for name in config.tokenized_text_fields
-                if name != "text"
+                for name in config.lens_tracked_fields
             ],
             ("ts", pa.binary()),
             ("ts_min", pa.int64()),
@@ -567,10 +567,10 @@ class _SplitAccumulator:
         self.raw_docs = 0
         self.next_doc = 0  # dense per-split docID counter (rows arrive sorted)
         self.text_lens: list[np.ndarray] = []  # per-chunk per-doc token counts
-        # additional tokenized text fields keep their own per-doc lengths
-        # (exact fieldnorms for BM25 on that field)
+        # every other indexed field keeps its own per-doc lengths (exact
+        # fieldnorms: token counts, or value counts for raw/typed fields)
         self.tok_lens: dict[str, list[np.ndarray]] = {
-            name: [] for name in config.tokenized_text_fields if name != "text"
+            name: [] for name in config.lens_tracked_fields
         }
         self.ts: list[np.ndarray] = []
         self.extra_fast: dict[str, list[np.ndarray]] = {
@@ -650,8 +650,6 @@ class _SplitAccumulator:
                     flat = _flatten_tokens(doc_ids, token_lists)
                 if fname == "text":
                     chunk_text_lens = lens_by_doc
-                if fname in self.tok_lens:
-                    self.tok_lens[fname].append(lens_by_doc[doc_ids - base_doc])
                 if flat is not None and tok == "stem_en":
                     # stem only the chunk's unique terms (positions and token
                     # counts are unchanged — stemming is 1:1 per token)
@@ -678,6 +676,8 @@ class _SplitAccumulator:
                         doc_ids[mask],
                         np.zeros(int(mask.sum()), np.int64),
                     )
+            if fname in self.tok_lens:  # per-field fieldnorm store
+                self.tok_lens[fname].append(lens_by_doc[doc_ids - base_doc])
             if flat is None:
                 continue
             for term, d, t, p, plens in _postings_from_flat(
@@ -701,6 +701,8 @@ class _SplitAccumulator:
                 )
             lens_by_doc = np.zeros(span, np.uint32)
             lens_by_doc[doc_ids - base_doc] = value_lists.map(len).to_numpy(np.uint32)
+            if fname in self.tok_lens:  # per-field fieldnorm store
+                self.tok_lens[fname].append(lens_by_doc[doc_ids - base_doc])
             flat = _flatten_tokens(doc_ids, value_lists)
             if flat is None:
                 continue

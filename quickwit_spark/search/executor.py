@@ -683,7 +683,7 @@ def make_split_scorer(
         and all(isinstance(c, TermQuery) for c in ast.should)
     )
 
-    tokenized = set(config.tokenized_text_fields)
+    lens_tracked = set(config.lens_tracked_fields) | {"text"}
     f_cols = fetch_cols(config)
     _EMPTY_DTYPES = {"turn_idx": np.int32, "ts_epoch": np.int64}
 
@@ -718,9 +718,12 @@ def make_split_scorer(
         lens_cache: dict[str, np.ndarray | None] = {}
 
         def field_lens(field: str) -> np.ndarray | None:
-            """Exact per-doc lengths for BM25 on a tokenized text field;
-            None (fieldnorm 1) for raw/typed fields."""
-            if field not in tokenized:
+            """Exact per-doc field lengths (the fieldnorm store): token
+            counts for tokenized fields, value counts for raw/typed fields
+            (tantivy counts a raw value as one token, so scalars are 1 and
+            arrays n).  None → fieldnorm 1 (indexes built before the
+            per-field blobs existed)."""
+            if field not in lens_tracked:
                 return None
             if field == "text":
                 return lens

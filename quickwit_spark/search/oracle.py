@@ -20,10 +20,19 @@ from .parser import BoolQuery, PhraseQuery, TermQuery, parse_query, positive_ter
 from .request import SearchRequest
 
 
+def _tok(val, tokenizer: str) -> list[str]:
+    toks = tokenize_text(val if isinstance(val, str) else "")
+    if tokenizer == "stem_en":
+        from ..functions.stemmer import stem_cached
+
+        toks = [stem_cached(t) for t in toks]
+    return toks
+
+
 class OracleIndex:
-    """Brute-force in-memory index over the docs table of a built index
-    (or any frame with split_id, doc_id, conv_id, turn_idx, role, text,
-    tool, ts_epoch columns)."""
+    """Brute-force in-memory index over the docs table of a built index —
+    any schema (generic DocMapper columns included: dotted leaf names,
+    array<T> values, typed i64/u64/f64/date/bytes term fields)."""
 
     def __init__(self, docs: pd.DataFrame, config: IndexConfig):
         self.config = config
@@ -31,33 +40,58 @@ class OracleIndex:
         # postings[(field, term)] = {(split_id, doc_id): [positions]}
         self.postings: dict[tuple[str, str], dict[tuple[str, int], list[int]]] = defaultdict(dict)
         self.doc_lens: dict[str, dict[tuple[str, int], int]] = defaultdict(dict)
-        for row in self.docs.itertuples(index=False):
-            key = (row.split_id, int(row.doc_id))
+        rows = self.docs.to_dict("records")  # dict access: dotted names survive
+        for row in rows:
+            key = (row["split_id"], int(row["doc_id"]))
             for fm in config.indexed_text_fields:
-                val = getattr(row, fm.name)
+                val = row.get(fm.name)
                 if fm.tokenizer in ("default", "stem_en"):
-                    toks = tokenize_text(val if isinstance(val, str) else "")
-                    if fm.tokenizer == "stem_en":
-                        from ..functions.stemmer import stem_cached
-
-                        toks = [stem_cached(t) for t in toks]
-                    self.doc_lens[fm.name][key] = len(toks)
-                    for p, t in enumerate(toks):
-                        self.postings[(fm.name, t)].setdefault(key, []).append(p)
-                else:
-                    if isinstance(val, str) and val != "":
-                        self.doc_lens[fm.name][key] = 1
-                        self.postings[(fm.name, val)].setdefault(key, []).append(0)
+                    if fm.is_array:
+                        # elements tokenize separately; positions advance by
+                        # tokens + 2 between elements (tantivy POSITION_GAP);
+                        # fieldnorm counts real tokens only
+                        p = 0
+                        n_toks = 0
+                        for el in val if val is not None else []:
+                            toks = _tok(el, fm.tokenizer)
+                            for t in toks:
+                                self.postings[(fm.name, t)].setdefault(key, []).append(p)
+                                p += 1
+                            n_toks += len(toks)
+                            p += 2
+                        self.doc_lens[fm.name][key] = n_toks
                     else:
-                        self.doc_lens[fm.name][key] = 0
+                        toks = _tok(val, fm.tokenizer)
+                        self.doc_lens[fm.name][key] = len(toks)
+                        for p, t in enumerate(toks):
+                            self.postings[(fm.name, t)].setdefault(key, []).append(p)
+                else:  # raw: each value is one token (fieldnorm = value count)
+                    vals = (
+                        [x for x in val if x]
+                        if fm.is_array and val is not None
+                        else ([val] if isinstance(val, str) and val != "" else [])
+                    )
+                    self.doc_lens[fm.name][key] = len(vals)
+                    for p, v in enumerate(vals):
+                        self.postings[(fm.name, v)].setdefault(key, []).append(p)
+            for fm in config.indexed_typed_fields:
+                from ..functions.typed_terms import canonical_value
+
+                val = row.get(fm.name)
+                if fm.is_array:
+                    vals = list(val) if val is not None else []
+                else:
+                    vals = [] if val is None or (pd.isna(val) if not isinstance(val, (list, bytes)) else False) else [val]
+                self.doc_lens[fm.name][key] = len(vals)
+                for p, v in enumerate(vals):
+                    term = canonical_value(fm.scalar_type, v)
+                    self.postings[(fm.name, term)].setdefault(key, []).append(p)
         self.num_docs = len(self.docs)
         self.avg_len = {
             f: (sum(lens.values()) / self.num_docs if self.num_docs else 0.0)
             for f, lens in self.doc_lens.items()
         }
-        self.by_key = {
-            (row.split_id, int(row.doc_id)): row for row in self.docs.itertuples(index=False)
-        }
+        self.by_key = {(r["split_id"], int(r["doc_id"])): r for r in rows}
 
     # -- boolean evaluation (plain sets) ---------------------------------
     def _eval(self, node) -> set[tuple[str, int]]:
@@ -121,17 +155,17 @@ class OracleIndex:
             matched = {
                 k
                 for k in matched
-                if (lo is None or self.by_key[k].ts_epoch >= lo)
-                and (hi is None or self.by_key[k].ts_epoch < hi)
+                if (lo is None or self.by_key[k]["ts_epoch"] >= lo)
+                and (hi is None or self.by_key[k]["ts_epoch"] < hi)
             }
         num_hits = len(matched)
         if request.sort_by_field is not None:
             # datetime fast fields are stored as epoch seconds (the engine's
             # ts fast field) — sort on the epoch attr, not the raw Timestamp
             attr = request.sort_by_field
-            if attr == self.config.timestamp_field:
-                attr = f"{attr}_epoch"
-            keyed = [(getattr(self.by_key[k], attr), k) for k in matched]
+            if attr == self.config.timestamp_field or attr == "ts":
+                attr = "ts_epoch"
+            keyed = [(self.by_key[k][attr], k) for k in matched]
             sign = 1 if request.sort_asc else -1
             ordered = sorted(keyed, key=lambda kv: (sign * kv[0], kv[1][0], kv[1][1]))
             hits = [
@@ -145,8 +179,8 @@ class OracleIndex:
                     scored,
                     key=lambda sk: (
                         -sk[0],
-                        self.by_key[sk[1]].conv_id,
-                        int(self.by_key[sk[1]].turn_idx),
+                        self.by_key[sk[1]]["conv_id"],
+                        int(self.by_key[sk[1]]["turn_idx"]),
                     ),
                 )
             else:
@@ -156,6 +190,6 @@ class OracleIndex:
         hits = hits[lo:hi]
         for h in hits:
             row = self.by_key[(h["split_id"], h["doc_id"])]
-            h["conv_id"] = row.conv_id
-            h["turn_idx"] = int(row.turn_idx)
+            h["conv_id"] = row["conv_id"]
+            h["turn_idx"] = int(row["turn_idx"])
         return {"num_hits": num_hits, "hits": hits}
