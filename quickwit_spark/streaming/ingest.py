@@ -71,6 +71,19 @@ def file_stream_source(
     raise ValueError(f"unsupported stream format {fmt!r}")
 
 
+def ndjson_stream_source(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """FileSource analog for GENERIC schemas: tail a directory of NDJSON
+    files as raw lines; each micro-batch is parsed and validated by the
+    index's DocMapper inside the ingestor (full DocParsingError taxonomy),
+    so any typed/nested schema streams exactly like the transcript shape."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(path)
+
+
 def parse_kafka_records(records: DataFrame) -> DataFrame:
     """Kafka record batch → transcript rows (KafkaSource's doc-processing
     half, source/kafka_source.rs:1-1034: one JSON document per record
@@ -131,10 +144,24 @@ class StreamIngestor:
     merge_every_n_batches: int = 0
     reports: list[BuildReport] = field(default_factory=list)
     merge_rounds: int = 0
+    invalid_by_reason: dict = field(default_factory=dict)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):  # empty trigger — nothing to publish
             return
+        if self.config.doc_mapper_json is not None and batch_df.columns == ["value"]:
+            # generic NDJSON stream: the index's mapper parses/validates
+            # each line; per-reason error counts accumulate across batches
+            import json as _json
+
+            from ..docmapper import DocMapper
+            from ..index.generic import mapper_frame
+
+            mapper = DocMapper.from_dict(_json.loads(self.config.doc_mapper_json))
+            batch_df, errors = mapper_frame(batch_df, mapper)
+            for r in errors.groupBy("_parse_error").count().collect():
+                k = r["_parse_error"]
+                self.invalid_by_reason[k] = self.invalid_by_reason.get(k, 0) + int(r["count"])
         report = build_index(
             batch_df.sparkSession,
             batch_df,

@@ -153,3 +153,64 @@ def test_stream_auto_merge_consolidates(spark, tmp_path_factory):
     # doc count via search matches (hit count over a near-universal term)
     resp = search(spark, idx, SearchRequest("the OR a OR w0001 OR error OR deploy", max_hits=1))
     assert resp.num_hits > 0
+
+
+def test_generic_ndjson_stream_build(spark, tmp_path):
+    """Generic-schema streaming ingest: NDJSON files tail through the
+    index's DocMapper per micro-batch (error taxonomy accumulated), two
+    drains are exactly-once, and the result answers nested/typed queries."""
+    import json as _json
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.docmapper import DocMapper
+    from quickwit_spark.index.catalog import PUBLISHED, Catalog
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+    from quickwit_spark.streaming.ingest import ndjson_stream_source, start_stream_build
+
+    mapper = DocMapper.from_dict(
+        {
+            "default_search_fields": ["body"],
+            "field_mappings": [
+                {"name": "body", "type": "text", "record": "position"},
+                {"name": "sev", "type": "i64", "fast": True, "indexed": True},
+                {
+                    "name": "meta",
+                    "type": "object",
+                    "field_mappings": [{"name": "src", "type": "text", "tokenizer": "raw"}],
+                },
+            ],
+        }
+    )
+    cfg = IndexConfig.from_doc_mapper(mapper, "stream-generic", split_num_docs_target=50)
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.ndjson").write_text(
+        "\n".join(
+            _json.dumps({"body": f"alpha doc {i}", "sev": i % 3, "meta": {"src": "s1"}})
+            for i in range(40)
+        )
+        + "\nnot json\n"
+    )
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    q, ing = start_stream_build(ndjson_stream_source(spark, str(src)), cfg, idx, ckpt)
+    q.awaitTermination(120)
+    assert ing.invalid_by_reason == {"not_json:": 1}
+    assert sum(s.num_docs for s in Catalog(idx).splits([PUBLISHED])) == 40
+
+    # second file + re-drain: exactly-once (first file not re-ingested)
+    (src / "b.ndjson").write_text(
+        "\n".join(
+            _json.dumps({"body": f"beta doc {i}", "sev": 1, "meta": {"src": "s2"}})
+            for i in range(10)
+        )
+        + "\n"
+    )
+    q2, ing2 = start_stream_build(ndjson_stream_source(spark, str(src)), cfg, idx, ckpt)
+    q2.awaitTermination(120)
+    assert sum(s.num_docs for s in Catalog(idx).splits([PUBLISHED])) == 50
+
+    assert search(spark, idx, SearchRequest("meta.src:s2 beta")).num_hits == 10
+    assert search(spark, idx, SearchRequest("sev:2 alpha")).num_hits == 13
