@@ -194,3 +194,36 @@ def test_cli_ingest_describe_gc_delete(spark, tmp_path):
     deleted = cmd_delete(a)
     assert len(deleted["deleted_splits"]) == out["published_splits"]
     assert not os.path.exists(a.index_dir)
+
+
+def test_search_endpoint_generic_schema(spark, tmp_path):
+    """REST search over a generic-schema index: nested-leaf queries resolve
+    and typed stored fields render JSON-safe (bytes → base64, dates →
+    RFC-3339) through the HTTP path."""
+    import urllib.parse
+
+    from quickwit_spark.index.generic import build_index_from_ndjson
+    from tests.test_generic_index import MAPPER, _corpus
+
+    root = tmp_path / "root"
+    root.mkdir()
+    nd = tmp_path / "c.ndjson"
+    nd.write_text("\n".join(_corpus()) + "\n")
+    build_index_from_ndjson(spark, str(nd), MAPPER, str(root / "ev"), split_num_docs_target=50)
+
+    srv = make_server(spark, str(root), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        q = urllib.parse.quote("attributes.server:srv-2 needle")
+        status, body, ctype = _get(f"{base}/api/v1/ev/search?query={q}&max_hits=3")
+        assert status == 200 and "application/json" in ctype
+        out = json.loads(body)
+        assert out["numHits"] > 0
+        for h in out["hits"]:
+            assert h["attributes.server"] == "srv-2"
+            assert h["payload"] == "YWJj"  # bytes as base64
+            assert h["created"].startswith("2024-01-")  # date as RFC-3339
+    finally:
+        srv.shutdown()
