@@ -154,10 +154,19 @@ class IndexConfig:
                 )
         for tag in self.tag_fields:
             tm = by_name.get(tag)
-            if tm is None or tm.scalar_type != "text" or tm.tokenizer != "raw":
+            # reference tag rules (default_mapper.rs:170-189): bytes never;
+            # text only with the raw tokenizer; numeric/date tags allowed
+            # (a demux field is auto-added to tags and is u64/i64) — their
+            # tag values are the canonical term strings
+            if (
+                tm is None
+                or tm.scalar_type == "bytes"
+                or (tm.scalar_type == "text" and tm.tokenizer != "raw")
+                or not tm.is_indexed
+            ):
                 raise ValueError(
-                    f"tag field {tag} must be raw-tokenized text "
-                    "(reference default_mapper.rs:170-189)"
+                    f"tag field {tag} must be an indexed raw-text or "
+                    "numeric/date field (reference default_mapper.rs:170-189)"
                 )
         for f in self.default_search_fields:
             if f not in by_name:
@@ -291,7 +300,20 @@ class IndexConfig:
     def from_doc_mapper(mapper, index_id: str, **overrides) -> "IndexConfig":
         """Flatten a general DocMapper (docmapper.py) into the engine's
         leaf-level config: nested object fields become dotted leaf names,
-        tokenizer/record/fast/stored/indexed flags carry over."""
+        tokenizer/record/fast/stored/indexed flags carry over.
+
+        Leaf names that collide with the engine's synthesized plumbing
+        columns are rejected loudly — the generic build derives doc
+        identity/order/time itself, so a user leaf named e.g. ``ts`` would
+        otherwise produce ambiguous duplicate columns downstream."""
+        reserved = set(PLUMBING_COLS) | {"split_id", "split_ord", "part_key"}
+        for name in mapper.leaves:
+            if name in reserved:
+                raise ValueError(
+                    f"field name {name!r} is reserved by the engine "
+                    f"(plumbing columns: {sorted(reserved)}); rename the "
+                    "field in your doc mapping"
+                )
         mappings = []
         for lf in mapper.leaves.values():
             e = lf.entry
@@ -380,7 +402,9 @@ def config_from_any(d: dict) -> IndexConfig:
         return IndexConfig.from_doc_mapper(mapper, d.get("index_id", "index"), **knobs)
     mappings = d.get("field_mappings", [])
     nested = any(
-        m.get("type") == "object" or "field_mappings" in m or "array" in m
+        m.get("type") == "object"
+        or "field_mappings" in m
+        or str(m.get("type", "")).startswith("array<")
         for m in mappings
     )
     if nested:  # bare DocMapper dict

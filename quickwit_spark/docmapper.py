@@ -453,6 +453,13 @@ class DocMapper:
                     "Sort by field must be a fast field, please add the fast "
                     f"property to your field `{sort_by_field}`."
                 )
+            if lf.entry.type == "f64":
+                # the sort contract is integer-class fast fields (the
+                # reference sorts u64 fast-field values, collector.rs:47-64)
+                raise ValueError(
+                    f"Sort by field `{sort_by_field}` cannot be f64: sorting "
+                    "uses integer-class fast fields (u64 contract)."
+                )
 
         # demux (resolve_demux_field, default_mapper.rs:269-312)
         if demux_field is not None:
@@ -547,7 +554,8 @@ _SPARK_SCALAR = {
     "text": "string",
     "i64": "long",
     "u64": "long",  # engine representation; full-u64 values above 2^63-1
-    # are accepted by doc_from_json but rejected at index build
+    # pass doc_from_json (reference range) but parse_ndjson classifies them
+    # as that doc's value_error — Arrow/Spark have no u64 column type
     "f64": "double",
     "date": "timestamp",
     "bytes": "binary",
@@ -592,6 +600,7 @@ def parse_ndjson(df, mapper: DocMapper, with_identity: bool = False):
     leaves = list(mapper.leaves.values())
     names = [lf.name for lf in leaves]
     multi = {lf.name for lf in leaves if lf.entry.array}
+    u64_names = [lf.name for lf in leaves if lf.entry.type == "u64"]
     mapper_dict = mapper.to_dict()
     json_col = df.columns[0]
 
@@ -606,6 +615,17 @@ def parse_ndjson(df, mapper: DocMapper, with_identity: bool = False):
                 rec: dict[str, Any] = {}
                 try:
                     vals = m.doc_from_json(line if isinstance(line, str) else "")
+                    # engine range guard: the u64 column is int64-backed
+                    # (Arrow/Spark have no u64) — a full-range u64 value must
+                    # classify as this DOC's error, not crash the Arrow batch
+                    for n in u64_names:
+                        for v in vals.get(n, ()):
+                            if v > I64_MAX:
+                                raise DocParsingError.value_error(
+                                    n,
+                                    f"u64 value {v} exceeds the engine's "
+                                    "int64-backed fast/stored range",
+                                )
                     for n in names:
                         got = vals.get(n)
                         if n in multi:

@@ -36,7 +36,11 @@ def mapper_frame(df: DataFrame, mapper: DocMapper) -> tuple[DataFrame, DataFrame
     the engine's internal frame.  Returns (valid_frame, error_rows) where
     error_rows has a `_parse_error` 'kind:field' column (the reference's
     per-doc DocParsingError, counted like IndexerCounters)."""
-    parsed = parse_ndjson(df, mapper, with_identity=True)
+    return _split_parsed(parse_ndjson(df, mapper, with_identity=True), mapper)
+
+
+def _split_parsed(parsed: DataFrame, mapper: DocMapper) -> tuple[DataFrame, DataFrame]:
+    """(already-parsed frame) → (valid engine frame, error rows)."""
     errors = parsed.filter(F.col("_parse_error").isNotNull()).select("_parse_error")
     valid = parsed.filter(F.col("_parse_error").isNull())
 
@@ -94,12 +98,19 @@ def build_index_from_ndjson(
             raise ValueError("config carries no doc mapper (doc_mapper_json)")
         mapper = DocMapper.from_dict(json.loads(config.doc_mapper_json))
     df = spark.read.text(source) if isinstance(source, str) else source
-    frame, errors = mapper_frame(df, mapper)
-    err_counts = {
-        r["_parse_error"]: int(r["n"])
-        for r in errors.groupBy("_parse_error").agg(F.count("*").alias("n")).collect()
-    }
-    report = build_index(spark, frame, config, index_dir, **build_kwargs)
+    parsed = parse_ndjson(df, mapper, with_identity=True)
+    # one parse/validation pass total: the parsed frame feeds BOTH the
+    # error-count job and the build (parse is the dominant ingest cost)
+    parsed = parsed.persist()
+    try:
+        frame, errors = _split_parsed(parsed, mapper)
+        err_counts = {
+            r["_parse_error"]: int(r["n"])
+            for r in errors.groupBy("_parse_error").agg(F.count("*").alias("n")).collect()
+        }
+        report = build_index(spark, frame, config, index_dir, **build_kwargs)
+    finally:
+        parsed.unpersist()
     report.invalid_docs += sum(err_counts.values())
     report.metrics.setdefault("invalid_by_reason", {}).update(err_counts)
     return report, err_counts

@@ -477,6 +477,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds (component diameter exceeds it) — raise max_iterations; "
+            "returning partial labels would silently split duplicate clusters"
+        )
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 

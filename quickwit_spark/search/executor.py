@@ -188,6 +188,14 @@ def resolve_sort(request: SearchRequest, config: IndexConfig) -> SearchRequest:
         and request.sort_by_field == config.timestamp_field
     ):
         request = _dc_replace(request, sort_by_field="ts")
+    # the sort contract is integer-class fast fields (reference u64,
+    # collector.rs:47-64) — f64 would be silently truncated downstream
+    if request.sort_by_field in config.extra_fast_float_fields:
+        raise ValueError(
+            f"cannot sort by f64 fast field {request.sort_by_field!r}: the "
+            "engine sorts integer-class fast fields only (reference u64 "
+            "contract); f64 fast fields are exportable, not sortable"
+        )
     return request
 
 
@@ -860,7 +868,16 @@ def _fast_field_values(field: str, ff_pdf: pd.DataFrame, lens: np.ndarray, docs:
         return ts[docs]
     col = f"ff_{field}"  # generic fast i64/u64 columns (config.extra_fast_fields)
     if col in ff_pdf.columns:
-        vals = np.concatenate([np.asarray(v, np.int64) for v in ff_pdf[col]])
+        vals_raw = [np.asarray(v) for v in ff_pdf[col]]
+        if any(v.dtype.kind == "f" for v in vals_raw):
+            # the reference's sort contract is u64 fast fields
+            # (collector.rs:47-64); silently truncating floats to int64
+            # would return a wrong order — reject loudly instead
+            raise ValueError(
+                f"cannot sort by f64 fast field {field!r}: the engine sorts "
+                "integer-class fast fields only (reference u64 contract)"
+            )
+        vals = np.concatenate([v.astype(np.int64) for v in vals_raw])
         return vals[docs]
     raise ValueError(f"unsupported sort fast field: {field}")
 

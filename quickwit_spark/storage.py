@@ -268,9 +268,18 @@ def storage_for(logical_path: str) -> Storage:
     """Resolve the Storage for an index dir / any logical path under it.
     Plain paths and file:// → local; qwsim:// → the object-store
     simulator; anything else → pyarrow.fs.FileSystem.from_uri (s3, gs,
-    abfs/az, hdfs...).  Cached per scheme — Storage objects are stateless."""
-    scheme = logical_path.split("://", 1)[0] if "://" in logical_path else ""
-    st = _STORAGE_CACHE.get(scheme)
+    abfs/az, hdfs...).  Cached per (scheme, authority): different buckets
+    may resolve to differently-configured filesystems (region,
+    credentials), so the bucket is part of the key — Storage objects are
+    otherwise stateless."""
+    if "://" not in logical_path:
+        scheme, key = "", ""
+    else:
+        scheme, rest = logical_path.split("://", 1)
+        # authority = the bucket/host segment for object stores; local-ish
+        # schemes (file, qwsim) share one filesystem regardless of path
+        key = scheme if scheme in ("file", "qwsim") else f"{scheme}://{rest.split('/', 1)[0]}"
+    st = _STORAGE_CACHE.get(key)
     if st is not None:
         return st
     if scheme in ("", "file"):
@@ -281,5 +290,5 @@ def storage_for(logical_path: str) -> Storage:
         fs, _ = pafs.FileSystem.from_uri(logical_path)
         spark_scheme = {"s3": "s3a", "gs": "gs", "hdfs": "hdfs", "abfs": "abfs"}.get(scheme)
         st = Storage(fs, scheme, spark_scheme)
-    _STORAGE_CACHE[scheme] = st
+    _STORAGE_CACHE[key] = st
     return st

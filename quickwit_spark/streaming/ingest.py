@@ -149,27 +149,35 @@ class StreamIngestor:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):  # empty trigger — nothing to publish
             return
+        parsed = None
         if self.config.doc_mapper_json is not None and batch_df.columns == ["value"]:
             # generic NDJSON stream: the index's mapper parses/validates
-            # each line; per-reason error counts accumulate across batches
+            # each line ONCE per micro-batch (persisted: the parsed frame
+            # feeds both the error counts and the build); per-reason error
+            # counts accumulate across batches
             import json as _json
 
-            from ..docmapper import DocMapper
-            from ..index.generic import mapper_frame
+            from ..docmapper import DocMapper, parse_ndjson
+            from ..index.generic import _split_parsed
 
             mapper = DocMapper.from_dict(_json.loads(self.config.doc_mapper_json))
-            batch_df, errors = mapper_frame(batch_df, mapper)
+            parsed = parse_ndjson(batch_df, mapper, with_identity=True).persist()
+            batch_df, errors = _split_parsed(parsed, mapper)
             for r in errors.groupBy("_parse_error").count().collect():
                 k = r["_parse_error"]
                 self.invalid_by_reason[k] = self.invalid_by_reason.get(k, 0) + int(r["count"])
-        report = build_index(
-            batch_df.sparkSession,
-            batch_df,
-            self.config,
-            self.index_dir,
-            build_id=f"{self.build_prefix}{batch_id:06d}",
-            n_splits=self.splits_per_batch,
-        )
+        try:
+            report = build_index(
+                batch_df.sparkSession,
+                batch_df,
+                self.config,
+                self.index_dir,
+                build_id=f"{self.build_prefix}{batch_id:06d}",
+                n_splits=self.splits_per_batch,
+            )
+        finally:
+            if parsed is not None:
+                parsed.unpersist()
         self.reports.append(report)
         if (
             self.merge_every_n_batches > 0

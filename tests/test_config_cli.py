@@ -231,3 +231,22 @@ def test_cli_generic_create_ingest_search(spark, tmp_path):
     for h in out["hits"]:
         assert h["attributes.server"] == "srv-0"
         assert "needle" in h["body"]
+
+
+def test_flat_array_mapper_config_routes_to_docmapper():
+    """A flat (non-nested) mapper dict whose only non-engine feature is an
+    array<T> type must route through the DocMapper path (review finding:
+    the detection used to test dict KEYS for 'array')."""
+    from quickwit_spark.config import config_from_any
+
+    cfg = config_from_any(
+        {
+            "index_id": "arr",
+            "field_mappings": [
+                {"name": "tags", "type": "array<text>", "tokenizer": "raw"},
+                {"name": "body", "type": "text"},
+            ],
+        }
+    )
+    assert cfg.doc_mapper_json is not None
+    assert cfg.fields["tags"].is_array

@@ -415,3 +415,60 @@ def test_spark_struct_type(mapper):
     names = [f.name for f in t.fields]
     assert "attributes.server.payload" in names
     assert names[-1] == "_parse_error"
+
+
+def test_demux_field_converts_to_index_config():
+    """A DocMapper with a u64 demux field (auto-added to tags, reference
+    default_mapper.rs:131-139) must convert to an IndexConfig — numeric
+    tag fields are legal (review finding: tag validation used to require
+    raw text and made demux unusable through any config path)."""
+    from quickwit_spark.config import IndexConfig
+
+    m = DocMapper.from_dict(
+        {
+            "field_mappings": [
+                {"name": "body", "type": "text"},
+                {"name": "tenant", "type": "u64", "fast": True, "indexed": True},
+            ],
+            "demux_field": "tenant",
+        }
+    )
+    assert m.tag_fields == ("tenant",)
+    cfg = IndexConfig.from_doc_mapper(m, "t")
+    assert "tenant" in cfg.tag_fields
+
+
+def test_u64_overflow_classified_not_crash(spark):
+    """A full-range u64 value passes the reference taxonomy but must become
+    THAT doc's value_error (the engine's columns are int64-backed), never an
+    Arrow task crash."""
+    import json as _json
+
+    m = DocMapper.from_dict(
+        {"field_mappings": [{"name": "f", "type": "u64", "indexed": True}]}
+    )
+    lines = [_json.dumps({"f": (1 << 64) - 1}), _json.dumps({"f": 7})]
+    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    out = parse_ndjson(df, m).collect()
+    errs = {r["_parse_error"] for r in out}
+    assert "value_error:f" in errs and None in errs
+
+
+def test_reserved_plumbing_leaf_names_rejected():
+    from quickwit_spark.config import IndexConfig
+
+    m = DocMapper.from_dict(
+        {"field_mappings": [{"name": "ts", "type": "i64", "fast": True}]}
+    )
+    with pytest.raises(ValueError, match="reserved by the engine"):
+        IndexConfig.from_doc_mapper(m, "t")
+
+
+def test_f64_sort_by_rejected_at_mapper():
+    with pytest.raises(ValueError, match="cannot be f64"):
+        DocMapper.from_dict(
+            {
+                "field_mappings": [{"name": "sc", "type": "f64", "fast": True}],
+                "sort_by_field": "sc",
+            }
+        )

@@ -276,3 +276,8 @@ def test_merge_preserves_generic_semantics(spark, tmp_path):
     assert len(Catalog(idx).splits([PUBLISHED])) < n_before
     after = [canon(search(spark, idx, q)) for q in reqs]
     assert after == before
+
+
+def test_f64_sort_rejected_at_query(spark, idx):
+    with pytest.raises(ValueError, match="f64 fast field"):
+        search(spark, idx, SearchRequest("needle", sort_by_field="score_f"))

@@ -95,3 +95,18 @@ def test_connected_components_resolves_clusters(spark):
     )
     out = {r["doc_id"]: r["component"] for r in dd.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_raises_when_not_converged(spark, monkeypatch):
+    """The distributed path must fail loudly instead of returning partial
+    labels when the diameter exceeds max_iterations."""
+    from quickwit_spark.pipeline import dedup as dd
+
+    monkeypatch.setenv("QW_CC_DRIVER_MAX_PAIRS", "0")  # force distributed
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iterations=2)
+    out = dd.connected_components(chain, max_iterations=15).collect()
+    assert {r["component"] for r in out} == {0}
