@@ -83,3 +83,55 @@ def test_demux_clusters_by_tool(spark, tmp_path_factory):
     # old split data is GC-able
     deleted = garbage_collect(idx)
     assert sorted(deleted) == sorted(old)
+
+
+def test_demux_on_numeric_tenant_field(spark, tmp_path):
+    """Demux by a u64 tenant field through the full generic path: the
+    mapper auto-tags the demux field (reference default_mapper.rs:131-139),
+    the rewrite clusters by tenant, tenant term queries stay correct, and
+    tag pruning on the numeric tag value prunes splits driver-side."""
+    import json as _json
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.docmapper import DocMapper
+    from quickwit_spark.index.generic import build_index_from_ndjson
+    from quickwit_spark.search.executor import prune_splits
+    from quickwit_spark.search.parser import parse_query
+
+    mapper = DocMapper.from_dict(
+        {
+            "default_search_fields": ["body"],
+            "field_mappings": [
+                {"name": "body", "type": "text"},
+                {"name": "tenant", "type": "u64", "fast": True, "indexed": True},
+            ],
+            "demux_field": "tenant",
+        }
+    )
+    nd = tmp_path / "t.ndjson"
+    nd.write_text(
+        "\n".join(
+            _json.dumps({"body": f"needle doc {i}", "tenant": i % 4})
+            for i in range(120)
+        )
+        + "\n"
+    )
+    idx = str(tmp_path / "idx")
+    build_index_from_ndjson(spark, str(nd), mapper, idx, split_num_docs_target=40)
+    cat = Catalog(idx)
+    old = [s.split_id for s in cat.splits([PUBLISHED])]
+    before = search(spark, idx, SearchRequest("tenant:2 needle"))
+    assert before.num_hits == 30
+
+    execute_demux(spark, idx, old, "tenant")
+    cat = Catalog(idx)
+    cfg = IndexConfig.from_dict(cat.config_dict)
+    after = search(spark, idx, SearchRequest("tenant:2 needle"))
+    assert after.num_hits == 30
+
+    # numeric tag pruning: each post-demux split carries its tenants' tag
+    # values; tenant:2 must hit a strict subset of the published splits
+    ast = parse_query("tenant:2", cfg)
+    pruned = prune_splits(cat, cfg, ast, SearchRequest("tenant:2"))
+    pub = cat.splits([PUBLISHED])
+    assert 0 < len(pruned) < len(pub)
