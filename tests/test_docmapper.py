@@ -472,3 +472,95 @@ def test_f64_sort_by_rejected_at_mapper():
                 "sort_by_field": "sc",
             }
         )
+
+
+# --- Hypothesis fuzzing: mapper serde round-trip + parse classification ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SCALARS = ["text", "i64", "u64", "f64", "date", "bytes"]
+
+
+@st.composite
+def _entries(draw, depth=0):
+    t = draw(st.sampled_from(_SCALARS + (["object"] if depth < 2 else [])))
+    name = draw(
+        st.text(alphabet="abcdefgh_", min_size=1, max_size=6).filter(
+            lambda s: s[0].isalpha() or s[0] == "_"
+        )
+    )
+    d = {"name": name, "type": t}
+    if t == "object":
+        d["field_mappings"] = draw(
+            st.lists(_entries(depth=depth + 1), min_size=1, max_size=3)
+        )
+    else:
+        if draw(st.booleans()) and t != "object":
+            d["type"] = f"array<{t}>"
+        if t == "text":
+            d["tokenizer"] = draw(st.sampled_from(["default", "raw", "stem_en"]))
+            d["record"] = draw(st.sampled_from(["basic", "freq", "position"]))
+        elif t != "bytes" and draw(st.booleans()) and not d["type"].startswith("array"):
+            d["fast"] = True
+        d["stored"] = draw(st.booleans())
+        d["indexed"] = draw(st.booleans())
+    return d
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(entries=st.lists(_entries(), min_size=1, max_size=5))
+def test_mapper_serde_roundtrip(entries):
+    """Any mapper that VALIDATES must round-trip through to_dict/from_dict
+    with identical flattened leaves and identical parse behavior."""
+    try:
+        m = DocMapper.from_dict({"field_mappings": entries})
+    except ValueError:
+        return  # duplicate leaf names etc. — rejection is fine
+    m2 = DocMapper.from_dict(m.to_dict())
+    assert sorted(m.leaves) == sorted(m2.leaves)
+    for n in m.leaves:
+        assert m.leaves[n].entry == m2.leaves[n].entry
+
+
+_VALS = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(1 << 70), 1 << 70),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=8),
+    st.lists(st.one_of(st.integers(-100, 100), st.text(max_size=4)), max_size=3),
+)
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(doc=st.dictionaries(st.sampled_from(["a", "b", "c", "zz"]), _VALS, max_size=4))
+def test_doc_from_json_total_classification(doc):
+    """doc_from_json on ARBITRARY json objects either returns typed values
+    or raises a classified DocParsingError — never any other exception —
+    and accepted values respect the leaf types."""
+    import json as _json
+
+    m = DocMapper.from_dict(
+        {
+            "field_mappings": [
+                {"name": "a", "type": "i64", "indexed": True},
+                {"name": "b", "type": "array<text>"},
+                {"name": "c", "type": "date"},
+            ]
+        }
+    )
+    try:
+        out = m.doc_from_json(_json.dumps(doc))
+    except DocParsingError as e:
+        assert e.kind in (
+            "not_json", "value_error", "multi_values_not_supported",
+            "required_fast_field", "no_such_field_in_schema",
+        )
+        return
+    for v in out.get("a", []):
+        assert isinstance(v, int) and not isinstance(v, bool)
+    for v in out.get("b", []):
+        assert isinstance(v, str)
+    for v in out.get("c", []):
+        assert isinstance(v, datetime)
