@@ -458,13 +458,23 @@ def connected_components(
             .groupBy(edges["dst"].alias("id2"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left").select(
+            labels["id"],
+            F.least(
+                labels["component"], F.coalesce("nbr_min", labels["component"])
+            ).alias("component"),
+        )
+        # pointer jumping (path compression): follow component → its own
+        # component once per round, so label distance to the root halves —
+        # convergence in O(log diameter) rounds instead of O(diameter)
+        hop = stepped.select(
+            F.col("id").alias("hop_id"), F.col("component").alias("hop_comp")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            stepped.join(hop, stepped["component"] == hop["hop_id"], "left")
             .select(
-                labels["id"],
-                F.least(
-                    labels["component"], F.coalesce("nbr_min", labels["component"])
-                ).alias("component"),
+                stepped["id"],
+                F.coalesce("hop_comp", stepped["component"]).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
