@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from .config import documents_config
 from .index.builder import build_index
+from .index.catalog import Catalog
 
 CACHE_ROOT = "/tmp/qwspark_index_cache"
 # v7: per-field fieldnorm blobs for ALL indexed fields (raw/typed value
@@ -58,14 +59,14 @@ def documents_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the documents index for an sf dir; returns index_dir."""
     key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{CONFIG_VERSION}".encode()).hexdigest()[:12]
     final = os.path.join(CACHE_ROOT, f"docs-{key}")
-    if os.path.exists(os.path.join(final, "catalog.json")):
+    if Catalog.exists(final):
         return final
     os.makedirs(CACHE_ROOT, exist_ok=True)
     tmp = final + f".build-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     cfg = documents_config()
     build_index(spark, documents_as_transcripts(spark, sf_dir), cfg, tmp)
-    if os.path.exists(os.path.join(final, "catalog.json")):  # lost a race
+    if Catalog.exists(final):  # lost a race
         shutil.rmtree(tmp, ignore_errors=True)
     else:
         os.replace(tmp, final) if not os.path.exists(final) else shutil.rmtree(tmp)
@@ -102,7 +103,7 @@ def documents_generic_index(spark: SparkSession, sf_dir: str) -> str:
         f"{os.path.abspath(sf_dir)}:generic:{CONFIG_VERSION}".encode()
     ).hexdigest()[:12]
     final = os.path.join(CACHE_ROOT, f"docs-gen-{key}")
-    if os.path.exists(os.path.join(final, "catalog.json")):
+    if Catalog.exists(final):
         return final
     os.makedirs(CACHE_ROOT, exist_ok=True)
     tmp = final + f".build-{os.getpid()}"
@@ -123,7 +124,7 @@ def documents_generic_index(spark: SparkSession, sf_dir: str) -> str:
     build_index_from_ndjson(
         spark, nd, mapper, tmp, index_id="documents-generic", split_num_docs_target=2_000
     )
-    if os.path.exists(os.path.join(final, "catalog.json")):  # lost a race
+    if Catalog.exists(final):  # lost a race
         shutil.rmtree(tmp, ignore_errors=True)
     else:
         os.replace(tmp, final) if not os.path.exists(final) else shutil.rmtree(tmp)

@@ -69,7 +69,7 @@ def _resolve_config(args):
 
     if getattr(args, "config", None):
         return load_config(args.config)
-    if os.path.exists(os.path.join(args.index_dir, "catalog.json")):
+    if Catalog.exists(args.index_dir):
         return IndexConfig.from_dict(Catalog(args.index_dir).config_dict)
     return transcripts_config(
         split_num_docs_target=args.split_docs, segment_num_docs_target=args.segment_docs
@@ -84,10 +84,10 @@ def cmd_create(args) -> dict:
 
     from quickwit_spark.index.catalog import Catalog
 
-    if os.path.exists(os.path.join(args.index_dir, "catalog.json")):
+    if Catalog.exists(args.index_dir):
         return {"cmd": "create", "error": f"index already exists at {args.index_dir}"}
     cfg = _resolve_config(args)
-    Catalog.create(args.index_dir, cfg.to_dict())
+    Catalog.create(args.index_dir, cfg.to_dict(), metastore=getattr(args, "metastore", None))
     return {"cmd": "create", "index_dir": args.index_dir, "index_id": cfg.index_id}
 
 
@@ -538,6 +538,13 @@ def main(argv=None):
     cr.add_argument("--config", default=None, help="index-config JSON/YAML file")
     cr.add_argument("--split-docs", type=int, default=50_000)
     cr.add_argument("--segment-docs", type=int, default=8_000)
+    cr.add_argument(
+        "--metastore",
+        choices=["json", "sqlite"],
+        default=None,
+        help="metastore backend (default json; sqlite = the SQL-metastore "
+        "analog, local filesystems only)",
+    )
     cr.set_defaults(fn=cmd_create)
 
     b = sub.add_parser("build")

@@ -6,35 +6,35 @@ quickwit-metastore/src/split_metadata.rs:56-136) and a per-source checkpoint
 map partition_id→position with atomic, overlap-rejecting delta application
 (quickwit-metastore/src/checkpoint.rs:299-353).
 
-Here the catalog is a single JSON object updated by whole-object PUT
-through the storage abstraction (storage.py) — the analog of the
-reference's file-backed metastore; an Iceberg/Delta table commit would
-replace this on a real deployment.  Data files live under the index dir
-partitioned by split_id; readers only look at split dirs the catalog lists
-as Published, which is what makes publish atomic and staged data invisible
-(same trick as the reference's stage/publish split lifecycle).
+The catalog's STATE MACHINE (this module) is backend-independent; the
+persistence + transaction layer is pluggable (metastore.py), mirroring the
+reference's Metastore trait with its two shipped implementations:
 
-Concurrent writers (reference metastore contract,
-quickwit-metastore/src/tests.rs): every mutation is a locked
-read-modify-write — an exclusive flock on `<index>/.catalog.lock` guards
-reload→apply→write, so two processes racing publish/merge/GC serialize
-instead of silently losing updates.  On object stores there is no lock
-primitive; the engine assumes ONE metastore-writer process there (exactly
-the reference's metastore-service deployment shape) and writes are
-last-writer-wins whole-object PUTs.
+* json (default) — the whole state as one JSON object PUT through the
+  storage abstraction (file-backed metastore analog); mutations are locked
+  read-modify-writes under an exclusive flock on `<index>/.catalog.lock`
+  on local filesystems.  On object stores there is no lock primitive; the
+  engine assumes ONE metastore-writer process there (exactly the
+  reference's metastore-service deployment shape).
+* sqlite — normalized split rows + BEGIN IMMEDIATE transactions (the
+  PostgreSQL-metastore analog; see metastore.SqliteBackend).
+
+Data files live under the index dir partitioned by split_id; readers only
+look at split dirs the catalog lists as Published, which is what makes
+publish atomic and staged data invisible (same trick as the reference's
+stage/publish split lifecycle).  Both backends pass the same contract
+suite (tests/test_metastore_contract.py, the quickwit-metastore
+src/tests.rs analog), including multi-process writer races.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import time
-import uuid
-from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 from typing import Callable, Iterable
 
 from ..storage import storage_for
+from .metastore import resolve_backend
 
 STAGED = "Staged"
 PUBLISHED = "Published"
@@ -95,77 +95,65 @@ def _fresh_state() -> dict:
 
 
 class Catalog:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, metastore: str | None = None):
         self.index_dir = index_dir
         self.storage = storage_for(index_dir)
-        self.path = os.path.join(index_dir, "catalog.json")
-        self._lock_path = (
-            os.path.join(self.storage.fs_path(index_dir), ".catalog.lock")
-            if self.storage.is_local
-            else None
-        )
+        self.backend = resolve_backend(index_dir, self.storage, metastore)
+        self.path = self.backend.path
         self._state = self._load() or _fresh_state()
 
     def _load(self) -> dict | None:
-        if not self.storage.exists(self.path):
-            return None
-        state = json.loads(self.storage.read_bytes(self.path))
-        # catalogs written before termstats existed: mark incomplete
-        state.setdefault("termstats", {"deltas": [], "complete": False})
+        state = self.backend.load()
+        if state is not None:
+            # catalogs written before termstats existed: mark incomplete
+            state.setdefault("termstats", {"deltas": [], "complete": False})
         return state
 
-    # -- locked read-modify-write ----------------------------------------
-    @contextmanager
-    def _locked(self):
-        """Exclusive inter-process lock for the mutation window (local
-        filesystems only; object stores run single-metastore-writer)."""
-        if self._lock_path is None:
-            yield
-            return
-        import fcntl
-
-        os.makedirs(os.path.dirname(self._lock_path), exist_ok=True)
-        with open(self._lock_path, "w") as lf:
-            fcntl.flock(lf, fcntl.LOCK_EX)
-            try:
-                yield
-            finally:
-                fcntl.flock(lf, fcntl.LOCK_UN)
-
     def update(self, fn: Callable[[dict], None]) -> None:
-        """Apply ``fn`` to the CURRENT persisted state under the writer
-        lock and commit — the one mutation primitive.  fn sees fresh state
-        (another process may have published/merged since we loaded), so
-        concurrent writers serialize instead of losing updates."""
-        with self._locked():
-            state = self._load()
-            if state is not None:
-                self._state = state
-            fn(self._state)
-            self._save_unlocked()
+        """Apply ``fn`` to the CURRENT persisted state inside the backend's
+        write transaction and commit — the one mutation primitive.  fn sees
+        fresh state (another process may have published/merged since we
+        loaded), so concurrent writers serialize instead of losing
+        updates."""
 
-    def _save_unlocked(self) -> None:
-        self.storage.write_bytes(
-            self.path, json.dumps(self._state).encode("utf-8")
-        )
+        def norm_fn(state):
+            # catalogs written before termstats existed: mark incomplete
+            state.setdefault("termstats", {"deltas": [], "complete": False})
+            fn(state)
+
+        self._state = self.backend.rmw(norm_fn, self._state)
 
     def _save(self) -> None:
         """Commit the in-memory state as-is (no reload).  Only for
         single-writer flows that built self._state from scratch; racing
         writers should use update()."""
-        with self._locked():
-            self._save_unlocked()
+        self.backend.put(self._state)
 
     def reload(self) -> "Catalog":
         return Catalog(self.index_dir)
 
+    @staticmethod
+    def exists(index_dir: str) -> bool:
+        """Is there an index (any metastore backend) at ``index_dir``?"""
+        st = storage_for(index_dir)
+        return resolve_backend(index_dir, st).exists()
+
+    @staticmethod
+    def state_token(index_dir: str) -> tuple | None:
+        """Cheap catalog-change token for driver caches (None = no index):
+        file (mtime, size) for json, the revision counter for sqlite."""
+        st = storage_for(index_dir)
+        return resolve_backend(index_dir, st).state_token()
+
     # -- basic ----------------------------------------------------------
     @staticmethod
-    def create(index_dir: str, config_dict: dict) -> "Catalog":
+    def create(
+        index_dir: str, config_dict: dict, metastore: str | None = None
+    ) -> "Catalog":
         st = storage_for(index_dir)
         if st.is_local:
             os.makedirs(st.fs_path(index_dir), exist_ok=True)
-        cat = Catalog(index_dir)
+        cat = Catalog(index_dir, metastore=metastore)
         if cat._state["config"] is None:
 
             def init(state):

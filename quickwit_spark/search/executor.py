@@ -146,22 +146,18 @@ def open_index(spark: SparkSession, index_dir: str) -> tuple[Catalog, IndexConfi
     """Catalog + config, cached per catalog-file state: at 10^4 splits the
     catalog JSON is megabytes, and re-parsing it (plus re-validating the
     config) on EVERY query would eat ~tens of ms of driver time.  The
-    (mtime, size) key makes publish/merge/GC invalidate naturally — the
-    same trick as the scan/gstats caches."""
-    path = os.path.join(index_dir, "catalog.json")
-    st = storage_for(index_dir)
-    info = st.info(path)
-    import pyarrow.fs as _pafs
-
-    if info.type != _pafs.FileType.File:
-        raise FileNotFoundError(f"no index at {index_dir} (missing catalog.json)")
-    state = (info.mtime_ns, info.size)
+    backend state token (file mtime/size, or the sqlite revision) makes
+    publish/merge/GC invalidate naturally — the same trick as the
+    scan/gstats caches."""
+    state = Catalog.state_token(index_dir)
+    if state is None:
+        raise FileNotFoundError(f"no index at {index_dir} (missing catalog)")
     key = (index_dir, state)
     hit = _CATALOG_CACHE.get(key)
     if hit is None:
         cat = Catalog(index_dir)
         if cat.config_dict is None:
-            raise FileNotFoundError(f"no index at {index_dir} (missing catalog.json)")
+            raise FileNotFoundError(f"no index at {index_dir} (missing catalog)")
         hit = (cat, IndexConfig.from_dict(cat.config_dict))
         for k in [k for k in _CATALOG_CACHE if k[0] == index_dir]:
             _CATALOG_CACHE.pop(k)  # drop older states of this index
@@ -241,11 +237,10 @@ def _table_scan(spark: SparkSession, index_dir: str, table: str):
     splits), which would otherwise be paid on every use.  Only data-scale
     DataFrame paths use this (export_stream's partition-by join); the leaf
     search reads split files directly with worker-side pyarrow.
-    Invalidated whenever the catalog file changes (publish/merge/GC add or
+    Invalidated whenever the catalog changes (publish/merge/GC add or
     drop split dirs)."""
     st = storage_for(index_dir)
-    info = st.info(os.path.join(index_dir, "catalog.json"))
-    state = (info.mtime_ns, info.size) if info.size is not None else None
+    state = Catalog.state_token(index_dir)
     key = (index_dir, table, state)
     if key not in _SCAN_DF_CACHE:
         for k in [k for k in _SCAN_DF_CACHE if k[:2] == (index_dir, table)]:
@@ -269,9 +264,8 @@ def global_term_stats(
     catalog) and global doc_freq per (field, term) — one tiny aggregate over
     the term-dictionary rows of all published splits.  df is cached per
     (index state, term) — the split-footer/fast-field cache analog
-    (leaf.rs:47-55), invalidated whenever the catalog file changes."""
-    info = storage_for(index_dir).info(cat.path)
-    cat_state = (info.mtime_ns, info.size) if info.size is not None else None
+    (leaf.rs:47-55), invalidated whenever the catalog changes."""
+    cat_state = Catalog.state_token(index_dir)
     stats = cat.global_stats()
     # per-TERM cache (not per-query): "deploy" then "deploy AND failure"
     # reads only the new term's df; invalidated with the catalog state

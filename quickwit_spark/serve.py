@@ -35,6 +35,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from quickwit_spark.index.catalog import Catalog
+
 
 def _int_or_none(qs: dict, key: str):
     v = qs.get(key, [None])[0]
@@ -89,7 +91,7 @@ class _Handler(BaseHTTPRequestHandler):
         ):
             return self._err(404, f"no POST route for {url.path}")
         index_dir = os.path.join(self.index_root, parts[2])
-        if not os.path.exists(os.path.join(index_dir, "catalog.json")):
+        if not Catalog.exists(index_dir):
             return self._err(404, f"index {parts[2]!r} not found")
         try:
             n = int(self.headers.get("Content-Length", 0))
@@ -154,7 +156,7 @@ class _Handler(BaseHTTPRequestHandler):
             return self._err(404, f"no route for {url.path}")
         index_id = parts[2]
         index_dir = os.path.join(self.index_root, index_id)
-        if not os.path.exists(os.path.join(index_dir, "catalog.json")):
+        if not Catalog.exists(index_dir):
             return self._err(404, f"index {index_id!r} not found")
         qs = parse_qs(url.query)
         if "query" not in qs:

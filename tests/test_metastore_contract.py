@@ -30,9 +30,15 @@ from quickwit_spark.index.catalog import (
 )
 
 
-@pytest.fixture()
-def cat(tmp_path):
-    return Catalog.create(str(tmp_path / "idx"), {"index_id": "contract"})
+@pytest.fixture(params=["json", "sqlite"])
+def cat(tmp_path, request):
+    """The whole suite runs against BOTH metastore backends — the
+    reference's shared contract suite exercises its file-backed AND
+    PostgreSQL metastores through one trait (tests.rs + the
+    metastore_for_test matrix); sqlite is the SQL-metastore analog here."""
+    return Catalog.create(
+        str(tmp_path / "idx"), {"index_id": "contract"}, metastore=request.param
+    )
 
 
 def _stage(cat, sid, num_docs=1):

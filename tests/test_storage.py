@@ -110,14 +110,16 @@ def test_object_store_gc_deletes_marked_splits(spark, twin_indexes):
     assert on_disk == live
 
 
-def test_catalog_concurrent_writers(tmp_path):
-    """Two PROCESSES racing catalog mutations must serialize (flock'd
-    read-modify-write), not lose updates — the metastore contract analog
-    (quickwit-metastore/src/tests.rs)."""
+@pytest.mark.parametrize("metastore", ["json", "sqlite"])
+def test_catalog_concurrent_writers(tmp_path, metastore):
+    """Processes racing catalog mutations must serialize — flock'd
+    read-modify-write (json) or BEGIN IMMEDIATE transactions (sqlite) —
+    and never lose updates: the metastore contract analog
+    (quickwit-metastore/src/tests.rs) run against BOTH backends."""
     import multiprocessing as mp
 
     index_dir = str(tmp_path / "race_idx")
-    Catalog.create(index_dir, {"index_id": "race"})
+    Catalog.create(index_dir, {"index_id": "race"}, metastore=metastore)
 
     def stage_many(start: int):
         from quickwit_spark.index.catalog import Catalog as C
@@ -138,3 +140,36 @@ def test_catalog_concurrent_writers(tmp_path):
     assert len(splits) == 60  # no lost updates
     seqs = sorted(s.create_seq for s in splits)
     assert seqs == list(range(60))  # create_seq strictly serialized
+
+
+def test_sqlite_metastore_end_to_end(spark, tmp_path):
+    """Full lifecycle (build → merge → GC → search) on a sqlite-metastore
+    index matches a json-metastore twin bit-for-bit on every query — the
+    'same contract, different metastore' property the reference proves by
+    running one test suite over file-backed and PostgreSQL metastores."""
+    from quickwit_spark.index.metastore import JSON_FILENAME, SQLITE_FILENAME
+
+    pdf = generate_transcripts(n_conversations=25, seed=11)
+    dirs = {}
+    for kind in ("json", "sqlite"):
+        d = str(tmp_path / f"idx_{kind}")
+        Catalog.create(d, CFG.to_dict(), metastore=kind)
+        tok0 = Catalog.state_token(d)
+        build_index(spark, spark.createDataFrame(pdf), CFG, d, build_id="b0")
+        # every publish bumps the cache-invalidation token (sqlite commits
+        # go to the WAL, so the db file's mtime alone would NOT move)
+        assert Catalog.state_token(d) != tok0
+        run_merge_pipeline(spark, d)
+        garbage_collect(d)
+        dirs[kind] = d
+    assert os.path.exists(os.path.join(dirs["sqlite"], SQLITE_FILENAME))
+    assert not os.path.exists(os.path.join(dirs["sqlite"], JSON_FILENAME))
+    cat_j, cat_s = Catalog(dirs["json"]), Catalog(dirs["sqlite"])
+    assert sum(s.num_docs for s in cat_s.splits([PUBLISHED])) == sum(
+        s.num_docs for s in cat_j.splits([PUBLISHED])
+    )
+    assert cat_s.global_stats() == cat_j.global_stats()
+    for req in QUERIES:
+        assert _hits_key(search(spark, dirs["sqlite"], req)) == _hits_key(
+            search(spark, dirs["json"], req)
+        ), req.query
