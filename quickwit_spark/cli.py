@@ -97,7 +97,9 @@ def cmd_build(args) -> dict:
     spark = _get_spark("qw-build", args.local_cpus, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = _resolve_config(args)
-    df = spark.read.parquet(args.input)
+    from quickwit_spark.sources import read_transcripts_table
+
+    df = read_transcripts_table(spark, args.input, fmt=args.input_format)
     t0 = time.monotonic()
     report = build_index(
         spark, df, cfg, args.index_dir, build_id=args.build_id,
@@ -548,7 +550,13 @@ def main(argv=None):
     cr.set_defaults(fn=cmd_create)
 
     b = sub.add_parser("build")
-    b.add_argument("--input", required=True)
+    b.add_argument("--input", required=True, help="parquet path, catalog/Iceberg table name, or ndjson path")
+    b.add_argument(
+        "--input-format",
+        choices=["auto", "parquet", "table", "iceberg", "ndjson"],
+        default="auto",
+        help="input resolution (auto: paths→parquet, names→catalog table)",
+    )
     b.add_argument("--index-dir", required=True)
     b.add_argument("--build-id", default="b0")
     b.add_argument("--config", default=None, help="index-config JSON/YAML file")

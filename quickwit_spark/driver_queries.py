@@ -22,6 +22,7 @@ from .adapter import documents_generic_index, documents_index
 from .functions.bm25 import B, K1
 from .functions.tokenizer import DUCKDB_TOKENIZE_LIST
 from .pipeline import dedup as dd
+from .pipeline import sampling as smp
 from .pipeline import similarity as sim
 from .pipeline import text as tx
 from .pipeline.multimodal import extract_features, synthesize_assets
@@ -284,6 +285,21 @@ def dd_components(spark, sf_dir):
     return dd.connected_components(pairs)
 
 
+def tx_sample(spark, sf_dir):
+    """Deterministic 20% hash sample of documents (map-only, no shuffle;
+    reproducible across engines — see pipeline/sampling.py)."""
+    return smp.sample_by_hash(_docs(spark, sf_dir), 0.2).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def tx_stratified_sample(spark, sf_dir):
+    """Per-language quota sample: the 40 hash-smallest docs of each lang."""
+    return smp.stratified_sample(_docs(spark, sf_dir), "lang", 40).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def tx_token_count(spark, sf_dir):
     return tx.with_token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
 
@@ -374,6 +390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_lsh": dd_minhash_lsh,
         "dd_simhash": dd_simhash,
         "dd_components": dd_components,
+        "tx_sample": tx_sample,
+        "tx_stratified_sample": tx_stratified_sample,
         "tx_token_count": tx_token_count,
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,
@@ -451,6 +469,16 @@ FROM (
 ) WHERE rn = 1""",
         "dd_ngram_jaccard": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
         "dd_minhash_lsh": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
+        "tx_sample": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            + smp.sample_by_hash_sql(0.2)
+            + ")"
+        ),
+        "tx_stratified_sample": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            + smp.stratified_sample_sql("lang", 40)
+            + ")"
+        ),
         "tx_token_count": f"SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents",
         "tx_lang_id": f"SELECT doc_id, {lang_pred} AS lang_pred, {lang_ratio} AS stopword_ppm FROM documents",
         "tx_quality": (

@@ -41,6 +41,49 @@ def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_transcripts_table(
+    spark: SparkSession, ref: str, fmt: str = "auto"
+) -> DataFrame:
+    """North-rule input resolution: 'an Iceberg table of transcript turns'.
+
+    In Spark an Iceberg table is just a catalog table — ``spark.read
+    .table("catalog.db.turns")`` (or the ``iceberg`` DSv2 format for a
+    path-based table); snapshot isolation, partition pruning and column
+    pruning all happen inside the data source, and everything downstream of
+    this function is plain DataFrame ops, so the engine is agnostic to
+    which it got.  fmt:
+
+    * ``auto``     — path-looking refs (contain '/' or end .parquet) read
+                     as parquet; anything else as a catalog table
+    * ``parquet``  — direct parquet dir/file (the sandbox stand-in for an
+                     Iceberg table at the same schema)
+    * ``table``    — any Spark catalog table or registered view
+    * ``iceberg``  — explicit DSv2 format load; raises a clear error when
+                     the Iceberg runtime jars are not on the classpath
+                     (this sandbox ships none — gated, not assumed)
+    * ``ndjson``   — FileSource analog (read_ndjson)
+    """
+    if fmt == "auto":
+        fmt = "parquet" if ("/" in ref or ref.endswith(".parquet")) else "table"
+    if fmt == "parquet":
+        return spark.read.parquet(ref)
+    if fmt == "ndjson":
+        return read_ndjson(spark, ref)
+    if fmt == "table":
+        return spark.read.table(ref)
+    if fmt == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(ref)
+        except Exception as exc:
+            raise RuntimeError(
+                "iceberg read failed — is the Iceberg Spark runtime on the "
+                "classpath (spark-submit --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-...)?  Catalog-registered Iceberg "
+                "tables also work via fmt='table'."
+            ) from exc
+    raise ValueError(f"unknown input format {fmt!r}")
+
+
 def vec_source(spark: SparkSession, rows: pd.DataFrame | list[dict]) -> DataFrame:
     """VecSource analog: an in-memory batch (tests, fixtures)."""
     if isinstance(rows, list):

@@ -155,3 +155,51 @@ def test_contract_survives_reload(cat):
     assert fresh.checkpoint() == {"p0": "00000009"}
     with pytest.raises(SplitsNotStagedError):
         fresh.publish_splits(["s1"], {})
+
+
+def test_backward_compat_minimal_catalog(tmp_path):
+    """A catalog serialized by an older engine version — before the
+    termstats LSM, sources, and builds keys existed — must still load,
+    list splits, and accept new mutations (the reference pins serialized
+    metadata fixtures in quickwit-metastore/src/backward_compatibility_tests
+    for exactly this).  Missing termstats marks the LSM incomplete, which
+    downgrades global-df reads to the per-split scan, never an error."""
+    import json
+    import os
+
+    idx = str(tmp_path / "old_idx")
+    os.makedirs(idx)
+    old_state = {
+        "config": {"index_id": "old"},
+        "splits": {
+            "s1": {
+                "split_id": "s1",
+                "state": PUBLISHED,
+                "num_docs": 7,
+                "ts_min": 0,
+                "ts_max": 99,
+                "tags": ["tool:grep"],
+                "num_merge_ops": 0,
+                "create_seq": 0,
+                "field_len_sums": {"text": 70},
+                "metrics": {},
+            }
+        },
+        "checkpoint": {"p0": "00000007"},
+        "next_seq": 1,
+        # no "termstats", no "sources", no "builds"
+    }
+    with open(os.path.join(idx, "catalog.json"), "w") as f:
+        json.dump(old_state, f)
+
+    cat = Catalog(idx)
+    assert [s.split_id for s in cat.splits()] == ["s1"]
+    assert cat.termstats_files() is None  # incomplete, not an error
+    assert cat.sources() == {}
+    assert cat.global_stats() == {"num_docs": 7, "avg_len": {"text": 10.0}}
+    # new mutations still work against the old serialization
+    _stage(cat, "s2")
+    cat.publish_splits(["s2"], {"p1": (None, "00000001")})
+    fresh = cat.reload()
+    assert _states(fresh) == {"s1": PUBLISHED, "s2": PUBLISHED}
+    assert fresh.checkpoint() == {"p0": "00000007", "p1": "00000001"}

@@ -110,3 +110,44 @@ def test_connected_components_raises_when_not_converged(spark, monkeypatch):
         dd.connected_components(chain, max_iterations=2)
     out = dd.connected_components(chain, max_iterations=15).collect()
     assert {r["component"] for r in out} == {0}
+
+
+def test_hash_sample_nested_and_deterministic(spark):
+    """Hash-sampling invariants that make it the right tool at 100 TB:
+    (a) deterministic across runs/partitionings, (b) samples NEST across
+    rates at one salt (10%⊂30%), (c) different salts draw independent
+    samples, (d) the rate is honored within binomial noise."""
+    from quickwit_spark.pipeline.sampling import sample_by_hash
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    s30 = {r.doc_id for r in sample_by_hash(df, 0.3).collect()}
+    s30_again = {
+        r.doc_id for r in sample_by_hash(df.repartition(13), 0.3).collect()
+    }
+    assert s30 == s30_again  # stable under re-partitioning
+    s10 = {r.doc_id for r in sample_by_hash(df, 0.1).collect()}
+    assert s10 <= s30  # nested
+    assert abs(len(s30) / 20_000 - 0.3) < 0.02
+    s30b = {r.doc_id for r in sample_by_hash(df, 0.3, salt="v2").collect()}
+    ov = len(s30 & s30b) / 20_000
+    assert abs(ov - 0.09) < 0.02  # independent draws: P(both) ≈ 0.3*0.3
+
+
+def test_stratified_sample_quota_and_order_stability(spark):
+    from quickwit_spark.pipeline.sampling import stratified_sample
+
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(0, 3_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.concat(F.lit("l"), (F.col("doc_id") % 7).cast("string")))
+    )
+    out = stratified_sample(df, "lang", 25).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert set(by_lang) == {f"l{i}" for i in range(7)}
+    assert all(len(v) == 25 for v in by_lang.values())
+    out2 = stratified_sample(df.repartition(17), "lang", 25).collect()
+    assert {r.doc_id for r in out2} == {r.doc_id for r in out}

@@ -99,3 +99,30 @@ def test_export_join_is_partition_pruned(spark, tmp_path_factory):
     assert any("PartitionFilters: [" in ln and "split_id" in ln for ln in scan_lines), scan_lines
     # column pruning: only the 3 needed columns reach the scan
     assert any("[doc_id" in ln and "role" in ln and "text" not in ln for ln in scan_lines), scan_lines
+
+
+def test_table_source_matches_parquet(spark, tmp_path):
+    """The north-rule input is 'an Iceberg table of transcript turns' —
+    in Spark that is a catalog table read.  read_transcripts_table's
+    'table' path (what a catalog-registered Iceberg table resolves
+    through) must see exactly what the parquet path sees, and an index
+    built from it must match."""
+    from quickwit_spark.sources import read_transcripts_table
+
+    pdf = generate_transcripts(n_conversations=10, seed=3)
+    pq = str(tmp_path / "turns.parquet")
+    spark.createDataFrame(pdf).write.parquet(pq)
+    spark.read.parquet(pq).createOrReplaceTempView("turns_v")
+
+    via_table = read_transcripts_table(spark, "turns_v")  # auto → table
+    via_parquet = read_transcripts_table(spark, pq)  # auto → parquet
+    assert via_table.count() == via_parquet.count() == len(pdf)
+    assert via_table.schema == via_parquet.schema
+
+    cfg = transcripts_config(split_num_docs_target=200)
+    idx = str(tmp_path / "idx_table")
+    rep = build_index(spark, via_table, cfg, idx, build_id="b0")
+    assert rep.total_docs == len(pdf)
+
+    with pytest.raises(ValueError, match="unknown input format"):
+        read_transcripts_table(spark, pq, fmt="orc")
