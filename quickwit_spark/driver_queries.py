@@ -285,6 +285,16 @@ def dd_components(spark, sf_dir):
     return dd.connected_components(pairs)
 
 
+def dd_dedup_corpus(spark, sf_dir):
+    """The composed near-dup pass: SimHash pairs -> connected components ->
+    keep the highest-n_chars doc per cluster -> corpus minus losers."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.simhash_pairs(docs, max_hamming=12)
+    return dd.dedup_corpus(docs, pairs, quality_col="n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def tx_sample(spark, sf_dir):
     """Deterministic 20% hash sample of documents (map-only, no shuffle;
     reproducible across engines — see pipeline/sampling.py)."""
@@ -390,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_lsh": dd_minhash_lsh,
         "dd_simhash": dd_simhash,
         "dd_components": dd_components,
+        "dd_dedup_corpus": dd_dedup_corpus,
         "tx_sample": tx_sample,
         "tx_stratified_sample": tx_stratified_sample,
         "tx_token_count": tx_token_count,
@@ -521,5 +532,13 @@ FROM generate_series(0, 63) AS t(i)
         "dd_simhash": dd.simhash_oracle_sql("documents", TOKS, max_hamming=12),
         "dd_components": dd.components_oracle_sql(
             dd.simhash_oracle_sql("documents", TOKS, max_hamming=12)
+        ),
+        "dd_dedup_corpus": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            + dd.dedup_corpus_oracle_sql(
+                dd.simhash_oracle_sql("documents", TOKS, max_hamming=12),
+                quality_col="n_chars",
+            )
+            + ")"
         ),
     }

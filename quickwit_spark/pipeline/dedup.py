@@ -516,3 +516,70 @@ walk(node, comp) AS (
 )
 SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node
 """
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """The composed near-dup PASS a training pipeline actually runs:
+    candidate pairs → connected components → one winner per duplicate
+    cluster → the corpus minus the losers.
+
+    Winner rule: highest ``quality_col`` (ties → lowest id), or lowest id
+    when no quality column is given — the keep-best policy of keep_best()
+    applied per CLUSTER instead of per exact-hash group.
+
+    Scale shape: the component table only contains docs that appear in a
+    pair (a few % of a deduped-ish corpus), so the winner window runs on
+    the small side, and the final step is a left-anti join of the full
+    corpus against just the LOSERS — broadcastable in the common case and
+    a plain hash anti-join otherwise (AQE picks; never a cartesian).  The
+    corpus itself is never shuffled."""
+    comp = connected_components(pairs, a_col, b_col)
+    members = comp.join(
+        df.select(
+            F.col(id_col).alias("__mid"),
+            *([F.col(quality_col).alias("__q")] if quality_col else []),
+        ),
+        comp["doc_id"] == F.col("__mid"),
+    )
+    order = (
+        [F.col("__q").desc(), F.col("doc_id").asc()]
+        if quality_col
+        else [F.col("doc_id").asc()]
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    losers = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(F.col("doc_id").alias("__loser"))
+    )
+    return df.join(losers, df[id_col] == F.col("__loser"), "left_anti")
+
+
+def dedup_corpus_oracle_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> str:
+    """DuckDB twin of dedup_corpus over the SAME pair query."""
+    comp_sql = components_oracle_sql(pairs_sql)
+    order = (
+        f"d.{quality_col} DESC, m.doc_id ASC" if quality_col else "m.doc_id ASC"
+    )
+    return f"""
+WITH comp AS ({comp_sql}),
+ranked AS (
+  SELECT m.doc_id,
+         row_number() OVER (PARTITION BY m.component ORDER BY {order}) AS rk
+  FROM comp m JOIN {table} d ON d.{id_col} = m.doc_id
+)
+SELECT d.* FROM {table} d
+WHERE d.{id_col} NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+"""

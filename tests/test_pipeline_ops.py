@@ -151,3 +151,27 @@ def test_stratified_sample_quota_and_order_stability(spark):
     assert all(len(v) == 25 for v in by_lang.values())
     out2 = stratified_sample(df.repartition(17), "lang", 25).collect()
     assert {r.doc_id for r in out2} == {r.doc_id for r in out}
+
+
+def test_dedup_corpus_keeps_best_per_cluster(spark):
+    """dedup_corpus keeps exactly one winner per connected duplicate
+    cluster (highest quality, ties -> lowest id) and every unpaired doc."""
+    from quickwit_spark.pipeline.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", q) for i, q in enumerate([5, 9, 9, 1, 7, 3, 8])],
+        "doc_id long, text string, n_chars long",
+    )
+    # clusters: {0,1,2} (transitively via 0-1, 1-2) and {4,5}; 3 and 6 alone
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_corpus(docs, pairs, quality_col="n_chars").collect()
+    )
+    # cluster {0,1,2}: quality (5,9,9) -> winner 1 (tie 1v2 -> lower id)
+    # cluster {4,5}: quality (7,3) -> winner 4
+    assert kept == [1, 3, 4, 6]
+    # no quality column: lowest id wins
+    kept_id = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
+    assert kept_id == [0, 3, 4, 6]
