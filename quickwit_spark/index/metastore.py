@@ -269,7 +269,12 @@ class SqliteBackend:
             row = con.execute(
                 "SELECT val FROM meta WHERE key = '_revision'"
             ).fetchone()
-            return ("sqlite", int(row[0])) if row else None
+            if row is None:
+                return None
+            # the inode distinguishes index GENERATIONS: a dropped-and-
+            # recreated index restarts _revision, and a bare counter would
+            # collide with cache entries of the old index at the same path
+            return ("sqlite", os.stat(self.path).st_ino, int(row[0]))
         finally:
             con.close()
 
