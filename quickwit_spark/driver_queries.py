@@ -314,6 +314,12 @@ def tx_token_count(spark, sf_dir):
     return tx.with_token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
 
 
+def tx_bpe_token_count(spark, sf_dir):
+    return tx.with_bpe_token_count(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
 def tx_lang_id(spark, sf_dir):
     return tx.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred", "stopword_ppm")
 
@@ -404,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_sample": tx_sample,
         "tx_stratified_sample": tx_stratified_sample,
         "tx_token_count": tx_token_count,
+        "tx_bpe_token_count": tx_bpe_token_count,
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,
         "tx_fingerprint": tx_fingerprint,
@@ -418,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     lang_pred, lang_ratio = tx.lang_id_sql(TOKS)
+    bpe = tx.bpe_token_count_sql("text")
     q = tx.quality_score_sql("text", TOKS)
     # role:en contributes idf(df_en) * tf_norm(tf=1, len=1, avg_len=1) == idf
     role_en_score = (
@@ -491,6 +499,10 @@ FROM (
             + ")"
         ),
         "tx_token_count": f"SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents",
+        "tx_bpe_token_count": (
+            f"SELECT doc_id, {bpe['n_ws_tokens']} AS n_ws_tokens, "
+            f"{bpe['n_bpe_tokens']} AS n_bpe_tokens FROM documents"
+        ),
         "tx_lang_id": f"SELECT doc_id, {lang_pred} AS lang_pred, {lang_ratio} AS stopword_ppm FROM documents",
         "tx_quality": (
             f"SELECT doc_id, {q['n_tokens']} AS n_tokens, {q['alpha_ppm']} AS alpha_ppm, "

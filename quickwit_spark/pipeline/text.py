@@ -47,6 +47,38 @@ def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
 TOKEN_COUNT_SQL = "CAST(len({toks}) AS BIGINT)"
 
 
+# -- BPE-ish token counting ---------------------------------------------------
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs that Java regex
+# (Spark) and RE2 (DuckDB) evaluate identically on ASCII: contraction
+# suffixes, optionally space-prefixed letter runs, <=3-digit number chunks
+# (modern BPEs chunk digits), and punctuation runs.  No lookaround, no
+# unicode property classes (Java and RE2 disagree on those).  Both engines
+# use leftmost-first alternation, so match counts agree exactly.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+"
+
+
+def with_bpe_token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    """Two token-count columns: whitespace-delimited tokens and BPE-ish
+    regex pre-tokens (a deterministic proxy for a real BPE vocab's token
+    count — the pre-tokenizer dominates the count; merges only shrink it)."""
+    ws = F.filter(F.split(F.col(col), r"\s+"), lambda t: t != F.lit(""))
+    return df.withColumn("n_ws_tokens", F.size(ws).cast("long")).withColumn(
+        "n_bpe_tokens", F.regexp_count(F.col(col), F.lit(BPE_PATTERN)).cast("long")
+    )
+
+
+def bpe_token_count_sql(col: str = "text") -> dict[str, str]:
+    pat = BPE_PATTERN.replace("'", "''")
+    return {
+        "n_ws_tokens": (
+            f"CAST(len(list_filter(regexp_split_to_array({col}, '\\s+'), "
+            f"t -> t != '')) AS BIGINT)"
+        ),
+        "n_bpe_tokens": f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)",
+    }
+
+
 # -- language ID ----------------------------------------------------------------
 
 

@@ -69,6 +69,34 @@ def test_lang_id_and_quality(spark, docs):
     assert tc[0] == 9 and tc[4] == 0 and tc[5] == 1
 
 
+def test_bpe_token_count(spark, docs):
+    """BPE-ish pre-tokenizer counts: contractions split off, digits chunked
+    to <=3, punctuation runs one token; agrees with DuckDB's RE2 evaluation
+    of the same pattern (the driver-oracle contract)."""
+    extra = spark.createDataFrame(
+        [(10, "it's 12345 done!!"), (11, "don't")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in tx.with_bpe_token_count(docs.union(extra)).collect()
+    }
+    assert out[4] == (0, 0)
+    assert out[5] == (1, 1)
+    assert out[0] == (9, 9)  # pure lowercase words: one pre-token per word
+    # "it's 12345 done!!" -> it / 's / 123 / 45 / done / !! = 6 bpe tokens
+    assert out[10] == (3, 6)
+    assert out[11] == (1, 2)  # don + 't
+
+    import duckdb
+
+    pdf = docs.union(extra).toPandas()
+    sql = tx.bpe_token_count_sql("text")
+    ora = duckdb.sql(
+        f"SELECT doc_id, {sql['n_ws_tokens']} AS ws, {sql['n_bpe_tokens']} AS bpe FROM pdf"
+    ).fetchall()
+    assert {r[0]: (r[1], r[2]) for r in ora} == out
+
+
 def test_multimodal_features_deterministic(spark):
     a = extract_features(synthesize_assets(spark, n=12)).collect()
     b = extract_features(synthesize_assets(spark, n=12)).collect()
