@@ -243,7 +243,8 @@ def test_out_of_range_timestamp_fails_build(spark, tmp_path_factory):
     import datetime
 
     pdf = generate_transcripts(n_conversations=3, seed=1)
-    pdf.loc[0, "ts"] = pd.Timestamp("2200-01-01", tz="UTC")  # > 2^32 epoch
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # room beyond ns range
+    pdf.loc[0, "ts"] = pd.Timestamp("2200-01-01")  # > 2^32 epoch
     cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
     with pytest.raises(Exception, match="2\\^32|u32|PythonException") as ei:
         build_index(spark, spark.createDataFrame(pdf), cfg, str(tmp_path_factory.mktemp("oor")))
