@@ -334,6 +334,15 @@ def tx_fingerprint(spark, sf_dir):
     return tx.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def tx_repetition(spark, sf_dir):
+    """Within-doc repetition signals (Gopher-style quality rules): duplicate
+    word 2-/3-gram fractions + top-token concentration, all exact-integer
+    ppm, zero Python in the hot path."""
+    return tx.with_repetition_signals(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_bigram_ppm", "dup_trigram_ppm", "top_token_ppm"
+    )
+
+
 def sim_bruteforce_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
@@ -414,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,
         "tx_fingerprint": tx_fingerprint,
+        "tx_repetition": tx_repetition,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
@@ -427,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
     lang_pred, lang_ratio = tx.lang_id_sql(TOKS)
     bpe = tx.bpe_token_count_sql("text")
     q = tx.quality_score_sql("text", TOKS)
+    rep = tx.repetition_sql(TOKS)
     # role:en contributes idf(df_en) * tf_norm(tf=1, len=1, avg_len=1) == idf
     role_en_score = (
         "ln(1.0 + ((SELECT count(*) FROM documents)"
@@ -509,6 +520,11 @@ FROM (
             f"{q['mean_tok_ppm']} AS mean_tok_ppm, {q['quality_ppm']} AS quality_ppm FROM documents"
         ),
         "tx_fingerprint": f"SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fingerprint FROM documents",
+        "tx_repetition": (
+            f"SELECT doc_id, {rep['dup_bigram_ppm']} AS dup_bigram_ppm, "
+            f"{rep['dup_trigram_ppm']} AS dup_trigram_ppm, "
+            f"{rep['top_token_ppm']} AS top_token_ppm FROM documents"
+        ),
         "sim_bruteforce_topk": sim.brute_force_topk_oracle_sql("embeddings", 5, 10),
         "sim_lsh_topk": sim.lsh_topk_oracle_sql(
             "embeddings", 5, 10, n_planes=10, seed=42, dim=64, multiprobe=1

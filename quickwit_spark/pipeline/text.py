@@ -172,6 +172,89 @@ def quality_score_sql(col: str, toks: str) -> dict[str, str]:
     }
 
 
+# -- repetition signals -------------------------------------------------------
+
+
+def _ngram_col(toks: Column, n: int) -> Column:
+    """Sliding word n-grams as an array column, built JVM-side: transform
+    over a length-(len-n+1) slice, joining each window with an unprintable
+    separator so 'a b'+'c' can never collide with 'a'+'b c'."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.transform(
+        F.slice(toks, 1, length),
+        lambda x, i: F.concat_ws(
+            "\x1f", x, *[F.element_at(toks, i + k + 1) for k in range(1, n)]
+        ),
+    )
+
+
+def with_repetition_signals(df: DataFrame, col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality rules:
+    heavily self-repeating documents are low-value training data):
+
+    * ``dup_bigram_ppm`` / ``dup_trigram_ppm`` — fraction (ppm) of word
+      2-/3-grams that are repeats of an earlier identical n-gram,
+    * ``top_token_ppm`` — concentration of the single most frequent token.
+
+    All ppm values use the module's exact-integer floor(1e6·a/c) scheme, so
+    the DuckDB oracle can never disagree on a rounding boundary.  Everything
+    is built-in higher-order functions — zero Python in the hot path; the
+    top-token scan is O(tokens·distinct) per doc, fine for documents and
+    bounded by the 40-char token cap."""
+    toks = tokens_col(col)
+    n_tok = F.size(toks)
+
+    def dup_ppm(n: int) -> Column:
+        grams = _ngram_col(toks, n)
+        total = F.size(grams)
+        dups = total - F.size(F.array_distinct(grams))
+        return (
+            F.when(total > 0, F.floor(F.lit(1_000_000) * dups / total))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    top_ppm = (
+        F.when(n_tok > 0, F.floor(F.lit(1_000_000) * top_cnt / n_tok))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        df.withColumn("dup_bigram_ppm", dup_ppm(2))
+        .withColumn("dup_trigram_ppm", dup_ppm(3))
+        .withColumn("top_token_ppm", top_ppm)
+    )
+
+
+def repetition_sql(toks: str) -> dict[str, str]:
+    def grams(n: int) -> str:
+        return (
+            f"list_transform(generate_series(1, greatest(len({toks})-{n - 1}, 0)), "
+            f"i -> array_to_string({toks}[i:i+{n - 1}], chr(31)))"
+        )
+
+    def dup(n: int) -> str:
+        g = grams(n)
+        return (
+            f"CASE WHEN len({g}) > 0 THEN CAST(floor(1000000.0 * "
+            f"(len({g}) - len(list_distinct({g}))) / len({g})) AS BIGINT) "
+            f"ELSE 0 END"
+        )
+
+    top_cnt = (
+        f"list_max(list_transform(list_distinct({toks}), "
+        f"t2 -> len(list_filter({toks}, x -> x = t2))))"
+    )
+    top = (
+        f"CASE WHEN len({toks}) > 0 THEN CAST(floor(1000000.0 * {top_cnt} / "
+        f"len({toks})) AS BIGINT) ELSE 0 END"
+    )
+    return {"dup_bigram_ppm": dup(2), "dup_trigram_ppm": dup(3), "top_token_ppm": top}
+
+
 # -- fingerprinting -----------------------------------------------------------------
 
 

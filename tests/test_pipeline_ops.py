@@ -97,6 +97,38 @@ def test_bpe_token_count(spark, docs):
     assert {r[0]: (r[1], r[2]) for r in ora} == out
 
 
+def test_repetition_signals(spark, docs):
+    """Gopher-style repetition ppm: hand-counted cases + DuckDB differential
+    (the driver-oracle contract)."""
+    extra = spark.createDataFrame(
+        [(10, "spam spam spam spam"), (11, "a b a b a b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_bigram_ppm"], r["dup_trigram_ppm"], r["top_token_ppm"])
+        for r in tx.with_repetition_signals(docs.union(extra)).collect()
+    }
+    assert out[4] == (0, 0, 0)  # empty doc
+    assert out[5] == (0, 0, 1_000_000)  # one token: no n-grams, full concentration
+    # "spam spam spam spam": bigrams [ss,ss,ss] -> 2/3 dup; trigrams [sss,sss] -> 1/2
+    assert out[10] == (666_666, 500_000, 1_000_000)
+    # "a b a b a b c": bigrams [ab,ba,ab,ba,ab,bc] -> 3 dups of 6; trigrams
+    # [aba,bab,aba,bab,abc] -> 2 of 5; top token 'a' 3 of 7
+    assert out[11] == (500_000, 400_000, 428_571)
+    # doc 0 repeats only "the": no repeated bigrams, 2/9 top concentration
+    assert out[0] == (0, 0, 222_222)
+
+    import duckdb
+
+    pdf = docs.union(extra).toPandas()
+    sql = tx.repetition_sql(tx.duckdb_tokens("text"))
+    ora = duckdb.sql(
+        f"SELECT doc_id, {sql['dup_bigram_ppm']} b, {sql['dup_trigram_ppm']} t, "
+        f"{sql['top_token_ppm']} tt FROM pdf"
+    ).fetchall()
+    assert {r[0]: (r[1], r[2], r[3]) for r in ora} == out
+
+
 def test_multimodal_features_deterministic(spark):
     a = extract_features(synthesize_assets(spark, n=12)).collect()
     b = extract_features(synthesize_assets(spark, n=12)).collect()
