@@ -1,0 +1,109 @@
+"""Stateful-streaming sessionization tests (applyInPandasWithState over
+transcript turns): gap-based session assembly, watermark-exact close,
+out-of-order coalescing, bounded state."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from quickwit_spark.streaming.sessionize import _sweep_merge, sessionize_conversations
+
+
+def test_sweep_merge_coalesces_and_bridges():
+    gap = 600
+    # two far-apart runs stay apart
+    assert _sweep_merge([(100, 200, 2), (900, 900, 1)], gap) == [(100, 200, 2), (900, 900, 1)]
+    # a late event between them bridges all three into one session
+    assert _sweep_merge([(100, 200, 2), (900, 900, 1), (500, 500, 1)], gap) == [(100, 900, 4)]
+    # an event inside an existing run just increments the count
+    assert _sweep_merge([(100, 700, 3), (400, 400, 1)], gap) == [(100, 700, 4)]
+    assert _sweep_merge([], gap) == []
+
+
+def _write_turn_file(path: str, rows: list[tuple[str, int]]):
+    pdf = pd.DataFrame(rows, columns=["conv_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+    pdf.to_parquet(path)
+
+
+def test_streaming_sessions_close_on_watermark(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1): sessions split on the
+    gap, close only once the watermark passes end+gap (including via the
+    event-time timeout on the final empty batch), and a still-open
+    conversation is NOT emitted."""
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: c1 has a 3-turn run (gaps <= 600), c2 a singleton
+    _write_turn_file(str(src / "a.parquet"), [("c1", 1000), ("c1", 1300), ("c1", 1700), ("c2", 1000)])
+    # batch 2: c1 starts a second session; watermark -> 9000 closes batch-1 runs
+    _write_turn_file(str(src / "b.parquet"), [("c1", 9000)])
+    # batch 3: far-future turn advances the watermark past 9000+600
+    _write_turn_file(str(src / "c.parquet"), [("c3", 50000)])
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    schema = StructType([StructField("conv_id", StringType()), StructField("ts", TimestampType())])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+    sessions = sessionize_conversations(stream, gap_secs=600, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("qw_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {
+        (r["conv_id"], int(r["session_start"].timestamp()), int(r["session_end"].timestamp())): r["n_turns"]
+        for r in spark.sql("select * from qw_sessions").collect()
+    }
+    assert rows == {
+        ("c1", 1000, 1700): 3,  # gap-assembled, closed by watermark
+        ("c2", 1000, 1000): 1,
+        ("c1", 9000, 9000): 1,  # closed by the event-time timeout
+    }
+    # c3's session is still open (watermark never passed 50000+600): not emitted
+    assert not any(c == "c3" for c, _, _ in rows)
+
+
+def test_streaming_sessions_exactly_once_restart(spark, tmp_path):
+    """Restart on the same checkpoint re-emits nothing; new data continues
+    from the persisted state (Spark state store + offsets)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_turn_file(str(src / "a.parquet"), [("c1", 1000), ("c1", 1200)])
+    _write_turn_file(str(src / "b.parquet"), [("c1", 9000)])
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    schema = StructType([StructField("conv_id", StringType()), StructField("ts", TimestampType())])
+
+    def drain(qname):
+        got: list[tuple] = []
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+        q = (
+            sessionize_conversations(stream, gap_secs=600, watermark="0 seconds")
+            .writeStream.foreachBatch(
+                lambda bdf, bid: got.extend(tuple(r) for r in bdf.collect())
+            )
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return got
+
+    first = drain("qw_sess_r1")
+    assert len(first) == 1  # only (c1, 1000..1200) closed; 9000 still open
+    # restart with no new data: nothing re-emitted
+    assert drain("qw_sess_r2") == []
+    # a far-future turn closes the open 9000-session on the next drain
+    _write_turn_file(str(src / "c.parquet"), [("c9", 99000)])
+    third = drain("qw_sess_r3")
+    assert [(r[0], int(r[1].timestamp()), int(r[2].timestamp()), r[3]) for r in third] == [
+        ("c1", 9000, 9000, 1)
+    ]
