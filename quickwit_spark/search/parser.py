@@ -59,25 +59,63 @@ class _RawClause:
 
 
 # -- lexer -------------------------------------------------------------------
+#
+# Backslash escaping (reference query-language.md "Escaping Special
+# Characters"): ``\X`` makes X a literal term character — an escaped colon
+# doesn't split field:term, an escaped space doesn't end the token, an
+# escaped paren/quote/bracket has no syntax meaning.  The lexer re-encodes
+# each escape as a sentinel byte + the literal char so later stages can tell
+# syntax chars from escaped ones; ``_unescape`` strips the sentinels at
+# clause-binding time.
 
 _SPECIAL = set('()"')
+_ESC = "\x00"  # cannot appear in a query string's text
+
+
+def _unescape(t: str) -> str:
+    return t.replace(_ESC, "")
+
+
+def _find_unescaped(t: str, ch: str) -> int:
+    i = 0
+    while i < len(t):
+        if t[i] == _ESC:
+            i += 2
+            continue
+        if t[i] == ch:
+            return i
+        i += 1
+    return -1
 
 
 def _lex(q: str) -> list[str]:
+    if _ESC in q:
+        raise QueryParserError("query contains a NUL byte")
     tokens: list[str] = []
     i, n = 0, len(q)
     while i < n:
         c = q[i]
         if c.isspace():
             i += 1
+        elif c == "\\":
+            # token starting with an escape: fall through to word scanning
+            i = _lex_word(q, i, tokens)
         elif c in "()":
             tokens.append(c)
             i += 1
         elif c == '"':
-            j = q.find('"', i + 1)
-            if j == -1:
+            j = i + 1
+            body = []
+            while j < n and q[j] != '"':
+                if q[j] == "\\" and j + 1 < n:
+                    body.append(_ESC + q[j + 1])
+                    j += 2
+                else:
+                    body.append(q[j])
+                    j += 1
+            if j >= n:
                 raise QueryParserError(f"unterminated phrase in query: {q!r}")
-            tokens.append(q[i : j + 1])
+            tokens.append('"' + "".join(body) + '"')
             i = j + 1
         elif c == "[" or c == "{":
             raise QueryParserError(
@@ -87,16 +125,39 @@ def _lex(q: str) -> list[str]:
             tokens.append(c)
             i += 1
         else:
-            j = i
-            while j < n and not q[j].isspace() and q[j] not in _SPECIAL:
-                # field:"phrase" — stop before the quote so it lexes separately
-                if q[j] == ":" and j + 1 < n and q[j + 1] == '"':
-                    j += 1
-                    break
-                j += 1
-            tokens.append(q[i:j])
-            i = j
+            i = _lex_word(q, i, tokens)
     return tokens
+
+
+def _lex_word(q: str, i: int, tokens: list[str]) -> int:
+    n = len(q)
+    j = i
+    out = []
+    while j < n:
+        c = q[j]
+        if c == "\\":
+            if j + 1 < n:
+                out.append(_ESC + q[j + 1])
+                j += 2
+            else:
+                out.append(_ESC + "\\")  # trailing lone backslash: literal
+                j += 1
+            continue
+        if c.isspace() or c in _SPECIAL:
+            break
+        if c == "[" or c == "{":
+            raise QueryParserError(
+                f"range queries are not supported (reference query_builder.rs:36-39): {q!r}"
+            )
+        # field:"phrase" — stop before the quote so it lexes separately
+        if c == ":" and j + 1 < n and q[j + 1] == '"':
+            out.append(c)
+            j += 1
+            break
+        out.append(c)
+        j += 1
+    tokens.append("".join(out))
+    return j
 
 
 # -- parser ------------------------------------------------------------------
@@ -173,18 +234,19 @@ class _Parser:
             self.next()
             return inner if bound_field is None else _bind_field(inner, bound_field)
         if t.startswith('"'):
-            return _RawClause(bound_field, t[1:-1], phrase=True)
-        if t.endswith(":") and bound_field is None:
-            fieldname = t[:-1]
+            return _RawClause(bound_field, _unescape(t[1:-1]), phrase=True)
+        colon = _find_unescaped(t, ":") if bound_field is None else -1
+        if colon == len(t) - 1 and colon >= 0:
+            fieldname = _unescape(t[:-1])
             if not fieldname:
                 raise QueryParserError("empty field name")
             return self.parse_clause(fieldname)
-        if ":" in t and bound_field is None:
-            fieldname, text = t.split(":", 1)
-            if "[" in text or "{" in text:
+        if colon >= 0:
+            fieldname, text = _unescape(t[:colon]), t[colon + 1 :]
+            if _find_unescaped(text, "[") >= 0 or _find_unescaped(text, "{") >= 0:
                 raise QueryParserError("range queries are not supported")
-            return _RawClause(fieldname, text)
-        return _RawClause(bound_field, t)
+            return _RawClause(fieldname, _unescape(text))
+        return _RawClause(bound_field, _unescape(t))
 
 
 def _bind_field(node, fieldname: str):

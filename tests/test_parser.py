@@ -72,6 +72,31 @@ def test_range_rejected():
             parse_query(q, CFG)  # query_builder.rs:36-39
 
 
+def test_backslash_escaping():
+    """query-language.md 'Escaping Special Characters': \\X makes X literal —
+    escaped colons don't split field:term, escaped spaces don't end the
+    token, escaped brackets aren't ranges; the literal still goes through
+    the target field's analyzer (tantivy TextAnalyzer semantics)."""
+    # raw-tokenizer field: exact value with a space / parens / backslash
+    assert parse_query(r"tool:my\ tool", CFG) == TermQuery("tool", "my tool")
+    assert parse_query(r"role:\(user\)", CFG) == TermQuery("role", "(user)")
+    assert parse_query(r"tool:a\\b", CFG) == TermQuery("tool", "a\\b")
+    # escaped colon on a default-field term: analyzed literal "a:b" -> phrase
+    assert parse_query(r"a\:b", CFG) == PhraseQuery("text", ("a", "b"))
+    # escaped colon in the FIELD position keeps it one (unknown) field name
+    with pytest.raises(QueryParserError, match="does not exist"):
+        parse_query(r"title\:x:y", CFG)
+    # escaped brackets are not ranges
+    assert parse_query(r"tool:\[x\]", CFG) == TermQuery("tool", "[x]")
+    with pytest.raises(QueryParserError, match="range"):
+        parse_query("ts:[100 TO 200]", CFG)
+    # escaped quote inside a phrase is literal (and analyzed away)
+    assert parse_query(r'"a \" b"', CFG) == PhraseQuery("text", ("a", "b"))
+    # NUL sentinel cannot be injected
+    with pytest.raises(QueryParserError, match="NUL"):
+        parse_query("a\x00b", CFG)
+
+
 def test_unknown_field_rejected():
     with pytest.raises(QueryParserError):
         parse_query("nosuchfield:x", CFG)

@@ -93,6 +93,26 @@ def test_snoopy(spark, tmp_index_dir):
     assert resp2.num_hits == 2
 
 
+def test_escaped_raw_field_value(spark, tmp_index_dir):
+    """Backslash escaping end-to-end (query-language.md escaping section):
+    a raw-tokenizer field value containing a space / colon is reachable
+    only via \\-escaped query syntax."""
+    import pandas as pd
+
+    pdf = snoopy()
+    pdf["tool"] = ["web search", "kube:apply"]
+    cfg = transcripts_config()
+    build_index(spark, spark.createDataFrame(pdf), cfg, tmp_index_dir)
+    resp = search(spark, tmp_index_dir, SearchRequest(r"tool:web\ search"))
+    assert resp.num_hits == 1 and resp.hits[0]["turn_idx"] == 0
+    resp2 = search(spark, tmp_index_dir, SearchRequest(r"tool:kube\:apply"))
+    assert resp2.num_hits == 1 and resp2.hits[0]["turn_idx"] == 1
+    # an unescaped space splits the token: 'web' alone is not the raw value
+    assert search(spark, tmp_index_dir, SearchRequest("tool:web")).num_hits == 0
+    # only the FIRST unescaped colon binds the field; the rest is the value
+    assert search(spark, tmp_index_dir, SearchRequest("tool:kube:apply")).num_hits == 1
+
+
 def test_timefilter30(spark, tmp_index_dir):
     """Reference test_single_node_filtering (lib.rs:326-424): query 'info',
     ts in [10, 20) → 10 hits, newest first when sorting by ts desc."""
