@@ -373,6 +373,21 @@ def sim_ivf_trained_topk(spark, sf_dir):
     return sim.ivf_topk(queries, embs, k=5, n_probe=2, centroids=cents)
 
 
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (residual product quantization + ADC shortlist + exact
+    refine) — the memory-bounded scale path: the probe scan reads m-byte
+    codes, full vectors are fetched only for the refine shortlist.  PQ
+    codebook training is iterative k-means, not SQL-expressible, so this
+    entry is rows-only (like sim_ivf_trained_topk); pytest pins recall
+    floors, exact refine scores, and determinism."""
+    embs = _embs(spark, sf_dir)
+    cents = sim.train_ivf_centroids(embs, n_cells=16, n_iters=8)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return sim.ivfpq_topk(
+        queries, embs, k=5, n_cells=16, n_probe=4, m=8, nbits=4, centroids=cents
+    )
+
+
 def sim_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
 
@@ -428,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_ivf_trained_topk": sim_ivf_trained_topk,
+        "sim_ivfpq_topk": sim_ivfpq_topk,
         "sim_near_dup": sim_near_dup,
         "mm_features": mm_features,
     }

@@ -418,6 +418,210 @@ def lsh_topk(
     )
 
 
+# -- IVF-PQ ---------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    sample_rows: int = 4096,
+    n_iters: int = 15,
+    seed: int = 0x9C,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks over COARSE RESIDUALS (the IVFADC
+    construction): each vector's offset from its IVF cell centroid is split
+    into ``m`` subspaces and each subspace gets a 2^nbits-entry k-means
+    codebook, so a corpus vector stores m×nbits bits instead of dim×32 —
+    at 10^11 vectors the encoded index is ~100× smaller than the floats
+    and fits the probe-scan working set in memory.
+
+    Training runs driver-side on a DETERMINISTIC bounded sample (the
+    ``sample_rows`` lowest-id vectors — the standard PQ recipe trains on a
+    sample regardless of corpus size), seeded k-means per subspace; no
+    wall-clock anywhere.  Returns (m, 2^nbits, dim//m) float64."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    X = np.array([np.asarray(r[vec_col], np.float64) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if centroids is not None:
+        cents = np.array([np.asarray(v, np.float64) for _, v in sorted(centroids)])
+        d = (X * X).sum(1)[:, None] + (cents * cents).sum(1)[None, :] - 2.0 * (X @ cents.T)
+        X = X - cents[d.argmin(1)]
+    ksub, dsub = 1 << nbits, dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        # seeded sample init (k-means++ is overkill at ksub<=256 on residuals)
+        idx = rng.choice(len(sub), size=ksub, replace=len(sub) < ksub)
+        cb = sub[idx].copy()
+        for _ in range(n_iters):
+            d = (sub * sub).sum(1)[:, None] + (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)
+            a = d.argmin(1)
+            for c in range(ksub):
+                pts = sub[a == c]
+                if len(pts):
+                    cb[c] = pts.mean(0)
+        books[j] = cb
+    return books
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k — the memory-bounded scale path.
+
+    Plan (all map-side except two tiny joins):
+    1. coarse cells as in ``ivf_topk`` (trained or seed centroids, broadcast);
+    2. every corpus vector PQ-ENCODES map-only into m uint8 codes of its
+       residual (broadcast codebooks; at scale this encoded table is the
+       materialized index: m bytes + cell id per vector);
+    3. queries probe ``n_probe`` cells; candidates = encoded rows of probed
+       cells joined to the broadcast query batch — the scan reads CODES, not
+       floats: the asymmetric (ADC) score reconstructs candidates from the
+       codebooks inside an Arrow batch (gather + einsum, no Python loop);
+    4. the ADC shortlist (``refine``·k per query) alone fetches full vectors
+       for an EXACT cosine re-rank, so returned scores are exact and recall
+       is the only approximation (floors pinned in tests).
+
+    Output schema matches the other ANN ops: (query_id, neighbor_id,
+    cosine, rank)."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+        centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, nbits=nbits, centroids=centroids, id_col=id_col, vec_col=vec_col
+        )
+    cents_np = np.array([np.asarray(v, np.float64) for _, v in sorted(centroids)])
+    dim = cents_np.shape[1]
+    dsub = dim // m
+    sc = spark.sparkContext
+    bc_c, bc_b = sc.broadcast(cents_np), sc.broadcast(np.asarray(codebooks))
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    enc_schema = StructType(
+        [
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        c = bc_c.value
+        b = bc_b.value
+        c_sq = (c * c).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            cell = ((X * X).sum(1)[:, None] + c_sq[None, :] - 2.0 * (X @ c.T)).argmin(1)
+            R = X - c[cell]
+            codes = np.empty((len(X), m), np.int32)
+            for j in range(m):
+                sub = R[:, j * dsub : (j + 1) * dsub]
+                cb = b[j]
+                d = (sub * sub).sum(1)[:, None] + (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+
+    # query probes: same broadcast-centroid window as ivf_topk
+    cents_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, v) for i, v in sorted(centroids)], "cell int, centv array<double>"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(cents_df)
+        .withColumn("dist", _l2sq(F.col("qv"), F.col("centv")))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    @F.pandas_udf(DoubleType())
+    def adc_cosine(qv: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        c = bc_c.value
+        b = bc_b.value  # (m, ksub, dsub)
+        Q = np.stack(qv.to_numpy()).astype(np.float64)
+        cd = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        # reconstruct candidates: cell centroid + per-subspace codewords
+        rec = c[cell.to_numpy()]
+        rec = rec.copy()
+        for j in range(m):
+            rec[:, j * dsub : (j + 1) * dsub] += b[j][cd[:, j]]
+        num = np.einsum("ij,ij->i", Q, rec)
+        den = np.sqrt((Q * Q).sum(1)) * np.sqrt((rec * rec).sum(1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = num / den
+        return pd.Series(np.nan_to_num(out, nan=-1.0))
+
+    cand = encoded.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    shortlisted = (
+        cand.withColumn("adc", adc_cosine(F.col("qv"), F.col("cell"), F.col("codes")))
+        .withColumn(
+            "adc_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("adc").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("adc_rank") <= refine * k)
+        .select("query_id", "qv", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # refine: ONLY the shortlist fetches full vectors (doc-store analog)
+    full = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = shortlisted.join(full, "neighbor_id").select(
+        "query_id", "neighbor_id", _cosine_udf(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -103,3 +103,46 @@ def test_kmeans_ivf_training(spark, embs):
     for pair, cos in trained.items():
         if pair in exact:
             assert cos == pytest.approx(exact[pair], abs=1e-6)
+
+
+def test_ivfpq_recall_exact_scores_and_determinism(spark, embs):
+    """IVF-PQ: the ADC shortlist + exact refine returns EXACT cosines for
+    every pair it returns, recall vs brute force clears the ANN floor on
+    clustered data, and training/encoding are fully deterministic."""
+    q = embs.filter("vec_id < 10")
+    exact = _pairs(sim.brute_force_topk(q, embs, k=5))
+    cents = sim.train_ivf_centroids(embs, n_cells=8, n_iters=15)
+    kw = dict(k=5, n_cells=8, n_probe=3, m=8, nbits=4, refine=4, centroids=cents)
+    pq1 = _pairs(sim.ivfpq_topk(q, embs, **kw))
+    pq2 = _pairs(sim.ivfpq_topk(q, embs, **kw))
+    assert pq1 == pq2  # seeded codebooks + deterministic encode
+    for pair, cos in pq1.items():
+        if pair in exact:
+            assert cos == pytest.approx(exact[pair], abs=1e-6)
+    recall = len(set(pq1) & set(exact)) / len(exact)
+    assert recall >= 0.6, f"ivfpq recall {recall:.2f}"
+
+
+def test_pq_codebooks_shape_and_reconstruction(spark, embs):
+    """Codebook geometry: (m, 2^nbits, dim/m); encoding a sample vector and
+    reconstructing it lands closer than the raw cell centroid (the residual
+    codebooks carry real signal)."""
+    cents = sim.train_ivf_centroids(embs, n_cells=8, n_iters=15)
+    books = sim.train_pq_codebooks(embs, m=8, nbits=4, centroids=cents)
+    assert books.shape == (8, 16, 2)
+    import numpy as np
+
+    X = np.array([r["embedding"] for r in embs.orderBy("vec_id").limit(20).collect()], dtype=np.float64)
+    C = np.array([v for _, v in sorted(cents)])
+    d = (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+    cell = d.argmin(1)
+    R = X - C[cell]
+    rec = np.zeros_like(X)
+    for j in range(8):
+        sub = R[:, j * 2 : (j + 1) * 2]
+        cb = books[j]
+        dd = (sub * sub).sum(1)[:, None] + (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)
+        rec[:, j * 2 : (j + 1) * 2] = cb[dd.argmin(1)]
+    err_pq = np.linalg.norm(X - (C[cell] + rec), axis=1).mean()
+    err_cell = np.linalg.norm(X - C[cell], axis=1).mean()
+    assert err_pq < err_cell
