@@ -68,6 +68,81 @@ def test_streaming_sessions_close_on_watermark(spark, tmp_path):
     assert not any(c == "c3" for c, _, _ in rows)
 
 
+def _batch_oracle(events: list[tuple[str, int]], gap: int) -> dict:
+    """Reference semantics: per conv, sort ts, split on gap, aggregate."""
+    from collections import defaultdict
+
+    by_conv = defaultdict(list)
+    for c, t in events:
+        by_conv[c].append(t)
+    out = {}
+    for c, ts in by_conv.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > gap:
+                out[(c, start, prev)] = n
+                start, n = t, 0
+            n += 1
+            prev = t
+        out[(c, start, prev)] = n
+    return out
+
+
+def test_sessionize_differential_random(spark, tmp_path):
+    """Differential vs the batch oracle: random events split into random
+    micro-batches (arbitrary arrival order) must yield the oracle's exact
+    session set once a far-future sentinel closes everything.  The
+    watermark is set larger than the whole event span, so no event is ever
+    dropped as late and arrival order is irrelevant — the operator's
+    interval-sweep state merging has to reassemble the same sessions."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    gap = 600
+    for case in range(6):
+        events = [
+            (f"c{rng.randrange(4)}", rng.randrange(0, 20_000))
+            for _ in range(rng.randrange(1, 40))
+        ]
+        # random partition into 1..4 files, random order (late arrivals!)
+        shuffled = events[:]
+        rng.shuffle(shuffled)
+        n_files = rng.randrange(1, 5)
+        chunks = [shuffled[i::n_files] for i in range(n_files)]
+        chunks = [c for c in chunks if c]
+        chunks.append([("sentinel", 10_000_000)])  # closes every real session
+        src = tmp_path / f"src{case}"
+        src.mkdir()
+        for i, chunk in enumerate(chunks):
+            _write_turn_file(str(src / f"f{i}.parquet"), chunk)
+
+        from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+        schema = StructType(
+            [StructField("conv_id", StringType()), StructField("ts", TimestampType())]
+        )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+        )
+        q = (
+            sessionize_conversations(stream, gap_secs=gap, watermark="30000 seconds")
+            .writeStream.format("memory")
+            .queryName(f"qw_sess_diff{case}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt{case}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["conv_id"], int(r["session_start"].timestamp()), int(r["session_end"].timestamp())): r["n_turns"]
+            for r in spark.sql(f"select * from qw_sess_diff{case}").collect()
+        }
+        assert got == _batch_oracle(events, gap), f"case {case}: {sorted(events)}"
+
+
 def test_streaming_sessions_exactly_once_restart(spark, tmp_path):
     """Restart on the same checkpoint re-emits nothing; new data continues
     from the persisted state (Spark state store + offsets)."""
