@@ -343,6 +343,14 @@ def tx_repetition(spark, sf_dir):
     )
 
 
+def tx_filter_corpus(spark, sf_dir):
+    """Composed C4/Gopher-style corpus filter: token bounds + quality floor
+    + repetition ceilings + language gate, one fused scan-side predicate."""
+    return tx.filter_corpus(
+        _docs(spark, sf_dir), min_tokens=20, min_quality_ppm=600_000, lang="en"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def sim_bruteforce_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
@@ -439,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": tx_quality,
         "tx_fingerprint": tx_fingerprint,
         "tx_repetition": tx_repetition,
+        "tx_filter_corpus": tx_filter_corpus,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
@@ -540,6 +549,13 @@ FROM (
             f"SELECT doc_id, {rep['dup_bigram_ppm']} AS dup_bigram_ppm, "
             f"{rep['dup_trigram_ppm']} AS dup_trigram_ppm, "
             f"{rep['top_token_ppm']} AS top_token_ppm FROM documents"
+        ),
+        "tx_filter_corpus": (
+            "SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM ("
+            + tx.filter_corpus_sql(
+                "documents", min_tokens=20, min_quality_ppm=600_000, lang="en"
+            )
+            + ")"
         ),
         "sim_bruteforce_topk": sim.brute_force_topk_oracle_sql("embeddings", 5, 10),
         "sim_lsh_topk": sim.lsh_topk_oracle_sql(

@@ -255,6 +255,70 @@ def repetition_sql(toks: str) -> dict[str, str]:
     return {"dup_bigram_ppm": dup(2), "dup_trigram_ppm": dup(3), "top_token_ppm": top}
 
 
+# -- composed corpus filter ----------------------------------------------------
+
+
+def filter_corpus(
+    df: DataFrame,
+    col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_quality_ppm: int = 500_000,
+    max_dup_trigram_ppm: int = 300_000,
+    max_top_token_ppm: int = 300_000,
+    lang: str | None = None,
+) -> DataFrame:
+    """The standard one-call training-data filter (C4/Gopher recipe shape):
+    token-count bounds, composite quality floor, repetition ceilings, and an
+    optional language gate — all built-in expressions, so Catalyst fuses the
+    whole filter into the scan (one pass, no shuffle, predicate-pushdown
+    friendly).  Returns the surviving rows of ``df`` unchanged (signal
+    columns are computed for the predicate, then dropped)."""
+    out = with_quality_score(df, col)
+    out = with_repetition_signals(out, col)
+    pred = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality_ppm") >= min_quality_ppm)
+        & (F.col("dup_trigram_ppm") <= max_dup_trigram_ppm)
+        & (F.col("top_token_ppm") <= max_top_token_ppm)
+    )
+    if lang is not None:
+        out = with_lang_id(out, col)
+        pred = pred & (F.col("lang_pred") == lang)
+    added = ["n_tokens", "alpha_ppm", "mean_tok_ppm", "quality_ppm",
+             "dup_bigram_ppm", "dup_trigram_ppm", "top_token_ppm"]
+    if lang is not None:
+        added += ["lang_pred", "stopword_ppm"]
+    return out.filter(pred).drop(*added)
+
+
+def filter_corpus_sql(
+    table: str,
+    col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_quality_ppm: int = 500_000,
+    max_dup_trigram_ppm: int = 300_000,
+    max_top_token_ppm: int = 300_000,
+    lang: str | None = None,
+) -> str:
+    toks = duckdb_tokens(col)
+    q = quality_score_sql(col, toks)
+    rep = repetition_sql(toks)
+    conds = [
+        f"{q['n_tokens']} >= {min_tokens}",
+        f"{q['n_tokens']} <= {max_tokens}",
+        f"{q['quality_ppm']} >= {min_quality_ppm}",
+        f"{rep['dup_trigram_ppm']} <= {max_dup_trigram_ppm}",
+        f"{rep['top_token_ppm']} <= {max_top_token_ppm}",
+    ]
+    if lang is not None:
+        pred, _ = lang_id_sql(toks)
+        conds.append(f"{pred} = '{lang}'")
+    return f"SELECT * FROM {table} WHERE " + " AND ".join(conds)
+
+
 # -- fingerprinting -----------------------------------------------------------------
 
 

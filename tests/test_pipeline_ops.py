@@ -235,3 +235,20 @@ def test_dedup_corpus_keeps_best_per_cluster(spark):
     # no quality column: lowest id wins
     kept_id = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
     assert kept_id == [0, 3, 4, 6]
+
+
+def test_filter_corpus_composition(spark, docs):
+    """The composed C4/Gopher filter keeps exactly the rows every individual
+    signal admits, preserves input columns, and the language gate works."""
+    out = tx.filter_corpus(docs, min_tokens=5, min_quality_ppm=500_000,
+                           max_dup_trigram_ppm=500_000, max_top_token_ppm=400_000)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert out.columns == docs.columns  # signal columns dropped
+    assert 4 not in kept and 5 not in kept  # empty + single-token docs fail bounds
+    assert 0 in kept  # normal English sentence survives
+    spam = spark.createDataFrame([(20, "spam " * 50)], "doc_id long, text string")
+    assert tx.filter_corpus(docs.union(spam), min_tokens=5).filter("doc_id = 20").count() == 0
+    # language gate: 'unk' rows drop when lang='en' is required
+    en_only = {r["doc_id"] for r in tx.filter_corpus(docs, min_tokens=1, lang="en",
+               min_quality_ppm=0, max_dup_trigram_ppm=10**6, max_top_token_ppm=10**6).collect()}
+    assert 3 not in en_only and 0 in en_only
