@@ -520,7 +520,6 @@ def ivfpq_topk(
         ArrayType,
         DoubleType,
         IntegerType,
-        LongType,
         StructField,
         StructType,
     )
