@@ -1,0 +1,118 @@
+"""10M-turn soak bench: build + query the engine at 10x the bench.py corpus.
+
+Evidence for the "would this hold at the next order of magnitude" question:
+generates a ~10.2M-turn synthetic transcript corpus (500k conversations,
+chunk-seeded multi-file parquet so generator memory stays bounded), builds
+the index at the production 200k-doc split target, and times the four
+representative query classes (single term, AND, hot OR, phrase) against the
+resulting ~52-split index.
+
+Build is best-of-R (default 2): on this sandbox VM the first run over a
+fresh 2.8 GB working set is dominated by first-touch page faults served at
+0.01-0.08 GB/s some hours (see quickwit_spark/mem.py); the best run is the
+engine number.  Queries are repeated and report p50 + min + num_hits.
+
+Usage: python tools/soak_bench.py [--conversations 500000] [--runs 2]
+Prints one JSON line at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCRATCH = "/tmp/qwspark_bench"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conversations", type=int, default=500_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    from quickwit_spark.fixtures.transcripts import write_transcripts_parquet
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    corpus = os.path.join(SCRATCH, f"transcripts_{args.conversations}_dir")
+    if not os.path.isdir(corpus):
+        t0 = time.monotonic()
+        # 64 part files: bounded generator memory, and the scan parallelizes
+        # across tasks without relying on row-group splitting
+        n = write_transcripts_parquet(
+            corpus, n_conversations=args.conversations, seed=42, n_files=64
+        )
+        print(f"generated {n} turns in {time.monotonic() - t0:.1f} s", flush=True)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import get_spark, probe_page_fault_gbps
+
+    spark = get_spark(str(args.cpus))
+
+    from quickwit_spark.config import transcripts_config
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    df = spark.read.parquet(corpus)
+    n_turns = df.count()
+    # production-scale splits (~200k docs): 52 splits at 10.2M turns — the
+    # shape a real deployment would have, not the bench's 20k task-filler
+    cfg = transcripts_config(split_num_docs_target=200_000, segment_num_docs_target=50_000)
+
+    best, index_dir, fault_gbps = None, None, []
+    for i in range(args.runs):
+        d = os.path.join(SCRATCH, f"idx-soak-{i}")
+        shutil.rmtree(d, ignore_errors=True)
+        fault_gbps.append(probe_page_fault_gbps())
+        t0 = time.monotonic()
+        build_index(spark, df, cfg, d, build_id="soak")
+        secs = time.monotonic() - t0
+        print(f"run{i}: {n_turns} turns in {secs:.1f}s = {n_turns / secs:,.0f} turns/s", flush=True)
+        if best is None or secs < best:
+            best = secs
+        if index_dir is None:
+            index_dir = d
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+
+    queries = {
+        "single_term": SearchRequest("deploy"),
+        "and": SearchRequest("deploy failure"),
+        "hot_or": SearchRequest("the OR error"),
+        "phrase": SearchRequest('"the error"'),
+    }
+    for req in queries.values():  # warm worker caches once
+        search(spark, index_dir, req)
+    times: dict[str, list] = {k: [] for k in queries}
+    hits: dict[str, int] = {}
+    for _ in range(args.repeats):
+        for name, req in queries.items():
+            t0 = time.monotonic()
+            resp = search(spark, index_dir, req)
+            times[name].append(time.monotonic() - t0)
+            hits[name] = resp.num_hits
+    out = {
+        "metric": "10M-turn soak: build turns/sec + query p50",
+        "turns": n_turns,
+        "build_secs_best": round(best, 1),
+        "turns_per_sec_best": round(n_turns / best, 0),
+        "host_page_gbps": fault_gbps,
+        "queries_p50": {k: round(statistics.median(v), 3) for k, v in times.items()},
+        "queries_min": {k: round(min(v), 3) for k, v in times.items()},
+        "num_hits": hits,
+        "cpus": args.cpus,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
