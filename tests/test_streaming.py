@@ -125,6 +125,52 @@ def test_kafka_record_projection_and_build(spark, tmp_path_factory):
     assert resp.num_hits > 0
 
 
+def test_kinesis_record_projection_and_build(spark, tmp_path_factory):
+    """The KinesisSource doc-processing half, endpoint-free: Kinesis-shaped
+    records (binary JSON data blobs, stream/partitionKey/sequenceNumber
+    metadata per shard_consumer.rs:52-153) project to transcript rows;
+    malformed blobs become all-null rows the builder counts as invalid."""
+    import json
+
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.streaming.ingest import parse_kinesis_records
+
+    pdf = generate_transcripts(n_conversations=8, seed=31)
+    payloads = [
+        json.dumps(
+            {
+                "conv_id": r.conv_id,
+                "turn_idx": int(r.turn_idx),
+                "role": r.role,
+                "text": r.text,
+                "tool": r.tool,
+                "ts": r.ts.isoformat(),
+                "ignored_extra_key": 1,  # dropped by the explicit schema
+            }
+        ).encode()
+        for r in pdf.itertuples(index=False)
+    ]
+    payloads.append(b"\x00\x01 not json")  # NotJson analog
+    records = spark.createDataFrame(
+        [
+            (v, "transcripts", f"pk-{i % 2}", f"{49590338271490256608559692538361571095921575989136588898 + i}")
+            for i, v in enumerate(payloads)
+        ],
+        "data binary, streamName string, partitionKey string, sequenceNumber string",
+    )
+    docs = parse_kinesis_records(records)
+    assert [f.name for f in docs.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+
+    idx = str(tmp_path_factory.mktemp("kinesis")) + "/idx"
+    report = build_index(spark, docs, CFG, idx)
+    assert report.total_docs == len(pdf)
+    assert report.invalid_docs == 1  # the malformed record
+    resp = search(spark, idx, SearchRequest(pdf["text"].iloc[0].split()[0]))
+    assert resp.num_hits > 0
+
+
 def test_stream_auto_merge_consolidates(spark, tmp_path_factory):
     """publish→merge-planner notification analog (publisher.rs:193-198):
     a stream configured with merge_every_n_batches consolidates its
