@@ -123,6 +123,15 @@ class IndexConfig:
     # sort_by_field always win over this default.
     sort_by_field: str | None = None
     sort_by_order: str = "desc"
+    # split-build postings spill threshold: when a build task's accumulated
+    # encoded-postings payload exceeds this many MiB, the accumulator flushes
+    # a sorted partial run to executor-local scratch and finish() streams a
+    # k-way merge of the runs into the final postings file — the shuffle-
+    # spill analog that bounds per-task memory by this knob instead of by
+    # split size (a fresh build at the reference's 10M-doc split target,
+    # index_config.rs:161-163, would otherwise hold the whole split's
+    # postings resident).  <= 0 forces a spill after every chunk (tests).
+    builder_spill_mb: int = 768
     # when this config came from a general DocMapper (docmapper.py), the
     # nested mapper serialized as JSON (string keeps the frozen dataclass
     # hashable) — ingest paths re-hydrate it to parse/validate NDJSON with
@@ -269,6 +278,7 @@ class IndexConfig:
             "store_source": self.store_source,
             "sort_by_field": self.sort_by_field,
             "sort_by_order": self.sort_by_order,
+            "builder_spill_mb": self.builder_spill_mb,
             **(
                 {"doc_mapper_json": self.doc_mapper_json}
                 if self.doc_mapper_json is not None
@@ -293,6 +303,7 @@ class IndexConfig:
             store_source=d.get("store_source", False),
             sort_by_field=d.get("sort_by_field"),
             sort_by_order=d.get("sort_by_order", "desc"),
+            builder_spill_mb=d.get("builder_spill_mb", 768),
             doc_mapper_json=d.get("doc_mapper_json"),
         )
 

@@ -563,6 +563,14 @@ class _SplitAccumulator:
         self.seg_target = config.segment_num_docs_target
         self.chunk_docs = chunk_docs
         self.acc: dict[tuple[str, str], list[tuple]] = {}
+        # postings spill (shuffle-spill analog): when the resident encoded
+        # payload crosses the threshold, _spill_acc flushes a sorted run to
+        # executor-local scratch; finish() k-way merges the runs.  Bounds
+        # per-task memory by the knob, not by split size.
+        self.acc_payload = 0
+        self.spill_bytes = max(config.builder_spill_mb, 0) << 20
+        self._spills: list[str] = []
+        self._spill_dir: str | None = None
         self.raw: list[pd.DataFrame] = []
         self.raw_docs = 0
         self.next_doc = 0  # dense per-split docID counter (rows arrive sorted)
@@ -600,6 +608,197 @@ class _SplitAccumulator:
     def _split_file(self, table: str) -> str:
         d = os.path.join(self.paths[table], f"split_id={self.split_id}")
         return os.path.join(d, "part-0.parquet")
+
+    def _add_entry(self, fname: str, term: str, entry: tuple) -> None:
+        self.acc.setdefault((fname, term), []).append(entry)
+        self.acc_payload += (
+            len(entry[2])
+            + (len(entry[3]) if entry[3] is not None else 0)
+            + len(entry[4])
+        )
+
+    def _acc_run_pdf(self) -> pd.DataFrame:
+        """Drain the accumulator into one sorted postings run (each term's
+        chunk entries merged — the in-task Packager merge-to-one-segment
+        analog, packager.rs:116-125)."""
+        from ..functions.codec import term_bucket
+
+        n_buckets = self.config.term_merge_buckets
+        rows = [
+            (term_bucket(f, t, n_buckets), f, t) + _merge_term_entries(entries)
+            for (f, t), entries in self.acc.items()
+        ]
+        self.acc, self.acc_payload = {}, 0
+        pdf = pd.DataFrame(rows, columns=POSTINGS_COLUMNS)
+        return pdf.sort_values(["bucket", "field", "term"], kind="mergesort")
+
+    def _spill_acc(self) -> None:
+        """Flush the resident accumulator as one sorted partial-postings run
+        to executor-local scratch (Spark's shuffle-spill discipline: runs
+        live on the task's local disk, never in index storage; finish()
+        streams a k-way merge of the runs into the final postings file)."""
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix=f"qw-spill-{self.split_id}-")
+        pdf = self._acc_run_pdf()
+        _, postings_schema, _ = _pa_schemas(self.config)
+        path = os.path.join(self._spill_dir, f"run-{len(self._spills):05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False),
+            path,
+            compression="snappy",
+            row_group_size=4096,
+        )
+        self._spills.append(path)
+
+    def _stats_from_run(self, pdf: pd.DataFrame) -> tuple:
+        """(num_terms, total_tokens, postings_payload, field_len_sums, tags)
+        for one complete postings run."""
+        tag_fields = set(self.config.tag_fields)
+        field_len_sums = {
+            f: int(s) for f, s in pdf.groupby("field")["total_tf"].sum().items()
+        }
+        tags: dict[str, list[str]] = {f_: [] for f_ in tag_fields}
+        if tag_fields:
+            for f, t in zip(pdf["field"], pdf["term"]):
+                if f in tag_fields:
+                    tags[f].append(t)
+        return (
+            len(pdf),
+            int(pdf["total_tf"].sum()) if len(pdf) else 0,
+            int(pdf["blob"].map(len).sum()) if len(pdf) else 0,
+            field_len_sums,
+            tags,
+        )
+
+    def _write_postings_resident(self) -> tuple:
+        """No-spill path (the overwhelmingly common case — splits whose
+        encoded postings fit under builder_spill_mb): one sorted run, one
+        atomic write."""
+        import pyarrow as pa
+
+        _, postings_schema, _ = _pa_schemas(self.config)
+        pdf = self._acc_run_pdf()
+        table = pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False)
+        _atomic_write_table(table, self._split_file("postings"), row_group_size=4096)
+        # termstats sidecar: the term dictionary minus the payloads — raw
+        # material for the publish-time global-df delta (a few KB; the rows
+        # are already in memory, so this costs one tiny parquet write)
+        _atomic_write_table(
+            pa.Table.from_pandas(
+                pdf[["bucket", "field", "term", "doc_freq"]],
+                schema=_termstats_schema(),
+                preserve_index=False,
+            ),
+            self._split_file("termstats"),
+            row_group_size=4096,
+        )
+        return self._stats_from_run(pdf)
+
+    def _write_postings_spilled(self) -> tuple:
+        """Spill path: stream a k-way merge of the sorted on-disk runs plus
+        the live accumulator straight into the final postings/termstats
+        parquet writers.  Peak memory is one 4096-row output batch + one
+        decoded row-group per run — independent of split size.  Per-term
+        entries arrive in run order == doc order (chunks encode in doc
+        order, runs flush in chunk order), so merged doc_ids stay ascending
+        exactly as in the resident path."""
+        import heapq
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _, postings_schema, _ = _pa_schemas(self.config)
+        live = self._acc_run_pdf()
+
+        def run_rows(path: str, ordinal: int):
+            pf = pq.ParquetFile(path)
+            for batch in pf.iter_batches(batch_size=2048):
+                bdf = batch.to_pandas()
+                for row in bdf[POSTINGS_COLUMNS].itertuples(index=False, name=None):
+                    yield (row[0], row[1], row[2], ordinal), row
+
+        def live_rows(pdf: pd.DataFrame, ordinal: int):
+            for row in pdf[POSTINGS_COLUMNS].itertuples(index=False, name=None):
+                yield (row[0], row[1], row[2], ordinal), row
+
+        streams = [run_rows(p, i) for i, p in enumerate(self._spills)]
+        streams.append(live_rows(live, len(self._spills)))
+        merged = heapq.merge(*streams, key=lambda kv: kv[0])
+
+        pw, pfin = storage_for(self.paths["postings"]).parquet_writer(
+            self._split_file("postings"), postings_schema
+        )
+        tw, tfin = storage_for(self.paths["termstats"]).parquet_writer(
+            self._split_file("termstats"), _termstats_schema()
+        )
+        tag_fields = set(self.config.tag_fields)
+        tags: dict[str, list[str]] = {f_: [] for f_ in tag_fields}
+        field_len_sums: dict[str, int] = {}
+        num_terms = total_tokens = postings_payload = 0
+        out: list[tuple] = []
+
+        def flush_out():
+            nonlocal out
+            if not out:
+                return
+            opdf = pd.DataFrame(out, columns=POSTINGS_COLUMNS)
+            pw.write_table(
+                pa.Table.from_pandas(opdf, schema=postings_schema, preserve_index=False),
+                row_group_size=4096,
+            )
+            tw.write_table(
+                pa.Table.from_pandas(
+                    opdf[["bucket", "field", "term", "doc_freq"]],
+                    schema=_termstats_schema(),
+                    preserve_index=False,
+                ),
+                row_group_size=4096,
+            )
+            out = []
+
+        def emit(rows: list[tuple]) -> None:
+            nonlocal num_terms, total_tokens, postings_payload
+            if len(rows) == 1:
+                row = rows[0]
+            else:
+                row = rows[0][:3] + _merge_term_entries([r[3:] for r in rows])
+            num_terms += 1
+            total_tokens += int(row[4])
+            postings_payload += len(row[5])
+            field_len_sums[row[1]] = field_len_sums.get(row[1], 0) + int(row[4])
+            if row[1] in tag_fields:
+                tags[row[1]].append(row[2])
+            out.append(row)
+            if len(out) >= 4096:
+                flush_out()
+
+        cur_key: tuple | None = None
+        cur_rows: list[tuple] = []
+        for key, row in merged:
+            k3 = key[:3]
+            if k3 != cur_key:
+                if cur_rows:
+                    emit(cur_rows)
+                cur_key, cur_rows = k3, [row]
+            else:
+                cur_rows.append(row)
+        if cur_rows:
+            emit(cur_rows)
+        flush_out()
+        pw.close()
+        pfin()
+        tw.close()
+        tfin()
+        if self._spill_dir is not None:
+            shutil.rmtree(self._spill_dir, ignore_errors=True)
+        self._spills, self._spill_dir = [], None
+        return num_terms, total_tokens, postings_payload, field_len_sums, tags
 
     def _write_docs_chunk(self, pdf: pd.DataFrame) -> None:
         """Stream the doc store out chunk by chunk (row-store analog;
@@ -683,7 +882,7 @@ class _SplitAccumulator:
             for term, d, t, p, plens in _postings_from_flat(
                 *flat, lens_by_doc, base_doc, want_pos
             ):
-                self.acc.setdefault((fname, term), []).append(_encode_term(d, t, p, plens))
+                self._add_entry(fname, term, _encode_term(d, t, p, plens))
         # non-text indexed leaves: canonical value strings through the same
         # raw-term path (exact-value term queries)
         for fname, scalar, is_array in self.typed_fields:
@@ -709,7 +908,7 @@ class _SplitAccumulator:
             for term, d, t, p, plens in _postings_from_flat(
                 *flat, lens_by_doc, base_doc, False
             ):
-                self.acc.setdefault((fname, term), []).append(_encode_term(d, t, p, plens))
+                self._add_entry(fname, term, _encode_term(d, t, p, plens))
         # doc ids are dense per split, so chunk arrays concatenate aligned
         self.text_lens.append(chunk_text_lens[doc_ids - base_doc])
         self.ts.append(pdf["ts_epoch"].to_numpy(np.int64))
@@ -722,6 +921,8 @@ class _SplitAccumulator:
                 chunks.append(pdf[name].to_numpy(np.int64))
         for name, chunks in self.extra_fast_float.items():
             chunks.append(pdf[name].to_numpy(np.float64))
+        if self.acc and self.acc_payload >= self.spill_bytes:
+            self._spill_acc()
 
     def finish(self) -> tuple[str, str]:
         """Write postings + fastfields, close the doc store, return the
@@ -730,50 +931,20 @@ class _SplitAccumulator:
 
         import pyarrow as pa
 
-        from ..functions.codec import term_bucket
-
         self._encode_chunk()
         if self._docs_writer is not None:
             self._docs_writer.close()
             self._docs_finish()
-        _, postings_schema, ff_schema = _pa_schemas(self.config)
+        _, _, ff_schema = _pa_schemas(self.config)
         cfg = self.config
-        tag_fields = set(cfg.tag_fields)
-        n_buckets = cfg.term_merge_buckets
-
-        rows = []
-        tags: dict[str, list[str]] = {f_: [] for f_ in tag_fields}
-        field_len_sums: dict[str, int] = {}
-        total_tokens = 0
-        postings_payload = 0
-        for (fname, term), entries in self.acc.items():
-            row = (term_bucket(fname, term, n_buckets), fname, term) + _merge_term_entries(
-                entries
+        if self._spills:
+            num_terms, total_tokens, postings_payload, field_len_sums, tags = (
+                self._write_postings_spilled()
             )
-            rows.append(row)
-            field_len_sums[fname] = field_len_sums.get(fname, 0) + row[4]
-            total_tokens += row[4]
-            postings_payload += len(row[5])
-            if fname in tag_fields:
-                tags[fname].append(term)
-        self.acc = {}
-        pdf = pd.DataFrame(rows, columns=POSTINGS_COLUMNS)
-        pdf = pdf.sort_values(["bucket", "field", "term"], kind="mergesort")
-        table = pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False)
-        _atomic_write_table(table, self._split_file("postings"), row_group_size=4096)
-
-        # termstats sidecar: the term dictionary minus the payloads — raw
-        # material for the publish-time global-df delta (a few KB; the rows
-        # are already in memory, so this costs one tiny parquet write)
-        _atomic_write_table(
-            pa.Table.from_pandas(
-                pdf[["bucket", "field", "term", "doc_freq"]],
-                schema=_termstats_schema(),
-                preserve_index=False,
-            ),
-            self._split_file("termstats"),
-            row_group_size=4096,
-        )
+        else:
+            num_terms, total_tokens, postings_payload, field_len_sums, tags = (
+                self._write_postings_resident()
+            )
 
         # fastfields: one row per seg_target-doc segment (columnar-store
         # analog — the per-split scorer reads these small blobs instead of
@@ -842,7 +1013,7 @@ class _SplitAccumulator:
             "ts_max": int(ts.max()) if n else None,
             "tags": sorted(tag_list),
             "field_len_sums": field_len_sums,
-            "num_terms": len(rows),
+            "num_terms": num_terms,
             "postings_bytes": postings_payload,
             "total_tokens": total_tokens,
             "segments": [

@@ -237,6 +237,58 @@ def test_multichunk_build_identical(spark, small_corpus, tmp_path_factory, monke
             assert norm(a[col]) == norm(b[col]), f"{table}.{col} differs"
 
 
+def test_spilled_build_identical(spark, small_corpus, tmp_path_factory, monkeypatch):
+    """Postings-spill path (builder_spill_mb): forcing a spill after every
+    encode chunk must yield byte-identical postings/termstats/fastfields/
+    docs to the resident single-write build — the k-way run merge at
+    finish() re-encodes each term's full posting list exactly like the
+    in-memory chunk merge.  This is the path that bounds per-task memory
+    for fresh builds at the reference's 10M-doc split target."""
+    import functools
+    import json
+
+    from quickwit_spark.index import builder as B
+
+    df = spark.createDataFrame(small_corpus)
+    d1 = str(tmp_path_factory.mktemp("resident"))
+    cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
+    build_index(spark, df, cfg, d1)
+
+    # tiny chunks + zero threshold → every split k-way merges several runs
+    monkeypatch.setattr(
+        B, "make_split_builder", functools.partial(B.make_split_builder, chunk_docs=64)
+    )
+    cfg_spill = transcripts_config(
+        split_num_docs_target=300, segment_num_docs_target=64, builder_spill_mb=0
+    )
+    d2 = str(tmp_path_factory.mktemp("spilled"))
+    build_index(spark, df, cfg_spill, d2)
+
+    for table, key in (
+        ("postings", ["split_id", "bucket", "field", "term"]),
+        ("termstats", ["split_id", "bucket", "field", "term"]),
+        ("fastfields", ["split_id", "seg_id"]),
+        ("docs", ["split_id", "doc_id"]),
+    ):
+        a = spark.read.parquet(f"{d1}/{table}").toPandas().sort_values(key).reset_index(drop=True)
+        b = spark.read.parquet(f"{d2}/{table}").toPandas().sort_values(key).reset_index(drop=True)
+        assert list(a.columns) == list(b.columns), table
+        norm = lambda s: [x.tolist() if hasattr(x, "tolist") else x for x in s]  # noqa: E731
+        for col in a.columns:
+            assert norm(a[col]) == norm(b[col]), f"{table}.{col} differs"
+
+    # split metadata (num_terms, field_len_sums, tags) must agree too
+    meta1 = {s.split_id: s for s in Catalog(d1).splits()}
+    meta2 = {s.split_id: s for s in Catalog(d2).splits()}
+    assert set(meta1) == set(meta2)
+    for sid, s1 in meta1.items():
+        s2 = meta2[sid]
+        assert (s1.num_docs, s1.tags) == (s2.num_docs, s2.tags), sid
+        assert json.dumps(s1.field_len_sums, sort_keys=True) == json.dumps(
+            s2.field_len_sums, sort_keys=True
+        ), sid
+
+
 def test_out_of_range_timestamp_fails_build(spark, tmp_path_factory):
     """ts_epoch outside u32 range must fail the build loudly (the fastfield
     blob bitpacks u32 seconds; silent wraparound would corrupt pruning)."""
