@@ -334,6 +334,35 @@ def tx_fingerprint(spark, sf_dir):
     return tx.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def _pii_augmented_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII appended to every third
+    doc (email + IPv4 + phone derived from doc_id — the corpus itself
+    contains none, so the scrub oracle exercises real redactions, not the
+    identity path).  The SQL oracle builds the identical augmentation."""
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-123-"),
+        ((F.col("doc_id") % 9000) + 1000).cast("string"),
+    )
+    return d.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, aug).otherwise(F.col("text"))
+    )
+
+
+def tx_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails / IPv4 / NANP phones): per-class counts on
+    the original text + the sequentially redacted text.  Pure JVM regexp in
+    whole-stage codegen — scan-side, no shuffle."""
+    return tx.with_pii_scrub(_pii_augmented_docs(spark, sf_dir)).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_scrubbed"
+    )
+
+
 def tx_repetition(spark, sf_dir):
     """Within-doc repetition signals (Gopher-style quality rules): duplicate
     word 2-/3-gram fractions + top-token concentration, all exact-integer
@@ -446,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,
         "tx_fingerprint": tx_fingerprint,
+        "tx_pii_scrub": tx_pii_scrub,
         "tx_repetition": tx_repetition,
         "tx_filter_corpus": tx_filter_corpus,
         "sim_bruteforce_topk": sim_bruteforce_topk,
@@ -463,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
     bpe = tx.bpe_token_count_sql("text")
     q = tx.quality_score_sql("text", TOKS)
     rep = tx.repetition_sql(TOKS)
+    pii = tx.pii_scrub_sql("text")
     # role:en contributes idf(df_en) * tf_norm(tf=1, len=1, avg_len=1) == idf
     role_en_score = (
         "ln(1.0 + ((SELECT count(*) FROM documents)"
@@ -545,6 +576,14 @@ FROM (
             f"{q['mean_tok_ppm']} AS mean_tok_ppm, {q['quality_ppm']} AS quality_ppm FROM documents"
         ),
         "tx_fingerprint": f"SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fingerprint FROM documents",
+        "tx_pii_scrub": (
+            "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+            "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' "
+            "|| CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-123-' "
+            "|| CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE text END AS text FROM documents) "
+            f"SELECT doc_id, {pii['n_email']} AS n_email, {pii['n_ipv4']} AS n_ipv4, "
+            f"{pii['n_phone']} AS n_phone, {pii['text_scrubbed']} AS text_scrubbed FROM aug"
+        ),
         "tx_repetition": (
             f"SELECT doc_id, {rep['dup_bigram_ppm']} AS dup_bigram_ppm, "
             f"{rep['dup_trigram_ppm']} AS dup_trigram_ppm, "

@@ -330,3 +330,45 @@ def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
 
 def fingerprint_sql(toks: str) -> str:
     return f"md5(array_to_string({toks}, ' '))"
+
+
+# -- PII scrubbing ------------------------------------------------------------
+
+# Training-data redaction pass (the C4/FineWeb-style PII stage).  Patterns
+# are restricted to constructs Java regex (Spark) and RE2 (DuckDB) evaluate
+# identically — no lookaround, no backreferences, ASCII classes only,
+# leftmost-first alternation — so the DuckDB oracle matches byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"(?:\+?1[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def with_pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / NANP phone numbers and count each
+    class.  Counts are measured on the ORIGINAL text; redactions apply
+    sequentially (email → ip → phone) so a digit run inside an already-
+    redacted span is never doubly redacted.  Pure JVM regexp inside
+    whole-stage codegen — zero Python, scan-side, no shuffle: the shape
+    that holds at 100 TB."""
+    out = df
+    for name, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(col), F.lit(pat)).cast("long")
+        )
+    scrubbed = F.col(col)
+    for _name, pat, tok in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, tok)
+    return out.withColumn(f"{col}_scrubbed", scrubbed)
+
+
+def pii_scrub_sql(col: str = "text") -> dict[str, str]:
+    """DuckDB twins of with_pii_scrub's output columns."""
+    exprs: dict[str, str] = {}
+    scrub = col
+    for name, pat, tok in PII_PATTERNS:
+        exprs[f"n_{name}"] = f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
+    exprs[f"{col}_scrubbed"] = scrub
+    return exprs

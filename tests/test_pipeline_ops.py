@@ -97,6 +97,46 @@ def test_bpe_token_count(spark, docs):
     assert {r[0]: (r[1], r[2]) for r in ora} == out
 
 
+def test_pii_scrub(spark, docs):
+    """PII redaction: hand-checked cases + DuckDB differential (Java regex
+    and RE2 must agree on the restricted pattern class — the driver-oracle
+    contract)."""
+    extra = spark.createDataFrame(
+        [
+            (20, "mail me at jane.doe+spam@corp.example.org today"),
+            (21, "server 192.168.1.254 and 10.0.0.7 are up"),
+            (22, "call (555) 123-4567 or +1 555.987.6543 now"),
+            (23, "mixed: a@b.io at 8.8.8.8 tel 555-000-1111"),
+            (24, "no pii here, just 1234 and version 1.2.3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.with_pii_scrub(docs.union(extra)).collect()}
+    assert out[20]["n_email"] == 1 and out[20]["text_scrubbed"] == "mail me at <EMAIL> today"
+    assert out[21]["n_ipv4"] == 2 and out[21]["text_scrubbed"] == "server <IP> and <IP> are up"
+    assert out[22]["n_phone"] == 2 and out[22]["text_scrubbed"] == "call <PHONE> or <PHONE> now"
+    assert (out[23]["n_email"], out[23]["n_ipv4"], out[23]["n_phone"]) == (1, 1, 1)
+    assert out[23]["text_scrubbed"] == "mixed: <EMAIL> at <IP> tel <PHONE>"
+    # 1.2.3 is not a dotted quad; bare 1234 is not a phone
+    assert (out[24]["n_email"], out[24]["n_ipv4"], out[24]["n_phone"]) == (0, 0, 0)
+    assert out[24]["text_scrubbed"] == out[24]["text"]
+    assert out[4]["text_scrubbed"] == ""  # empty doc unchanged
+
+    import duckdb
+
+    pdf = docs.union(extra).toPandas()
+    sql = tx.pii_scrub_sql("text")
+    ora = duckdb.sql(
+        f"SELECT doc_id, {sql['n_email']} AS e, {sql['n_ipv4']} AS i, "
+        f"{sql['n_phone']} AS p, {sql['text_scrubbed']} AS s FROM pdf"
+    ).fetchall()
+    for doc_id, e, i, p, s in ora:
+        r = out[doc_id]
+        assert (e, i, p, s) == (
+            r["n_email"], r["n_ipv4"], r["n_phone"], r["text_scrubbed"]
+        ), doc_id
+
+
 def test_repetition_signals(spark, docs):
     """Gopher-style repetition ppm: hand-counted cases + DuckDB differential
     (the driver-oracle contract)."""
