@@ -334,6 +334,20 @@ def tx_fingerprint(spark, sf_dir):
     return tx.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def dd_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): the
+    'benchmark' is every 50th doc (deterministic, no external data), n=5
+    because the synthetic corpus's docs are short.  Benchmark docs flag
+    themselves (they are in the corpus — correct: they contain benchmark
+    text); near-dup docs of a benchmark doc get flagged through shared
+    5-grams."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dd.decontaminate(d, bench, n=5)
+
+
 def _pii_augmented_docs(spark, sf_dir):
     """documents with deterministic synthetic PII appended to every third
     doc (email + IPv4 + phone derived from doc_id — the corpus itself
@@ -468,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": dd_simhash,
         "dd_components": dd_components,
         "dd_dedup_corpus": dd_dedup_corpus,
+        "dd_decontaminate": dd_decontaminate,
         "tx_sample": tx_sample,
         "tx_stratified_sample": tx_stratified_sample,
         "tx_token_count": tx_token_count,
@@ -555,6 +570,9 @@ FROM (
 ) WHERE rn = 1""",
         "dd_ngram_jaccard": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
         "dd_minhash_lsh": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
+        "dd_decontaminate": dd.decontaminate_oracle_sql(
+            "documents", TOKS, "doc_id % 50 = 0", 5
+        ),
         "tx_sample": (
             "SELECT doc_id, lang, n_chars FROM ("
             + smp.sample_by_hash_sql(0.2)

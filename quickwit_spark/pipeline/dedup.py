@@ -179,6 +179,77 @@ WHERE shared * 1000000 >= {threshold_ppm} * (sa.n_sh + sb.n_sh - shared)
 """
 
 
+# -- benchmark decontamination --------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag training docs containing any word n-gram from a benchmark/eval
+    set (the GPT-3-style decontamination pass; default n=13 per that
+    recipe).  Returns one row per contaminated doc:
+    (doc_id, n_contaminated_grams, n_bench_docs).
+
+    100-TB plan: the benchmark's distinct n-grams are tiny relative to the
+    corpus, so they BROADCAST — the corpus side is a map-only explode +
+    broadcast hash join (no corpus shuffle; the only shuffle is the per-doc
+    count agg over the matched sliver).  Dedup ops tell you what repeats
+    inside the corpus; this tells you what leaked in from outside."""
+    corpus = df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks"))
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(shingles_of_tokens("__toks", n)).alias("sh")
+    )
+    bench = bench_df.select(
+        F.col(bench_id_col).alias("bench_id"), tokens_col(bench_text_col).alias("__toks")
+    )
+    bench_grams = bench.select(
+        "bench_id", F.explode(shingles_of_tokens("__toks", n)).alias("sh")
+    ).distinct()
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_contaminated_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    table: str, toks_sql: str, bench_pred: str, n: int
+) -> str:
+    """DuckDB twin of decontaminate where the benchmark set is the rows of
+    ``table`` satisfying ``bench_pred`` (the driver contract derives its
+    benchmark deterministically from the corpus itself — no external data)."""
+    leads = " || ' ' || ".join(["term"] + [f"lead(term, {j}) OVER w" for j in range(1, n)])
+    grams = f"""
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, {leads} AS gram, lead(term, {n-1}) OVER w AS tail_term
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE tail_term IS NOT NULL"""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks_sql}) AS term,
+         unnest(range(len({toks_sql}))) AS pos
+  FROM {table}
+),
+corpus_sh AS ({grams}),
+bench_sh AS (SELECT DISTINCT doc_id AS bench_id, gram FROM corpus_sh
+             WHERE {bench_pred})
+SELECT c.doc_id,
+       CAST(count(DISTINCT c.gram) AS BIGINT) AS n_contaminated_grams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM corpus_sh c JOIN bench_sh b ON c.gram = b.gram
+GROUP BY c.doc_id
+"""
+
+
 # -- MinHash + LSH -----------------------------------------------------------------
 
 

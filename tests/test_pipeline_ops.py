@@ -97,6 +97,49 @@ def test_bpe_token_count(spark, docs):
     assert {r[0]: (r[1], r[2]) for r in ora} == out
 
 
+def test_decontaminate(spark):
+    """GPT-3-style benchmark decontamination: docs sharing an n-gram with
+    the benchmark set are flagged with exact distinct-gram counts; clean
+    docs don't appear."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "unrelated words entirely different content here today"),
+            (2, "prefix alpha beta gamma delta epsilon suffix"),
+            (3, "alpha beta gamma only four grams short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"), (101, "zeta eta theta iota kappa")],
+        "bench_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["n_bench_docs"])
+        for r in dd.decontaminate(corpus, bench, n=5).collect()
+    }
+    # docs 0 and 2 contain bench 100's single 5-gram; 1 and 3 are clean
+    assert out == {0: (1, 1), 2: (1, 1)}
+
+    import duckdb
+
+    corpus_pdf = corpus.toPandas()  # noqa: F841 — referenced by DuckDB SQL
+    sql = dd.decontaminate_oracle_sql(
+        "corpus_pdf", tx.duckdb_tokens("text"), "doc_id IN (0)", 5
+    )
+    # oracle variant: benchmark = corpus rows matching a predicate
+    ora = {r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
+    spark_out = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["n_bench_docs"])
+        for r in dd.decontaminate(
+            corpus,
+            corpus.filter("doc_id = 0").selectExpr("doc_id AS bench_id", "text"),
+            n=5,
+        ).collect()
+    }
+    assert ora == spark_out
+
+
 def test_pii_scrub(spark, docs):
     """PII redaction: hand-checked cases + DuckDB differential (Java regex
     and RE2 must agree on the restricted pattern class — the driver-oracle
