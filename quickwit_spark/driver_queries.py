@@ -334,6 +334,18 @@ def tx_fingerprint(spark, sf_dir):
     return tx.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def dd_passage_dup(spark, sf_dir):
+    """Passage-level exact dedup stats over a corpus with deterministic
+    injected duplicates (every 10th doc re-appended under doc_id+100000 —
+    the synthetic corpus has no exact dups, so the injection makes the
+    cross-doc passage counts non-trivial)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dd.passage_dup_stats(d.unionByName(dup), window=16)
+
+
 def dd_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3-style n-gram overlap): the
     'benchmark' is every 50th doc (deterministic, no external data), n=5
@@ -483,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_components": dd_components,
         "dd_dedup_corpus": dd_dedup_corpus,
         "dd_decontaminate": dd_decontaminate,
+        "dd_passage_dup": dd_passage_dup,
         "tx_sample": tx_sample,
         "tx_stratified_sample": tx_stratified_sample,
         "tx_token_count": tx_token_count,
@@ -572,6 +585,12 @@ FROM (
         "dd_minhash_lsh": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
         "dd_decontaminate": dd.decontaminate_oracle_sql(
             "documents", TOKS, "doc_id % 50 = 0", 5
+        ),
+        "dd_passage_dup": dd.passage_dup_oracle_sql(
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+            TOKS,
+            16,
         ),
         "tx_sample": (
             "SELECT doc_id, lang, n_chars FROM ("

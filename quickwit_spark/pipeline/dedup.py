@@ -179,6 +179,79 @@ WHERE shared * 1000000 >= {threshold_ppm} * (sa.n_sh + sb.n_sh - shared)
 """
 
 
+# -- passage-level dedup ---------------------------------------------------------
+
+
+def passage_dup_stats(
+    df: DataFrame, window: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sub-document exact dedup (the boilerplate/passage-removal primitive):
+    chop each doc's token stream into non-overlapping ``window``-token
+    passages (last one may be short), fingerprint each, and count passage
+    instances whose fingerprint appears in MORE THAN ONE distinct doc.
+    Returns (doc_id, n_passages, n_dup_passages, dup_passage_ppm) per
+    non-empty doc.
+
+    100-TB plan: explode passages → one hash agg for cross-doc frequency
+    (map-side combine) → broadcast-or-shuffle join back by fingerprint.
+    Passage fingerprints are uniform md5s, so the agg key space is
+    skew-free by construction — no salting needed (unlike raw-term keys)."""
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks"))
+    n_pass = F.ceil(F.size("__toks") / F.lit(window)).cast("int")
+    passages = toks.filter(F.size("__toks") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_pass - 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("__toks", i * window + 1, window))
+                ),
+            )
+        ).alias("fp"),
+    )
+    freq = passages.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_fp")
+    )
+    return (
+        passages.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum((F.col("n_docs_with_fp") > 1).cast("long")).alias("n_dup_passages"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            F.floor(F.lit(1_000_000) * F.col("n_dup_passages") / F.col("n_passages"))
+            .cast("long")
+            .alias("dup_passage_ppm"),
+        )
+    )
+
+
+def passage_dup_oracle_sql(table: str, toks_sql: str, window: int) -> str:
+    """DuckDB twin of passage_dup_stats."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks_sql} AS t FROM {table} WHERE len({toks_sql}) > 0
+),
+passages AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i * {window} + 1, (i + 1) * {window}), ' ')) AS fp
+  FROM toks, unnest(range(CAST(ceil(len(t) * 1.0 / {window}) AS BIGINT))) AS u(i)
+),
+freq AS (SELECT fp, count(DISTINCT doc_id) AS n_docs_with_fp FROM passages GROUP BY fp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN n_docs_with_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       CAST(floor(1000000.0 * sum(CASE WHEN n_docs_with_fp > 1 THEN 1 ELSE 0 END) / count(*)) AS BIGINT)
+         AS dup_passage_ppm
+FROM passages JOIN freq USING (fp)
+GROUP BY doc_id
+"""
+
+
 # -- benchmark decontamination --------------------------------------------------
 
 

@@ -97,6 +97,42 @@ def test_bpe_token_count(spark, docs):
     assert {r[0]: (r[1], r[2]) for r in ora} == out
 
 
+def test_passage_dup_stats(spark):
+    """Passage dedup: cross-doc duplicated windows counted exactly; within-
+    doc repetition alone doesn't flag; DuckDB differential agrees."""
+    w = 3
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),          # passages [a b c], [d e f]
+            (1, "a b c x y z"),          # shares [a b c] with doc 0
+            (2, "p q r p q r"),          # within-doc repeat only → no dup
+            (3, "unique words here completely novel ones"),
+            (4, ""),                      # empty → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"], r["dup_passage_ppm"])
+        for r in dd.passage_dup_stats(corpus, window=w).collect()
+    }
+    assert out[0] == (2, 1, 500_000)
+    assert out[1] == (2, 1, 500_000)
+    assert out[2] == (2, 0, 0)  # same fp twice but only one distinct doc
+    assert out[3] == (2, 0, 0)
+    assert 4 not in out
+
+    import duckdb
+
+    corpus_pdf = corpus.toPandas()  # noqa: F841 — referenced by DuckDB SQL
+    ora = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(
+            dd.passage_dup_oracle_sql("corpus_pdf", tx.duckdb_tokens("text"), w)
+        ).fetchall()
+    }
+    assert ora == out
+
+
 def test_decontaminate(spark):
     """GPT-3-style benchmark decontamination: docs sharing an n-gram with
     the benchmark set are flagged with exact distinct-gram counts; clean
