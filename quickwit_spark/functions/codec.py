@@ -198,6 +198,200 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, np.nda
     return blob, block_last_doc, block_max_tf
 
 
+def _decode_segments(
+    cat: np.ndarray,
+    byte_start: np.ndarray,
+    widths: np.ndarray,
+    counts: np.ndarray,
+) -> np.ndarray:
+    """Decode MANY bitpacked segments of one concatenated buffer in one
+    vectorized pass per distinct bit width.
+
+    A segment is (byte offset into ``cat``, bit width, value count) — the
+    shape every blob in this codec reduces to, since block payloads are
+    byte-aligned.  Merging k splits decodes hundreds of thousands of tiny
+    blobs; per-blob numpy calls are overhead-dominated (~70 µs each), while
+    this kernel's cost is one windowed gather over ALL values of a width
+    (a handful of distinct widths per bucket).  Output is the segments'
+    values concatenated in input order.
+    """
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    out = np.empty(total, np.uint32)
+    if total == 0:
+        return out
+    out_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    padded = np.empty(len(cat) + 8, np.uint8)
+    padded[: len(cat)] = cat
+    padded[len(cat) :] = 0
+    win = np.lib.stride_tricks.sliding_window_view(padded, 4)
+    widths = np.asarray(widths, np.int64)
+    byte_start = np.asarray(byte_start, np.int64)
+    for w in np.unique(widths):
+        w = int(w)
+        sel = np.flatnonzero((widths == w) & (counts > 0))
+        if len(sel) == 0:
+            continue
+        ns = counts[sel]
+        m = int(ns.sum())
+        reps = np.repeat(np.arange(len(sel)), ns)
+        within = np.arange(m, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(ns)[:-1])), ns
+        )
+        bit0 = byte_start[sel][reps] * 8 + within * w
+        byte0 = bit0 >> 3
+        if w <= 25:
+            wv = win[byte0]
+            be = (
+                (wv[:, 0].astype(np.uint32) << 24)
+                | (wv[:, 1].astype(np.uint32) << 16)
+                | (wv[:, 2].astype(np.uint32) << 8)
+                | wv[:, 3].astype(np.uint32)
+            )
+            shift = (32 - w - (bit0 & 7)).astype(np.uint32)
+            vals = (be >> shift) & np.uint32((1 << w) - 1)
+        else:
+            # 5-byte window for 26..32-bit values at arbitrary alignment
+            raw = padded[byte0[:, None] + np.arange(5)]
+            be = (
+                (raw[:, 0].astype(np.uint64) << 32)
+                | (raw[:, 1].astype(np.uint64) << 24)
+                | (raw[:, 2].astype(np.uint64) << 16)
+                | (raw[:, 3].astype(np.uint64) << 8)
+                | raw[:, 4].astype(np.uint64)
+            )
+            shift = (40 - w - (bit0 & 7)).astype(np.uint64)
+            vals = ((be >> shift) & np.uint64((1 << w) - 1)).astype(np.uint32)
+        out[np.repeat(out_off[sel], ns) + within] = vals
+    return out
+
+
+def _concat_blobs(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """One buffer + per-blob byte offsets for the batched decoders."""
+    starts = np.zeros(len(blobs), np.int64)
+    np.cumsum([len(b) for b in blobs[:-1]], out=starts[1:])
+    return np.frombuffer(b"".join(blobs), np.uint8), starts
+
+
+def decode_gaps_tfs_many(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-decode posting blobs to their RAW GAP streams (and tfs).
+
+    Returns (gaps, tfs, counts): per blob, gaps[0] is the absolute first
+    doc and the rest are deltas — exactly what a k-way concat-merge needs,
+    since adding a docID offset to a whole list leaves every delta intact
+    (only the seam value between adjacent lists changes).  One
+    `_decode_segments` pass over every block of every blob.
+    """
+    m = len(blobs)
+    if m == 0:
+        e = np.empty(0, np.uint32)
+        return e, e, np.empty(0, np.int64)
+    cat, starts = _concat_blobs(blobs)
+    hdr = (
+        cat[(starts[:, None] + np.arange(8)).ravel()]
+        .reshape(m, 8)
+        .copy()
+        .view("<u4")
+        .astype(np.int64)
+    )
+    ns, nbs = hdr[:, 0], hdr[:, 1]
+    counts_out = ns.copy()
+
+    # Segment tables: single-block blobs (the typical df<=128 term) fill in
+    # one vectorized shot; rarer multi-block blobs append via _parse_header.
+    single = np.flatnonzero((nbs == 1) & (ns > 0))
+    sb = starts[single] + 10
+    sw = cat[starts[single] + 8].astype(np.int64)
+    sn = ns[single]
+    order_keys = [single]  # original blob index per emitted segment group
+    seg_b = [sb]
+    seg_w = [sw]
+    seg_n = [sn]
+    tseg_b = [sb + ((sn * sw + 7) >> 3)]
+    tseg_w = [cat[starts[single] + 9].astype(np.int64)]
+    tseg_n = [sn]
+    for i in np.flatnonzero((nbs > 1) & (ns > 0)):
+        _, _, w_doc, w_tf, counts, doc_bytes, bstarts = _parse_header(blobs[i])
+        base = starts[i]
+        order_keys.append(np.full(len(counts), i, np.int64))
+        seg_b.append(base + bstarts)
+        seg_w.append(w_doc.astype(np.int64))
+        seg_n.append(counts)
+        tseg_b.append(base + bstarts + doc_bytes)
+        tseg_w.append(w_tf.astype(np.int64))
+        tseg_n.append(counts)
+
+    # segments must decode in blob order (stable within a blob)
+    keys = np.concatenate(order_keys)
+    order = np.argsort(keys, kind="stable")
+    seg_n_all = np.concatenate(seg_n)[order]
+    if seg_n_all.sum() == 0:
+        e = np.empty(0, np.uint32)
+        return e, e, counts_out
+    gaps = _decode_segments(
+        cat, np.concatenate(seg_b)[order], np.concatenate(seg_w)[order], seg_n_all
+    )
+    tfs = _decode_segments(
+        cat, np.concatenate(tseg_b)[order], np.concatenate(tseg_w)[order], seg_n_all
+    )
+    return gaps, tfs, counts_out
+
+
+def decode_u32_many(blobs) -> tuple[np.ndarray, np.ndarray]:
+    """Batch :func:`decode_u32_column`: (flat values, per-blob counts)."""
+    m = len(blobs)
+    if m == 0:
+        return np.empty(0, np.uint32), np.empty(0, np.int64)
+    cat, starts = _concat_blobs(blobs)
+    ns = cat[(starts[:, None] + np.arange(4)).ravel()].reshape(m, 4).copy().view("<u4")
+    ns = ns.ravel().astype(np.int64)
+    ws = cat[starts + 4].astype(np.int64)
+    return _decode_segments(cat, starts + 5, ws, ns), ns
+
+
+def position_deltas_many(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-decode position payloads to their RAW DELTA streams.
+
+    Returns (deltas, counts, widths).  Position runs are delta-encoded
+    per doc (first value absolute), so concatenating blobs' delta streams
+    IS the merged stream — merge never reconstructs absolute positions.
+    """
+    m = len(blobs)
+    if m == 0:
+        e = np.empty(0, np.uint32)
+        return e, np.empty(0, np.int64), np.empty(0, np.int64)
+    cat, starts = _concat_blobs(blobs)
+    ns = cat[(starts[:, None] + np.arange(4)).ravel()].reshape(m, 4).copy().view("<u4")
+    ns = ns.ravel().astype(np.int64)
+    ws = cat[starts + 4].astype(np.int64)
+    return _decode_segments(cat, starts + 5, ws, ns), ns, ws
+
+
+def encode_postings_from_gaps(
+    gaps: np.ndarray, tfs: np.ndarray
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """:func:`encode_postings` taking the gap stream directly (gaps[0]
+    absolute) — the k-way merge path, which assembles gaps without ever
+    materializing absolute doc ids."""
+    gaps = np.asarray(gaps, dtype=np.uint32)
+    doc_ids = np.cumsum(gaps.astype(np.uint64)).astype(np.uint32)
+    return encode_postings(doc_ids, tfs)
+
+
+def encode_positions_from_deltas(deltas: np.ndarray, width: int) -> bytes:
+    """Pack an already-delta-encoded position stream (merge path: the
+    concat of input delta streams, width = max input width — per-doc
+    deltas are unchanged by merging)."""
+    total = len(deltas)
+    if total == 0:
+        return np.array([0], dtype="<u4").tobytes() + b"\x01"
+    return (
+        np.array([total], dtype="<u4").tobytes()
+        + bytes([int(width)])
+        + _pack(np.asarray(deltas, np.uint32), int(width))
+    )
+
+
 def _parse_header(blob: bytes):
     n, nblocks = np.frombuffer(blob, dtype="<u4", count=2)
     n, nblocks = int(n), int(nblocks)

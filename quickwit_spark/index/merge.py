@@ -38,12 +38,12 @@ from pyspark.sql import functions as F
 from ..config import IndexConfig
 from ..functions.codec import (
     BLOCK,
-    decode_positions,
-    decode_postings,
-    decode_u32_column,
-    encode_positions,
-    encode_postings,
+    decode_gaps_tfs_many,
+    decode_u32_many,
+    encode_positions_from_deltas,
+    encode_postings_from_gaps,
     encode_u32_column,
+    position_deltas_many,
 )
 from ..storage import storage_for
 from .builder import POSTINGS_SCHEMA, _paths
@@ -96,55 +96,95 @@ def build_merge_operations(
     return ops
 
 
-def _merge_term_rows(sub: pd.DataFrame):
-    """k-way merge of ONE (field, term)'s posting rows (sorted by ord);
-    rows carry `offset` (docID base).  Returns the row tuple tail."""
-    docs, tfs, lens, poss = [], [], [], []
-    want_pos = any(p is not None for p in sub["positions"])
-    for r in sub.itertuples(index=False):
-        d, t = decode_postings(r.blob)
-        docs.append(d.astype(np.int64) + int(r.offset))
-        tfs.append(t)
-        lens.append(decode_u32_column(r.lens))
-        if want_pos:
-            poss.append(decode_positions(r.positions, t))
-    d = np.concatenate(docs)
-    t = np.concatenate(tfs)
-    ln = np.concatenate(lens)
-    blob, last_doc, max_tf = encode_postings(d.astype(np.uint32), t)
-    min_len = np.minimum.reduceat(ln, np.arange(0, len(d), BLOCK))
-    positions = encode_positions(np.concatenate(poss), t) if want_pos else None
-    return (
-        int(len(d)),
-        int(t.sum()),
-        blob,
-        positions,
-        encode_u32_column(ln),
-        last_doc.astype(np.int64).tolist(),
-        max_tf.astype(np.int64).tolist(),
-        min_len.astype(np.int64).tolist(),
-    )
-
-
 def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """One term-hash bucket → merged rows for ALL its (field, term)s.
-    Bucketing amortizes per-group pandas/Arrow overhead (see
-    builder.merge_bucket_segments)."""
+
+    The k-way merge runs in GAP SPACE, never materializing absolute doc
+    ids: adding a docID offset to a whole posting list leaves every delta
+    intact, so the merged gap stream is the concat of the input streams
+    with only each non-first row's FIRST value re-anchored to
+    (first_doc+off) - (prev_last_doc+prev_off).  Likewise position runs
+    are delta-encoded per doc, so their streams concatenate verbatim.
+    All decoding is batched across the bucket's rows via the segment
+    decoders (codec._decode_segments): per-blob numpy calls were measured
+    overhead-dominated at ~70 µs each on the typical df<=128 blob."""
     pdf = pdf.sort_values(["field", "term", "ord"], kind="mergesort")
     out_split = pdf["out_split"].iloc[0]
     bucket = int(pdf["bucket"].iloc[0])
     fields = pdf["field"].to_numpy()
     terms = pdf["term"].to_numpy()
+    blobs = pdf["blob"].tolist()
+    pos_col = pdf["positions"].to_numpy()
+    offsets = pdf["offset"].to_numpy().astype(np.int64)
+    last_docs = np.fromiter(
+        (int(np.asarray(x)[-1]) if len(x) else -1 for x in pdf["block_last_doc"]),
+        np.int64,
+        len(pdf),
+    )
+
+    gaps, tfs, counts = decode_gaps_tfs_many(blobs)
+    if (counts == 0).any():  # df=0 rows never occur in real splits; drop
+        keep = counts > 0
+        return _merge_bucket_group(pdf.iloc[np.flatnonzero(keep)])
     n = len(pdf)
     change = np.empty(n, dtype=bool)
     change[0] = True
     change[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
-    starts = np.flatnonzero(change)
-    ends = np.concatenate((starts[1:], [n]))
-    rows = [
-        (out_split, bucket, fields[s], terms[s]) + _merge_term_rows(pdf.iloc[s:e])
-        for s, e in zip(starts, ends)
-    ]
+    g_starts = np.flatnonzero(change)
+    g_ends = np.concatenate((g_starts[1:], [n]))
+
+    # re-anchor each row's first gap (vectorized over all rows at once)
+    voff = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    first_abs = gaps[voff].astype(np.int64) + offsets
+    prev_last = np.concatenate(([0], last_docs[:-1] + offsets[:-1]))
+    gaps[voff] = np.where(change, first_abs, first_abs - prev_last).astype(np.uint32)
+
+    lens_flat, lens_counts = decode_u32_many(pdf["lens"].tolist())
+
+    has_pos = np.fromiter((p is not None for p in pos_col), bool, n)
+    pos_slot = np.cumsum(has_pos) - 1  # row -> index among position rows
+    if has_pos.any():
+        deltas_flat, pos_counts, pos_ws = position_deltas_many(
+            [p for p in pos_col if p is not None]
+        )
+        pos_off = np.concatenate(([0], np.cumsum(pos_counts)[:-1]))
+
+    rows = []
+    for s, e in zip(g_starts, g_ends):
+        lo, hi = voff[s], voff[e - 1] + counts[e - 1]
+        g_gaps = gaps[lo:hi]
+        g_tfs = tfs[lo:hi]
+        blob, last_doc, max_tf = encode_postings_from_gaps(g_gaps, g_tfs)
+        ln = lens_flat[lo:hi]
+        min_len = np.minimum.reduceat(ln, np.arange(0, hi - lo, BLOCK))
+        if has_pos[s]:
+            if not has_pos[s:e].all():
+                raise ValueError(
+                    f"mixed position presence for term {fields[s]}:{terms[s]}"
+                )
+            ps, pe_ = pos_slot[s], pos_slot[e - 1]
+            d_lo, d_hi = pos_off[ps], pos_off[pe_] + pos_counts[pe_]
+            positions = encode_positions_from_deltas(
+                deltas_flat[d_lo:d_hi], int(pos_ws[ps : pe_ + 1].max())
+            )
+        else:
+            positions = None
+        rows.append(
+            (
+                out_split,
+                bucket,
+                fields[s],
+                terms[s],
+                int(hi - lo),
+                int(g_tfs.sum()),
+                blob,
+                positions,
+                encode_u32_column(ln),
+                last_doc.astype(np.int64).tolist(),
+                max_tf.astype(np.int64).tolist(),
+                min_len.astype(np.int64).tolist(),
+            )
+        )
     return pd.DataFrame(
         rows,
         columns=[
@@ -209,6 +249,15 @@ def execute_merge_round(
     _blk = int(os.environ.get("QW_MERGE_BLOCK_BYTES", str(512 << 10)))
     _BLOCK_BYTES = {"postings": _blk, "docs": _blk, "fastfields": 4 << 20}
 
+    # Writer fan-out: repartition(n_out) would funnel each output split's
+    # whole rewrite through ONE task (parquet encode is single-threaded per
+    # writer — measured as the docs-stage bottleneck).  Range-partitioning
+    # on (split_id, sort key) into n_out*fanout tasks parallelizes the
+    # encode while keeping ≤fanout files per split whose sort-key ranges
+    # are DISJOINT, so file-level min/max pruning stays as tight as a
+    # single sorted file (readers open split dirs as multi-file datasets).
+    _fanout = max(1, int(os.environ.get("QW_MERGE_WRITE_FANOUT", "8")))
+
     def write_moved(df, table: str, sort_cols: list[str]):
         """Write each output split DIRECTLY to its final partition dir —
         no temp dir, no directory rename (object-store-safe: output split
@@ -219,7 +268,7 @@ def execute_merge_round(
         for sid in [op.output_split_id for op in ops]:
             storage.delete_dir(os.path.join(paths[table], f"split_id={sid}"))
         (
-            df.repartition(n_out, "split_id")
+            df.repartitionByRange(n_out * _fanout, "split_id", *sort_cols)
             .sortWithinPartitions("split_id", *sort_cols)
             .write.partitionBy("split_id")
             .option("parquet.block.size", str(_BLOCK_BYTES[table]))
@@ -229,6 +278,18 @@ def execute_merge_round(
 
     off, out = map_off[F.col("split_id")], map_out[F.col("split_id")]
 
+    import time as _time
+
+    _timing = os.environ.get("QW_MERGE_TIMING") == "1"
+    _t0 = _time.monotonic()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        if _timing:
+            now = _time.monotonic()
+            print(f"merge-stage {stage}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
+
     # --- docs: remap doc_id into the out split's dense range ----------------
     docs = read("docs")
     write_moved(
@@ -236,6 +297,7 @@ def execute_merge_round(
         "docs",
         ["doc_id"],
     )
+    _mark("docs")
 
     # --- postings: k-way merge per (out split, field, term) -----------------
     postings = (
@@ -248,6 +310,7 @@ def execute_merge_round(
         _merge_bucket_group, POSTINGS_SCHEMA
     )
     write_moved(merged, "postings", ["bucket", "field", "term"])
+    _mark("postings")
 
     # --- fastfields: re-base segments (no repack needed) ---------------------
     ff = read("fastfields")
@@ -258,6 +321,7 @@ def execute_merge_round(
         "fastfields",
         ["seg_id"],
     )
+    _mark("fastfields")
 
     # --- metadata + atomic replaces ------------------------------------------
     if failpoint is not None:  # 'before-merge-publish' injection point

@@ -151,3 +151,68 @@ def test_positions_subset_property(doclists, data):
     )
     got = decode_positions_subset(blob, tfs, idx)
     np.testing.assert_array_equal(got, expect)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 300),  # list length
+            st.integers(8, 32),  # doc-id magnitude (bits)
+            st.integers(1, 12),  # tf magnitude (bits)
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(0, 2**31 - 1),
+)
+def test_batched_decoders_match_per_blob(specs, seed):
+    """decode_gaps_tfs_many / decode_u32_many == the per-blob decoders, for
+    any mix of single-block and multi-block blobs (the merge fast path)."""
+    from quickwit_spark.functions.codec import decode_gaps_tfs_many, decode_u32_many
+
+    rng = np.random.default_rng(seed)
+    blobs, cols, expect = [], [], []
+    for n, db, tb in specs:
+        docs = np.unique(rng.integers(0, 1 << db, n).astype(np.uint32))
+        tfs = rng.integers(1, 1 << tb, len(docs)).astype(np.uint32)
+        blob, _, _ = encode_postings(docs, tfs)
+        blobs.append(blob)
+        cols.append(encode_u32_column(tfs))
+        expect.append((docs, tfs))
+    gaps, tfs_f, counts = decode_gaps_tfs_many(blobs)
+    vals, ns = decode_u32_many(cols)
+    assert counts.tolist() == [len(d) for d, _ in expect]
+    off = np.concatenate(([0], np.cumsum(counts)[:-1])) if len(counts) else []
+    for i, (docs, tfs) in enumerate(expect):
+        g = gaps[off[i] : off[i] + counts[i]]
+        np.testing.assert_array_equal(
+            np.cumsum(g.astype(np.uint64)).astype(np.uint32), docs
+        )
+        np.testing.assert_array_equal(tfs_f[off[i] : off[i] + counts[i]], tfs)
+        np.testing.assert_array_equal(vals[off[i] : off[i] + counts[i]], tfs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(0, 60000), min_size=1, max_size=15), min_size=1, max_size=25),
+)
+def test_position_deltas_many_roundtrip(doclists):
+    """position_deltas_many returns the raw delta streams: re-packing a
+    blob's stream at its own width must round-trip through
+    decode_positions (the merge concat path)."""
+    from quickwit_spark.functions.codec import (
+        encode_positions_from_deltas,
+        position_deltas_many,
+    )
+
+    doclists = [sorted(d) for d in doclists]
+    tfs = np.array([len(d) for d in doclists], np.int64)
+    flat = np.array([p for d in doclists for p in d], np.uint32)
+    blob = encode_positions(flat, tfs)
+    deltas, cnts, ws = position_deltas_many([blob, blob])
+    assert cnts.tolist() == [len(flat)] * 2
+    for k in range(2):
+        sl = deltas[k * len(flat) : (k + 1) * len(flat)]
+        got = decode_positions(encode_positions_from_deltas(sl, int(ws[k])), tfs)
+        np.testing.assert_array_equal(got, flat)

@@ -214,6 +214,10 @@ def test_merged_files_keep_bounded_row_groups(spark, tmp_path_factory, monkeypat
     from quickwit_spark.search import executor as ex
 
     monkeypatch.setenv("QW_MERGE_BLOCK_BYTES", str(16 << 10))  # force tiny groups
+    # one writer task per output split: this test asserts the row-group
+    # bound within a single file, so don't spread the tiny corpus over the
+    # default 8-task write fan-out (test_merge_write_fanout covers that)
+    monkeypatch.setenv("QW_MERGE_WRITE_FANOUT", "1")
     pdf = generate_transcripts(n_conversations=50, seed=3)
     idx = str(tmp_path_factory.mktemp("rg-idx"))
     cfg = transcripts_config(
@@ -228,6 +232,43 @@ def test_merged_files_keep_bounded_row_groups(spark, tmp_path_factory, monkeypat
         f = ex._split_files(idx, table, sid)[0]
         md = pq.ParquetFile(f).metadata
         assert md.num_row_groups > 1, (table, md.num_rows, md.num_row_groups)
+
+
+def test_merge_write_fanout(spark, tmp_path_factory, monkeypatch):
+    """With write fan-out > 1, a merged split's docs land in multiple files
+    whose doc_id ranges are DISJOINT (range partitioning on the sort key),
+    so file-level min/max pruning stays as tight as one sorted file."""
+    import pyarrow.parquet as pq
+
+    from quickwit_spark.search import executor as ex
+
+    monkeypatch.setenv("QW_MERGE_WRITE_FANOUT", "4")
+    pdf = generate_transcripts(n_conversations=50, seed=3)
+    idx = str(tmp_path_factory.mktemp("fanout-idx"))
+    cfg = transcripts_config(
+        split_num_docs_target=5000, segment_num_docs_target=64,
+        merge_factor=3, max_merge_factor=4,
+    )
+    build_index(spark, spark.createDataFrame(pdf), cfg, idx, n_splits=6)
+    produced = run_merge_pipeline(spark, idx)
+    assert produced
+    sid = max(produced, key=lambda m: m.num_docs).split_id
+    files = ex._split_files(idx, "docs", sid)
+    assert len(files) > 1, "fan-out should write multiple files per split"
+    ranges = []
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = {md.schema.column(i).name: i for i in range(md.num_columns)}["doc_id"]
+        mins = [md.row_group(g).column(col).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(col).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+        total += md.num_rows
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file doc_id ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
+    meta = next(m for m in produced if m.split_id == sid)
+    assert total == meta.num_docs
 
 
 def test_gc_stale_staged(spark, tmp_index_dir):
