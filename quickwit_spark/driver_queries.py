@@ -22,6 +22,7 @@ from .adapter import documents_generic_index, documents_index
 from .functions.bm25 import B, K1
 from .functions.tokenizer import DUCKDB_TOKENIZE_LIST
 from .pipeline import dedup as dd
+from .pipeline import pack as pk
 from .pipeline import sampling as smp
 from .pipeline import similarity as sim
 from .pipeline import text as tx
@@ -406,6 +407,14 @@ def tx_filter_corpus(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def tx_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style training batches): the
+    placement map of every document into fixed 256-token sequences.  The
+    global token offsets come from a two-level distributed prefix sum (no
+    single-partition window); the sequential DuckDB oracle certifies it."""
+    return pk.pack_sequences(_docs(spark, sf_dir), seq_len=256)
+
+
 def sim_bruteforce_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
@@ -506,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pii_scrub": tx_pii_scrub,
         "tx_repetition": tx_repetition,
         "tx_filter_corpus": tx_filter_corpus,
+        "tx_pack_sequences": tx_pack_sequences,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
@@ -633,6 +643,7 @@ FROM (
             )
             + ")"
         ),
+        "tx_pack_sequences": pk.pack_sequences_sql(seq_len=256),
         "sim_bruteforce_topk": sim.brute_force_topk_oracle_sql("embeddings", 5, 10),
         "sim_lsh_topk": sim.lsh_topk_oracle_sql(
             "embeddings", 5, 10, n_planes=10, seed=42, dim=64, multiprobe=1
