@@ -407,6 +407,15 @@ def tx_filter_corpus(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def tx_mixture_sample(spark, sf_dir):
+    """Data-mixing sampler: per-source rates incl. upsampling (epoch
+    weighting for training mixes) — src0 doubled, src1 quartered, src2 at
+    1.6x, everything else dropped.  Map-only scan-side explode+filter."""
+    return smp.mixture_sample(
+        _docs(spark, sf_dir), {"src0": 2.0, "src1": 0.25, "src2": 1.6}, salt="mix"
+    ).select("doc_id", "source", "copy_idx", "n_chars")
+
+
 def tx_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style training batches): the
     placement map of every document into fixed 256-token sequences.  The
@@ -515,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pii_scrub": tx_pii_scrub,
         "tx_repetition": tx_repetition,
         "tx_filter_corpus": tx_filter_corpus,
+        "tx_mixture_sample": tx_mixture_sample,
         "tx_pack_sequences": tx_pack_sequences,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_lsh_topk": sim_lsh_topk,
@@ -640,6 +650,13 @@ FROM (
             "SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM ("
             + tx.filter_corpus_sql(
                 "documents", min_tokens=20, min_quality_ppm=600_000, lang="en"
+            )
+            + ")"
+        ),
+        "tx_mixture_sample": (
+            "SELECT doc_id, source, copy_idx, CAST(n_chars AS BIGINT) AS n_chars FROM ("
+            + smp.mixture_sample_sql(
+                {"src0": 2.0, "src1": 0.25, "src2": 1.6}, salt="mix"
             )
             + ")"
         ),

@@ -109,3 +109,110 @@ def stratified_sample_sql(
         f"  ) AS __rk FROM {table}"
         f") WHERE __rk <= {n_per_stratum}"
     )
+
+
+def _copy_key(id_col: str, salt: str, copy_col):
+    """Hash key drawing an independent sample per replication index."""
+    return F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(salt), copy_col.cast("string"), F.col(id_col).cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Data-mixing sampler: per-stratum sampling RATES, including
+    upsampling (rate > 1 replicates rows — epoch weighting for training
+    mixes, e.g. {"wiki": 3.0, "web": 0.5}).
+
+    Every row expands to ``ceil(rate)`` candidate copies (`copy_idx`
+    column, 0-based) and copy c survives iff ``h(salt:c:id) < rate - c`` —
+    so floor(rate) copies always survive and the fractional copy is an
+    independent hash draw.  Deterministic, join-stable, map-only (the
+    explode is scan-side; no shuffle), and nested in `rate` per stratum at
+    a fixed salt: raising a stratum's rate only ADDS copies.  Strata
+    absent from ``rates`` use ``default_rate``.
+    """
+    for k, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for {k!r}: {r}")
+    if default_rate < 0:
+        raise ValueError(f"negative default_rate: {default_rate}")
+    rate_col = (
+        F.coalesce(
+            F.create_map(
+                *[F.lit(x) for k, r in sorted(rates.items()) for x in (k, float(r))]
+            )[F.col(stratum_col)],
+            F.lit(float(default_rate)),
+        )
+        if rates
+        else F.lit(float(default_rate))
+    )
+    out = (
+        df.withColumn("__rate", rate_col)
+        .filter(F.col("__rate") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.ceil("__rate").cast("int") - 1)),
+        )
+    )
+    # survive iff key < (rate - copy_idx), clamped into [0, 1]
+    frac = F.least(F.lit(1.0), F.col("__rate") - F.col("copy_idx"))
+    thresh = F.lpad(
+        F.conv(
+            F.floor(frac * F.lit(float(HEX_SPACE))).cast("string"), 10, 16
+        ),
+        8,
+        "0",
+    )
+    key = _copy_key(id_col, salt, F.col("copy_idx"))
+    return out.filter(
+        (frac >= 1.0) | (key < F.lower(thresh))
+    ).drop("__rate")
+
+
+def mixture_sample_sql(
+    rates: dict[str, float],
+    table: str = "documents",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` (md5 hex keys match Spark's)."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({float(r)} AS DOUBLE)" for k, r in sorted(rates.items())
+    )
+    rate = (
+        f"CASE {stratum_col} {cases} ELSE CAST({float(default_rate)} AS DOUBLE) END"
+        if rates
+        else f"CAST({float(default_rate)} AS DOUBLE)"
+    )
+    key = (
+        f"substr(md5('{salt}' || ':' || CAST(g.copy_idx AS VARCHAR) || ':' "
+        f"|| CAST({id_col} AS VARCHAR)), 1, 8)"
+    )
+    return f"""
+SELECT * EXCLUDE (__rate, __frac) FROM (
+  SELECT t.*, g.copy_idx, {rate} AS __rate,
+         LEAST(1.0, {rate} - g.copy_idx) AS __frac
+  FROM {table} t
+  CROSS JOIN UNNEST(generate_series(0,
+      CAST(CEIL({rate}) AS BIGINT) - 1)) AS g(copy_idx)
+  WHERE {rate} > 0
+)
+WHERE __frac >= 1.0
+   OR {key.replace('g.copy_idx', 'copy_idx')} < lpad(lower(format('{{:x}}',
+        CAST(FLOOR(__frac * {HEX_SPACE}) AS BIGINT))), 8, '0')
+"""

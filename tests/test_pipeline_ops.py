@@ -371,3 +371,81 @@ def test_filter_corpus_composition(spark, docs):
     en_only = {r["doc_id"] for r in tx.filter_corpus(docs, min_tokens=1, lang="en",
                min_quality_ppm=0, max_dup_trigram_ppm=10**6, max_top_token_ppm=10**6).collect()}
     assert 3 not in en_only and 0 in en_only
+
+
+def test_mixture_sample_semantics(spark):
+    """Data-mixing sampler: rate>1 upsamples with replication, integer
+    rates replicate exactly, nested-in-rate at one salt, deterministic
+    across partitionings, unknown strata use default_rate."""
+    import pandas as pd
+
+    from quickwit_spark.pipeline.sampling import mixture_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6_000),
+            "source": [f"s{i % 3}" for i in range(6_000)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = mixture_sample(df, {"s0": 2.0, "s1": 0.5, "s2": 3.4}).toPandas()
+    by = out.groupby("source")["doc_id"].count().to_dict()
+    assert by["s0"] == 4_000  # integer rate: exact 2x replication
+    assert abs(by["s1"] - 1_000) < 120  # 0.5x of 2000 within noise
+    assert abs(by["s2"] - 6_800) < 120  # 3.4x of 2000 within noise
+    # copies of one doc are distinct rows keyed by copy_idx
+    c = out[out.source == "s0"].groupby("doc_id")["copy_idx"].apply(sorted)
+    assert all(v == [0, 1] for v in c)
+    # deterministic under re-partitioning
+    out2 = mixture_sample(df.repartition(17), {"s0": 2.0, "s1": 0.5, "s2": 3.4}).toPandas()
+    key = ["doc_id", "copy_idx"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True)
+    )
+    # nested: raising a stratum's rate only ADDS (doc, copy) rows
+    lo = mixture_sample(df, {"s1": 0.2}).toPandas()
+    hi = mixture_sample(df, {"s1": 0.7}).toPandas()
+    lo_k = set(zip(lo.doc_id, lo.copy_idx))
+    hi_k = set(zip(hi.doc_id, hi.copy_idx))
+    assert lo_k <= hi_k
+    # unknown strata: dropped by default, kept at default_rate=1
+    assert mixture_sample(df, {"s0": 1.0}).filter("source != 's0'").count() == 0
+    kept = mixture_sample(df, {"s0": 1.0}, default_rate=1.0)
+    assert kept.count() == 6_000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mixture_sample(df, {"s0": -1.0})
+
+
+def test_mixture_sample_matches_duckdb(spark):
+    """The SQL twin draws the identical sample (the driver-oracle gate)."""
+    import duckdb
+    import pandas as pd
+
+    from quickwit_spark.pipeline.sampling import mixture_sample, mixture_sample_sql
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2_000),
+            "source": [f"s{i % 4}" for i in range(2_000)],
+            "n_chars": [i % 97 for i in range(2_000)],
+        }
+    )
+    rates = {"s0": 1.5, "s1": 0.25, "s3": 2.0}
+    got = (
+        mixture_sample(spark.createDataFrame(pdf), rates, salt="mix")
+        .toPandas()
+        .sort_values(["doc_id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(mixture_sample_sql(rates, salt="mix"))
+        .df()
+        .sort_values(["doc_id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
