@@ -266,6 +266,52 @@ def _decode_segments(
     return out
 
 
+def pack_segments(
+    vals: np.ndarray,
+    seg_off: np.ndarray,
+    seg_n: np.ndarray,
+    widths: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bitpack MANY value segments, each at its own width, in one vectorized
+    pass per distinct width — the encode-side mirror of
+    :func:`_decode_segments`.
+
+    Segment i is ``vals[seg_off[i] : seg_off[i]+seg_n[i]]`` packed at
+    ``widths[i]`` bits.  Returns (buf, byte_off, byte_sz): segment i's
+    payload is ``buf[byte_off[i] : byte_off[i]+byte_sz[i]]``, byte-aligned
+    and bit-identical to :func:`_pack` of the same values.  A fresh build
+    encodes one blob per term and the typical term is tiny (df <= 128), so
+    per-term numpy packing is overhead-dominated exactly like the merge's
+    per-blob decoding was.
+    """
+    seg_off = np.asarray(seg_off, np.int64)
+    seg_n = np.asarray(seg_n, np.int64)
+    widths = np.asarray(widths, np.int64)
+    byte_sz = (seg_n * widths + 7) >> 3
+    byte_off = np.concatenate(([0], np.cumsum(byte_sz)[:-1]))
+    total = int(byte_sz.sum())
+    bits = np.zeros(total * 8, np.uint8)
+    for w in np.unique(widths):
+        w = int(w)
+        sel = np.flatnonzero((widths == w) & (seg_n > 0))
+        if len(sel) == 0:
+            continue
+        ns = seg_n[sel]
+        m = int(ns.sum())
+        reps = np.repeat(np.arange(len(sel)), ns)
+        within = np.arange(m, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(ns)[:-1])), ns
+        )
+        v = vals[seg_off[sel][reps] + within]
+        nb, dt = _width_bytes(w)
+        vb = np.unpackbits(
+            np.ascontiguousarray(v.astype(dt)).view(np.uint8).reshape(m, nb), axis=1
+        )[:, nb * 8 - w :]
+        dest = (byte_off[sel][reps] * 8 + within * w)[:, None] + np.arange(w)
+        bits[dest.ravel()] = vb.ravel()
+    return np.packbits(bits) if total else np.empty(0, np.uint8), byte_off, byte_sz
+
+
 def _concat_blobs(blobs) -> tuple[np.ndarray, np.ndarray]:
     """One buffer + per-blob byte offsets for the batched decoders."""
     starts = np.zeros(len(blobs), np.int64)

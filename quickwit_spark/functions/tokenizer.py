@@ -26,6 +26,11 @@ import pandas as pd
 
 MAX_TOKEN_LEN = 40  # tantivy RemoveLongFilter default, SURVEY.md §2.7
 _SPLIT_RE = re.compile(r"[^0-9A-Za-z]+")
+# one-pass equivalent of split+filter for the hot path: matches exactly the
+# alphanumeric runs of length 1..40 (longer runs match NOWHERE thanks to the
+# lookarounds — RemoveLongFilter drops them rather than truncating); measured
+# ~1.9x faster than str.split + per-row list filtering
+_TOKEN_RE = re.compile(r"(?<![0-9a-z])[0-9a-z]{1,40}(?![0-9a-z])")
 
 # The exact same tokenization, expressed once for each engine that needs it:
 # DuckDB fragment used to build oracle SQL (see __spark_entry__.py) — keep in
@@ -46,13 +51,12 @@ def tokenize_text(text: str) -> list[str]:
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """Vectorized ``default`` tokenizer: Series[str] -> Series[list[str]].
 
-    Uses pandas' C-accelerated str.lower/str.split; the list comprehension
-    filter runs per token but on already-split small lists (this is the
-    Arrow-batched pandas-UDF pattern, not per-row Python UDFs).
+    One pandas str.findall pass with _TOKEN_RE does split + empty-drop +
+    long-drop together (the regex engine is C; no per-row list filter) —
+    identical output to ``[tokenize_text(t) for t in texts]``, which
+    tests/test_tokenizer.py asserts.
     """
-    lowered = texts.fillna("").str.lower()
-    split = lowered.str.split(_SPLIT_RE)
-    return split.map(lambda toks: [t for t in toks if t and len(t) <= MAX_TOKEN_LEN])
+    return texts.fillna("").str.lower().str.findall(_TOKEN_RE)
 
 
 def tokenize_raw_series(values: pd.Series) -> pd.Series:

@@ -86,6 +86,7 @@ from ..functions.codec import (
     encode_positions,
     encode_postings,
     encode_u32_column,
+    pack_segments,
 )
 from ..functions.tokenizer import tokenize_series
 from .catalog import PUBLISHED, Catalog, SplitMetadata
@@ -365,6 +366,134 @@ def _postings_from_flat(flat_terms, doc_rep, pos, lens_by_doc, base_doc, want_po
         term = uniques[pair_codes[s]]
         positions = pos_s[occ_bounds[s] : occ_bounds[e]] if want_positions else None
         yield term, pair_docs[s:e], tfs_all[s:e], positions, plens_all[s:e]
+
+
+def _bit_widths_arr(max_vals: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for positive ints (exact for uint32 range:
+    float64 represents them exactly and frexp's exponent is bit_length)."""
+    return np.maximum(1, np.frexp(max_vals.astype(np.float64))[1]).astype(np.int64)
+
+
+def _encode_flat_postings(
+    flat_terms, doc_rep, pos, lens_by_doc, base_doc, want_positions
+):
+    """Encode EVERY term of a flat (term, doc, pos) chunk, batched.
+
+    Same grouping as :func:`_postings_from_flat`, but terms with df <=
+    BLOCK (the overwhelming majority) encode through ONE
+    codec.pack_segments pass per payload (gaps / tfs / positions / lens)
+    instead of four numpy packs per term — per-term packing was measured
+    ~40% of fresh-build CPU.  Blobs are bit-identical to
+    :func:`_encode_term`'s.  Hot multi-block terms fall back per term
+    (their cost is bandwidth, not call overhead).
+    Yields (term, row_tail) like (term, *_encode_term(...)).
+    """
+    codes, uniques = pd.factorize(flat_terms, sort=True)
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    docs_s = doc_rep[order]
+
+    pair_change = np.empty(len(codes), dtype=bool)
+    pair_change[0] = True
+    pair_change[1:] = (codes[1:] != codes[:-1]) | (docs_s[1:] != docs_s[:-1])
+    pair_starts = np.flatnonzero(pair_change)
+    tfs_all = np.diff(np.concatenate((pair_starts, [len(codes)]))).astype(np.uint32)
+    pair_docs = docs_s[pair_starts].astype(np.uint32)
+    pair_codes = codes[pair_starts]
+    plens_all = lens_by_doc[(pair_docs.astype(np.int64) - base_doc)]
+    pos_s = pos[order].astype(np.uint32) if want_positions else None
+
+    term_change = np.empty(len(pair_codes), dtype=bool)
+    term_change[0] = True
+    term_change[1:] = pair_codes[1:] != pair_codes[:-1]
+    term_starts = np.flatnonzero(term_change)
+    term_ends = np.concatenate((term_starts[1:], [len(pair_codes)]))
+    occ_bounds = np.concatenate((pair_starts, [len(codes)]))
+    df_per_term = term_ends - term_starts
+
+    # ---- batched single-block encode -------------------------------------
+    # gaps over the pair stream, re-anchored absolute at each term start
+    gaps = np.empty(len(pair_docs), np.uint32)
+    if len(pair_docs):
+        gaps[0] = pair_docs[0]
+        np.subtract(pair_docs[1:], pair_docs[:-1], out=gaps[1:])
+        gaps[term_starts] = pair_docs[term_starts]
+    wd = _bit_widths_arr(np.maximum.reduceat(gaps, term_starts))
+    max_tf_t = np.maximum.reduceat(tfs_all, term_starts)
+    wt = _bit_widths_arr(max_tf_t)
+    wl = _bit_widths_arr(np.maximum.reduceat(plens_all, term_starts))
+    total_tf_t = np.add.reduceat(tfs_all.astype(np.int64), term_starts)
+    min_len_t = np.minimum.reduceat(plens_all, term_starts)
+
+    single = df_per_term <= BLOCK
+    # pack only the single-block terms' segments (multi-block fall back)
+    s_idx = np.flatnonzero(single)
+    s_starts = term_starts[s_idx]
+    s_n = df_per_term[s_idx]
+    gbuf, goff, _gsz = pack_segments(gaps, s_starts, s_n, wd[s_idx])
+    tbuf, toff, _tsz = pack_segments(tfs_all, s_starts, s_n, wt[s_idx])
+    lbuf, loff, _lsz = pack_segments(plens_all, s_starts, s_n, wl[s_idx])
+    gsz = np.concatenate((goff[1:], [len(gbuf)])) if len(s_idx) else goff
+    tsz = np.concatenate((toff[1:], [len(tbuf)])) if len(s_idx) else toff
+    lsz = np.concatenate((loff[1:], [len(lbuf)])) if len(s_idx) else loff
+
+    if want_positions:
+        deltas = pos_s.copy()
+        if len(deltas) > 1:
+            deltas[1:] -= pos_s[:-1]
+        deltas[pair_starts] = pos_s[pair_starts]
+        occ_start_t = occ_bounds[term_starts]
+        occ_n_t = occ_bounds[term_ends] - occ_start_t
+        wp = _bit_widths_arr(np.maximum.reduceat(deltas, occ_start_t))
+        pbuf, poff, _psz = pack_segments(
+            deltas, occ_start_t[s_idx], occ_n_t[s_idx], wp[s_idx]
+        )
+        psz = np.concatenate((poff[1:], [len(pbuf)])) if len(s_idx) else poff
+
+    gb = gbuf.tobytes()
+    tb = tbuf.tobytes()
+    lb = lbuf.tobytes()
+    if want_positions:
+        pb = pbuf.tobytes()
+    last_doc_s = pair_docs[term_ends - 1]
+
+    k = 0  # index into the packed single-block tables
+    for ti in range(len(term_starts)):
+        s, e = term_starts[ti], term_ends[ti]
+        term = uniques[pair_codes[s]]
+        if not single[ti]:
+            p_occ = (
+                pos_s[occ_bounds[s] : occ_bounds[e]] if want_positions else None
+            )
+            yield term, *_encode_term(
+                pair_docs[s:e], tfs_all[s:e], p_occ, plens_all[s:e]
+            )
+            continue
+        n = int(s_n[k])
+        blob = (
+            np.array([n, 1], dtype="<u4").tobytes()
+            + bytes((int(wd[ti]), int(wt[ti])))
+            + gb[goff[k] : gsz[k]]
+            + tb[toff[k] : tsz[k]]
+        )
+        if want_positions:
+            total = int(occ_n_t[ti])
+            positions = (
+                np.array([total], dtype="<u4").tobytes()
+                + bytes([int(wp[ti])])
+                + pb[poff[k] : psz[k]]
+            )
+        else:
+            positions = None
+        lens_blob = (
+            np.array([n], dtype="<u4").tobytes()
+            + bytes([int(wl[ti])])
+            + lb[loff[k] : lsz[k]]
+        )
+        yield term, n, int(total_tf_t[ti]), blob, positions, lens_blob, [
+            int(last_doc_s[ti])
+        ], [int(max_tf_t[ti])], [int(min_len_t[ti])]
+        k += 1
 
 
 def _encode_term(d: np.ndarray, t: np.ndarray, p: np.ndarray | None, plens: np.ndarray):
@@ -879,10 +1008,10 @@ class _SplitAccumulator:
                 self.tok_lens[fname].append(lens_by_doc[doc_ids - base_doc])
             if flat is None:
                 continue
-            for term, d, t, p, plens in _postings_from_flat(
+            for term, *tail in _encode_flat_postings(
                 *flat, lens_by_doc, base_doc, want_pos
             ):
-                self._add_entry(fname, term, _encode_term(d, t, p, plens))
+                self._add_entry(fname, term, tuple(tail))
         # non-text indexed leaves: canonical value strings through the same
         # raw-term path (exact-value term queries)
         for fname, scalar, is_array in self.typed_fields:
@@ -905,10 +1034,10 @@ class _SplitAccumulator:
             flat = _flatten_tokens(doc_ids, value_lists)
             if flat is None:
                 continue
-            for term, d, t, p, plens in _postings_from_flat(
+            for term, *tail in _encode_flat_postings(
                 *flat, lens_by_doc, base_doc, False
             ):
-                self._add_entry(fname, term, _encode_term(d, t, p, plens))
+                self._add_entry(fname, term, tuple(tail))
         # doc ids are dense per split, so chunk arrays concatenate aligned
         self.text_lens.append(chunk_text_lens[doc_ids - base_doc])
         self.ts.append(pdf["ts_epoch"].to_numpy(np.int64))

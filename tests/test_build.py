@@ -301,3 +301,46 @@ def test_out_of_range_timestamp_fails_build(spark, tmp_path_factory):
     with pytest.raises(Exception, match="2\\^32|u32|PythonException") as ei:
         build_index(spark, spark.createDataFrame(pdf), cfg, str(tmp_path_factory.mktemp("oor")))
     assert "2^32" in str(ei.value) or "1970-2106" in str(ei.value)
+
+
+def test_batched_encode_byte_identical_to_per_term():
+    """_encode_flat_postings (batched pack_segments path) must produce
+    byte-identical rows to the per-term reference path
+    (_postings_from_flat + _encode_term) — including blobs, positions,
+    lens, and skip arrays — across hot (multi-block) and cold terms."""
+    import numpy as np
+
+    from quickwit_spark.index.builder import (
+        _encode_flat_postings,
+        _encode_term,
+        _postings_from_flat,
+    )
+
+    rng = np.random.default_rng(9)
+    n_docs, total = 3000, 80_000
+    doc_rep = np.sort(rng.integers(0, n_docs, total))
+    vocab = np.array([f"w{i:04d}" for i in range(500)], object)
+    probs = np.ones(500)
+    probs[:4] = 300  # hot terms -> multi-block fallback path
+    probs /= probs.sum()
+    flat_terms = vocab[rng.choice(500, total, p=probs)]
+    starts = np.flatnonzero(np.concatenate(([True], doc_rep[1:] != doc_rep[:-1])))
+    cnts = np.diff(np.concatenate((starts, [total])))
+    pos = np.arange(total) - np.repeat(starts, cnts)
+    lens_by_doc = np.zeros(n_docs, np.uint32)
+    present = np.unique(doc_rep)
+    lens_by_doc[present] = np.bincount(doc_rep)[present].astype(np.uint32)
+    for want_pos in (True, False):
+        got = {
+            t: tuple(tail)
+            for t, *tail in _encode_flat_postings(
+                flat_terms, doc_rep, pos, lens_by_doc, 0, want_pos
+            )
+        }
+        want = {
+            term: _encode_term(d, tf, p, plens)
+            for term, d, tf, p, plens in _postings_from_flat(
+                flat_terms, doc_rep, pos, lens_by_doc, 0, want_pos
+            )
+        }
+        assert got == want
