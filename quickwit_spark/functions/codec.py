@@ -413,6 +413,86 @@ def position_deltas_many(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return _decode_segments(cat, starts + 5, ws, ns), ns, ws
 
 
+def merge_posting_groups(
+    blobs,
+    positions,
+    lens_blobs,
+    offsets: np.ndarray,
+    last_docs: np.ndarray,
+    group_starts: np.ndarray,
+    group_ends: np.ndarray,
+) -> list[tuple]:
+    """k-way concat-merge of posting rows, grouped (one group = one term).
+
+    Rows must be ordered group-by-group, ascending doc ranges within a
+    group; ``offsets[j]`` is row j's docID base and ``last_docs[j]`` its
+    last absolute doc id pre-offset (from the row's block_last_doc skip
+    array).  Runs entirely in GAP SPACE with batched segment decoding —
+    shared by the split-merge executor and the builder's in-task chunk
+    merge.  Returns one row tail per group:
+    (doc_freq, total_tf, blob, positions, lens, block_last_doc,
+    block_max_tf, block_min_len).
+    """
+    n = len(blobs)
+    gaps, tfs, counts = decode_gaps_tfs_many(blobs)
+    if (counts == 0).any():
+        # a published posting row always has df >= 1; callers pre-drop
+        raise ValueError("merge_posting_groups: empty posting row (df=0)")
+    offsets = np.asarray(offsets, np.int64)
+    last_docs = np.asarray(last_docs, np.int64)
+
+    is_first = np.zeros(n, bool)
+    is_first[group_starts] = True
+    voff = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    first_abs = gaps[voff].astype(np.int64) + offsets
+    prev_last = np.concatenate(([0], last_docs[:-1] + offsets[:-1]))
+    gaps[voff] = np.where(is_first, first_abs, first_abs - prev_last).astype(
+        np.uint32
+    )
+
+    lens_flat, _ = decode_u32_many(lens_blobs)
+
+    has_pos = np.fromiter((p is not None for p in positions), bool, n)
+    pos_slot = np.cumsum(has_pos) - 1
+    if has_pos.any():
+        deltas_flat, pos_counts, pos_ws = position_deltas_many(
+            [p for p in positions if p is not None]
+        )
+        pos_off = np.concatenate(([0], np.cumsum(pos_counts)[:-1]))
+
+    out = []
+    for s, e in zip(group_starts, group_ends):
+        lo, hi = voff[s], voff[e - 1] + counts[e - 1]
+        g_gaps = gaps[lo:hi]
+        g_tfs = tfs[lo:hi]
+        blob, last_doc, max_tf = encode_postings_from_gaps(g_gaps, g_tfs)
+        ln = lens_flat[lo:hi]
+        min_len = np.minimum.reduceat(ln, np.arange(0, hi - lo, BLOCK))
+        if has_pos[s]:
+            if not has_pos[s:e].all():
+                raise ValueError("mixed position presence within a term group")
+            ps, pe_ = pos_slot[s], pos_slot[e - 1]
+            d_lo, d_hi = pos_off[ps], pos_off[pe_] + pos_counts[pe_]
+            pos_blob = encode_positions_from_deltas(
+                deltas_flat[d_lo:d_hi], int(pos_ws[ps : pe_ + 1].max())
+            )
+        else:
+            pos_blob = None
+        out.append(
+            (
+                int(hi - lo),
+                int(g_tfs.sum()),
+                blob,
+                pos_blob,
+                encode_u32_column(ln),
+                last_doc.astype(np.int64).tolist(),
+                max_tf.astype(np.int64).tolist(),
+                min_len.astype(np.int64).tolist(),
+            )
+        )
+    return out
+
+
 def encode_postings_from_gaps(
     gaps: np.ndarray, tfs: np.ndarray
 ) -> tuple[bytes, np.ndarray, np.ndarray]:

@@ -749,14 +749,42 @@ class _SplitAccumulator:
     def _acc_run_pdf(self) -> pd.DataFrame:
         """Drain the accumulator into one sorted postings run (each term's
         chunk entries merged — the in-task Packager merge-to-one-segment
-        analog, packager.rs:116-125)."""
-        from ..functions.codec import term_bucket
+        analog, packager.rs:116-125).  Multi-chunk terms merge through the
+        batched gap-space kernel (codec.merge_posting_groups) — chunks
+        share the split's docID space, so offsets are zero and only each
+        chunk seam's first gap re-anchors."""
+        from ..functions.codec import merge_posting_groups, term_bucket
 
         n_buckets = self.config.term_merge_buckets
-        rows = [
-            (term_bucket(f, t, n_buckets), f, t) + _merge_term_entries(entries)
-            for (f, t), entries in self.acc.items()
-        ]
+        rows = []
+        multi_keys: list[tuple] = []
+        blobs, poss, lenss, lasts, g_starts, g_ends = [], [], [], [], [], []
+        for (f, t), entries in self.acc.items():
+            if len(entries) == 1:
+                rows.append((term_bucket(f, t, n_buckets), f, t) + entries[0])
+                continue
+            multi_keys.append((f, t))
+            g_starts.append(len(blobs))
+            for e in entries:
+                blobs.append(e[2])
+                poss.append(e[3])
+                lenss.append(e[4])
+                lasts.append(e[5][-1])
+            g_ends.append(len(blobs))
+        if multi_keys:
+            tails = merge_posting_groups(
+                blobs,
+                poss,
+                lenss,
+                np.zeros(len(blobs), np.int64),
+                np.asarray(lasts, np.int64),
+                np.asarray(g_starts, np.int64),
+                np.asarray(g_ends, np.int64),
+            )
+            rows.extend(
+                (term_bucket(f, t, n_buckets), f, t) + tail
+                for (f, t), tail in zip(multi_keys, tails)
+            )
         self.acc, self.acc_payload = {}, 0
         pdf = pd.DataFrame(rows, columns=POSTINGS_COLUMNS)
         return pdf.sort_values(["bucket", "field", "term"], kind="mergesort")

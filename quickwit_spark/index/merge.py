@@ -36,15 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
-from ..functions.codec import (
-    BLOCK,
-    decode_gaps_tfs_many,
-    decode_u32_many,
-    encode_positions_from_deltas,
-    encode_postings_from_gaps,
-    encode_u32_column,
-    position_deltas_many,
-)
+from ..functions.codec import BLOCK, merge_posting_groups
 from ..storage import storage_for
 from .builder import POSTINGS_SCHEMA, _paths
 from .catalog import MARKED_FOR_DELETION, PUBLISHED, STAGED, Catalog, SplitMetadata
@@ -122,10 +114,6 @@ def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
         len(pdf),
     )
 
-    gaps, tfs, counts = decode_gaps_tfs_many(blobs)
-    if (counts == 0).any():  # df=0 rows never occur in real splits; drop
-        keep = counts > 0
-        return _merge_bucket_group(pdf.iloc[np.flatnonzero(keep)])
     n = len(pdf)
     change = np.empty(n, dtype=bool)
     change[0] = True
@@ -133,58 +121,19 @@ def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
     g_starts = np.flatnonzero(change)
     g_ends = np.concatenate((g_starts[1:], [n]))
 
-    # re-anchor each row's first gap (vectorized over all rows at once)
-    voff = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    first_abs = gaps[voff].astype(np.int64) + offsets
-    prev_last = np.concatenate(([0], last_docs[:-1] + offsets[:-1]))
-    gaps[voff] = np.where(change, first_abs, first_abs - prev_last).astype(np.uint32)
-
-    lens_flat, lens_counts = decode_u32_many(pdf["lens"].tolist())
-
-    has_pos = np.fromiter((p is not None for p in pos_col), bool, n)
-    pos_slot = np.cumsum(has_pos) - 1  # row -> index among position rows
-    if has_pos.any():
-        deltas_flat, pos_counts, pos_ws = position_deltas_many(
-            [p for p in pos_col if p is not None]
-        )
-        pos_off = np.concatenate(([0], np.cumsum(pos_counts)[:-1]))
-
-    rows = []
-    for s, e in zip(g_starts, g_ends):
-        lo, hi = voff[s], voff[e - 1] + counts[e - 1]
-        g_gaps = gaps[lo:hi]
-        g_tfs = tfs[lo:hi]
-        blob, last_doc, max_tf = encode_postings_from_gaps(g_gaps, g_tfs)
-        ln = lens_flat[lo:hi]
-        min_len = np.minimum.reduceat(ln, np.arange(0, hi - lo, BLOCK))
-        if has_pos[s]:
-            if not has_pos[s:e].all():
-                raise ValueError(
-                    f"mixed position presence for term {fields[s]}:{terms[s]}"
-                )
-            ps, pe_ = pos_slot[s], pos_slot[e - 1]
-            d_lo, d_hi = pos_off[ps], pos_off[pe_] + pos_counts[pe_]
-            positions = encode_positions_from_deltas(
-                deltas_flat[d_lo:d_hi], int(pos_ws[ps : pe_ + 1].max())
-            )
-        else:
-            positions = None
-        rows.append(
-            (
-                out_split,
-                bucket,
-                fields[s],
-                terms[s],
-                int(hi - lo),
-                int(g_tfs.sum()),
-                blob,
-                positions,
-                encode_u32_column(ln),
-                last_doc.astype(np.int64).tolist(),
-                max_tf.astype(np.int64).tolist(),
-                min_len.astype(np.int64).tolist(),
-            )
-        )
+    tails = merge_posting_groups(
+        blobs,
+        list(pos_col),
+        pdf["lens"].tolist(),
+        offsets,
+        last_docs,
+        g_starts,
+        g_ends,
+    )
+    rows = [
+        (out_split, bucket, fields[s], terms[s]) + tail
+        for s, tail in zip(g_starts, tails)
+    ]
     return pd.DataFrame(
         rows,
         columns=[
