@@ -919,19 +919,48 @@ class _SplitAccumulator:
             )
             out = []
 
-        def emit(rows: list[tuple]) -> None:
-            nonlocal num_terms, total_tokens, postings_payload
-            if len(rows) == 1:
-                row = rows[0]
-            else:
-                row = rows[0][:3] + _merge_term_entries([r[3:] for r in rows])
-            num_terms += 1
-            total_tokens += int(row[4])
-            postings_payload += len(row[5])
-            field_len_sums[row[1]] = field_len_sums.get(row[1], 0) + int(row[4])
-            if row[1] in tag_fields:
-                tags[row[1]].append(row[2])
-            out.append(row)
+        from ..functions.codec import merge_posting_groups
+
+        pending: list[list[tuple]] = []  # buffered term groups, merged order
+
+        def flush_pending() -> None:
+            """Merge the buffered groups — multi-run terms in ONE batched
+            gap-space pass (codec.merge_posting_groups) instead of per-blob
+            decodes per term — and emit rows in merged order."""
+            nonlocal pending, num_terms, total_tokens, postings_payload
+            multis = [g for g in pending if len(g) > 1]
+            tails_iter = iter(())
+            if multis:
+                blobs, poss, lenss, lasts, g_starts, g_ends = [], [], [], [], [], []
+                for g in multis:
+                    g_starts.append(len(blobs))
+                    for r in g:
+                        blobs.append(r[5])
+                        poss.append(r[6])
+                        lenss.append(r[7])
+                        lasts.append(r[8][-1])
+                    g_ends.append(len(blobs))
+                tails_iter = iter(
+                    merge_posting_groups(
+                        blobs,
+                        poss,
+                        lenss,
+                        np.zeros(len(blobs), np.int64),
+                        np.asarray(lasts, np.int64),
+                        np.asarray(g_starts, np.int64),
+                        np.asarray(g_ends, np.int64),
+                    )
+                )
+            for g in pending:
+                row = g[0] if len(g) == 1 else g[0][:3] + next(tails_iter)
+                num_terms += 1
+                total_tokens += int(row[4])
+                postings_payload += len(row[5])
+                field_len_sums[row[1]] = field_len_sums.get(row[1], 0) + int(row[4])
+                if row[1] in tag_fields:
+                    tags[row[1]].append(row[2])
+                out.append(row)
+            pending = []
             if len(out) >= 4096:
                 flush_out()
 
@@ -941,12 +970,15 @@ class _SplitAccumulator:
             k3 = key[:3]
             if k3 != cur_key:
                 if cur_rows:
-                    emit(cur_rows)
+                    pending.append(cur_rows)
+                    if len(pending) >= 2048:
+                        flush_pending()
                 cur_key, cur_rows = k3, [row]
             else:
                 cur_rows.append(row)
         if cur_rows:
-            emit(cur_rows)
+            pending.append(cur_rows)
+        flush_pending()
         flush_out()
         pw.close()
         pfin()
