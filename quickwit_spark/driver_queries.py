@@ -473,6 +473,15 @@ def sim_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
 
 
+def sim_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse-quantize the embeddings, then
+    inside each cell drop every item with a higher-priority τ-near
+    neighbor (priority = farthest-from-centroid first).  Verdict for every
+    row, so the hash certifies assignments, centroid cosines, and the full
+    keep/drop decision surface."""
+    return sim.semdedup(_embs(spark, sf_dir), threshold=0.45, n_cells=16)
+
+
 def mm_features(spark, sf_dir):
     assets = synthesize_assets(spark, n=64)
     return extract_features(assets, decoder="fake").select(
@@ -532,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_trained_topk": sim_ivf_trained_topk,
         "sim_ivfpq_topk": sim_ivfpq_topk,
         "sim_near_dup": sim_near_dup,
+        "sim_semdedup": sim_semdedup,
         "mm_features": mm_features,
     }
 
@@ -679,6 +689,7 @@ JOIN LATERAL (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS s
               FROM (SELECT unnest(b.embedding) AS y)) sb ON TRUE
 WHERE sd.d / (sqrt(sa.s) * sqrt(sb.s)) >= 0.45
 """,
+        "sim_semdedup": sim.semdedup_oracle_sql("embeddings", 0.45, n_cells=16),
         # mm_features: the selected columns (sizes, thumb dims, frame
         # counts) are closed-form in the synthesized asset index, so the
         # oracle reconstructs them with generate_series — this value-checks

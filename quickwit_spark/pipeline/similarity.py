@@ -826,3 +826,143 @@ def _near_dup_gemm(df: DataFrame, threshold: float, id_col: str, vec_col: str) -
     # but a pair split across chunks appears in only one (i, j) cell, so no
     # dedup is needed; distinct() guards the i == j mirrored entries
     return out.distinct()
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup — semantic deduplication via within-cluster cosine pruning
+    (Abbas et al. 2023, arXiv:2303.09540): cluster the embeddings with a
+    coarse quantizer, then inside each cluster drop every item that has a
+    HIGHER-PRIORITY τ-near neighbor, where priority = (cosine-to-centroid
+    ascending, id ascending) — the paper's "keep the example least similar
+    to the centroid" rule made deterministic and order-free.
+
+    Exact semantics (SQL-expressible, the oracle's EXISTS form): item d is
+    dropped iff ∃ e in the same cell with round(cos(d,e),6) >= threshold
+    and (cent_cos(e), id(e)) < (cent_cos(d), id(d)) lexicographically.
+    Consequence: the kept set within a cell is pairwise BELOW the
+    threshold (any τ-close kept pair would have dropped its lower-priority
+    member), which is the invariant the tests pin.
+
+    Spark shape at scale: the quantizer is one broadcast join + a map-side
+    combined min_by aggregation (no window over the corpus); the pairwise
+    pass is applyInPandas per cell — one shuffle on cell id, quadratic
+    only WITHIN a cell.  SemDeDup's own scale lever applies: grow k
+    proportionally to N so cells stay bounded (the paper runs k=50k at
+    600M items); cells here are n_cells seeded from the lowest ids (same
+    deterministic zero-train quantizer as ivf_topk) or a trained
+    ``centroids`` list from train_ivf_centroids.
+
+    Returns every input row's verdict: (id, cell, cent_cos, kept 1/0).
+    """
+    spark = df.sparkSession
+    if centroids is not None:
+        cents = F.broadcast(
+            spark.createDataFrame(
+                [(i, v) for i, v in centroids], "cent_id long, centv array<double>"
+            )
+        )
+    else:
+        cents = F.broadcast(
+            df.filter(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).cast("array<double>").alias("centv"),
+            )
+        )
+
+    # nearest cell per vector: min_by over (L2, cent_id) — partial-agg
+    # combining, skew-free, never a corpus-wide window
+    assigned = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(cents)
+        .withColumn("dist", _l2sq(F.col("v"), F.col("centv")))
+        .groupBy("id")
+        .agg(
+            F.min(F.struct("dist", "cent_id", "centv")).alias("best"),
+            F.first("v").alias("v"),
+        )
+        .select(
+            "id",
+            "v",
+            F.col("best.cent_id").alias("cell"),
+            F.round(
+                _dot(F.col("v"), F.col("best.centv"))
+                / (_norm_col("v") * _norm_col("best.centv")),
+                6,
+            ).alias("cent_cos"),
+        )
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, cell long, cent_cos double, kept int"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cent_cos", "id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        mat = np.array([np.asarray(v, np.float64) for v in pdf["v"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        # dot-then-divide, the oracle's float64 form
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        dominated = (np.tril(cos >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf["id"],
+                "cell": pdf["cell"].astype(np.int64),
+                "cent_cos": pdf["cent_cos"],
+                "kept": (~dominated).astype(np.int32),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(prune, out_schema)
+
+
+def semdedup_oracle_sql(
+    table: str, threshold: float, n_cells: int = 16
+) -> str:
+    """DuckDB twin of semdedup (zero-train quantizer): same seed centroids,
+    same (L2, cent_id) assignment tie-break, same priority rule, same
+    round-to-6dp threshold comparison."""
+    l2 = (
+        "(SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+        "   FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
+    )
+    cos = (
+        "((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest({a}) AS x, unnest({b}) AS y)) /"
+        " (sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest({a}) AS x))) *"
+        "  sqrt((SELECT sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM (SELECT unnest({b}) AS y)))))"
+    )
+    return f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM {table} WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, embedding, cent_id AS cell, centv,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {l2.format(a='embedding', b='centv')} ASC, cent_id ASC
+         ) AS rn
+  FROM {table} CROSS JOIN cents
+  QUALIFY rn = 1
+),
+scored AS (
+  SELECT vec_id, embedding, cell,
+         round({cos.format(a='embedding', b='centv')}, 6) AS cent_cos
+  FROM assign
+)
+SELECT s.vec_id, s.cell, s.cent_cos,
+       CAST(NOT EXISTS (
+         SELECT 1 FROM scored t
+         WHERE t.cell = s.cell
+           AND (t.cent_cos < s.cent_cos
+                OR (t.cent_cos = s.cent_cos AND t.vec_id < s.vec_id))
+           AND round({cos.format(a='s.embedding', b='t.embedding')}, 6) >= {threshold}
+       ) AS INT) AS kept
+FROM scored s
+"""
