@@ -182,7 +182,7 @@ def bench_merged(spark, index_dir: str, repeats: int = 9) -> dict:
     }
 
 
-def bench_multi(spark, index_dir: str, repeats: int = 3) -> float:
+def bench_multi(spark, index_dir: str, repeats: int = 5) -> float:
     """Batched query throughput (q/s): all 8 bench queries in ONE leaf job
     via multi_search — the amortized-job-floor path."""
     from quickwit_spark.search.executor import multi_search
@@ -204,7 +204,11 @@ def bench_stream(spark, index_dir: str) -> float:
     from quickwit_spark.search.request import SearchRequest
 
     best = None
-    for _ in range(2):  # best-of-2: run 1 warms worker arenas (see mem.py)
+    # best-of-4: run 1 warms worker arenas (see mem.py) and, inside a host
+    # paging window, runs 2-3 can still carry first-touch fault stalls —
+    # measured 2.25 / 0.83 / 0.73 / 0.77 s on a page_gbps=0.1 window where
+    # steady state is 0.72 s
+    for _ in range(4):
         t0 = time.monotonic()
         search_stream(spark, index_dir, SearchRequest("error"), "ts").count()
         el = time.monotonic() - t0
