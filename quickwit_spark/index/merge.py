@@ -207,18 +207,25 @@ def execute_merge_round(
     # single sorted file (readers open split dirs as multi-file datasets).
     _fanout = max(1, int(os.environ.get("QW_MERGE_WRITE_FANOUT", "8")))
 
-    def write_moved(df, table: str, sort_cols: list[str]):
+    def write_moved(df, table: str, sort_cols: list[str], pre_partitioned: bool = False):
         """Write each output split DIRECTLY to its final partition dir —
         no temp dir, no directory rename (object-store-safe: output split
         ids are new and unpublished, so readers cannot see partial data;
         the catalog replace below is the only commit point).  Stale data
         from a crashed earlier attempt is prefix-deleted first, so a
-        retried merge self-heals without touching live splits."""
+        retried merge self-heals without touching live splits.
+
+        ``pre_partitioned``: the input partitioning already provides both
+        encode parallelism and sort-key-disjoint output files (map-only
+        remaps read with small scan partitions — one input split's rows
+        never interleave another's remapped doc range), so the
+        range-repartition shuffle is skipped entirely."""
         for sid in [op.output_split_id for op in ops]:
             storage.delete_dir(os.path.join(paths[table], f"split_id={sid}"))
+        if not pre_partitioned:
+            df = df.repartitionByRange(n_out * _fanout, "split_id", *sort_cols)
         (
-            df.repartitionByRange(n_out * _fanout, "split_id", *sort_cols)
-            .sortWithinPartitions("split_id", *sort_cols)
+            df.sortWithinPartitions("split_id", *sort_cols)
             .write.partitionBy("split_id")
             .option("parquet.block.size", str(_BLOCK_BYTES[table]))
             .mode("append")
@@ -240,12 +247,24 @@ def execute_merge_round(
             _t0 = now
 
     # --- docs: remap doc_id into the out split's dense range ----------------
-    docs = read("docs")
-    write_moved(
-        docs.withColumn("doc_id", F.col("doc_id") + off).withColumn("split_id", out),
-        "docs",
-        ["doc_id"],
-    )
+    # Map-only: the remap is per-row and each input split's remapped doc
+    # range is disjoint (additive offsets), so instead of shuffling the
+    # whole doc store through repartitionByRange just to parallelize the
+    # parquet encode, take the encode parallelism from the SCAN — small
+    # file partitions (docs is the biggest table; saves a full-data
+    # shuffle, measured 8.8s -> encode-only on a 1M-turn round)
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
+    try:
+        docs = read("docs")
+        write_moved(
+            docs.withColumn("doc_id", F.col("doc_id") + off).withColumn("split_id", out),
+            "docs",
+            ["doc_id"],
+            pre_partitioned=True,
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     _mark("docs")
 
     # --- postings: k-way merge per (out split, field, term) -----------------
