@@ -274,10 +274,18 @@ def execute_merge_round(
         .withColumn("ord", map_ord[F.col("split_id")])
         .withColumn("out_split", out)
     )
-    merged = postings.groupBy("out_split", "bucket").applyInPandas(
-        _merge_bucket_group, POSTINGS_SCHEMA
+    # ONE shuffle, not two: explicitly hash-partition on the grouping keys
+    # so applyInPandas reuses it (EnsureRequirements sees the clustering
+    # satisfied), and the merged output is written as-is.  Each task holds
+    # whole (out_split, bucket) groups, so every output file covers few
+    # buckets — file-level bucket pruning gets TIGHTER than the old
+    # range-partitioned fan-out, at <= n_buckets files per split.
+    merged = (
+        postings.repartition(n_out * _fanout, "out_split", "bucket")
+        .groupBy("out_split", "bucket")
+        .applyInPandas(_merge_bucket_group, POSTINGS_SCHEMA)
     )
-    write_moved(merged, "postings", ["bucket", "field", "term"])
+    write_moved(merged, "postings", ["bucket", "field", "term"], pre_partitioned=True)
     _mark("postings")
 
     # --- fastfields: re-base segments (no repack needed) ---------------------
