@@ -289,14 +289,22 @@ def execute_merge_round(
     _mark("postings")
 
     # --- fastfields: re-base segments (no repack needed) ---------------------
-    ff = read("fastfields")
-    write_moved(
-        ff.withColumn("base_doc", F.col("base_doc") + off)
-        .withColumn("seg_id", F.col("seg_id") + map_ord[F.col("split_id")] * 1_000_000)
-        .withColumn("split_id", out),
-        "fastfields",
-        ["seg_id"],
-    )
+    # map-only like docs: scan partitions provide the encode parallelism,
+    # no shuffle (re-based seg_id ranges are disjoint per input split)
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
+    try:
+        ff = read("fastfields")
+        write_moved(
+            ff.withColumn("base_doc", F.col("base_doc") + off)
+            .withColumn("seg_id", F.col("seg_id") + map_ord[F.col("split_id")] * 1_000_000)
+            .withColumn("split_id", out),
+            "fastfields",
+            ["seg_id"],
+            pre_partitioned=True,
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     _mark("fastfields")
 
     # --- metadata + atomic replaces ------------------------------------------
