@@ -416,6 +416,14 @@ def tx_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source", "copy_idx", "n_chars")
 
 
+def tx_shuffled_pack(spark, sf_dir):
+    """Deterministic training-order shuffle + packing: docs concatenated in
+    md5-hash order (reproducible epoch shuffle), cut into 256-token
+    sequences.  The sequential DuckDB twin certifies both the shuffle key
+    and the distributed prefix sum."""
+    return pk.shuffled_pack(_docs(spark, sf_dir), seq_len=256, salt="ep0")
+
+
 def tx_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style training batches): the
     placement map of every document into fixed 256-token sequences.  The
@@ -535,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_filter_corpus": tx_filter_corpus,
         "tx_mixture_sample": tx_mixture_sample,
         "tx_pack_sequences": tx_pack_sequences,
+        "tx_shuffled_pack": tx_shuffled_pack,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
@@ -671,6 +680,7 @@ FROM (
             + ")"
         ),
         "tx_pack_sequences": pk.pack_sequences_sql(seq_len=256),
+        "tx_shuffled_pack": pk.shuffled_pack_sql(seq_len=256, salt="ep0"),
         "sim_bruteforce_topk": sim.brute_force_topk_oracle_sql("embeddings", 5, 10),
         "sim_lsh_topk": sim.lsh_topk_oracle_sql(
             "embeddings", 5, 10, n_planes=10, seed=42, dim=64, multiprobe=1

@@ -82,10 +82,15 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    # NB: the key expression must reference id_col by its ORIGINAL name —
+    # select-expressions resolve against the input df, so building it
+    # against an alias would silently bind to any pre-existing column of
+    # that name (bit when shuffled_pack packs by a derived key while the
+    # input still carries its own doc_id)
     t = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens_col(text_col)).cast("long").alias("n"),
-        _monotone_key(df.select(F.col(id_col).alias("doc_id")), "doc_id").alias("_k"),
+        _monotone_key(df, id_col).alias("_k"),
     ).filter(F.col("n") > 0)
 
     p = int(num_buckets or t.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -196,3 +201,85 @@ def pack_stats(placement: DataFrame, seq_len: int) -> DataFrame:
             - F.sum(F.col("doc_tok_end") - F.col("doc_tok_start"))
         ).alias("pad_tokens"),
     )
+
+
+def shuffled_pack(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus SHUFFLE + concat-and-chunk packing — the actual
+    GPT-style training-order step: docs are concatenated in a pseudo-random
+    but reproducible order (so adjacent training sequences don't correlate
+    with corpus order), then cut at ``seq_len``.
+
+    The shuffle key is ``md5(salt:id) || ':' || id`` — engine-portable
+    (same lowercase hex in Spark and DuckDB), uniform in its 8-hex-char
+    prefix (so the prefix-sum bucketing stays balanced), and unique (the
+    raw id disambiguates md5 ties), making the order total and the
+    placement map deterministic at ANY parallelism.  Different salts draw
+    independent training orders (epoch reshuffling = bump the salt).
+
+    Same output schema as :func:`pack_sequences`, with ``doc_id`` mapped
+    back to the original id.  Cost on top of pack_sequences: none — the
+    key is one scan-side md5; the op remains one hash shuffle + two tiny
+    driver aggregates.
+    """
+    key = F.concat_ws(
+        ":",
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col).cast("string"),
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out = pack_sequences(
+        df.withColumn("_shuffle_key", key),
+        seq_len,
+        id_col="_shuffle_key",
+        text_col=text_col,
+    )
+    # md5 hex is fixed-width 32 + ':' — the original id starts at char 34
+    return out.select(
+        "seq_id",
+        F.substring(F.col("doc_id"), 34, 1 << 20).cast(id_type).alias("doc_id"),
+        "doc_tok_start",
+        "doc_tok_end",
+        "seq_tok_start",
+    )
+
+
+def shuffled_pack_sql(
+    seq_len: int = 2048,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> str:
+    """DuckDB twin of shuffled_pack: the same single-window prefix sum as
+    pack_sequences_sql, ordered by the identical md5 shuffle key."""
+    toks = duckdb_tokens(text_col)
+    key = (
+        f"md5('{salt}' || ':' || CAST({id_col} AS VARCHAR))"
+        f" || ':' || CAST({id_col} AS VARCHAR)"
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {key} AS sk, CAST(len({toks}) AS BIGINT) AS n
+  FROM {table}
+), o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY sk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start
+  FROM t WHERE n > 0
+)
+SELECT g.seq_id AS seq_id,
+       o.doc_id AS doc_id,
+       GREATEST(0, g.seq_id * {seq_len} - o.start) AS doc_tok_start,
+       LEAST(o.n, (g.seq_id + 1) * {seq_len} - o.start) AS doc_tok_end,
+       GREATEST(0, o.start - g.seq_id * {seq_len}) AS seq_tok_start
+FROM o CROSS JOIN
+     UNNEST(generate_series(o.start // {seq_len},
+                            (o.start + o.n - 1) // {seq_len})) AS g(seq_id)
+"""

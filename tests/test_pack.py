@@ -111,3 +111,42 @@ def test_pack_stats(spark):
 def test_pack_rejects_bad_seq_len(spark):
     with pytest.raises(ValueError):
         pack_sequences(_docs_df(spark, ["a"]), seq_len=0)
+
+
+def test_shuffled_pack_reorders_and_stays_exhaustive(spark):
+    """shuffled_pack: (a) gap-free/exhaustive like pack_sequences (same
+    total tokens, same per-doc coverage); (b) the order actually differs
+    from corpus order; (c) salts draw different orders; (d) deterministic
+    across parallelism and bucket counts (regression: the bucket key must
+    follow the SHUFFLE key, not a pre-existing doc_id column)."""
+    from quickwit_spark.pipeline.pack import shuffled_pack
+
+    texts = [" ".join(["w"] * (1 + i % 23)) for i in range(300)]
+    df = _docs_df(spark, texts)
+
+    plain = pack_sequences(df, seq_len=32).toPandas()
+    shuf = shuffled_pack(df, seq_len=32, salt="ep0").toPandas()
+    # same per-doc token coverage
+    cov = lambda p: p.groupby("doc_id").apply(  # noqa: E731
+        lambda g: (g["doc_tok_end"] - g["doc_tok_start"]).sum()
+    )
+    pd.testing.assert_series_equal(cov(plain), cov(shuf))
+    # order differs: per-doc global starts disagree somewhere
+    start = lambda p: (  # noqa: E731
+        p.sort_values(["doc_id", "doc_tok_start"]).groupby("doc_id").first()
+        .eval("seq_id * 32 + seq_tok_start - doc_tok_start")
+    )
+    assert (start(plain) != start(shuf)).any()
+    assert (start(shuf) != start(shuffled_pack(df, seq_len=32, salt="ep1").toPandas())).any()
+
+    a = shuffled_pack(df.repartition(1), seq_len=32, salt="ep0").toPandas()
+    b = shuffled_pack(df.repartition(13), seq_len=32, salt="ep0").toPandas()
+    key = ["seq_id", "doc_id", "doc_tok_start"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    pd.testing.assert_frame_equal(
+        shuf.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
