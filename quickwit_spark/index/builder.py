@@ -859,8 +859,10 @@ class _SplitAccumulator:
     def _write_postings_spilled(self) -> tuple:
         """Spill path: stream a k-way merge of the sorted on-disk runs plus
         the live accumulator straight into the final postings/termstats
-        parquet writers.  Peak memory is one 4096-row output batch + one
-        decoded row-group per run — independent of split size.  Per-term
+        parquet writers.  Peak memory is one decoded row-group per run plus
+        the pending merge batch (up to 2048 buffered term groups and their
+        concatenated decoded gap/tf arrays) — bounded by the batch size,
+        independent of split size.  Per-term
         entries arrive in run order == doc order (chunks encode in doc
         order, runs flush in chunk order), so merged doc_ids stay ascending
         exactly as in the resident path."""

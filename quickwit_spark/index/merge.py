@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable
 
@@ -198,16 +199,13 @@ def execute_merge_round(
     _blk = int(os.environ.get("QW_MERGE_BLOCK_BYTES", str(512 << 10)))
     _BLOCK_BYTES = {"postings": _blk, "docs": _blk, "fastfields": 4 << 20}
 
-    # Writer fan-out: repartition(n_out) would funnel each output split's
-    # whole rewrite through ONE task (parquet encode is single-threaded per
-    # writer — measured as the docs-stage bottleneck).  Range-partitioning
-    # on (split_id, sort key) into n_out*fanout tasks parallelizes the
-    # encode while keeping ≤fanout files per split whose sort-key ranges
-    # are DISJOINT, so file-level min/max pruning stays as tight as a
-    # single sorted file (readers open split dirs as multi-file datasets).
+    # Writer fan-out: sizes the postings range-repartition (n_out*fanout
+    # tasks — parquet encode is single-threaded per writer, so one task
+    # per output split would serialize the rewrite) and bounds files per
+    # split dir.
     _fanout = max(1, int(os.environ.get("QW_MERGE_WRITE_FANOUT", "8")))
 
-    def write_moved(df, table: str, sort_cols: list[str], pre_partitioned: bool = False):
+    def write_moved(df, table: str, sort_cols: list[str]):
         """Write each output split DIRECTLY to its final partition dir —
         no temp dir, no directory rename (object-store-safe: output split
         ids are new and unpublished, so readers cannot see partial data;
@@ -215,15 +213,16 @@ def execute_merge_round(
         from a crashed earlier attempt is prefix-deleted first, so a
         retried merge self-heals without touching live splits.
 
-        ``pre_partitioned``: the input partitioning already provides both
-        encode parallelism and sort-key-disjoint output files (map-only
-        remaps read with small scan partitions — one input split's rows
-        never interleave another's remapped doc range), so the
-        range-repartition shuffle is skipped entirely."""
+        The caller provides the partitioning: map-only remaps read with
+        small scan partitions (encode parallelism from the scan, nothing
+        shuffled — file-level sort ranges can interleave when a scan task
+        bin-packs files of several input splits, but readers filter with
+        exact predicates and row-group stats, so only file-level pruning
+        tightness is at stake); the postings merge arrives range-
+        partitioned on (out_split, bucket), so its files keep contiguous
+        disjoint bucket ranges."""
         for sid in [op.output_split_id for op in ops]:
             storage.delete_dir(os.path.join(paths[table], f"split_id={sid}"))
-        if not pre_partitioned:
-            df = df.repartitionByRange(n_out * _fanout, "split_id", *sort_cols)
         (
             df.sortWithinPartitions("split_id", *sort_cols)
             .write.partitionBy("split_id")
@@ -246,25 +245,28 @@ def execute_merge_round(
             print(f"merge-stage {stage}: {now - _t0:.2f}s", flush=True)
             _t0 = now
 
+    @contextmanager
+    def small_scan_partitions(nbytes: int = 8 << 20):
+        """Map-only rewrites take their encode parallelism from the SCAN:
+        small file partitions instead of a full-data shuffle."""
+        prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(nbytes))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
     # --- docs: remap doc_id into the out split's dense range ----------------
     # Map-only: the remap is per-row and each input split's remapped doc
-    # range is disjoint (additive offsets), so instead of shuffling the
-    # whole doc store through repartitionByRange just to parallelize the
-    # parquet encode, take the encode parallelism from the SCAN — small
-    # file partitions (docs is the biggest table; saves a full-data
-    # shuffle, measured 8.8s -> encode-only on a 1M-turn round)
-    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
-    try:
+    # range is disjoint (additive offsets), so nothing needs shuffling
+    # (docs is the biggest table; measured 8.8s -> 2.8s on a 1M-turn round)
+    with small_scan_partitions():
         docs = read("docs")
         write_moved(
             docs.withColumn("doc_id", F.col("doc_id") + off).withColumn("split_id", out),
             "docs",
             ["doc_id"],
-            pre_partitioned=True,
         )
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     _mark("docs")
 
     # --- postings: k-way merge per (out split, field, term) -----------------
@@ -274,26 +276,25 @@ def execute_merge_round(
         .withColumn("ord", map_ord[F.col("split_id")])
         .withColumn("out_split", out)
     )
-    # ONE shuffle, not two: explicitly hash-partition on the grouping keys
-    # so applyInPandas reuses it (EnsureRequirements sees the clustering
-    # satisfied), and the merged output is written as-is.  Each task holds
-    # whole (out_split, bucket) groups, so every output file covers few
-    # buckets — file-level bucket pruning gets TIGHTER than the old
-    # range-partitioned fan-out, at <= n_buckets files per split.
+    # ONE shuffle, not two: explicitly RANGE-partition on the grouping keys
+    # — Catalyst's EnsureRequirements accepts RangePartitioning as
+    # satisfying the groupBy clustering, so applyInPandas reuses the
+    # exchange — and the merged output is written as-is.  Range (not hash)
+    # keeps each task's buckets CONTIGUOUS, so every output file covers a
+    # tight disjoint (split, bucket) range and file-level min/max pruning
+    # stays as sharp as the old two-shuffle fan-out (hash scatter here
+    # measurably wrecked cold merged-split reads at the 10M-turn soak).
     merged = (
-        postings.repartition(n_out * _fanout, "out_split", "bucket")
+        postings.repartitionByRange(n_out * _fanout, "out_split", "bucket")
         .groupBy("out_split", "bucket")
         .applyInPandas(_merge_bucket_group, POSTINGS_SCHEMA)
     )
-    write_moved(merged, "postings", ["bucket", "field", "term"], pre_partitioned=True)
+    write_moved(merged, "postings", ["bucket", "field", "term"])
     _mark("postings")
 
     # --- fastfields: re-base segments (no repack needed) ---------------------
-    # map-only like docs: scan partitions provide the encode parallelism,
-    # no shuffle (re-based seg_id ranges are disjoint per input split)
-    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
-    try:
+    # map-only like docs (re-based seg_id ranges are disjoint per input)
+    with small_scan_partitions():
         ff = read("fastfields")
         write_moved(
             ff.withColumn("base_doc", F.col("base_doc") + off)
@@ -301,10 +302,7 @@ def execute_merge_round(
             .withColumn("split_id", out),
             "fastfields",
             ["seg_id"],
-            pre_partitioned=True,
         )
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     _mark("fastfields")
 
     # --- metadata + atomic replaces ------------------------------------------

@@ -869,12 +869,19 @@ def semdedup(
             )
         )
     else:
-        cents = F.broadcast(
-            df.filter(F.col(id_col) < n_cells).select(
-                F.col(id_col).alias("cent_id"),
-                F.col(vec_col).cast("array<double>").alias("centv"),
-            )
+        seed = df.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("centv"),
         )
+        if seed.limit(1).count() == 0:
+            # an empty quantizer would silently emit zero verdicts —
+            # refuse instead (string/offset id domains need `centroids`)
+            raise ValueError(
+                f"semdedup: no rows with {id_col} < {n_cells} to seed the "
+                "zero-train quantizer; pass centroids= (train_ivf_centroids) "
+                "for non-0-based or non-numeric id domains"
+            )
+        cents = F.broadcast(seed)
 
     # nearest cell per vector: min_by over (L2, cent_id) — partial-agg
     # combining, skew-free, never a corpus-wide window

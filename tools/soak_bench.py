@@ -100,6 +100,26 @@ def main() -> None:
             resp = search(spark, index_dir, req)
             times[name].append(time.monotonic() - t0)
             hits[name] = resp.num_hits
+    # merge-at-scale: consolidate the 52 fresh 200k-doc splits through the
+    # merge policy (one-shuffle postings + map-only docs/fastfields), then
+    # re-time the query classes on the merged layout
+    from quickwit_spark.index.catalog import Catalog
+    from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
+
+    t0 = time.monotonic()
+    run_merge_pipeline(spark, index_dir)
+    garbage_collect(index_dir)
+    merge_secs = max(round(time.monotonic() - t0, 1), 0.1)  # guard: no-op round
+    merged_splits = len(Catalog(index_dir).splits())
+    for req in queries.values():  # re-warm: new split dirs
+        search(spark, index_dir, req)
+    mtimes: dict[str, list] = {k: [] for k in queries}
+    for _ in range(args.repeats):
+        for name, req in queries.items():
+            t0 = time.monotonic()
+            search(spark, index_dir, req)
+            mtimes[name].append(time.monotonic() - t0)
+
     out = {
         "metric": "10M-turn soak: build turns/sec + query p50",
         "turns": n_turns,
@@ -109,6 +129,11 @@ def main() -> None:
         "queries_p50": {k: round(statistics.median(v), 3) for k, v in times.items()},
         "queries_min": {k: round(min(v), 3) for k, v in times.items()},
         "num_hits": hits,
+        "merge_secs": merge_secs,
+        "merged_splits": merged_splits,
+        "merge_turns_per_sec": round(n_turns / merge_secs, 0),
+        "queries_merged_p50": {k: round(statistics.median(v), 3) for k, v in mtimes.items()},
+        "queries_merged_min": {k: round(min(v), 3) for k, v in mtimes.items()},
         "cpus": args.cpus,
     }
     print(json.dumps(out), flush=True)
