@@ -55,6 +55,7 @@ from ..storage import storage_for
 from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import tf_norm
 from ..functions.codec import (
+    BLOCK,
     decode_blocks,
     decode_positions_subset,
     decode_postings,
@@ -337,24 +338,48 @@ def global_term_stats(
 
 
 class _SplitPostings:
-    """Decoded-on-demand posting lists of one split for the query terms."""
+    """Decoded-on-demand posting lists of one split for the query terms.
 
-    def __init__(self, pdf: pd.DataFrame):
+    An optional ``[lo, hi)`` docID range restricts every consumer-visible
+    doc list to that slice — the sub-split leaf unit (tantivy searches
+    segments of one index in parallel; our analog is doc ranges of one
+    split, planned by _leaf_bins for heavy queries on big merged splits).
+    Decodes stay whole-row (vectorized, cheap); the SCORING work above
+    this layer — BM25, top-k, phrase positions — sees only the slice."""
+
+    def __init__(self, pdf: pd.DataFrame, lo: int | None = None, hi: int | None = None):
         self.rows = {}
         for r in pdf.itertuples(index=False):
             self.rows[(r.field, r.term)] = r
+        self.lo, self.hi = lo, hi
+        self._raw_cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         self._cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+        self._off: dict[tuple[str, str], int] = {}
 
     def has(self, key) -> bool:
         return key in self.rows
 
-    def full(self, key) -> tuple[np.ndarray, np.ndarray]:
-        if key not in self._cache:
+    def _raw(self, key) -> tuple[np.ndarray, np.ndarray]:
+        """Whole-row decode (positions-run offsets must be computed against
+        the full tf array regardless of any doc-range slice)."""
+        if key not in self._raw_cache:
             r = self.rows.get(key)
             if r is None:
-                self._cache[key] = (np.empty(0, np.uint32), np.empty(0, np.uint32))
+                self._raw_cache[key] = (np.empty(0, np.uint32), np.empty(0, np.uint32))
             else:
-                self._cache[key] = decode_postings(r.blob)
+                self._raw_cache[key] = decode_postings(r.blob)
+        return self._raw_cache[key]
+
+    def full(self, key) -> tuple[np.ndarray, np.ndarray]:
+        if key not in self._cache:
+            d, t = self._raw(key)
+            if self.lo is not None:
+                s = int(np.searchsorted(d, self.lo))
+                e = int(np.searchsorted(d, self.hi))
+                self._off[key] = s
+                self._cache[key] = (d[s:e], t[s:e])
+            else:
+                self._cache[key] = (d, t)
         return self._cache[key]
 
     def candidates_only(self, key, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -383,8 +408,10 @@ class _SplitPostings:
         r = self.rows.get(key)
         if r is None or r.positions is None:
             return np.empty(0, np.uint32)
-        _, tfs = self.full(key)
-        return decode_positions_subset(r.positions, tfs, idx)
+        _, tfs = self._raw(key)
+        # callers index into the (possibly range-sliced) full() view —
+        # rebase to whole-row run indices
+        return decode_positions_subset(r.positions, tfs, idx + self._off.get(key, 0))
 
 
 def _sorted_member(a: np.ndarray, d: np.ndarray) -> np.ndarray:
@@ -498,14 +525,46 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     return np.unique((base >> np.uint64(32)).astype(np.int64))
 
 
-def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray, np.ndarray]:
+def _block_range(last_doc: np.ndarray, lo: int, hi: int) -> tuple[int, int]:
+    """Indices [b0, b1) of the posting blocks that can intersect docID range
+    [lo, hi) given the block_last_doc skip array (may over-include the two
+    boundary blocks; callers mask decoded docs to the range)."""
+    b0 = int(np.searchsorted(last_doc, lo))
+    b1 = min(int(np.searchsorted(last_doc, hi - 1)) + 1, len(last_doc))
+    return b0, b1
+
+
+def _term_count_in_range(row, lo: int, hi: int) -> int:
+    """Exact count of one term's docs inside [lo, hi): full blocks strictly
+    between the boundaries contribute their known sizes; only the (<= 2)
+    boundary blocks decode (the skip-data analog of tantivy's doc-count
+    metadata)."""
+    last_doc = np.asarray(row.block_last_doc, np.int64)
+    n, df = len(last_doc), int(row.doc_freq)
+    b0, b1 = _block_range(last_doc, lo, hi)
+    if b0 >= b1:
+        return 0
+    size = lambda i: BLOCK if i < n - 1 else df - BLOCK * (n - 1)  # noqa: E731
+    total = sum(size(i) for i in range(b0 + 1, b1 - 1))
+    edges = sorted({b0, b1 - 1})
+    d, _ = decode_blocks(row.blob, last_doc.astype(np.uint32), np.asarray(edges))
+    d = d.astype(np.int64)
+    total += int(((d >= lo) & (d < hi)).sum())
+    return total
+
+
+def _wand_single_term(
+    row, gstats, field, term, lens, n_top, lo=None, hi=None
+) -> tuple[np.ndarray, np.ndarray]:
     # ``lens`` is the field's exact per-doc length array for tokenized text
     # fields, or None for raw/typed fields (fieldnorm 1)
     """Block-max WAND for a single-term query: decode blocks in descending
     score-upper-bound order, stop once the running k-th best score beats the
     next block's bound (SURVEY.md §2.7 block-max WAND; here the bound is
     idf * tf_norm(block_max_tf, block_min_len), exact because tf_norm is
-    increasing in tf and decreasing in doc length)."""
+    increasing in tf and decreasing in doc length).  With a [lo, hi) doc
+    range only the intersecting blocks compete, and decoded boundary docs
+    are masked to the range before scoring."""
     last_doc = np.asarray(row.block_last_doc, np.int64)
     bmax_tf = np.asarray(row.block_max_tf, np.int64)
     bmin_len = np.maximum(np.asarray(row.block_min_len, np.int64), 1)
@@ -515,7 +574,14 @@ def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray
     # stable: equal-bound blocks stay in docID order, so the flat-score case
     # (raw fields: every doc scores idf) collects the LOWEST doc ids first —
     # exactly the tie-break winners
-    order = np.argsort(-bounds, kind="stable")
+    if lo is not None:
+        b0, b1 = _block_range(last_doc, lo, hi)
+        cand_blocks = np.arange(b0, b1)
+        order = cand_blocks[np.argsort(-bounds[cand_blocks], kind="stable")]
+        if len(order) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    else:
+        order = np.argsort(-bounds, kind="stable")
     last_doc_u32 = last_doc.astype(np.uint32)
     got_docs, got_scores = [], []
     topk = np.empty(0, np.float64)  # running best-k scores (unsorted)
@@ -534,6 +600,12 @@ def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray
             if j == i:
                 break
         d, t = decode_blocks(row.blob, last_doc_u32, np.sort(order[i:j]))
+        if lo is not None:
+            m = (d >= lo) & (d < hi)
+            d, t = d[m], t[m]
+            if len(d) == 0:
+                i, group = j, min(group * 2, 1024)
+                continue
         # raw-tokenizer fields hold one term per doc: fieldnorm is 1, not the
         # text length (block_min_len already stores 1 for these postings)
         dl = lens[d.astype(np.int64)] if lens is not None else np.ones(len(d), np.int64)
@@ -549,6 +621,8 @@ def _wand_single_term(row, gstats, field, term, lens, n_top) -> tuple[np.ndarray
         else:
             topk = merged
         i, group = j, min(group * 2, 1024)
+    if not got_docs:  # every block masked out by the doc range
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     return np.concatenate(got_docs), np.concatenate(got_scores)
 
 
@@ -689,7 +763,13 @@ def make_split_scorer(
     f_cols = fetch_cols(config)
     _EMPTY_DTYPES = {"turn_idx": np.int32, "ts_epoch": np.int64}
 
-    def score_split(key, postings_pdf: pd.DataFrame, ff_pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_split(
+        key,
+        postings_pdf: pd.DataFrame,
+        ff_pdf: pd.DataFrame,
+        lo: int | None = None,
+        hi: int | None = None,
+    ) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "split_id": pd.Series(dtype=object),
@@ -740,18 +820,16 @@ def make_split_scorer(
                 )
             return lens_cache[field]
 
-        postings = _SplitPostings(postings_pdf)
+        postings = _SplitPostings(postings_pdf, lo, hi)
 
         if single_term_wand and postings.has((ast.field, ast.term)):
+            row = postings.rows[(ast.field, ast.term)]
             docs, scores = _wand_single_term(
-                postings.rows[(ast.field, ast.term)],
-                gstats,
-                ast.field,
-                ast.term,
-                field_lens(ast.field),
-                n_top,
+                row, gstats, ast.field, ast.term, field_lens(ast.field), n_top, lo, hi
             )
-            num_hits = int(postings.rows[(ast.field, ast.term)].doc_freq)
+            num_hits = (
+                int(row.doc_freq) if lo is None else _term_count_in_range(row, lo, hi)
+            )
         elif disjunction_maxscore:
             docs, scores, num_hits = _maxscore_union(
                 postings,
@@ -1115,15 +1193,16 @@ def _leaf_hit_rows(
 
     def run(it):
         _limit_arrow_threads()
-        for sid in it:
+        for sid, u_lo, u_hi in it:
             ff_pdf = _cached_fastfields(index_dir, sid)
             if ff_pdf is None:  # GC raced us — root re-plans (see below)
                 yield {"split_id": sid, "__vanished__": True}
                 continue
             postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
-            out = scorer((sid,), postings_pdf, ff_pdf)
-            if len(out):
-                yield from out.to_dict("records")
+            out = scorer((sid,), postings_pdf, ff_pdf, u_lo, u_hi)
+            for rec in out.to_dict("records"):
+                rec["__lo"] = u_lo or 0  # root sums hits per disjoint range
+                yield rec
 
     est = _est_split_rows(ast, gstats, len(splits))
     # Tiny indexes + light queries: run the leaf in-process — the
@@ -1135,10 +1214,10 @@ def _leaf_hit_rows(
     if len(sids) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8")) and est * len(
         sids
     ) <= float(os.environ.get("QW_DRIVER_LEAF_MAX_ROWS", "50000")):
-        rows = list(run(sids))
+        rows = list(run([(s, None, None) for s in sids]))
     else:
         sc = spark.sparkContext
-        bins = _leaf_bins(splits, sc.defaultParallelism, est)
+        bins = _leaf_bins(splits, sc.defaultParallelism, est, _contains_phrase(ast))
         rows = sc.parallelize(bins, len(bins)).flatMap(run).collect()
     gone = [r["split_id"] for r in rows if r.get("__vanished__")]
     if gone:
@@ -1169,13 +1248,43 @@ def _est_split_rows(asts, gstats, n_splits: int) -> float:
     return total / max(n_splits, 1)
 
 
+def _contains_phrase(asts) -> bool:
+    """Does any query of the batch verify positions?  Doc-range units pay
+    off exactly there: position decode + adjacency verification dominates
+    and parallelizes, while term-only queries are decode-bound and ranges
+    would just duplicate the whole-row decode per range (measured: phrase
+    p50 6.9 s -> 2.3 s on 1M-doc merged splits, AND 1.2 s -> 1.7 s)."""
+
+    def walk(node) -> bool:
+        if isinstance(node, PhraseQuery):
+            return True
+        if isinstance(node, BoolQuery):
+            return any(walk(c) for c in (*node.must, *node.should, *node.must_not))
+        return False
+
+    return any(walk(a) for a in (asts if isinstance(asts, list) else [asts]))
+
+
 def _leaf_bins(
-    splits: list[SplitMetadata], default_parallelism: int, est_rows_per_split: float
-) -> list[list[str]]:
-    """Leaf task bins: pack QW_LEAF_SPLITS_PER_TASK splits per task (default
-    4) for LIGHT queries, one bin per core for HEAVY ones; bins fill by
-    longest-processing-time greedy on split doc counts so big (merged)
-    splits never stack into one task.
+    splits: list[SplitMetadata],
+    default_parallelism: int,
+    est_rows_per_split: float,
+    ranged_ok: bool = False,
+) -> list[list[tuple[str, int | None, int | None]]]:
+    """Leaf task bins of (split_id, doc_lo, doc_hi) units — (sid, None,
+    None) is a whole split.  Pack QW_LEAF_SPLITS_PER_TASK splits per task
+    (default 4) for LIGHT queries, one bin per core for HEAVY ones; bins
+    fill by longest-processing-time greedy on unit doc counts so big
+    (merged) splits never stack into one task.
+
+    HEAVY queries with ``ranged_ok`` (position-verifying, see
+    _contains_phrase) additionally carve splits above QW_LEAF_RANGE_DOCS
+    (default 256k) into contiguous doc ranges — the sub-split parallelism
+    analog of tantivy's segment-parallel search: a post-merge index of a
+    few 1M-doc splits would otherwise cap a query at num_splits tasks no
+    matter how many cores the cluster has.  Every query class slices its
+    doc lists to the range before the expensive work (BM25/top-k/positions)
+    and exact num_hits sums over disjoint ranges at the root.
 
     The reference plans 1 cost-unit per split but BATCHES all of a node's
     jobs into one gRPC leaf request (root.rs:280-284, cluster_client.rs) —
@@ -1192,17 +1301,29 @@ def _leaf_bins(
     per-split work clearly dominates it."""
     per = int(os.environ.get("QW_LEAF_SPLITS_PER_TASK", "4"))
     heavy_rows = float(os.environ.get("QW_LEAF_HEAVY_ROWS", "100000"))
-    n = len(splits)
-    if per > 0 and est_rows_per_split <= heavy_rows:
+    range_docs = int(os.environ.get("QW_LEAF_RANGE_DOCS", "262144"))
+    heavy = est_rows_per_split > heavy_rows
+    units: list[tuple[str, int | None, int | None, int]] = []
+    for s in splits:
+        if heavy and ranged_ok and range_docs > 0 and s.num_docs > range_docs * 3 // 2:
+            n_ranges = -(-s.num_docs // range_docs)
+            step = -(-s.num_docs // n_ranges)
+            for r in range(n_ranges):
+                u_lo, u_hi = r * step, min((r + 1) * step, s.num_docs)
+                units.append((s.split_id, u_lo, u_hi, u_hi - u_lo))
+        else:
+            units.append((s.split_id, None, None, max(s.num_docs, 1)))
+    n = len(units)
+    if per > 0 and not heavy:
         n_bins = max(1, min(default_parallelism, -(-n // per)))
     else:
         n_bins = max(1, min(n, default_parallelism))
-    bins: list[list[str]] = [[] for _ in range(n_bins)]
+    bins: list[list[tuple[str, int | None, int | None]]] = [[] for _ in range(n_bins)]
     load = [0] * n_bins
-    for s in sorted(splits, key=lambda s: (-s.num_docs, s.split_id)):
+    for sid, u_lo, u_hi, w in sorted(units, key=lambda u: (-u[3], u[0], u[1] or 0)):
         i = min(range(n_bins), key=load.__getitem__)
-        bins[i].append(s.split_id)
-        load[i] += max(s.num_docs, 1)
+        bins[i].append((sid, u_lo, u_hi))
+        load[i] += w
     return [b for b in bins if b]
 
 
@@ -1251,7 +1372,7 @@ def multi_search(
 
     def run(it):
         _limit_arrow_threads()
-        for sid in it:
+        for sid, u_lo, u_hi in it:
             ff_pdf = _cached_fastfields(index_dir, sid)
             if ff_pdf is None:  # GC raced us — root re-plans (SplitVanishedError)
                 yield {"split_id": sid, "__vanished__": True}
@@ -1260,9 +1381,10 @@ def multi_search(
             for qi, scorer in enumerate(scorers):
                 if sid not in wanted[qi]:
                     continue
-                out = scorer((sid,), postings_pdf, ff_pdf)
+                out = scorer((sid,), postings_pdf, ff_pdf, u_lo, u_hi)
                 for rec in out.to_dict("records"):
                     rec["__qi"] = qi
+                    rec["__lo"] = u_lo or 0
                     yield rec
 
     # per-split work here is the SUM over the batch's queries
@@ -1272,10 +1394,15 @@ def multi_search(
     elif len(sids) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8")) and est * len(
         sids
     ) <= float(os.environ.get("QW_DRIVER_LEAF_MAX_ROWS", "50000")):
-        rows = list(run(sids))  # in-process leaf, see _leaf_hit_rows
+        rows = list(run([(s, None, None) for s in sids]))  # in-process leaf
     else:
         sc = spark.sparkContext
-        bins = _leaf_bins(list(all_sids.values()), sc.defaultParallelism, est)
+        bins = _leaf_bins(
+            list(all_sids.values()),
+            sc.defaultParallelism,
+            est,
+            _contains_phrase([ast for _, ast, _ in plans]),
+        )
         rows = sc.parallelize(bins, len(bins)).flatMap(run).collect()
     if any(r.get("__vanished__") for r in rows):
         # concurrent merge+GC replaced splits mid-batch: re-plan the whole
@@ -1288,8 +1415,10 @@ def multi_search(
     responses = []
     for qi, (req, _, _) in enumerate(plans):
         hit_rows = [r for r in rows if r["__qi"] == qi]
-        per_split_hits = {r["split_id"]: int(r["split_num_hits"]) for r in hit_rows}
-        num_hits = sum(per_split_hits.values())
+        per_unit_hits = {
+            (r["split_id"], r.get("__lo", 0)): int(r["split_num_hits"]) for r in hit_rows
+        }
+        num_hits = sum(per_unit_hits.values())
         hit_rows.sort(key=_sort_key(req))
         page = hit_rows[req.start_offset : req.start_offset + req.max_hits]
         if page and "conv_id" not in page[0]:
@@ -1441,10 +1570,12 @@ def _search_rows(
     for attempt in (0, 1):
         try:
             hit_rows = _leaf_hit_rows(spark, index_dir, request)
-            per_split_hits: dict[str, int] = {}
+            # keyed per (split, range): sub-split units report disjoint
+            # counts that SUM to the split's exact total
+            per_unit_hits: dict[tuple[str, int], int] = {}
             for r in hit_rows:
-                per_split_hits[r["split_id"]] = int(r["split_num_hits"])
-            num_hits = sum(per_split_hits.values())
+                per_unit_hits[(r["split_id"], r.get("__lo", 0))] = int(r["split_num_hits"])
+            num_hits = sum(per_unit_hits.values())
             hit_rows.sort(key=_sort_key(request))
             page = hit_rows[request.start_offset : request.start_offset + request.max_hits]
             if page and "conv_id" not in page[0]:

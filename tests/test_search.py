@@ -311,13 +311,65 @@ def test_leaf_bins_partition_exactly():
     )
     def check(docs, cores, est):
         splits = [SplitMetadata(split_id=f"s{i:04d}", num_docs=d) for i, d in enumerate(docs)]
-        bins = _leaf_bins(splits, cores, est)
-        flat = [sid for b in bins for sid in b]
-        assert sorted(flat) == sorted(s.split_id for s in splits)
-        assert 1 <= len(bins) <= min(cores, len(splits))
-        # LPT guarantee: max bin load <= average + one largest item
-        w = {s.split_id: max(s.num_docs, 1) for s in splits}
-        loads = [sum(w[sid] for sid in b) for b in bins]
-        assert max(loads) <= sum(loads) / len(bins) + max(w.values())
+        bins = _leaf_bins(splits, cores, est, ranged_ok=True)
+        units = [u for b in bins for u in b]
+        # every split appears: whole (sid, None, None) or as ranges that
+        # tile [0, num_docs) exactly (heavy queries carve big splits)
+        by_sid: dict[str, list] = {}
+        for sid, lo, hi in units:
+            by_sid.setdefault(sid, []).append((lo, hi))
+        assert sorted(by_sid) == sorted(s.split_id for s in splits)
+        for s in splits:
+            ranges = sorted(by_sid[s.split_id])
+            if ranges == [(None, None)]:
+                continue
+            assert ranges[0][0] == 0 and ranges[-1][1] == s.num_docs
+            for (a_lo, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
+                assert a_hi == b_lo and a_lo < a_hi
+        assert 1 <= len(bins) <= min(cores, len(units))
+        # LPT guarantee: max bin load <= average + one largest unit
+        def w(u):
+            sid, lo, hi = u
+            return max(next(s.num_docs for s in splits if s.split_id == sid), 1) if lo is None else hi - lo
+        loads = [sum(w(u) for u in b) for b in bins]
+        assert max(loads) <= sum(loads) / len(bins) + max(w(u) for u in units)
 
     check()
+
+
+def test_ranged_leaf_units_result_identical(spark, built, monkeypatch):
+    """Sub-split doc-range units (heavy-query parallelism on big merged
+    splits) must be result-identical to whole-split execution — same
+    num_hits, rows, scores, order — for every query class incl. WAND,
+    MaxScore, phrase, NOT, ts filter, sort, and offsets.  Forces tiny
+    ranges (64 docs over 250-doc splits) and the heavy path via env."""
+    index_dir, _, _ = built
+    reqs = [
+        SearchRequest("deploy"),                       # single-term WAND
+        SearchRequest("the", max_hits=20),             # hot term WAND
+        SearchRequest("the OR error", max_hits=15),    # MaxScore
+        SearchRequest("deploy failure"),               # AND
+        SearchRequest("error NOT timeout"),            # NOT
+        SearchRequest('"the error"'),                  # phrase (positions)
+        SearchRequest("error", max_hits=7, start_timestamp=1767225600 + 40 * 86400),
+        SearchRequest("error", max_hits=10, sort_by_field="ts"),
+        SearchRequest("deploy", start_offset=5, max_hits=5),
+    ]
+    baseline = [search(spark, index_dir, r) for r in reqs]
+    monkeypatch.setenv("QW_DRIVER_LEAF_MAX_SPLITS", "0")  # force the job leaf
+    monkeypatch.setenv("QW_LEAF_HEAVY_ROWS", "0")         # everything "heavy"
+    monkeypatch.setenv("QW_LEAF_RANGE_DOCS", "64")        # carve 250-doc splits
+    from quickwit_spark.search import executor as ex
+    from quickwit_spark.search.executor import multi_search
+
+    # production gates ranges to position-verifying queries; force them on
+    # for every class so the ranged WAND/MaxScore/AND/NOT/ts/sort paths all
+    # stay covered
+    monkeypatch.setattr(ex, "_contains_phrase", lambda asts: True)
+
+    ranged = [search(spark, index_dir, r) for r in reqs]
+    batched = multi_search(spark, index_dir, reqs)
+    for a, b, c in zip(baseline, ranged, batched):
+        assert a.num_hits == b.num_hits == c.num_hits
+        key = lambda h: (h["split_id"], h["doc_id"], h["score"], h["sort_value"])  # noqa: E731
+        assert [key(h) for h in a.hits] == [key(h) for h in b.hits] == [key(h) for h in c.hits]
