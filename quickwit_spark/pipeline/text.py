@@ -372,3 +372,127 @@ def pii_scrub_sql(col: str = "text") -> dict[str, str]:
         scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
     exprs[f"{col}_scrubbed"] = scrub
     return exprs
+
+
+# -- self-perplexity (LM quality signal) ---------------------------------------
+
+
+def with_self_perplexity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """CCNet-style language-model quality signal: train an add-k-smoothed
+    BIGRAM LM on the corpus itself, then score every document by its mean
+    negative log-likelihood per bigram (high = out-of-distribution /
+    low-quality relative to the corpus).  CCNet buckets a corpus by LM
+    perplexity before training-data selection; the self-trained bigram LM
+    is the dependency-free analog.
+
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), with c(w1) the context
+    count (bigrams starting with w1) and V the corpus vocabulary size.
+
+    Per-bigram costs use the module's exact-integer scheme — micro-nats
+    ``floor(1e6 · -ln p)`` — summed as BIGINTs, so aggregation order can
+    never flip a rounding boundary between engines (the oracle sums
+    sequentially, Spark in partial-aggregate order).
+
+    Spark shape at 100 TB: one map-only explode, a hash agg on bigram
+    (map-side combined — hot bigrams never skew a reducer), a tiny agg on
+    context word, one equality join of the bigram stream against the
+    bigram-stats table, one agg back to docs.  No broadcast of the LM
+    (the bigram table scales with the corpus); V is the single driver
+    scalar.  Returns df's id column + (n_bigrams, nll_micro).
+    """
+    sep = "\x1f"
+    toks = tokens_col(text_col)
+    grams = df.select(
+        F.col(id_col), F.explode(_ngram_col(toks, 2)).alias("bg")
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("t")).agg(
+            F.countDistinct("t").alias("v")
+        ).collect()[0]["v"]
+    ) or 1
+    counts = grams.groupBy("bg").agg(F.count("*").alias("c12"))
+    ctx = (
+        counts.withColumn("w1", F.substring_index(F.col("bg"), sep, 1))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    bgstats = (
+        counts.withColumn("w1", F.substring_index(F.col("bg"), sep, 1))
+        .join(ctx, "w1")
+        .select(
+            "bg",
+            F.floor(
+                F.lit(1_000_000.0)
+                * -F.log(
+                    (F.col("c12") + F.lit(float(k)))
+                    / (F.col("c1") + F.lit(float(k)) * F.lit(float(vocab)))
+                )
+            ).alias("cost_micro"),
+        )
+    )
+    scored = (
+        grams.join(bgstats, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.floor(F.sum("cost_micro") / F.count("*")).cast("long").alias("nll_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("nll_micro", F.lit(0)).cast("long").alias("nll_micro"),
+        )
+    )
+
+
+def self_perplexity_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text", k: float = 0.5
+) -> str:
+    """DuckDB twin of with_self_perplexity: same LM, same exact-integer
+    micro-nat costs, sequential aggregation."""
+    toks = duckdb_tokens(text_col)
+    return f"""
+WITH grams AS (
+  SELECT {id_col}, array_to_string([g[1], g[2]], chr(31)) AS bg
+  FROM (
+    SELECT {id_col}, unnest(list_transform(
+      generate_series(1, greatest(len({toks}) - 1, 0)),
+      i -> {toks}[i:i+1])) AS g
+    FROM {table}
+  )
+),
+vocab AS (
+  SELECT greatest(count(DISTINCT t), 1) AS v
+  FROM (SELECT unnest({toks}) AS t FROM {table})
+),
+counts AS (SELECT bg, count(*) AS c12 FROM grams GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, chr(31), 1) AS w1, sum(c12) AS c1
+  FROM counts GROUP BY 1
+),
+bgstats AS (
+  SELECT bg,
+         CAST(floor(1000000.0 * -ln((c12 + {k}) / (c1 + {k} * vocab.v))) AS BIGINT)
+           AS cost_micro
+  FROM counts
+  JOIN ctx ON split_part(counts.bg, chr(31), 1) = ctx.w1
+  CROSS JOIN vocab
+),
+scored AS (
+  SELECT {id_col},
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(floor(sum(cost_micro) * 1.0 / count(*)) AS BIGINT) AS nll_micro
+  FROM grams JOIN bgstats USING (bg)
+  GROUP BY 1
+)
+SELECT t.{id_col},
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.nll_micro, 0) AS nll_micro
+FROM {table} t LEFT JOIN scored s USING ({id_col})
+"""

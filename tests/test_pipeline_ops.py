@@ -449,3 +449,32 @@ def test_mixture_sample_matches_duckdb(spark):
     )
     cols = sorted(got.columns)
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
+def test_self_perplexity(spark):
+    """Corpus-self-trained bigram LM: hand-computed micro-nat costs on a
+    3-doc corpus + DuckDB differential (the driver-oracle contract)."""
+    import math
+
+    import duckdb
+
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_micro"])
+        for r in tx.with_self_perplexity(df).collect()
+    }
+    # corpus bigrams: doc0 [ab, ba, ab], doc1 [ab, bc]; V = {a,b,c,x} = 4
+    # c(ab)=3, c(ba)=1, c(bc)=1; contexts: c1(a)=4 (ab x3 + ... wait ab
+    # starts with a: c1(a)=3? contexts are bigrams starting with w1:
+    # a->ab,ab,ab =3; b->ba,bc =2.
+    k, V = 0.5, 4
+    cost = lambda c12, c1: math.floor(1e6 * -math.log((c12 + k) / (c1 + k * V)))
+    c_ab, c_ba, c_bc = cost(3, 3), cost(1, 2), cost(1, 2)
+    assert out[2] == (0, 0)  # single token: no bigrams
+    assert out[0] == (3, math.floor((2 * c_ab + c_ba) / 3))
+    assert out[1] == (2, math.floor((c_ab + c_bc) / 2))
+
+    pdf = df.toPandas()  # noqa: F841
+    ora = duckdb.sql(tx.self_perplexity_sql("pdf")).fetchall()
+    assert {r[0]: (r[1], r[2]) for r in ora} == out
