@@ -416,6 +416,12 @@ def tx_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source", "copy_idx", "n_chars")
 
 
+def tx_corpus_stats(spark, sf_dir):
+    """Exact corpus token-length quantiles + totals from a value histogram
+    (no global sort, no approxQuantile) — the pre-packing corpus numbers."""
+    return tx.corpus_length_stats(_docs(spark, sf_dir))
+
+
 def tx_self_perplexity(spark, sf_dir):
     """CCNet-style LM quality signal: corpus-self-trained add-k bigram LM,
     per-doc mean negative log-likelihood in exact-integer micro-nats."""
@@ -551,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pack_sequences": tx_pack_sequences,
         "tx_shuffled_pack": tx_shuffled_pack,
         "tx_self_perplexity": tx_self_perplexity,
+        "tx_corpus_stats": tx_corpus_stats,
         "sim_bruteforce_topk": sim_bruteforce_topk,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
@@ -689,6 +696,7 @@ FROM (
         "tx_pack_sequences": pk.pack_sequences_sql(seq_len=256),
         "tx_shuffled_pack": pk.shuffled_pack_sql(seq_len=256, salt="ep0"),
         "tx_self_perplexity": tx.self_perplexity_sql("documents"),
+        "tx_corpus_stats": tx.corpus_length_stats_sql("documents"),
         "sim_bruteforce_topk": sim.brute_force_topk_oracle_sql("embeddings", 5, 10),
         "sim_lsh_topk": sim.lsh_topk_oracle_sql(
             "embeddings", 5, 10, n_planes=10, seed=42, dim=64, multiprobe=1

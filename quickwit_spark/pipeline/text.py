@@ -496,3 +496,75 @@ SELECT t.{id_col},
        COALESCE(s.nll_micro, 0) AS nll_micro
 FROM {table} t LEFT JOIN scored s USING ({id_col})
 """
+
+
+# -- corpus length statistics ---------------------------------------------------
+
+
+def corpus_length_stats(
+    df: DataFrame, col: str = "text", qs: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """EXACT token-length quantiles + totals for a corpus — the numbers a
+    training pipeline reads before picking seq_len / truncation / packing
+    parameters.
+
+    Exactness at 100 TB without a global sort: token counts have bounded
+    cardinality (a histogram of distinct lengths), so ONE map-side-combined
+    hash agg builds the value histogram, a window cumsum over the tiny
+    histogram (thousands of rows, one partition is fine) yields cumulative
+    counts, and quantile q is ``min(v) where cum >= ceil(q*n)`` — the same
+    closed formula the DuckDB twin evaluates, so both engines agree by
+    construction (no approxQuantile, no engine-specific quantile_disc).
+
+    Returns one row: n_docs, total_tokens, max_tokens, and q<pct> columns.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens_col(col)).alias("n")
+    hist = df.select(n_tok).groupBy("n").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    totals = df.select(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col(col))).cast("long").alias("total_tokens"),
+        F.max(F.size(tokens_col(col))).cast("long").alias("max_tokens"),
+    )
+    out = totals
+    for q in qs:
+        name = f"q{int(q * 100)}"
+        qv = (
+            cum.crossJoin(totals.select("n_docs"))
+            .filter(F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("n_docs")))
+            .agg(F.min("n").cast("long").alias(name))
+        )
+        out = out.crossJoin(qv)
+    return out
+
+
+def corpus_length_stats_sql(
+    table: str = "documents", col: str = "text", qs: tuple = (0.5, 0.9, 0.99)
+) -> str:
+    """DuckDB twin of corpus_length_stats (same histogram-cumsum formula)."""
+    toks = duckdb_tokens(col)
+    q_cols = ",\n       ".join(
+        f"(SELECT CAST(min(n) AS BIGINT) FROM cum "
+        f"WHERE cum >= ceil({q} * (SELECT n_docs FROM totals))) AS q{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+WITH hist AS (
+  SELECT len({toks}) AS n, count(*) AS c FROM {table} GROUP BY 1
+),
+cum AS (
+  SELECT n, sum(c) OVER (ORDER BY n) AS cum FROM hist
+),
+totals AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
+         CAST(max(len({toks})) AS BIGINT) AS max_tokens
+  FROM {table}
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, total_tokens, max_tokens,
+       {q_cols}
+FROM totals
+"""

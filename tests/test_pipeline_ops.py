@@ -478,3 +478,20 @@ def test_self_perplexity(spark):
     pdf = df.toPandas()  # noqa: F841
     ora = duckdb.sql(tx.self_perplexity_sql("pdf")).fetchall()
     assert {r[0]: (r[1], r[2]) for r in ora} == out
+
+
+def test_corpus_length_stats(spark):
+    """Exact histogram-cumsum quantiles: hand-checked on a known length
+    distribution + DuckDB differential."""
+    import duckdb
+
+    # lengths: 1..10 (one doc each) -> q50 = min n with cum >= 5 -> 5;
+    # q90 -> cum >= 9 -> 9; q99 -> cum >= ceil(9.9)=10 -> 10
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.corpus_length_stats(df).collect()[0]
+    assert (out["n_docs"], out["total_tokens"], out["max_tokens"]) == (10, 55, 10)
+    assert (out["q50"], out["q90"], out["q99"]) == (5, 9, 10)
+    pdf = df.toPandas()  # noqa: F841
+    ora = duckdb.sql(tx.corpus_length_stats_sql("pdf")).fetchone()
+    assert tuple(ora) == (10, 55, 10, 5, 9, 10)
