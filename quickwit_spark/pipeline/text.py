@@ -517,28 +517,37 @@ def corpus_length_stats(
     construction (no approxQuantile, no engine-specific quantile_disc).
 
     Returns one row: n_docs, total_tokens, max_tokens, and q<pct> columns.
+
+    ONE corpus scan total: everything (totals included) derives from the
+    collected histogram, which is metadata-scale at any corpus size.
     """
-    from pyspark.sql.window import Window
+    import math
 
     n_tok = F.size(tokens_col(col)).alias("n")
-    hist = df.select(n_tok).groupBy("n").agg(F.count("*").alias("c"))
-    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(w))
-    totals = df.select(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens_col(col))).cast("long").alias("total_tokens"),
-        F.max(F.size(tokens_col(col))).cast("long").alias("max_tokens"),
+    hist = (
+        df.select(n_tok).groupBy("n").agg(F.count("*").alias("c")).orderBy("n").collect()
     )
-    out = totals
+    ns = [int(r["n"]) for r in hist]
+    cs = [int(r["c"]) for r in hist]
+    n_docs = sum(cs)
+    row = {
+        "n_docs": n_docs,
+        "total_tokens": sum(n * c for n, c in zip(ns, cs)),
+        "max_tokens": max(ns) if ns else 0,
+    }
+    cum = 0
+    cums = []
+    for c in cs:
+        cum += c
+        cums.append(cum)
     for q in qs:
-        name = f"q{int(q * 100)}"
-        qv = (
-            cum.crossJoin(totals.select("n_docs"))
-            .filter(F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("n_docs")))
-            .agg(F.min("n").cast("long").alias(name))
+        need = math.ceil(q * n_docs)
+        row[f"q{int(q * 100)}"] = next(
+            (n for n, cm in zip(ns, cums) if cm >= need), 0
         )
-        out = out.crossJoin(qv)
-    return out
+    spark = df.sparkSession
+    cols = ", ".join(f"{k} long" for k in row)
+    return spark.createDataFrame([tuple(row.values())], cols)
 
 
 def corpus_length_stats_sql(
