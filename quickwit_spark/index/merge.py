@@ -293,12 +293,17 @@ def execute_merge_round(
     _mark("postings")
 
     # --- fastfields: re-base segments (no repack needed) ---------------------
-    # map-only like docs (re-based seg_id ranges are disjoint per input)
+    # map-only like docs.  The new seg_id IS the re-based base_doc: unique
+    # within the output split at ANY merge generation and ordered exactly
+    # like the docs, so the reader's sort_values("seg_id") concat stays in
+    # doc order.  (The previous ord*1_000_000 rebase collided when a merge
+    # op's inputs were themselves merged splits — second-generation merges
+    # silently scrambled segment order and with it BM25 fieldnorms.)
     with small_scan_partitions():
         ff = read("fastfields")
         write_moved(
             ff.withColumn("base_doc", F.col("base_doc") + off)
-            .withColumn("seg_id", F.col("seg_id") + map_ord[F.col("split_id")] * 1_000_000)
+            .withColumn("seg_id", F.col("base_doc"))
             .withColumn("split_id", out),
             "fastfields",
             ["seg_id"],

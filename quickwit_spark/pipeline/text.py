@@ -395,12 +395,16 @@ def with_self_perplexity(
     never flip a rounding boundary between engines (the oracle sums
     sequentially, Spark in partial-aggregate order).
 
-    Spark shape at 100 TB: one map-only explode, a hash agg on bigram
-    (map-side combined — hot bigrams never skew a reducer), a tiny agg on
-    context word, one equality join of the bigram stream against the
-    bigram-stats table, one agg back to docs.  No broadcast of the LM
-    (the bigram table scales with the corpus); V is the single driver
-    scalar.  Returns df's id column + (n_bigrams, nll_micro).
+    Spark shape at 100 TB: three map-only passes over the corpus (the
+    bigram explode feeds both the count agg and the scoring join and is
+    deliberately recomputed rather than cached — re-tokenizing a scan is
+    cheaper than persisting TBs of exploded bigrams; V is a third
+    count-distinct pass), a hash agg on bigram (map-side combined — hot
+    bigrams never skew a reducer), a tiny agg on context word, one
+    equality join of the bigram stream against the bigram-stats table,
+    one agg back to docs.  No broadcast of the LM (the bigram table
+    scales with the corpus); V is the single driver scalar.  Returns
+    df's id column + (n_bigrams, nll_micro).
     """
     sep = "\x1f"
     toks = tokens_col(text_col)
@@ -542,7 +546,7 @@ def corpus_length_stats(
         cums.append(cum)
     for q in qs:
         need = math.ceil(q * n_docs)
-        row[f"q{int(q * 100)}"] = next(
+        row[f"q{round(q * 100)}"] = next(
             (n for n, cm in zip(ns, cums) if cm >= need), 0
         )
     spark = df.sparkSession
@@ -556,10 +560,11 @@ def corpus_length_stats_sql(
     """DuckDB twin of corpus_length_stats (same histogram-cumsum formula)."""
     toks = duckdb_tokens(col)
     q_cols = ",\n       ".join(
-        f"(SELECT CAST(min(n) AS BIGINT) FROM cum "
-        f"WHERE cum >= ceil({q} * (SELECT n_docs FROM totals))) AS q{int(q * 100)}"
+        f"COALESCE((SELECT CAST(min(n) AS BIGINT) FROM cum "
+        f"WHERE cum >= ceil({q} * (SELECT n_docs FROM totals))), 0) AS q{round(q * 100)}"
         for q in qs
     )
+    # COALESCE everywhere: the Spark side emits 0s for an empty corpus
     return f"""
 WITH hist AS (
   SELECT len({toks}) AS n, count(*) AS c FROM {table} GROUP BY 1
@@ -569,8 +574,8 @@ cum AS (
 ),
 totals AS (
   SELECT count(*) AS n_docs,
-         CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
-         CAST(max(len({toks})) AS BIGINT) AS max_tokens
+         COALESCE(CAST(sum(len({toks})) AS BIGINT), 0) AS total_tokens,
+         COALESCE(CAST(max(len({toks})) AS BIGINT), 0) AS max_tokens
   FROM {table}
 )
 SELECT CAST(n_docs AS BIGINT) AS n_docs, total_tokens, max_tokens,

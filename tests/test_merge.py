@@ -235,9 +235,12 @@ def test_merged_files_keep_bounded_row_groups(spark, tmp_path_factory, monkeypat
 
 
 def test_merge_write_fanout(spark, tmp_path_factory, monkeypatch):
-    """With write fan-out > 1, a merged split's docs land in multiple files
-    whose doc_id ranges are DISJOINT (range partitioning on the sort key),
-    so file-level min/max pruning stays as tight as one sorted file."""
+    """Parallel-write layout contract of a merged split: the map-only docs
+    rewrite may interleave file-level doc_id ranges (scan tasks bin-pack
+    input files), but every file must be internally doc_id-sorted (row-group
+    stats prune the point lookups) and the union must be the exact dense
+    docID space; postings files must keep DISJOINT contiguous bucket ranges
+    (the range-partitioned one-shuffle write)."""
     import pyarrow.parquet as pq
 
     from quickwit_spark.search import executor as ex
@@ -253,22 +256,27 @@ def test_merge_write_fanout(spark, tmp_path_factory, monkeypatch):
     produced = run_merge_pipeline(spark, idx)
     assert produced
     sid = max(produced, key=lambda m: m.num_docs).split_id
-    files = ex._split_files(idx, "docs", sid)
-    assert len(files) > 1, "fan-out should write multiple files per split"
+    meta = next(m for m in produced if m.split_id == sid)
+
+    all_ids = []
+    for f in ex._split_files(idx, "docs", sid):
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids), f"docs file {f} not internally doc_id-sorted"
+        all_ids.extend(ids)
+    assert sorted(all_ids) == list(range(meta.num_docs))  # dense, no dup/loss
+
+    p_files = ex._split_files(idx, "postings", sid)
+    assert len(p_files) > 1, "fan-out should write multiple postings files"
     ranges = []
-    total = 0
-    for f in files:
+    for f in p_files:
         md = pq.ParquetFile(f).metadata
-        col = {md.schema.column(i).name: i for i in range(md.num_columns)}["doc_id"]
+        col = {md.schema.column(i).name: i for i in range(md.num_columns)}["bucket"]
         mins = [md.row_group(g).column(col).statistics.min for g in range(md.num_row_groups)]
         maxs = [md.row_group(g).column(col).statistics.max for g in range(md.num_row_groups)]
         ranges.append((min(mins), max(maxs)))
-        total += md.num_rows
     ranges.sort()
-    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
-        assert hi1 < lo2, f"file doc_id ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
-    meta = next(m for m in produced if m.split_id == sid)
-    assert total == meta.num_docs
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"postings bucket ranges interleave: {ranges}"
 
 
 def test_gc_stale_staged(spark, tmp_index_dir):
@@ -293,3 +301,64 @@ def test_gc_stale_staged(spark, tmp_index_dir):
     assert cat.splits([STAGED]) == []
     assert not os.path.exists(f"{tmp_index_dir}/docs/split_id=stale-1")
     assert cat.splits()  # published splits untouched
+
+
+def test_second_generation_merge_keeps_segment_order(spark, tmp_path_factory):
+    """Regression: merging MERGED splits must keep fastfield segments unique
+    and doc-ordered.  The old seg_id rebase (+ord*1_000_000) collided when a
+    merge op's inputs were themselves merge outputs — a 3x3-then-1x3 merge
+    tree produced duplicate seg_ids, scrambled the reader's seg_id-sorted
+    doc_lens/ts concat, and silently changed BM25 scores and ts sorts."""
+    from quickwit_spark.index.merge import MergeOperation, execute_merge_round
+
+    pdf = generate_transcripts(n_conversations=45, seed=7)
+    cfg = transcripts_config(split_num_docs_target=100, segment_num_docs_target=32)
+    index_dir = str(tmp_path_factory.mktemp("idx-gen2"))
+    build_index(spark, spark.createDataFrame(pdf), cfg, index_dir)
+    cat = Catalog(index_dir)
+    sids = sorted(s.split_id for s in cat.splits([PUBLISHED]))
+    assert len(sids) >= 9, sids
+    docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+    docs = docs[docs["split_id"].isin(sids)]
+    oracle = OracleIndex(docs, cfg)
+
+    # round 1: three 3-way merges; round 2: merge the three outputs
+    gen1 = [
+        MergeOperation(split_ids=sids[i : i + 3], output_split_id=f"g1-{i}")
+        for i in range(0, 9, 3)
+    ]
+    execute_merge_round(spark, index_dir, gen1)
+    garbage_collect(index_dir)
+    execute_merge_round(
+        spark,
+        index_dir,
+        [MergeOperation(split_ids=[f"g1-{i}" for i in range(0, 9, 3)], output_split_id="g2-0")],
+    )
+    garbage_collect(index_dir)
+
+    ff = spark.read.parquet(f"{index_dir}/fastfields").toPandas()
+    ff = ff[ff["split_id"] == "g2-0"].sort_values("seg_id")
+    assert ff["seg_id"].is_unique
+    assert (ff["seg_id"].to_numpy() == ff["base_doc"].to_numpy()).all()
+
+    leftovers = docs[~docs["split_id"].isin(sids[:9])]
+    for q in ["error", "deploy failure", "the OR deploy"]:
+        req = SearchRequest(q, max_hits=10, sort_by_field=None)
+        resp = search(spark, index_dir, req)
+        exp = oracle.search(req)
+        assert resp.num_hits == exp["num_hits"], q
+        for g, w in zip(resp.hits, exp["hits"]):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-6), q
+    # sort-by-ts reads the segment-concatenated ts fast field: the engine's
+    # sort_value must be each hit's true ts (scrambled segments returned
+    # other docs' timestamps here under the old rebase)
+    resp = search(spark, index_dir, SearchRequest("error", max_hits=10, sort_by_field="ts"))
+    exp = oracle.search(SearchRequest("error", max_hits=10, sort_by_field="ts"))
+    assert [(h["conv_id"], h["turn_idx"]) for h in resp.hits] == [
+        (h["conv_id"], h["turn_idx"]) for h in exp["hits"]
+    ]
+    true_ts = {
+        (r.conv_id, r.turn_idx): int(r.ts_epoch) for r in docs.itertuples(index=False)
+    }
+    for h in resp.hits:
+        assert h["sort_value"] == true_ts[(h["conv_id"], h["turn_idx"])]

@@ -465,9 +465,8 @@ def test_self_perplexity(spark):
         for r in tx.with_self_perplexity(df).collect()
     }
     # corpus bigrams: doc0 [ab, ba, ab], doc1 [ab, bc]; V = {a,b,c,x} = 4
-    # c(ab)=3, c(ba)=1, c(bc)=1; contexts: c1(a)=4 (ab x3 + ... wait ab
-    # starts with a: c1(a)=3? contexts are bigrams starting with w1:
-    # a->ab,ab,ab =3; b->ba,bc =2.
+    # c(ab)=3, c(ba)=1, c(bc)=1; context counts (bigrams starting with w1):
+    # c1(a) = |ab,ab,ab| = 3; c1(b) = |ba,bc| = 2
     k, V = 0.5, 4
     cost = lambda c12, c1: math.floor(1e6 * -math.log((c12 + k) / (c1 + k * V)))
     c_ab, c_ba, c_bc = cost(3, 3), cost(1, 2), cost(1, 2)
