@@ -283,7 +283,10 @@ def cmd_ingest(args) -> dict:
             return {"cmd": "ingest", "error": f"no source {args.source!r}"}
         input_path = src["params"].get("path", input_path)
         fmt = src["params"].get("format", src["source_type"])
-        build_id = f"{args.source}-{args.build_id}"
+        # '//' cannot appear in a source id (add_source rejects '/'), so the
+        # prefix is unambiguous: deleting source 'app' can never touch
+        # 'app-errors'-scoped checkpoints
+        build_id = f"{args.source}//{args.build_id}"
     if input_path is None:
         return {"cmd": "ingest", "error": "pass --input or --source"}
     if cfg.doc_mapper_json is not None and fmt not in ("parquet",):
@@ -384,7 +387,7 @@ def cmd_source(args) -> dict:
         src = cat.sources().get(args.source_id)
         if src is None:
             return {"cmd": "source-describe", "error": f"no source {args.source_id!r}"}
-        cp = {k: v for k, v in cat.checkpoint().items() if k.startswith(f"{args.source_id}-")}
+        cp = {k: v for k, v in cat.checkpoint().items() if k.startswith(f"{args.source_id}//")}
         return {"cmd": "source-describe", "source_id": args.source_id, **src, "checkpoint": cp}
     try:
         cat.delete_source(args.source_id)
@@ -504,7 +507,7 @@ def cmd_delete(args) -> dict:
         return {"cmd": "delete", "error": "pass --yes to confirm deletion"}
     cat = Catalog(args.index_dir)
     sids = [s.split_id for s in cat.splits(states=(STAGED, PUBLISHED))]
-    cat.replace_splits([], sids)  # mark every split MarkedForDeletion
+    cat.mark_for_deletion(sids)
     deleted = garbage_collect(args.index_dir)
     shutil.rmtree(args.index_dir, ignore_errors=True)
     return {"cmd": "delete", "index_dir": args.index_dir, "deleted_splits": deleted}

@@ -161,10 +161,13 @@ def _paths(index_dir: str) -> dict[str, str]:
     }
 
 
-def _expand_parquet_paths(paths: list[str]) -> list[str]:
+def _expand_parquet_paths(paths: list[str], strict: bool = False) -> list[str]:
     """Flatten files-or-directories into a parquet file list (a termstats
     delta is a single file from the driver path or a directory of parts from
-    the Spark path)."""
+    the Spark path).  ``strict`` raises on a missing path — a COMMITTED
+    delta that is gone means wrong global doc_freq, which must be loud (the
+    caller retries against a fresh catalog first: a concurrent compaction
+    legitimately swaps the delta list)."""
     out: list[str] = []
     for p in paths:
         st = storage_for(p)
@@ -175,6 +178,8 @@ def _expand_parquet_paths(paths: list[str]) -> list[str]:
             out.extend(st.list_files(p))
         elif info.type == pafs.FileType.File:
             out.append(p)
+        elif strict:
+            raise FileNotFoundError(f"committed termstats delta missing: {p}")
     return out
 
 

@@ -239,13 +239,45 @@ class Catalog:
         self.update(apply)
 
     def replace_splits(self, new_split_ids: list[str], replaced_split_ids: list[str]) -> None:
-        """Merge/compaction transaction (reference publisher.rs:109-127)."""
+        """Merge/compaction transaction (reference publisher.rs:109-127).
+
+        Validated inside the same read-modify-write transaction, like
+        publish_splits: every new split must be STAGED and every replaced
+        split PUBLISHED.  Without the latter check, two concurrent merge
+        rounds planned from the same catalog snapshot would BOTH replace
+        the same inputs — the loser re-marking already-dead splits and
+        publishing a second copy of the same documents (the reference's
+        metastore rejects this class too, SplitsNotStaged/NotPublished)."""
 
         def apply(state):
+            for sid in new_split_ids:
+                s = state["splits"].get(sid)
+                if s is None or s["state"] != STAGED:
+                    raise ValueError(
+                        f"replace_splits: new split {sid!r} is not staged"
+                    )
+            for sid in replaced_split_ids:
+                s = state["splits"].get(sid)
+                if s is None or s["state"] != PUBLISHED:
+                    raise ValueError(
+                        f"replace_splits: replaced split {sid!r} is not "
+                        "published (lost a concurrent merge race?)"
+                    )
             for sid in new_split_ids:
                 state["splits"][sid]["state"] = PUBLISHED
             for sid in replaced_split_ids:
                 state["splits"][sid]["state"] = MARKED_FOR_DELETION
+
+        self.update(apply)
+
+    def mark_for_deletion(self, split_ids: list[str]) -> None:
+        """Unconditional state flip for index deletion / GC administration —
+        NOT the merge transaction (replace_splits validates states)."""
+
+        def apply(state):
+            for sid in split_ids:
+                if sid in state["splits"]:
+                    state["splits"][sid]["state"] = MARKED_FOR_DELETION
 
         self.update(apply)
 
@@ -258,6 +290,10 @@ class Catalog:
 
     def add_source(self, source_id: str, source_type: str, params: dict) -> None:
         def apply(state):
+            if "/" in source_id:
+                # '/' is reserved: source-scoped checkpoint keys are
+                # '{source_id}//...' and the delete prefix must be exact
+                raise ValueError(f"source id may not contain '/': {source_id!r}")
             srcs = state.setdefault("sources", {})
             if source_id in srcs:
                 raise ValueError(f"source {source_id!r} already exists")
@@ -268,7 +304,9 @@ class Catalog:
     def delete_source(self, source_id: str) -> None:
         """Remove the source and ITS checkpoint entries (the reference
         deletes a source's checkpoint with it; ingest build ids are
-        prefixed '{source_id}-', so its positions are the prefixed keys)."""
+        prefixed '{source_id}//', a separator no source id can contain —
+        a raw '-' prefix also matched sibling sources like 'app-errors'
+        when deleting 'app', destroying their exactly-once state)."""
 
         def apply(state):
             srcs = state.setdefault("sources", {})
@@ -276,7 +314,7 @@ class Catalog:
                 raise KeyError(f"no source {source_id!r}")
             del srcs[source_id]
             cp = state["checkpoint"]
-            for k in [k for k in cp if k.startswith(f"{source_id}-")]:
+            for k in [k for k in cp if k.startswith(f"{source_id}//")]:
                 del cp[k]
 
         self.update(apply)

@@ -144,6 +144,24 @@ def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _merge_tags(inputs: list[SplitMetadata], max_values: int) -> list[str]:
+    """Tags of a merged split.  A field's exhaustive marker ``f!`` survives
+    only if EVERY input carried it — an input whose distinct count exceeded
+    the cap published NO tags for the field, so the union of the others is
+    not exhaustive and pruning on it would silently drop matching splits
+    (a plain union of input tags had exactly that bug).  The per-split cap
+    re-applies to the merged value union (packager.rs:210-247 semantics)."""
+    fields = {t[:-1] for s in inputs for t in s.tags if t.endswith("!")}
+    out: list[str] = []
+    for f_ in fields:
+        if all(f"{f_}!" in s.tags for s in inputs):
+            vals = {t for s in inputs for t in s.tags if t.startswith(f"{f_}:")}
+            if len(vals) <= max_values:
+                out.extend(vals)
+                out.append(f"{f_}!")
+    return sorted(out)
+
+
 def execute_merge_round(
     spark: SparkSession,
     index_dir: str,
@@ -313,10 +331,11 @@ def execute_merge_round(
     # --- metadata + atomic replaces ------------------------------------------
     if failpoint is not None:  # 'before-merge-publish' injection point
         failpoint("before-publish")  # (merge_executor.rs:287,294 analog)
+    max_tag_vals = IndexConfig.from_dict(cat.config_dict).max_values_per_tag_field
     produced = []
     for op in ops:
         inputs = inputs_of[op.output_split_id]
-        tags = sorted(set().union(*[set(s.tags) for s in inputs])) if inputs else []
+        tags = _merge_tags(inputs, max_tag_vals)
         len_sums: dict[str, int] = {}
         for s in inputs:
             for f_, v in s.field_len_sums.items():
@@ -411,14 +430,25 @@ def garbage_collect(index_dir: str, include_staged: bool = False) -> list[str]:
     live = {os.path.basename(d) for d in cat._state["termstats"]["deltas"]}
     # a delta is a single file (driver-aggregated) or a directory of parts
     # (Spark-aggregated) — anything under ddir not named in the catalog is
-    # an orphan from a crashed publish/compaction
+    # an orphan from a crashed publish/compaction.  GRACE PERIOD: a publish
+    # in flight writes its delta BEFORE its catalog commit, so a young
+    # unreferenced file may belong to a concurrent writer — deleting it
+    # would silently zero that batch's global doc_freq.  Only files older
+    # than QW_GC_GRACE_SECS (default 600) are swept.
+    grace = float(os.environ.get("QW_GC_GRACE_SECS", "600"))
     if storage.exists(ddir):
+        import time as _time
+
         import pyarrow.fs as pafs
 
+        now = _time.time()
         sel = pafs.FileSelector(storage.fs_path(ddir), allow_not_found=True)
         for i in storage.fs.get_file_info(sel):
             name = os.path.basename(i.path)
             if name in live:
+                continue
+            mtime = i.mtime.timestamp() if i.mtime is not None else 0.0
+            if now - mtime < grace:
                 continue
             if i.type == pafs.FileType.Directory:
                 storage.delete_dir(os.path.join(ddir, name))
@@ -479,6 +509,19 @@ def execute_demux(
     config = IndexConfig.from_dict(cat.config_dict)
     if demux_field not in config.fields:
         raise ValueError(f"demux field {demux_field!r} not in schema")
+    # demux REBUILDS splits from the doc store: an indexed-but-unstored
+    # field has no source column there, so its postings would silently
+    # vanish from the outputs — refuse instead
+    unstored = [
+        name
+        for name, m in config.fields.items()
+        if getattr(m, "is_indexed", False) and not getattr(m, "stored", True)
+    ]
+    if unstored:
+        raise ValueError(
+            f"demux rebuilds from stored fields only; indexed-but-unstored "
+            f"fields would lose their postings: {unstored}"
+        )
     paths = _paths(index_dir)
     storage = storage_for(index_dir)
     dirs = [

@@ -191,7 +191,7 @@ def resolve_sort(request: SearchRequest, config: IndexConfig) -> SearchRequest:
         raise ValueError(
             f"cannot sort by f64 fast field {request.sort_by_field!r}: the "
             "engine sorts integer-class fast fields only (reference u64 "
-            "contract); f64 fast fields are exportable, not sortable"
+            "contract); scan the index's fastfields table for f64 columns"
         )
     return request
 
@@ -295,7 +295,22 @@ def global_term_stats(
 
         delta_files = cat.termstats_files()
         if delta_files is not None:
-            files = _expand_parquet_paths(delta_files)
+            try:
+                files = _expand_parquet_paths(delta_files, strict=True)
+            except FileNotFoundError:
+                # a concurrent compaction swapped the delta list between our
+                # catalog read and the file read — retry against a fresh
+                # catalog; a SECOND miss is real corruption and raises
+                cat = Catalog(index_dir)
+                delta_files = cat.termstats_files()
+                if delta_files is None:  # deltas dropped entirely → fallback
+                    files = [
+                        f
+                        for s in cat.splits()
+                        for f in _split_files(index_dir, "postings", s.split_id)
+                    ]
+                else:
+                    files = _expand_parquet_paths(delta_files, strict=True)
         else:
             files = [
                 f
@@ -880,8 +895,12 @@ def make_split_scorer(
         if mode == "stream":
             take = np.arange(len(docs))
         elif sort_field is not None:
+            # stay in int64: a float64 cast collapses distinct sort values
+            # above 2^53 (e.g. nanosecond-epoch fast fields) and returns a
+            # wrong page boundary (_fast_field_values rejects f64 for the
+            # same reason); _topk_take is dtype-agnostic
             sgn = -1 if request.sort_asc else 1
-            take = _topk_take(sgn * sv.astype(np.float64), docs, n_top)
+            take = _topk_take(sgn * sv.astype(np.int64), docs, n_top)
         else:
             take = _topk_take(scores, docs, n_top)
         out = pd.DataFrame(
@@ -1644,11 +1663,30 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 
 
+def _resolve_fast_field(spark, index_dir: str, fast_field: str) -> str:
+    """Export-side fast-field name resolution, mirroring resolve_sort: the
+    index's declared timestamp field streams from the ts plumbing column,
+    and f64 fast fields are rejected loudly (the stream schema is i64;
+    read the fastfields table directly for doubles)."""
+    _, config = open_index(spark, index_dir)
+    if fast_field == config.timestamp_field:
+        return "ts"
+    if fast_field in config.extra_fast_float_fields:
+        raise ValueError(
+            f"cannot stream f64 fast field {fast_field!r}: the stream "
+            "schema is integer-class (reference u64 contract); scan the "
+            "index's fastfields table for f64 columns"
+        )
+    return fast_field
+
+
 def search_stream(
     spark: SparkSession, index_dir: str, request: SearchRequest, fast_field: str
 ) -> DataFrame:
     """Search-stream fast-field export (search_stream/leaf.rs:71-255 analog):
     the requested fast-field value of EVERY matching doc, no top-k."""
+    out_name = fast_field
+    fast_field = _resolve_fast_field(spark, index_dir, fast_field)
     req = SearchRequest(
         query=request.query,
         max_hits=request.max_hits,
@@ -1660,7 +1698,7 @@ def search_stream(
     )
     hits, splits, ast, config = _leaf_hits_df(spark, index_dir, req, mode="stream")
     return hits.select(
-        "split_id", "doc_id", F.col("sort_value").alias(fast_field)
+        "split_id", "doc_id", F.col("sort_value").alias(out_name)
     )
 
 
@@ -1682,9 +1720,11 @@ def export_stream(
       fast-field path); without partition_by, a single payload row.
     The partition column is fetched through the doc store (fetch_docs
     semantics), so any stored column can partition the export."""
+    out_name = fast_field
+    fast_field = _resolve_fast_field(spark, index_dir, fast_field)
     req = _dc_replace(request, start_offset=0, sort_by_field=fast_field)
     hits_df, splits, _ast, _config = _leaf_hits_df(spark, index_dir, req, mode="stream")
-    hits = hits_df.select("split_id", "doc_id", F.col("sort_value").alias(fast_field))
+    hits = hits_df.select("split_id", "doc_id", F.col("sort_value").alias(out_name))
     if partition_by is not None:
         # the doc-store side of the partition-by join scans ONLY the
         # query's candidate splits: split_id is the partition column, so
@@ -1698,7 +1738,7 @@ def export_stream(
         hits = hits.join(docs, ["split_id", "doc_id"])
     if output_format == "csv":
         # backticks: generic-schema column names may be dotted leaves
-        cols = ([f"`{partition_by}`"] if partition_by else []) + [f"`{fast_field}`"]
+        cols = ([f"`{partition_by}`"] if partition_by else []) + [f"`{out_name}`"]
         return hits.select(*[F.col(c) for c in cols])
     if output_format != "rowbinary":
         raise ValueError(f"unknown output format {output_format!r}")
@@ -1706,7 +1746,7 @@ def export_stream(
     key = partition_by or "__part"
     grouped = hits.select(
         (F.col(f"`{partition_by}`") if partition_by else F.lit("")).alias(key),
-        F.col(f"`{fast_field}`").alias("v"),
+        F.col(f"`{out_name}`").alias("v"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -216,13 +216,20 @@ class _Parser:
     def parse_signed_clause(self):
         t = self.peek()
         if t == "NOT":
+            # negation COMPOSES with whatever sign the inner clause carries
+            # ('NOT NOT x' requires x; swallowing the inner sign silently
+            # inverted stacked negations)
             self.next()
-            _, clause = self.parse_signed_clause()
-            return "-", clause
-        if t in ("+", "-"):
+            sign, clause = self.parse_signed_clause()
+            return ("-" if sign == "+" else "+"), clause
+        if t == "-":
             self.next()
-            _, clause = self.parse_signed_clause()
-            return t, clause
+            sign, clause = self.parse_signed_clause()
+            return ("-" if sign == "+" else "+"), clause
+        if t == "+":
+            # '+' is a no-op marker: it keeps the inner sign ('+-x' == '-x')
+            self.next()
+            return self.parse_signed_clause()
         return "+", self.parse_clause(None)
 
     def parse_clause(self, bound_field: str | None):

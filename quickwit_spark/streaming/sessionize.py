@@ -122,14 +122,24 @@ def sessionize_conversations(
                 [pdf[ts_col].astype("int64").to_numpy() // 10**9 for pdf in pdf_iter]
             ).astype(np.int64)
             runs = _sweep_merge(runs + [(int(t), int(t), 1) for t in ts], gap)
-        # close every run the watermark has passed; keep the rest open
+        # close every run the watermark has STRICTLY passed; keep the rest
+        # open.  Strict `<` matches the merge rule `s - end <= gap`: an
+        # event at ts == end+gap is still admissible at watermark == end+gap
+        # (Spark keeps events at exactly the watermark) and must coalesce
+        # into the run, not start a second session
         wm_sec = state.getCurrentWatermarkMs() // 1000
-        closed = [r for r in runs if r[1] + gap <= wm_sec]
-        open_ = [r for r in runs if r[1] + gap > wm_sec]
+        closed = [r for r in runs if r[1] + gap < wm_sec]
+        open_ = [r for r in runs if r[1] + gap >= wm_sec]
         if open_:
             state.update(_pack(open_))
-            # earliest close point; guaranteed > watermark because open
-            state.setTimeoutTimestamp(min(r[1] for r in open_) * 1000 + gap * 1000)
+            # earliest close point, clamped strictly past the watermark (a
+            # run held open at exactly end+gap == wm closes on the next tick)
+            state.setTimeoutTimestamp(
+                max(
+                    min(r[1] for r in open_) * 1000 + gap * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         else:
             state.remove()
         yield emit(closed)

@@ -128,7 +128,7 @@ def test_source_management_and_source_scoped_ingest(spark, tmp_path):
 
     desc = cmd_source(ns(index_dir=idx, action="describe", source_id="s1"))
     assert desc["source_type"] == "parquet" and desc["checkpoint"]  # positions recorded
-    assert all(k.startswith("s1-") for k in desc["checkpoint"])
+    assert all(k.startswith("s1//") for k in desc["checkpoint"])
 
     cmd_source(ns(index_dir=idx, action="delete", source_id="s1"))
     assert cmd_source(ns(index_dir=idx, action="list"))["sources"] == {}

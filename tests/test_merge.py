@@ -362,3 +362,66 @@ def test_second_generation_merge_keeps_segment_order(spark, tmp_path_factory):
     }
     for h in resp.hits:
         assert h["sort_value"] == true_ts[(h["conv_id"], h["turn_idx"])]
+
+
+def test_merged_tags_drop_non_exhaustive_marker():
+    """A field's 'f!' exhaustive marker survives a merge only if EVERY
+    input carried it: one over-cap input (no tags) must strip the merged
+    split of the marker, or tag pruning would drop splits that match."""
+    from quickwit_spark.index.merge import _merge_tags
+
+    a = SplitMetadata(split_id="a", num_docs=1, tags=["tool:t1", "tool!"])
+    b = SplitMetadata(split_id="b", num_docs=1, tags=[])  # over-cap input
+    assert _merge_tags([a, b], max_values=1000) == []
+    c = SplitMetadata(split_id="c", num_docs=1, tags=["tool:t2", "tool!"])
+    assert _merge_tags([a, c], max_values=1000) == ["tool!", "tool:t1", "tool:t2"]
+    # the merged union re-applies the per-split cap
+    assert _merge_tags([a, c], max_values=1) == []
+    # fields merge independently
+    d = SplitMetadata(split_id="d", num_docs=1, tags=["role:x", "role!", "tool:t3", "tool!"])
+    e = SplitMetadata(split_id="e", num_docs=1, tags=["role:y", "role!"])
+    assert _merge_tags([d, e], max_values=10) == ["role!", "role:x", "role:y"]
+
+
+def test_replace_splits_validates_states(spark, tmp_path_factory):
+    """Concurrent-merge guard: replacing a non-published split (lost race)
+    or publishing a non-staged new split must fail inside the catalog
+    transaction instead of double-publishing the same documents."""
+    pdf = generate_transcripts(n_conversations=6, seed=5)
+    idx = str(tmp_path_factory.mktemp("idx-replace"))
+    cfg = transcripts_config(split_num_docs_target=40, segment_num_docs_target=16)
+    build_index(spark, spark.createDataFrame(pdf), cfg, idx)
+    cat = Catalog(idx)
+    sids = [s.split_id for s in cat.splits([PUBLISHED])][:2]
+    m = SplitMetadata(split_id="m-x", num_docs=1)
+    cat.stage_split(m)
+    with pytest.raises(ValueError, match="not staged"):
+        cat.replace_splits(["never-staged"], sids)
+    cat.replace_splits(["m-x"], sids)  # first merge wins
+    m2 = SplitMetadata(split_id="m-y", num_docs=1)
+    cat.stage_split(m2)
+    with pytest.raises(ValueError, match="not published"):
+        cat.replace_splits(["m-y"], sids)  # loser of the race fails loudly
+
+
+def test_demux_refuses_indexed_unstored_fields(spark, tmp_path_factory):
+    """Demux rebuilds from the doc store; an indexed-but-unstored field
+    would silently lose its postings — refuse instead."""
+    from quickwit_spark.config import FieldMapping
+    from quickwit_spark.index.merge import execute_demux
+
+    import dataclasses
+
+    pdf = generate_transcripts(n_conversations=4, seed=9)
+    pdf["hidden"] = "x"
+    cfg = transcripts_config(split_num_docs_target=40, segment_num_docs_target=16)
+    cfg = dataclasses.replace(
+        cfg,
+        field_mappings=tuple(cfg.field_mappings)
+        + (FieldMapping(name="hidden", type="text", indexed=True, stored=False),),
+    )
+    idx = str(tmp_path_factory.mktemp("idx-demux-guard"))
+    build_index(spark, spark.createDataFrame(pdf), cfg, idx)
+    sids = [s.split_id for s in Catalog(idx).splits([PUBLISHED])]
+    with pytest.raises(ValueError, match="unstored"):
+        execute_demux(spark, idx, sids, "tool")

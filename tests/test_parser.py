@@ -134,3 +134,20 @@ def test_tag_predicate():
     p3 = extract_tag_predicate(ast3, ("role",))
     assert p3({"role!", "role:beta"}, True)
     assert not p3({"role!", "role:gamma"}, True)
+
+
+def test_stacked_signs_compose():
+    """Negation parity: 'NOT NOT x' requires x; '+' is a no-op marker, so
+    '+-x' and '-+x' both exclude x (the old parser swallowed the inner
+    sign, inverting every stacked form)."""
+    from quickwit_spark.config import transcripts_config
+    from quickwit_spark.search.parser import BoolQuery, parse_query
+
+    cfg = transcripts_config()
+    double_not = parse_query("error NOT NOT fatal", cfg)
+    assert isinstance(double_not, BoolQuery)
+    assert [t.term for t in double_not.must] == ["error", "fatal"]
+    assert double_not.must_not == []
+    for q in ("error +-fatal", "error -+fatal", "error NOT fatal"):
+        ast = parse_query(q, cfg)
+        assert [t.term for t in ast.must_not] == ["fatal"], q

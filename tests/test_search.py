@@ -373,3 +373,23 @@ def test_ranged_leaf_units_result_identical(spark, built, monkeypatch):
         assert a.num_hits == b.num_hits == c.num_hits
         key = lambda h: (h["split_id"], h["doc_id"], h["score"], h["sort_value"])  # noqa: E731
         assert [key(h) for h in a.hits] == [key(h) for h in b.hits] == [key(h) for h in c.hits]
+
+
+def test_topk_sort_values_above_2_53_stay_exact():
+    """Fast-field sorts must not round through float64: int64 sort values
+    above 2^53 (e.g. nanosecond-epoch fields) differing by small deltas
+    must still order exactly (the old call site cast to float64, collapsing
+    them and returning a wrong page boundary)."""
+    from quickwit_spark.search.executor import _topk_take
+
+    base = 1 << 60
+    sv = np.array([base, base + 100, base + 50, base + 1], dtype=np.int64)
+    docs = np.array([0, 1, 2, 3], dtype=np.int64)
+    # descending (sgn=1): winners are +100, +50
+    take = _topk_take((1 * sv).astype(np.int64), docs, 2)
+    assert docs[take].tolist() == [1, 2]
+    # ascending (sgn=-1): winners are +0, +1
+    take = _topk_take((-1 * sv).astype(np.int64), docs, 2)
+    assert docs[take].tolist() == [0, 3]
+    # the float64 cast this replaces really does collapse these values
+    assert len(np.unique(sv.astype(np.float64))) < len(sv)

@@ -178,3 +178,26 @@ def test_lifecycle_df_consistency(spark, corpus, tmp_index_dir):
     garbage_collect(tmp_index_dir)
     check()
     assert len(Catalog(tmp_index_dir).termstats_files()) == 1  # compacted
+
+
+def test_gc_grace_period_spares_young_orphan_deltas(
+    spark, corpus, tmp_index_dir, monkeypatch
+):
+    """A freshly written unreferenced delta may belong to a publish whose
+    catalog commit is in flight — GC must leave it alone until the grace
+    period passes (deleting it would silently zero that batch's df)."""
+    import os
+
+    from quickwit_spark.index.merge import garbage_collect
+
+    cfg = transcripts_config(split_num_docs_target=150, segment_num_docs_target=64)
+    build_index(spark, spark.createDataFrame(corpus), cfg, tmp_index_dir)
+    ddir = os.path.join(tmp_index_dir, "termstats_deltas")
+    orphan = os.path.join(ddir, "in-flight-publish.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not-yet-committed")
+    garbage_collect(tmp_index_dir)  # default grace: young orphan survives
+    assert os.path.exists(orphan)
+    monkeypatch.setenv("QW_GC_GRACE_SECS", "0")
+    garbage_collect(tmp_index_dir)  # past the grace period: swept
+    assert not os.path.exists(orphan)
