@@ -283,10 +283,14 @@ def cmd_ingest(args) -> dict:
             return {"cmd": "ingest", "error": f"no source {args.source!r}"}
         input_path = src["params"].get("path", input_path)
         fmt = src["params"].get("format", src["source_type"])
-        # '//' cannot appear in a source id (add_source rejects '/'), so the
+        # '~~' cannot appear in a source id (add_source rejects '~'), so the
         # prefix is unambiguous: deleting source 'app' can never touch
-        # 'app-errors'-scoped checkpoints
-        build_id = f"{args.source}//{args.build_id}"
+        # 'app-errors'-scoped checkpoints.  The separator must also be
+        # path-safe: build ids flow into split ids, which become hive
+        # partition directory names (split_id=<sid>) — a '/' in there
+        # nests the layout and breaks every partition-discovery read
+        # (merge, demux, export)
+        build_id = f"{args.source}~~{args.build_id}"
     if input_path is None:
         return {"cmd": "ingest", "error": "pass --input or --source"}
     if cfg.doc_mapper_json is not None and fmt not in ("parquet",):
@@ -387,7 +391,7 @@ def cmd_source(args) -> dict:
         src = cat.sources().get(args.source_id)
         if src is None:
             return {"cmd": "source-describe", "error": f"no source {args.source_id!r}"}
-        cp = {k: v for k, v in cat.checkpoint().items() if k.startswith(f"{args.source_id}//")}
+        cp = {k: v for k, v in cat.checkpoint().items() if k.startswith(f"{args.source_id}~~")}
         return {"cmd": "source-describe", "source_id": args.source_id, **src, "checkpoint": cp}
     try:
         cat.delete_source(args.source_id)

@@ -290,10 +290,13 @@ class Catalog:
 
     def add_source(self, source_id: str, source_type: str, params: dict) -> None:
         def apply(state):
-            if "/" in source_id:
-                # '/' is reserved: source-scoped checkpoint keys are
-                # '{source_id}//...' and the delete prefix must be exact
-                raise ValueError(f"source id may not contain '/': {source_id!r}")
+            if "/" in source_id or "~" in source_id:
+                # '~' is reserved: source-scoped checkpoint keys (= split
+                # ids) are '{source_id}~~...' and the delete prefix must be
+                # exact; '/' would nest the split_id=<sid> partition dirs
+                raise ValueError(
+                    f"source id may not contain '/' or '~': {source_id!r}"
+                )
             srcs = state.setdefault("sources", {})
             if source_id in srcs:
                 raise ValueError(f"source {source_id!r} already exists")
@@ -304,7 +307,7 @@ class Catalog:
     def delete_source(self, source_id: str) -> None:
         """Remove the source and ITS checkpoint entries (the reference
         deletes a source's checkpoint with it; ingest build ids are
-        prefixed '{source_id}//', a separator no source id can contain —
+        prefixed '{source_id}~~', a separator no source id can contain —
         a raw '-' prefix also matched sibling sources like 'app-errors'
         when deleting 'app', destroying their exactly-once state)."""
 
@@ -314,7 +317,7 @@ class Catalog:
                 raise KeyError(f"no source {source_id!r}")
             del srcs[source_id]
             cp = state["checkpoint"]
-            for k in [k for k in cp if k.startswith(f"{source_id}//")]:
+            for k in [k for k in cp if k.startswith(f"{source_id}~~")]:
                 del cp[k]
 
         self.update(apply)
@@ -331,11 +334,24 @@ class Catalog:
 
     def compact_termstats(self, new_delta: str, replaced: list[str]) -> None:
         """Swap ``replaced`` delta entries for the single compacted one
-        (atomic; the merge-round compaction commit)."""
+        (atomic; the merge-round compaction commit).
+
+        Validated inside the transaction like replace_splits: every replaced
+        delta must still be committed.  Without the check, two compactions
+        planned from the same catalog snapshot would BOTH append a full-sum
+        compacted delta — doubling every term's global doc_freq (silently
+        wrong BM25 idf) instead of failing the losing round."""
         gone = set(replaced)
 
         def apply(state):
             ts = state["termstats"]
+            missing = gone - set(ts["deltas"])
+            if missing:
+                raise ValueError(
+                    "compact_termstats: replaced delta(s) no longer "
+                    f"committed (lost a concurrent compaction race?): "
+                    f"{sorted(missing)}"
+                )
             ts["deltas"] = [d for d in ts["deltas"] if d not in gone] + [new_delta]
 
         self.update(apply)

@@ -398,8 +398,19 @@ def compact_termstats_deltas(spark: SparkSession, index_dir: str) -> str | None:
     )
     if new_rel is None:
         return None
-    cat.compact_termstats(new_rel, old)
     storage = storage_for(index_dir)
+    try:
+        cat.compact_termstats(new_rel, old)
+    except ValueError:
+        # lost a concurrent-compaction race: the committed delta list moved
+        # under us.  Compaction is opportunistic — drop our orphan output
+        # and let the next round fold the winner's state instead.
+        p = os.path.join(index_dir, new_rel)
+        if storage.isdir(p):
+            storage.delete_dir(p)
+        elif storage.exists(p):
+            storage.delete_file(p)
+        return None
     for d in old:  # committed — the replaced files are garbage now
         p = os.path.join(index_dir, d)
         if storage.isdir(p):

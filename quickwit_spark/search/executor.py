@@ -586,9 +586,6 @@ def _wand_single_term(
     avg = gstats["avg_len"].get(field, 1.0) or 1.0
     term_idf = bm25_idf(gstats["df"].get((field, term), row.doc_freq), gstats["num_docs"])
     bounds = term_idf * tf_norm(bmax_tf.astype(np.float64), bmin_len, avg)
-    # stable: equal-bound blocks stay in docID order, so the flat-score case
-    # (raw fields: every doc scores idf) collects the LOWEST doc ids first —
-    # exactly the tie-break winners
     if lo is not None:
         b0, b1 = _block_range(last_doc, lo, hi)
         cand_blocks = np.arange(b0, b1)
@@ -598,19 +595,42 @@ def _wand_single_term(
     else:
         order = np.argsort(-bounds, kind="stable")
     last_doc_u32 = last_doc.astype(np.uint32)
+    if lens is None and (len(bmax_tf) == 0 or int(bmax_tf.max()) <= 1):
+        # Flat-score fast path (raw/typed fields, tf==1 everywhere): every doc
+        # scores exactly idf, so the top-k under (score desc, doc_id asc) is
+        # simply the n_top LOWEST doc ids.  Decode blocks in doc order and
+        # stop once enough in-range docs are collected — keeping ties correct
+        # without the general path's equal-bound decode-everything worst case.
+        blocks = np.sort(order)
+        got, n_got = [], 0
+        i = 0
+        while i < len(blocks) and n_got < n_top:
+            j = min(i + 8, len(blocks))
+            d, _t = decode_blocks(row.blob, last_doc_u32, blocks[i:j])
+            if lo is not None:
+                d = d[(d >= lo) & (d < hi)]
+            got.append(d.astype(np.int64))
+            n_got += len(d)
+            i = j
+        docs = np.concatenate(got) if got else np.empty(0, np.int64)
+        flat = float(tf_norm(np.ones(1), np.ones(1, np.int64), avg)[0])
+        return docs, np.full(len(docs), term_idf * flat)
     got_docs, got_scores = [], []
     topk = np.empty(0, np.float64)  # running best-k scores (unsorted)
     threshold = -np.inf
     i, group = 0, 8
     while i < len(order):
-        if len(topk) >= n_top and bounds[order[i]] <= threshold:
+        # strict <: a block whose bound EQUALS the running k-th best may hold
+        # docs that tie on score and win the (score desc, doc_id asc)
+        # tie-break — same reasoning as _maxscore_union's strict prune test
+        if len(topk) >= n_top and bounds[order[i]] < threshold:
             break
         # geometric batching: decode whole groups of blocks per call (one
         # header parse, one threshold update), doubling so the degenerate
         # no-prune case costs O(log blocks) calls instead of one per block
         j = min(i + group, len(order))
         if len(topk) >= n_top:
-            alive = np.flatnonzero(bounds[order[i:j]] > threshold)
+            alive = np.flatnonzero(bounds[order[i:j]] >= threshold)
             j = i + (int(alive[-1]) + 1 if len(alive) else 0)
             if j == i:
                 break

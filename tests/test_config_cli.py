@@ -121,6 +121,10 @@ def test_source_management_and_source_scoped_ingest(spark, tmp_path):
     assert "error" in cmd_source(ns(index_dir=idx, action="add", source_id="s1", type="parquet", params="{}"))
     assert "s1" in cmd_source(ns(index_dir=idx, action="list"))["sources"]
 
+    # '~' (the scope separator) and '/' (hive-partition-dir breaker) are
+    # rejected in source ids so the '{source}~~{build}' prefix stays exact
+    assert "error" in cmd_source(ns(index_dir=idx, action="add", source_id="a~b", type="parquet", params="{}"))
+
     rep = cmd_ingest(ns(index_dir=idx, input=None, source="s1", build_id="b0",
                         config=None, split_docs=1, segment_docs=1,
                         local_cpus=None, shuffle_partitions=None))
@@ -128,7 +132,21 @@ def test_source_management_and_source_scoped_ingest(spark, tmp_path):
 
     desc = cmd_source(ns(index_dir=idx, action="describe", source_id="s1"))
     assert desc["source_type"] == "parquet" and desc["checkpoint"]  # positions recorded
-    assert all(k.startswith("s1//") for k in desc["checkpoint"])
+    assert all(k.startswith("s1~~") for k in desc["checkpoint"])
+
+    # split ids embed the source-scoped build id and are used verbatim as
+    # split_id=<sid> partition directory names: they must be '/'-free and
+    # survive the partition-discovery readers (merge reads with basePath)
+    from quickwit_spark.index.merge import run_merge_pipeline
+
+    sids = [s.split_id for s in Catalog(idx).splits()]
+    assert sids and all("/" not in s and s.startswith("s1~~b0-") for s in sids)
+    run_merge_pipeline(spark, idx)  # would null-out doc_id offsets pre-fix
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    resp = search(spark, idx, SearchRequest(query="the", max_hits=5))
+    assert resp.num_hits > 0
 
     cmd_source(ns(index_dir=idx, action="delete", source_id="s1"))
     assert cmd_source(ns(index_dir=idx, action="list"))["sources"] == {}

@@ -393,3 +393,77 @@ def test_topk_sort_values_above_2_53_stay_exact():
     assert docs[take].tolist() == [0, 3]
     # the float64 cast this replaces really does collapse these values
     assert len(np.unique(sv.astype(np.float64))) < len(sv)
+
+
+def test_wand_keeps_score_ties_eligible():
+    """A block whose score upper bound EQUALS the running k-th best must
+    still be decoded: it can hold docs that tie on score and win the
+    (score desc, doc_id asc) tie-break (collector.rs:103-120 semantics).
+    Regression: the prune test used <= and dropped the tie block."""
+    from types import SimpleNamespace
+
+    from quickwit_spark.functions.bm25 import tf_norm
+    from quickwit_spark.functions.codec import encode_postings
+    from quickwit_spark.search.executor import _wand_single_term
+
+    # 10 blocks of 128 postings.  Block 0: docs 0..127, tf=1, len=100
+    # (every doc scores exactly idf * tf_norm(1, 100, avg=100) = idf).
+    # Blocks 1..9: docs k*1000..k*1000+127, tf=4; in block 1 doc 1000 has
+    # len=100 (top score) and doc 1001 len=500 (scores exactly idf too:
+    # 4*(k1+1)/(4*(1+k1)) == 1), everything else len=10000 (low).
+    doc_ids = np.concatenate(
+        [np.arange(128)] + [np.arange(k * 1000, k * 1000 + 128) for k in range(1, 10)]
+    ).astype(np.uint32)
+    tfs = np.concatenate([np.ones(128), np.full(9 * 128, 4)]).astype(np.uint32)
+    blob, last_doc, bmax_tf = encode_postings(doc_ids, tfs)
+    lens = np.full(10_000, 10_000, np.int64)
+    lens[:128] = 100
+    lens[1000] = 100
+    lens[1001] = 500
+    # block-min-len metadata: block 0 -> 100 (bound == idf), blocks 1..9
+    # -> 100 (bound = idf * tf_norm(4, 100, 100) > idf)
+    row = SimpleNamespace(
+        blob=blob,
+        block_last_doc=last_doc,
+        block_max_tf=bmax_tf,
+        block_min_len=np.full(10, 100, np.int64),
+        doc_freq=len(doc_ids),
+    )
+    gstats = {"avg_len": {"text": 100.0}, "df": {("text", "t"): len(doc_ids)}, "num_docs": 10_000}
+    docs, scores = _wand_single_term(row, gstats, "text", "t", lens, n_top=2)
+    # after 9 high-bound blocks the threshold equals block 0's bound exactly;
+    # block 0 must still be decoded — doc 0 ties doc 1001 and wins on doc_id
+    assert 0 in docs
+    tie = scores[docs == 0][0]
+    assert tie == scores[docs == 1001][0]
+    by_rank = sorted(zip(scores, -docs), key=lambda x: (-x[0], -x[1]))
+    top2 = [int(-d) for _, d in by_rank[:2]]
+    assert top2 == [1000, 0]
+
+
+def test_wand_flat_raw_field_fast_path():
+    """Raw/typed postings (fieldnorm 1, tf==1 everywhere) score flat: the
+    top-k is the n_top lowest doc ids, and the fast path must return them
+    without decoding the whole list."""
+    from types import SimpleNamespace
+
+    from quickwit_spark.functions.codec import encode_postings
+    from quickwit_spark.search.executor import _wand_single_term
+
+    doc_ids = np.arange(0, 2000, 2, dtype=np.uint32)  # 1000 docs, 8 blocks
+    tfs = np.ones(len(doc_ids), np.uint32)
+    blob, last_doc, bmax_tf = encode_postings(doc_ids, tfs)
+    row = SimpleNamespace(
+        blob=blob,
+        block_last_doc=last_doc,
+        block_max_tf=bmax_tf,
+        block_min_len=np.ones(len(last_doc), np.int64),
+        doc_freq=len(doc_ids),
+    )
+    gstats = {"avg_len": {"role": 1.0}, "df": {("role", "user"): 1000}, "num_docs": 5000}
+    docs, scores = _wand_single_term(row, gstats, "role", "user", None, n_top=5)
+    assert sorted(docs.tolist())[:5] == [0, 2, 4, 6, 8]
+    assert len(set(scores.tolist())) == 1
+    # range-restricted: winners are the lowest in-range docs
+    docs, _ = _wand_single_term(row, gstats, "role", "user", None, n_top=3, lo=500, hi=1000)
+    assert sorted(docs.tolist())[:3] == [500, 502, 504]

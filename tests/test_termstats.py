@@ -201,3 +201,33 @@ def test_gc_grace_period_spares_young_orphan_deltas(
     monkeypatch.setenv("QW_GC_GRACE_SECS", "0")
     garbage_collect(tmp_index_dir)  # past the grace period: swept
     assert not os.path.exists(orphan)
+
+
+def test_concurrent_compaction_loser_aborts_cleanly(spark, corpus, tmp_index_dir):
+    """Two compactions planned from the same delta list must not BOTH
+    commit a full-sum compacted delta (that doubles every term's global
+    doc_freq).  The loser's catalog commit is rejected and its orphan
+    output file is dropped; global stats stay exact."""
+    from quickwit_spark.index.merge import compact_termstats_deltas
+
+    half = len(corpus) // 2
+    _build(spark, corpus.iloc[:half], tmp_index_dir, build_id="b0")
+    _build(spark, corpus.iloc[half:], tmp_index_dir, build_id="b1")
+    cat = Catalog(tmp_index_dir)
+    stale = list(cat._state["termstats"]["deltas"])
+    assert len(stale) == 2
+    before = _gstats_df(spark, tmp_index_dir, TERMS)
+
+    # winner compacts for real
+    assert compact_termstats_deltas(spark, tmp_index_dir) is not None
+    # loser: planned from the stale snapshot — direct catalog commit rejected
+    with pytest.raises(ValueError, match="concurrent compaction"):
+        Catalog(tmp_index_dir).compact_termstats("termstats_deltas/loser", stale)
+    # and the high-level entry aborts as a no-op (single delta: nothing to do)
+    assert compact_termstats_deltas(spark, tmp_index_dir) is None
+
+    cat = Catalog(tmp_index_dir)
+    assert len(cat.termstats_files()) == 1
+    assert _gstats_df(spark, tmp_index_dir, TERMS) == before
+    ddir = os.path.join(tmp_index_dir, "termstats_deltas")
+    assert sorted(os.listdir(ddir)) == [os.path.basename(cat.termstats_files()[0])]
