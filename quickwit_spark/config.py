@@ -411,6 +411,21 @@ def config_from_any(d: dict) -> IndexConfig:
         if "max_merge_factor" in mp:
             knobs["max_merge_factor"] = mp["max_merge_factor"]
         return IndexConfig.from_doc_mapper(mapper, d.get("index_id", "index"), **knobs)
+    # The engine's own flat IndexConfig.to_dict() (what catalog.json embeds)
+    # is recognized by its knob keys — DocMapper.to_dict() never emits any
+    # of these.  It must NOT fall into the DocMapper branch: its per-field
+    # dicts carry tokenizer/record defaults on non-text fields (which
+    # FieldEntry.from_dict rejects), and the DocMapper round-trip would
+    # silently drop split/segment/merge/spill knobs.  Note flat configs
+    # support array<T> fields too, so 'array<' alone is NOT a DocMapper
+    # marker.
+    engine_knobs = {
+        "split_num_docs_target", "segment_num_docs_target",
+        "merge_factor", "max_merge_factor", "max_values_per_tag_field",
+        "term_merge_buckets", "builder_spill_mb", "doc_mapper_json",
+    }
+    if engine_knobs & set(d):
+        return IndexConfig.from_dict(d)
     mappings = d.get("field_mappings", [])
     nested = any(
         m.get("type") == "object"

@@ -80,9 +80,6 @@ from ..config import IndexConfig
 from ..storage import storage_for
 from ..functions.codec import (
     BLOCK,
-    decode_positions,
-    decode_postings,
-    decode_u32_column,
     encode_positions,
     encode_postings,
     encode_u32_column,
@@ -514,39 +511,6 @@ def _encode_term(d: np.ndarray, t: np.ndarray, p: np.ndarray | None, plens: np.n
         blob,
         encode_positions(p, t) if p is not None else None,
         encode_u32_column(plens),
-        last_doc.astype(np.int64).tolist(),
-        max_tf.astype(np.int64).tolist(),
-        min_len.astype(np.int64).tolist(),
-    )
-
-
-def _merge_term_entries(entries: list[tuple]):
-    """Merge one term's per-chunk encoded entries (chunk order == doc order,
-    so doc_ids stay ascending — the in-task Packager merge-to-one-segment
-    analog, packager.rs:116-125)."""
-    if len(entries) == 1:
-        return entries[0]
-    want_pos = entries[0][3] is not None
-    docs, tfs, lens, poss = [], [], [], []
-    for _df, _tf, blob, posb, lensb, *_ in entries:
-        d, t = decode_postings(blob)
-        docs.append(d)
-        tfs.append(t)
-        lens.append(decode_u32_column(lensb))
-        if want_pos:
-            poss.append(decode_positions(posb, t))
-    d = np.concatenate(docs)
-    t = np.concatenate(tfs)
-    ln = np.concatenate(lens)
-    blob, last_doc, max_tf = encode_postings(d, t)
-    min_len = np.minimum.reduceat(ln, np.arange(0, len(d), BLOCK))
-    positions = encode_positions(np.concatenate(poss), t) if want_pos else None
-    return (
-        int(len(d)),
-        int(t.sum()),
-        blob,
-        positions,
-        encode_u32_column(ln),
         last_doc.astype(np.int64).tolist(),
         max_tf.astype(np.int64).tolist(),
         min_len.astype(np.int64).tolist(),

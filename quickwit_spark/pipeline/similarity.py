@@ -380,11 +380,13 @@ def lsh_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane buckets + multiprobe
-    (each query also probes buckets at Hamming distance <= multiprobe by
-    flipping one bit), exact cosine inside the candidate set.
+    (each query also probes every bucket at Hamming distance <= multiprobe
+    from its own), exact cosine inside the candidate set.
 
     Output schema matches brute_force_topk; recall < 1 by design (the
     approximate scale path — benchmarked against brute force in tests)."""
+    from itertools import combinations
+
     planes = random_planes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -396,15 +398,20 @@ def lsh_topk(
         F.col(vec_col).alias("qv"),
         _bucket_expr(vec_col, planes).alias("bucket"),
     )
-    probes = [q0]
-    if multiprobe >= 1:
-        for i in range(n_planes):
-            probes.append(
-                q0.withColumn("bucket", F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long"))
-            )
-    q = probes[0]
-    for p in probes[1:]:
-        q = q.unionByName(p)
+    # XOR masks of every popcount in 0..multiprobe — the full Hamming ball,
+    # matching the DuckDB oracle's bit_count(xor(...)) <= multiprobe join.
+    # One explode over the literal mask array keeps the plan a single
+    # projection (a union per mask exploded the plan at multiprobe >= 2).
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for j in range(1, min(multiprobe, n_planes) + 1)
+        for bits in combinations(range(n_planes), j)
+    ]
+    q = (
+        q0.withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("mask")).cast("long"))
+        .drop("mask")
+    )
     cand = c.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     cos = _cosine_udf(F.col("qv"), F.col("cv")).alias("cosine")
     scored = cand.select("query_id", "neighbor_id", cos).dropDuplicates(

@@ -172,6 +172,10 @@ class _Parser:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def next(self) -> str:
+        if self.i >= len(self.toks):
+            # e.g. 'error NOT' / 'foo -' / '+' — a trailing operator with no
+            # operand must be a parse error (HTTP 400), not an IndexError
+            raise QueryParserError("unexpected end of query (dangling operator?)")
         t = self.toks[self.i]
         self.i += 1
         return t
@@ -198,6 +202,9 @@ class _Parser:
                 if first:
                     raise QueryParserError("query starts with AND")
                 self.next()
+                nxt = self.peek()
+                if nxt is None or nxt == ")" or nxt == "OR":
+                    raise QueryParserError("dangling AND with no right operand")
                 continue
             sign, clause = self.parse_signed_clause()
             if sign == "-":

@@ -43,6 +43,19 @@ def _int_or_none(qs: dict, key: str):
     return int(v) if v is not None else None
 
 
+def _bad_index_id(index_id: str) -> bool:
+    """Reject ids that would escape the index root when path-joined: '..'
+    walks to the PARENT of the root (any directory reachable that way with
+    a catalog.json would be served), and separators/drive chars nest or
+    absolutize the join."""
+    return (
+        index_id in (".", "..")
+        or "/" in index_id
+        or "\\" in index_id
+        or "\x00" in index_id
+    )
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "quickwit-spark-serve/0.1"
 
@@ -90,6 +103,8 @@ class _Handler(BaseHTTPRequestHandler):
             or parts[3:] != ["search", "batch"]
         ):
             return self._err(404, f"no POST route for {url.path}")
+        if _bad_index_id(parts[2]):
+            return self._err(404, f"index {parts[2]!r} not found")
         index_dir = os.path.join(self.index_root, parts[2])
         if not Catalog.exists(index_dir):
             return self._err(404, f"index {parts[2]!r} not found")
@@ -155,6 +170,8 @@ class _Handler(BaseHTTPRequestHandler):
         if len(parts) < 4 or parts[:2] != ["api", "v1"] or parts[3] != "search":
             return self._err(404, f"no route for {url.path}")
         index_id = parts[2]
+        if _bad_index_id(index_id):
+            return self._err(404, f"index {index_id!r} not found")
         index_dir = os.path.join(self.index_root, index_id)
         if not Catalog.exists(index_dir):
             return self._err(404, f"index {index_id!r} not found")
@@ -174,50 +191,52 @@ class _Handler(BaseHTTPRequestHandler):
                 ),
                 sort_by_field=qs.get("sortByField", [None])[0],
             )
-            with self.lock:
-                if is_stream:
-                    fast_field = qs.get("fastField", [None])[0]
-                    if fast_field is None:
-                        return self._err(400, "missing required param 'fastField'")
-                    fmt = qs.get("outputFormat", ["csv"])[0]
-                    if fmt not in ("csv", "clickHouseRowBinary"):
-                        return self._err(400, f"unsupported outputFormat {fmt!r}")
-                    # toLocalIterator: partitions stream to the driver one
-                    # at a time — memory stays bounded no matter how many
-                    # docs match (collect() of a hot query's export could
-                    # be index-sized)
-                    import numpy as np
+            if is_stream:
+                fast_field = qs.get("fastField", [None])[0]
+                if fast_field is None:
+                    return self._err(400, "missing required param 'fastField'")
+                fmt = qs.get("outputFormat", ["csv"])[0]
+                if fmt not in ("csv", "clickHouseRowBinary"):
+                    return self._err(400, f"unsupported outputFormat {fmt!r}")
+                # toLocalIterator: partitions stream to the driver one at a
+                # time — memory stays bounded no matter how many docs match
+                # (collect() of a hot query's export could be index-sized).
+                # The driver lock is held only around Spark access (the plan
+                # build and each iterator pull), NEVER across the client
+                # socket write — a slow or stalled client must not block
+                # every other query on the server for the whole transfer.
+                from itertools import islice
 
+                import numpy as np
+
+                with self.lock:
                     it = search_stream(
                         self.spark, index_dir, req, fast_field
                     ).toLocalIterator(prefetchPartitions=True)
 
-                    if fmt == "csv":
-                        def csv_chunks():
-                            buf = []
-                            for r in it:
-                                buf.append(str(r[fast_field]))
-                                if len(buf) >= 8192:
-                                    yield ("\n".join(buf) + "\n").encode()
-                                    buf.clear()
-                            if buf:
-                                yield "\n".join(buf).encode()
+                def batches(size=8192):
+                    while True:
+                        with self.lock:
+                            rows = list(islice(it, size))
+                        if not rows:
+                            return
+                        yield rows
 
-                        return self._reply_chunked(csv_chunks(), "text/csv")
+                if fmt == "csv":
+                    def csv_chunks():
+                        for rows in batches():
+                            yield ("\n".join(str(r[fast_field]) for r in rows) + "\n").encode()
 
-                    # ClickHouse RowBinary: little-endian i64 per value
-                    # (docs/reference/rest-api.md:70-114, search_stream/leaf.rs)
-                    def bin_chunks():
-                        buf = []
-                        for r in it:
-                            buf.append(r[fast_field])
-                            if len(buf) >= 8192:
-                                yield np.asarray(buf, dtype="<i8").tobytes()
-                                buf.clear()
-                        if buf:
-                            yield np.asarray(buf, dtype="<i8").tobytes()
+                    return self._reply_chunked(csv_chunks(), "text/csv")
 
-                    return self._reply_chunked(bin_chunks(), "application/octet-stream")
+                # ClickHouse RowBinary: little-endian i64 per value
+                # (docs/reference/rest-api.md:70-114, search_stream/leaf.rs)
+                def bin_chunks():
+                    for rows in batches():
+                        yield np.asarray([r[fast_field] for r in rows], dtype="<i8").tobytes()
+
+                return self._reply_chunked(bin_chunks(), "application/octet-stream")
+            with self.lock:
                 resp = search(self.spark, index_dir, req)
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))

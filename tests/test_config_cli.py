@@ -268,3 +268,28 @@ def test_flat_array_mapper_config_routes_to_docmapper():
     )
     assert cfg.doc_mapper_json is not None
     assert cfg.fields["tags"].is_array
+
+
+def test_flat_config_with_array_field_round_trips():
+    """config_from_any must recognize the engine's own flat
+    IndexConfig.to_dict() (catalog.json's embedded shape) even when it
+    contains array<T> fields — 'array<' alone is not a DocMapper marker.
+    Regression: the DocMapper branch rejected the non-text fields'
+    tokenizer/record defaults and silently dropped the build knobs."""
+    from quickwit_spark.config import FieldMapping, IndexConfig, config_from_any
+
+    cfg = IndexConfig(
+        index_id="x",
+        field_mappings=(
+            FieldMapping("text", "text", record="position"),
+            FieldMapping("tags", "array<text>", tokenizer="raw"),
+            FieldMapping("ts", "i64", fast=True),
+        ),
+        timestamp_field="ts",
+        default_search_fields=("text",),
+        split_num_docs_target=123,
+        merge_factor=7,
+    )
+    rt = config_from_any(cfg.to_dict())
+    assert rt == cfg
+    assert rt.split_num_docs_target == 123 and rt.merge_factor == 7

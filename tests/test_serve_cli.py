@@ -227,3 +227,66 @@ def test_search_endpoint_generic_schema(spark, tmp_path):
             assert h["created"].startswith("2024-01-")  # date as RFC-3339
     finally:
         srv.shutdown()
+
+
+def test_path_traversal_index_id_rejected(server, index_root, tmp_path_factory):
+    """'..' in the index-id position must 404, not serve the PARENT of the
+    index root (any directory reachable that way with a catalog.json would
+    leak data the operator did not mount)."""
+    # plant a catalog one level ABOVE the index root: pre-fix, /api/v1/..
+    # resolves there and happily serves it
+    parent = os.path.dirname(index_root)
+    import shutil
+
+    if not os.path.exists(os.path.join(parent, "catalog.json")):
+        shutil.copy(
+            os.path.join(index_root, "conv", "catalog.json"),
+            os.path.join(parent, "catalog.json"),
+        )
+    code, _, _ = _get(f"{server}/api/v1/../search?query=deploy")
+    assert code == 404
+    req = urllib.request.Request(
+        f"{server}/api/v1/../search/batch",
+        data=json.dumps({"queries": [{"query": "a"}]}).encode(),
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
+
+
+def test_dangling_operator_is_400_not_500(server):
+    """Malformed queries ending in an operator must be a 400 parse error
+    (QueryParserError), not an unhandled IndexError tearing down the
+    handler."""
+    for q in ("error%20NOT", "foo%20-", "%2B", "error%20AND"):
+        code, body, _ = _get(f"{server}/api/v1/conv/search?query={q}")
+        assert code == 400, (q, code, body)
+        assert "error" in json.loads(body)
+
+
+def test_slow_stream_client_does_not_block_other_queries(server):
+    """The driver lock must be released between stream batches: a client
+    that stalls mid-transfer cannot hold every other query hostage."""
+    import socket
+    import time
+
+    host, port = server.split("//")[1].split(":")
+    s = socket.create_connection((host, int(port)))
+    s.sendall(
+        b"GET /api/v1/conv/search/stream?query=the&fastField=ts&outputFormat=csv"
+        b" HTTP/1.1\r\nHost: x\r\n\r\n"
+    )
+    s.recv(256)  # headers+first bytes arrived; now stall WITHOUT reading more
+    try:
+        t0 = time.monotonic()
+        code, body, _ = _get(f"{server}/api/v1/conv/search?query=deploy&maxHits=1")
+        elapsed = time.monotonic() - t0
+        assert code == 200 and json.loads(body)["numHits"] > 0
+        # generous bound: a held lock would block until the stream times out
+        assert elapsed < 30
+    finally:
+        s.close()

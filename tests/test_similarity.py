@@ -176,3 +176,28 @@ def test_semdedup_invariants_and_trained_centroids(spark, embs):
                     a, b = kept[i], kept[j]
                     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
                     assert round(cos, 6) < th
+
+
+def test_lsh_multiprobe_2_matches_oracle(spark, embs):
+    """multiprobe=m must probe the FULL Hamming-<=m ball (the documented
+    semantics and the oracle's bit_count(xor) <= m join), not just
+    single-bit flips.  Regression: m>=2 silently probed distance 1 only."""
+    import duckdb
+
+    eng = sim.lsh_topk(
+        embs.filter("vec_id < 10"), embs, k=5, n_planes=8, multiprobe=2, dim=16
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): (round(r["cosine"], 6), r["rank"])
+        for r in eng.collect()
+    }
+    con = duckdb.connect()
+    con.register("embeddings", embs.toPandas())
+    sql = sim.lsh_topk_oracle_sql(
+        "embeddings", k=5, n_queries=10, n_planes=8, multiprobe=2, dim=16
+    )
+    want = {
+        (int(q), int(n)): (round(float(c), 6), int(rk))
+        for q, n, c, rk in con.execute(sql).fetchall()
+    }
+    assert got == want
