@@ -207,22 +207,26 @@ def test_backward_compat_minimal_catalog(tmp_path):
 
 def test_delete_source_spares_sibling_prefix(cat):
     """delete_source('app') must not touch 'app-errors' checkpoints: the
-    source-scoped key prefix is 'app//' (a raw 'app-' prefix also matched
-    the sibling, destroying its exactly-once resume state)."""
+    source-scoped key prefix is 'app~~' (a raw 'app-' prefix also matched
+    the sibling, destroying its exactly-once resume state; '~~' rather
+    than '//' because these keys are split ids, which become hive
+    partition directory names)."""
     cat.add_source("app", "ndjson", {})
     cat.add_source("app-errors", "ndjson", {})
 
     def seed(state):
-        state["checkpoint"]["app//b0-00001"] = "pos-a"
-        state["checkpoint"]["app-errors//b0-00001"] = "pos-b"
+        state["checkpoint"]["app~~b0-00001"] = "pos-a"
+        state["checkpoint"]["app-errors~~b0-00001"] = "pos-b"
 
     cat.update(seed)
     cat.delete_source("app")
     cp = cat.checkpoint()
-    assert "app//b0-00001" not in cp
-    assert cp["app-errors//b0-00001"] == "pos-b"
-    # reserved separator is rejected at add time
+    assert "app~~b0-00001" not in cp
+    assert cp["app-errors~~b0-00001"] == "pos-b"
+    # reserved separator chars are rejected at add time
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="may not contain"):
         cat.add_source("bad/name", "ndjson", {})
+    with _pytest.raises(ValueError, match="may not contain"):
+        cat.add_source("bad~name", "ndjson", {})
