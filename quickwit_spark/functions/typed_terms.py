@@ -15,6 +15,7 @@ form used identically at index build and at query bind:
 from __future__ import annotations
 
 import base64
+import re
 from datetime import datetime, timezone
 
 
@@ -46,11 +47,25 @@ def canonical_query_term(scalar_type: str, text: str) -> str:
     Raises ValueError when the text cannot be a value of that type (the
     reference rejects type-incompatible query terms at bind time)."""
     if scalar_type in ("i64", "u64"):
+        # strict ASCII integer syntax: Python int() also accepts '1_0',
+        # surrounding whitespace, '+5', and Unicode digits — all of which
+        # the reference rejects at bind time
+        if not re.fullmatch(r"-?[0-9]+", text):
+            raise ValueError(f"not an integer literal: {text!r}")
         v = int(text)
         if scalar_type == "u64" and v < 0:
             raise ValueError(f"negative value for u64 field: {text}")
         return str(v)
     if scalar_type == "f64":
+        # same strictness: no whitespace/underscores (Rust's f64 parser
+        # accepts inf/infinity/NaN spellings but neither of those)
+        if not re.fullmatch(
+            r"[+-]?(inf(inity)?|nan|[0-9]+(\.[0-9]*)?([eE][+-]?[0-9]+)?"
+            r"|\.[0-9]+([eE][+-]?[0-9]+)?)",
+            text,
+            re.IGNORECASE,
+        ):
+            raise ValueError(f"not a float literal: {text!r}")
         return repr(float(text))
     if scalar_type == "date":
         from ..docmapper import parse_rfc3339

@@ -1549,10 +1549,11 @@ def build_index(
         docs = (
             _partition_one_split_per_task(spark, wdf, wave, config)
             .withColumn(
+                # format_string, NOT lpad: lpad TRUNCATES strings longer than
+                # the pad width, so ord 100000 would collide with ord 10000 —
+                # %05d matches the driver's _split_id f-string at any scale
                 "split_id",
-                F.concat(
-                    F.lit(build_id + "-"), F.lpad(F.col("split_ord").cast("string"), 5, "0")
-                ),
+                F.format_string(build_id + "-%05d", F.col("split_ord")),
             )
             .select(*[F.col(f"`{c}`") for c in _build_cols(config)], "split_id")
         )

@@ -102,12 +102,13 @@ def _project_json_docs(records: DataFrame, payload_col: str) -> DataFrame:
     """Shared record→document projection for byte-payload sources (Kafka
     values, Kinesis data blobs): parse one JSON document per record against
     the explicit transcript schema, JVM-side (`from_json`, no Python)."""
+    # No explicit timestampFormat: Spark's default lenient ISO-8601 parser
+    # accepts every RFC-3339 fraction precision.  An explicit
+    # "[.SSS][XXX]" pattern matches EXACTLY 3 fraction digits, so
+    # microsecond timestamps — including the engine's own canonical_date
+    # output — parsed to null and the documents were dropped as invalid.
     return records.select(
-        F.from_json(
-            F.col(payload_col).cast("string"),
-            TRANSCRIPT_SCHEMA,
-            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"},
-        ).alias("doc")
+        F.from_json(F.col(payload_col).cast("string"), TRANSCRIPT_SCHEMA).alias("doc")
     ).select("doc.*")
 
 

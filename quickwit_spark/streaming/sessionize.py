@@ -99,19 +99,35 @@ def sessionize_conversations(
     ts_col timestamp).  ``watermark`` bounds how late a turn may arrive and
     therefore how long a session stays provisional after its last turn.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap = int(gap_secs)
+    # applyInPandasWithState hands timestamp columns to the UDF as naive
+    # pandas datetimes in the SESSION timezone, while getCurrentWatermarkMs
+    # is true-UTC epoch ms — comparing the two bases closes sessions hours
+    # early/late whenever spark.sql.session.timeZone is not UTC.  So the
+    # true epoch is computed JVM-side (unix_timestamp, tz-exact) and the
+    # UDF never touches the naive datetimes; emitted timestamps convert
+    # back UTC→session-tz explicitly (unambiguous even across DST).
+    tz = turns.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def fn(key, pdf_iter, state: GroupState):
         conv = key[0]
 
         def emit(runs):
+            def local(vals):
+                return (
+                    pd.to_datetime(vals, unit="s", utc=True)
+                    .tz_convert(tz)
+                    .tz_localize(None)
+                )
+
             return pd.DataFrame(
                 {
                     "conv_id": conv,
-                    "session_start": pd.to_datetime([r[0] for r in runs], unit="s"),
-                    "session_end": pd.to_datetime([r[1] for r in runs], unit="s"),
+                    "session_start": local([r[0] for r in runs]),
+                    "session_end": local([r[1] for r in runs]),
                     "n_turns": pd.Series([r[2] for r in runs], dtype="int64"),
                 }
             )
@@ -119,7 +135,7 @@ def sessionize_conversations(
         runs = _unpack(state.get) if state.exists else []
         if not state.hasTimedOut:
             ts = np.concatenate(
-                [pdf[ts_col].astype("int64").to_numpy() // 10**9 for pdf in pdf_iter]
+                [pdf["__ts_epoch"].to_numpy(dtype=np.int64) for pdf in pdf_iter]
             ).astype(np.int64)
             runs = _sweep_merge(runs + [(int(t), int(t), 1) for t in ts], gap)
         # close every run the watermark has STRICTLY passed; keep the rest
@@ -145,7 +161,8 @@ def sessionize_conversations(
         yield emit(closed)
 
     return (
-        turns.withWatermark(ts_col, watermark)
+        turns.withColumn("__ts_epoch", F.unix_timestamp(F.col(ts_col)))
+        .withWatermark(ts_col, watermark)
         .groupBy(conv_col)
         .applyInPandasWithState(
             fn,

@@ -182,3 +182,51 @@ def test_streaming_sessions_exactly_once_restart(spark, tmp_path):
     assert [(r[0], int(r[1].timestamp()), int(r[2].timestamp()), r[3]) for r in third] == [
         ("c1", 9000, 9000, 1)
     ]
+
+
+def test_sessions_are_timezone_invariant(spark, tmp_path):
+    """Session close is watermark-exact in TRUE event time regardless of
+    spark.sql.session.timeZone.  Regression: the UDF compared session-tz
+    local epochs against the UTC watermark, closing sessions hours early
+    (or late) on any non-UTC session timezone."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_turn_file(str(src / "a.parquet"), [("c1", 1000), ("c1", 1300), ("c1", 1700), ("c2", 1000)])
+    _write_turn_file(str(src / "b.parquet"), [("c1", 9000)])
+    _write_turn_file(str(src / "c.parquet"), [("c3", 50000)])
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    schema = StructType([StructField("conv_id", StringType()), StructField("ts", TimestampType())])
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+        sessions = sessionize_conversations(stream, gap_secs=600, watermark="0 seconds")
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("qw_sessions_tz")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tz"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # the parquet fixtures carry WALL-CLOCK timestamps (NTZ), so under a
+        # non-UTC session tz the whole timeline shifts together; the
+        # invariant is that sessions come out at the SAME wall-clock values
+        # and with the same close decisions as the UTC run.  Pre-fix, the
+        # local-epoch vs UTC-watermark skew closed c3's still-open session
+        # (and armed timeouts 8h off)
+        wall = lambda e: pd.Timestamp(e, unit="s")  # noqa: E731
+        rows = {
+            (r["conv_id"], pd.Timestamp(r["session_start"]), pd.Timestamp(r["session_end"])): r["n_turns"]
+            for r in spark.sql("select * from qw_sessions_tz").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert rows == {
+        ("c1", wall(1000), wall(1700)): 3,
+        ("c2", wall(1000), wall(1000)): 1,
+        ("c1", wall(9000), wall(9000)): 1,
+    }

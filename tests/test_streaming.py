@@ -260,3 +260,36 @@ def test_generic_ndjson_stream_build(spark, tmp_path):
 
     assert search(spark, idx, SearchRequest("meta.src:s2 beta")).num_hits == 10
     assert search(spark, idx, SearchRequest("sev:2 alpha")).num_hits == 13
+
+
+def test_record_projection_accepts_any_rfc3339_fraction(spark):
+    """Connector JSON timestamps must parse at every RFC-3339 fraction
+    precision — the engine's own canonical_date emits 6-digit microseconds.
+    Regression: an explicit '[.SSS]' timestampFormat matched exactly 3
+    fraction digits, so microsecond records were silently dropped."""
+    import json
+
+    from quickwit_spark.streaming.ingest import parse_kafka_records
+
+    stamps = [
+        "2024-01-01T00:00:00Z",
+        "2024-01-01T00:00:00.123Z",
+        "2024-01-01T00:00:00.123456Z",
+        "2024-01-01T00:00:00.123456+05:30",
+    ]
+    payloads = [
+        json.dumps(
+            {"conv_id": "c", "turn_idx": i, "role": "user", "text": "x",
+             "tool": "", "ts": s}
+        ).encode()
+        for i, s in enumerate(stamps)
+    ]
+    records = spark.createDataFrame(
+        [(None, v, "t", 0, i) for i, v in enumerate(payloads)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    rows = parse_kafka_records(records).orderBy("turn_idx").collect()
+    assert all(r.ts is not None for r in rows), rows
+    assert rows[2].ts.microsecond == 123456
+    # offset-carrying stamp normalizes to UTC
+    assert rows[3].ts.microsecond == 123456
