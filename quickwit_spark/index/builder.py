@@ -1429,8 +1429,11 @@ def _partition_one_split_per_task(
     The dense per-split docID is then a per-partition running counter inside
     the build task — a pure function of data + split map + sort order, never
     of task scheduling ("stable docIDs across parallelism levels", SURVEY.md
-    §7).  Rows with a null split_ord (invalid rows, kept so the build task
-    can count them) hash to partition 0 and are dropped before numbering."""
+    §7).  Note rows with a null conv_id still get a REAL split_ord
+    (xxhash64(NULL) returns the seed, never null), so invalid rows travel
+    with — and are counted by — that ord's wave; a truly null split_ord
+    (possible only with a custom split_ord_expr) rides the wave containing
+    ord 0 for counting and is dropped before numbering."""
     p = len(wave_ords)
     keys = _slot_keys(spark, p)
     if p <= 1024:  # pure-expression lookup, no join
@@ -1444,9 +1447,18 @@ def _partition_one_split_per_task(
             "split_ord int, part_key int",
         )
         df = df.join(F.broadcast(map_df), "split_ord", "left")
+    # final tiebreak: a full-row hash.  The declared doc key (conv_id,
+    # turn_idx) SHOULD be unique, but if an input carries duplicates their
+    # relative order under sortWithinPartitions would follow shuffle-fetch
+    # order — different across task attempts, breaking the retry-idempotence
+    # argument of _atomic_write_table (a speculative re-attempt could rename
+    # a docs file whose order disagrees with the surviving postings file).
+    # Hashing every data column keeps the order a pure function of the data;
+    # fully identical rows are order-indistinguishable by construction.
+    tiebreak = F.xxhash64(*[F.col(f"`{c}`") for c in df.columns if c != "part_key"])
     return (
         df.repartition(p, "part_key")
-        .sortWithinPartitions(*_split_sort_cols(config))
+        .sortWithinPartitions(*_split_sort_cols(config), tiebreak)
         .drop("part_key")
     )
 
@@ -1534,10 +1546,14 @@ def build_index(
         wave_sids = [_split_id(build_id, o) for o in wave]
         _cleanup_split_dirs(index_dir, wave_sids)  # clear stale staged data
         if len(waves) > 1 or len(todo_ords) < n_splits:
-            # keep null-split_ord (invalid) rows in the first wave so they
-            # are counted exactly once
+            # keep null-split_ord (invalid) rows in the wave that builds ord
+            # 0 so they are counted exactly once ACROSS invocations too: a
+            # resumed build (ord 0 already checkpointed — wave publishes are
+            # atomic, so its invalid count was reported by the invocation
+            # that published it) must not re-count the same dropped docs,
+            # or streaming restarts permanently inflate the error taxonomy
             cond = F.col("split_ord").isin(wave)
-            if wave_idx == 0:
+            if 0 in wave:
                 cond = cond | F.col("split_ord").isNull()
             wdf = base.filter(cond)
         else:
@@ -1569,28 +1585,33 @@ def build_index(
         import json as _json
 
         delta = {}
+        wave_metas = []
         for r in stat_rows:
             s = _json.loads(r["meta"])
             if r["split_id"] == INVALID_SENTINEL:
                 for k, v in s.items():
                     invalid_by_reason[k] = invalid_by_reason.get(k, 0) + v
                 continue
-            meta = SplitMetadata(
-                split_id=r["split_id"],
-                num_docs=s["num_docs"],
-                ts_min=s["ts_min"],
-                ts_max=s["ts_max"],
-                tags=s["tags"],
-                field_len_sums=s["field_len_sums"],
-                metrics={
-                    "num_terms": s["num_terms"],
-                    "postings_bytes": s["postings_bytes"],
-                    "total_tokens": s["total_tokens"],
-                    "segments": s["segments"],
-                },
+            wave_metas.append(
+                SplitMetadata(
+                    split_id=r["split_id"],
+                    num_docs=s["num_docs"],
+                    ts_min=s["ts_min"],
+                    ts_max=s["ts_max"],
+                    tags=s["tags"],
+                    field_len_sums=s["field_len_sums"],
+                    metrics={
+                        "num_terms": s["num_terms"],
+                        "postings_bytes": s["postings_bytes"],
+                        "total_tokens": s["total_tokens"],
+                        "segments": s["segments"],
+                    },
+                )
             )
-            cat.stage_split(meta)
             delta[r["split_id"]] = (None, f"built:{s['num_docs']:012d}")
+        # one transaction for the whole wave, not one per split — at 10^4
+        # splits the per-split read-modify-write was O(splits x catalog-size)
+        cat.stage_splits(wave_metas)
         # splits hashed to a wave can be empty (no conv landed there):
         # still checkpoint them so resume treats them as done
         for sid in wave_sids:

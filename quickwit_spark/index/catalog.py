@@ -180,12 +180,22 @@ class Catalog:
         )
 
     def stage_split(self, meta: SplitMetadata) -> None:
-        meta.state = STAGED
+        self.stage_splits([meta])
+
+    def stage_splits(self, metas: list["SplitMetadata"]) -> None:
+        """Stage a batch in ONE read-modify-write transaction.  At the
+        reference's 10M-doc split target a 100-TB build publishes ~10^4
+        splits; one catalog transaction per split would cost O(splits x
+        catalog-size) driver time on the JSON backend — a wave stages all
+        its splits in a single commit instead."""
+        for meta in metas:
+            meta.state = STAGED
 
         def apply(state):
-            meta.create_seq = state["next_seq"]
-            state["next_seq"] += 1
-            state["splits"][meta.split_id] = asdict(meta)
+            for meta in metas:
+                meta.create_seq = state["next_seq"]
+                state["next_seq"] += 1
+                state["splits"][meta.split_id] = asdict(meta)
 
         self.update(apply)
 

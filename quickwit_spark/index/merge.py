@@ -435,6 +435,7 @@ def garbage_collect(index_dir: str, include_staged: bool = False) -> list[str]:
         for table in paths.values():
             storage.delete_dir(os.path.join(table, f"split_id={sid}"))
     cat.delete_splits(dead)
+    _sweep_uncataloged_split_dirs(cat, storage, paths)
     # orphaned term-stats deltas: written but never committed (a publish or
     # compaction that died before its catalog commit)
     ddir = os.path.join(index_dir, "termstats_deltas")
@@ -466,6 +467,44 @@ def garbage_collect(index_dir: str, include_staged: bool = False) -> list[str]:
             elif i.type == pafs.FileType.File:
                 storage.delete_file(os.path.join(ddir, name))
     return dead
+
+
+def _sweep_uncataloged_split_dirs(cat: Catalog, storage, paths: dict) -> None:
+    """Delete split data dirs with NO catalog row in any state: a merge /
+    demux / build that crashed after writing data but before stage_split
+    leaves them, and a retried round writes under FRESH ids, so no other
+    code path ever reclaims them (rename-free publish makes partial writes
+    invisible — GC is the designated sweeper, storage.py module doc).
+
+    Same QW_GC_GRACE_SECS guard as the termstats orphans: an in-flight
+    build/merge writes its split dirs BEFORE its stage/publish commit, so
+    young uncataloged dirs may belong to a live writer.  (A crashed
+    resumable build whose dirs are swept past the grace period simply
+    rewrites them on resume — only PUBLISHED ords are checkpoint-skipped.)"""
+    import time as _time
+
+    import pyarrow.fs as pafs
+
+    known = {
+        s.split_id
+        for s in cat.splits([STAGED, PUBLISHED, MARKED_FOR_DELETION])
+    }
+    grace = float(os.environ.get("QW_GC_GRACE_SECS", "600"))
+    now = _time.time()
+    for table in paths.values():
+        if not storage.exists(table):
+            continue
+        sel = pafs.FileSelector(storage.fs_path(table), allow_not_found=True)
+        for i in storage.fs.get_file_info(sel):
+            name = os.path.basename(i.path.rstrip("/"))
+            if i.type != pafs.FileType.Directory or not name.startswith("split_id="):
+                continue
+            if name[len("split_id="):] in known:
+                continue
+            mtime = i.mtime.timestamp() if i.mtime is not None else 0.0
+            if now - mtime < grace:
+                continue
+            storage.delete_dir(os.path.join(table, name))
 
 
 # ---------------------------------------------------------------------------

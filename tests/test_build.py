@@ -344,3 +344,58 @@ def test_batched_encode_byte_identical_to_per_term():
             )
         }
         assert got == want
+
+
+def test_invalid_rows_counted_exactly_once_across_resume(spark, tmp_path_factory):
+    """A null-conv_id row hashes to a REAL ord (xxhash64(NULL) is the seed,
+    never null) and is counted with that ord's wave — so across a crash +
+    resume + idempotent re-run the error taxonomy counts it exactly once,
+    never once per invocation (streaming restarts must not inflate it)."""
+    pdf = generate_transcripts(n_conversations=30, seed=11)
+    bad = pdf.copy()
+    bad.loc[3, "conv_id"] = None
+    idx = str(tmp_path_factory.mktemp("resume-inv") / "idx")
+    cfg = transcripts_config(split_num_docs_target=80, segment_num_docs_target=64)
+
+    class _Boom(Exception):
+        pass
+
+    def failpoint(wave_idx):
+        if wave_idx == 1:
+            raise _Boom()
+
+    with pytest.raises(_Boom):
+        build_index(spark, spark.createDataFrame(bad), cfg, idx,
+                    wave_size=1, failpoint=failpoint)
+    # the crashed run published waves 0-1 but NOT the bad row's ord
+    # (42 % 8 = 2), so the resume counts it — once
+    report = build_index(spark, spark.createDataFrame(bad), cfg, idx, wave_size=1)
+    assert report.invalid_docs == 1
+    # idempotent third run: everything checkpointed, nothing recounted
+    report3 = build_index(spark, spark.createDataFrame(bad), cfg, idx, wave_size=1)
+    assert report3.invalid_docs == 0 and report3.published_splits == []
+    cat = Catalog(idx)
+    assert sum(s.num_docs for s in cat.splits()) == len(pdf) - 1
+
+
+def test_duplicate_doc_keys_build_deterministically(spark, tmp_path_factory):
+    """Rows sharing (conv_id, turn_idx) — user error, but real — must land
+    in a deterministic order (full-row-hash tiebreak), so a task re-attempt
+    rewrites byte-identical files and retries stay idempotent."""
+    pdf = generate_transcripts(n_conversations=8, seed=5)
+    dup = pd.concat([pdf, pdf.iloc[:5].assign(text="dup-" + pdf.iloc[:5]["text"])])
+    cfg = transcripts_config(split_num_docs_target=60, segment_num_docs_target=32)
+    base = tmp_path_factory.mktemp("dupdet")
+    frames = []
+    for sub, shuffled in (("a", False), ("b", True)):
+        idx = str(base / sub)
+        src = dup.sample(frac=1.0, random_state=7) if shuffled else dup
+        build_index(spark, spark.createDataFrame(src), cfg, idx)
+        frames.append(
+            spark.read.parquet(f"{idx}/docs")
+            .select("split_id", "doc_id", "conv_id", "turn_idx", "text")
+            .toPandas()
+            .sort_values(["split_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(frames[0], frames[1])

@@ -425,3 +425,33 @@ def test_demux_refuses_indexed_unstored_fields(spark, tmp_path_factory):
     sids = [s.split_id for s in Catalog(idx).splits([PUBLISHED])]
     with pytest.raises(ValueError, match="unstored"):
         execute_demux(spark, idx, sids, "tool")
+
+
+def test_gc_sweeps_uncataloged_split_dirs(spark, tmp_index_dir, monkeypatch):
+    """A merge/build that crashed AFTER writing split data but BEFORE
+    stage_split leaves dirs with no catalog row in any state; retries use
+    fresh ids, so GC must sweep them (past the grace period) or the index
+    leaks storage forever.  Young uncataloged dirs (an in-flight writer)
+    survive the default grace."""
+    import os
+
+    pdf = generate_transcripts(n_conversations=10, seed=2)
+    cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
+    build_index(spark, spark.createDataFrame(pdf), cfg, tmp_index_dir)
+    orphan_dirs = []
+    for table in ("docs", "postings", "fastfields"):
+        d = f"{tmp_index_dir}/{table}/split_id=m-deadbeef"
+        os.makedirs(d, exist_ok=True)
+        with open(f"{d}/part-0.parquet", "wb") as f:
+            f.write(b"x")
+        orphan_dirs.append(d)
+
+    garbage_collect(tmp_index_dir)  # default grace: young orphan survives
+    assert all(os.path.exists(d) for d in orphan_dirs)
+    monkeypatch.setenv("QW_GC_GRACE_SECS", "0")
+    garbage_collect(tmp_index_dir)
+    assert not any(os.path.exists(d) for d in orphan_dirs)
+    # cataloged splits untouched, search still works
+    cat = Catalog(tmp_index_dir)
+    assert cat.splits()
+    assert search(spark, tmp_index_dir, SearchRequest("the")).num_hits > 0
