@@ -595,12 +595,24 @@ def _wand_single_term(
     else:
         order = np.argsort(-bounds, kind="stable")
     last_doc_u32 = last_doc.astype(np.uint32)
-    if lens is None and (len(bmax_tf) == 0 or int(bmax_tf.max()) <= 1):
-        # Flat-score fast path (raw/typed fields, tf==1 everywhere): every doc
-        # scores exactly idf, so the top-k under (score desc, doc_id asc) is
-        # simply the n_top LOWEST doc ids.  Decode blocks in doc order and
-        # stop once enough in-range docs are collected — keeping ties correct
-        # without the general path's equal-bound decode-everything worst case.
+    if n_top <= 0:  # count-only: the caller derives num_hits from doc_freq
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    flat = (len(bmax_tf) == 0 or int(bmax_tf.max()) <= 1) and (
+        # all tfs 1 AND all doc lens 1 → every doc scores exactly idf.
+        # Raw/typed scalar fields always satisfy this (their fieldnorm
+        # store counts one value per doc); the lens.max() probe is a few
+        # ms even at 10M-doc splits and only runs when the tf check (free,
+        # from block metadata) already passed
+        lens is None
+        or int(lens.max(initial=1)) <= 1
+    )
+    if flat:
+        # Flat-score fast path: every doc scores exactly idf, so the top-k
+        # under (score desc, doc_id asc) is simply the n_top LOWEST doc
+        # ids.  Decode blocks in doc order and stop once enough in-range
+        # docs are collected — keeping ties correct without the general
+        # path's equal-bound decode-everything worst case (with all bounds
+        # equal, the strict-< prune below can never fire).
         blocks = np.sort(order)
         got, n_got = [], 0
         i = 0
@@ -700,7 +712,9 @@ def _maxscore_union(
     seen: np.ndarray | None = None  # sorted union of doc ids so far
     out_docs, out_scores = [], []
     topk = np.empty(0, np.float64)
-    threshold = -np.inf
+    # n_top=0 (count-only): +inf threshold makes every phase counted-but-
+    # unscored; the exact union count still accumulates below
+    threshold = -np.inf if n_top > 0 else np.inf
     num_hits = 0
     for i, (ub, key, idf, avg) in enumerate(present):
         d_i = doclists[i][0].astype(np.int64)
@@ -747,6 +761,8 @@ def _maxscore_union(
         topk = merged
         if len(topk) >= n_top:
             threshold = topk.min()
+    if not out_docs:  # count-only (n_top=0): every phase counted, none scored
+        return np.empty(0, np.int64), np.empty(0, np.float64), num_hits
     return np.concatenate(out_docs), np.concatenate(out_scores), num_hits
 
 
@@ -754,12 +770,29 @@ def _topk_take(values: np.ndarray, docs: np.ndarray, n_top: int) -> np.ndarray:
     """Indices of the top-n_top rows by (value desc, doc asc).  A partition
     prefilter keeps the O(n log n) lexsort to the boundary candidates only —
     at 10M-doc splits this is ~10x cheaper than sorting every candidate."""
+    if n_top <= 0:  # count-only request: np.partition(v, len(v)) would raise
+        return np.empty(0, np.int64)
     if len(values) > 4 * n_top:
         kth = np.partition(values, len(values) - n_top)[len(values) - n_top]
         idx = np.flatnonzero(values >= kth)
         sub = np.lexsort((docs[idx], -values[idx]))[:n_top]
         return idx[sub]
     return np.lexsort((docs, -values))[:n_top]
+
+
+def _count_only_row(split_id: str, num_hits: int) -> pd.DataFrame:
+    """One sentinel hit row carrying only split_num_hits, for count-only
+    requests (max_hits=0).  The RDD leaf consumes dict records, and a page
+    slice of width 0 can never surface doc_id=-1 to a caller."""
+    return pd.DataFrame(
+        {
+            "split_id": [split_id],
+            "doc_id": np.array([-1], np.int64),
+            "score": np.array([0.0], np.float64),
+            "sort_value": np.array([0], np.int64),
+            "split_num_hits": np.array([int(num_hits)], np.int64),
+        }
+    )
 
 
 def make_split_scorer(
@@ -905,6 +938,13 @@ def make_split_scorer(
                 scores[pv] += term_idf * tf_norm(tf, dl, avg)
 
         if len(docs) == 0:
+            if num_hits > 0:
+                # count-only request (max_hits=0, so n_top==0): the pruned
+                # paths return no candidate docs but an exact num_hits; the
+                # root still needs this split's count, so emit one sentinel
+                # row.  doc_id=-1 can never reach a page: every page slice
+                # is rows[offset:offset+0] == [] when max_hits is 0.
+                return _count_only_row(split_id, num_hits)
             return empty
 
         if sort_field is not None:
@@ -923,6 +963,11 @@ def make_split_scorer(
             take = _topk_take(sgn * sv.astype(np.int64), docs, n_top)
         else:
             take = _topk_take(scores, docs, n_top)
+        if len(take) == 0 and num_hits > 0:
+            # count-only via the full-eval path: candidates exist but
+            # n_top==0 pages nothing; a scalar num_hits broadcast against
+            # empty arrays would vanish (0-row frame), losing the count
+            return _count_only_row(split_id, num_hits)
         out = pd.DataFrame(
             {
                 "split_id": split_id,

@@ -467,3 +467,34 @@ def test_wand_flat_raw_field_fast_path():
     # range-restricted: winners are the lowest in-range docs
     docs, _ = _wand_single_term(row, gstats, "role", "user", None, n_top=3, lo=500, hi=1000)
     assert sorted(docs.tolist())[:3] == [500, 502, 504]
+
+
+COUNT_ONLY_CASES = [
+    "deploy",  # single tokenized term (WAND path)
+    "role:assistant",  # hot raw field term (flat fast path)
+    "deploy OR failure",  # disjunction (MaxScore path)
+    "deploy AND failure",  # conjunction (full-eval path)
+    '"the error"',  # phrase (full-eval path)
+    "zzznotaword",  # zero hits
+]
+
+
+@pytest.mark.parametrize("q", COUNT_ONLY_CASES)
+def test_count_only_max_hits_zero(spark, built, q):
+    """max_hits=0 is the count request (the reference's count collector):
+    exact num_hits, no hits, no crash on any scorer path."""
+    index_dir, oracle, _ = built
+    req = SearchRequest(q, max_hits=0)
+    resp = search(spark, index_dir, req)
+    assert resp.hits == []
+    assert resp.num_hits == oracle.search(SearchRequest(q, max_hits=100000))["num_hits"]
+
+
+def test_count_only_with_ts_filter(spark, built):
+    index_dir, oracle, _ = built
+    ts0 = 1767225600 + 40 * 86400
+    req = SearchRequest("error", max_hits=0, start_timestamp=ts0)
+    resp = search(spark, index_dir, req)
+    assert resp.hits == []
+    want = oracle.search(SearchRequest("error", max_hits=100000, start_timestamp=ts0))
+    assert resp.num_hits == want["num_hits"]
