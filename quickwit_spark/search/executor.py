@@ -860,7 +860,6 @@ def make_split_scorer(
             return empty
         split_id = key[0]
         ff_pdf = ff_pdf.sort_values("seg_id")
-        num_docs_split = int(ff_pdf["num_docs"].sum())
         # fast fields: exact doc lengths (fieldnorm analog) + timestamps
         lens = np.concatenate(
             [decode_u32_column(b) for b in ff_pdf["doc_lens"]]
@@ -1044,12 +1043,16 @@ def _fast_field_values(field: str, ff_pdf: pd.DataFrame, lens: np.ndarray, docs:
 
 
 def _leaf_hits_df(
-    spark: SparkSession, index_dir: str, request: SearchRequest, mode: str = "topk"
+    spark: SparkSession, index_dir: str, request: SearchRequest
 ) -> tuple[DataFrame, list[SplitMetadata], object, IndexConfig]:
+    """Stream-mode leaf as a DataFrame (every matching doc, no top-k) —
+    the data-scale path behind search_stream/export_stream.  Top-k search
+    deliberately does NOT come through here: it is the separate RDD
+    _leaf_hit_rows job (see its docstring for why)."""
     cat, config, ast, splits, terms, buckets, scorer, _gstats = _plan_leaf(
-        spark, index_dir, request, mode
+        spark, index_dir, request, "stream"
     )
-    schema = fetched_hits_schema(config) if mode == "topk" else HITS_SCHEMA
+    schema = HITS_SCHEMA
     if not splits:
         empty = spark.createDataFrame([], schema)
         return empty, splits, ast, config
@@ -1102,15 +1105,18 @@ def _lru_put(cache: dict, key, value, cap: int):
 
 
 def _split_epoch(index_dir: str, table: str, split_id: str) -> float:
-    """Split-dir mtime, folded into every cache key.  Published split DIRS
-    never mutate, but deterministic build ids mean a delete-and-rebuild at
-    the same path REUSES split ids — one stat per lookup makes the caches
-    safe for long-lived servers at ~µs cost.  (Object stores without
-    directory entries report 0.0 — their listings change instead, and the
-    file list is part of the dataset construction.)"""
-    return storage_for(index_dir).mtime(
-        os.path.join(index_dir, table, f"split_id={split_id}")
-    )
+    """Change-detection token folded into every worker cache key.
+    Published split DIRS never mutate, but deterministic build ids mean a
+    delete-and-rebuild at the same path REUSES split ids.  Local disk: one
+    dir-mtime stat (~µs).  Object stores have no directory mtime, so hash
+    the file listing (name/size/mtime) instead — one LIST per probe (~ms),
+    the price of not serving stale postings from a long-lived server after
+    an index is rebuilt in place."""
+    st = storage_for(index_dir)
+    path = os.path.join(index_dir, table, f"split_id={split_id}")
+    if st.is_local:
+        return st.mtime(path)
+    return st.listing_fingerprint(path)
 
 
 def _cached_fastfields(index_dir: str, split_id: str) -> pd.DataFrame | None:
@@ -1752,16 +1758,10 @@ def search_stream(
     the requested fast-field value of EVERY matching doc, no top-k."""
     out_name = fast_field
     fast_field = _resolve_fast_field(spark, index_dir, fast_field)
-    req = SearchRequest(
-        query=request.query,
-        max_hits=request.max_hits,
-        start_offset=0,
-        start_timestamp=request.start_timestamp,
-        end_timestamp=request.end_timestamp,
-        search_fields=request.search_fields,
-        sort_by_field=fast_field,
-    )
-    hits, splits, ast, config = _leaf_hits_df(spark, index_dir, req, mode="stream")
+    # replace(), not a field-by-field rebuild: new SearchRequest fields
+    # must flow through this path the same way export_stream's do
+    req = _dc_replace(request, start_offset=0, sort_by_field=fast_field)
+    hits, splits, ast, config = _leaf_hits_df(spark, index_dir, req)
     return hits.select(
         "split_id", "doc_id", F.col("sort_value").alias(out_name)
     )
@@ -1788,7 +1788,7 @@ def export_stream(
     out_name = fast_field
     fast_field = _resolve_fast_field(spark, index_dir, fast_field)
     req = _dc_replace(request, start_offset=0, sort_by_field=fast_field)
-    hits_df, splits, _ast, _config = _leaf_hits_df(spark, index_dir, req, mode="stream")
+    hits_df, splits, _ast, _config = _leaf_hits_df(spark, index_dir, req)
     hits = hits_df.select("split_id", "doc_id", F.col("sort_value").alias(out_name))
     if partition_by is not None:
         # the doc-store side of the partition-by join scans ONLY the
@@ -1820,4 +1820,10 @@ def export_stream(
             {key: [pdf[key].iloc[0]], "n": [len(vals)], "payload": [vals.astype("<i8").tobytes()]}
         )
 
-    return grouped.groupBy(key).applyInPandas(pack, f"{key} string, n long, payload binary")
+    # the partition column keeps its real type ("any stored column can
+    # partition the export"): a hardcoded string schema fails Arrow
+    # conversion for int/date partition keys
+    key_type = grouped.schema[key].dataType.simpleString()
+    return grouped.groupBy(key).applyInPandas(
+        pack, f"`{key}` {key_type}, n long, payload binary"
+    )

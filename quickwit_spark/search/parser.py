@@ -264,7 +264,12 @@ class _Parser:
 
 
 def _bind_field(node, fieldname: str):
+    """Fill in the group's field on clauses that don't carry their own.
+    An explicitly scoped inner clause wins (tantivy's set_default_field
+    only supplies missing fields, it never overrides one)."""
     if isinstance(node, _RawClause):
+        if node.field is not None:
+            return node
         return _RawClause(fieldname, node.text, node.phrase)
     if isinstance(node, BoolQuery):
         return BoolQuery(

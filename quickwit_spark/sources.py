@@ -88,4 +88,8 @@ def vec_source(spark: SparkSession, rows: pd.DataFrame | list[dict]) -> DataFram
     """VecSource analog: an in-memory batch (tests, fixtures)."""
     if isinstance(rows, list):
         rows = pd.DataFrame(rows)
+    # pyspark zips pandas columns to schema fields by POSITION; reorder by
+    # name so dict/frame inputs with a different key order don't silently
+    # swap same-typed columns (missing columns fail loudly as KeyError)
+    rows = rows[[f.name for f in TRANSCRIPT_SCHEMA.fields]]
     return spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)

@@ -164,6 +164,26 @@ class Storage:
     def makedirs(self, logical: str) -> None:
         self.fs.create_dir(self.fs_path(logical), recursive=True)
 
+    def listing_fingerprint(self, logical_dir: str) -> float:
+        """Cache-epoch stand-in for stores without directory mtimes: a
+        stable hash of the dir's (file name, size, mtime) listing, so a
+        delete-and-rebuild at the same path (deterministic split ids)
+        changes every worker cache key.  One LIST per call (~ms on object
+        stores); 0.0 when the dir is missing/empty."""
+        import zlib
+
+        sel = pafs.FileSelector(
+            self.fs_path(logical_dir), allow_not_found=True, recursive=False
+        )
+        infos = self.fs.get_file_info(sel)
+        acc = 0
+        for i in sorted(infos, key=lambda x: x.path):
+            if i.type != pafs.FileType.File:
+                continue
+            rec = f"{i.path}|{i.size}|{i.mtime_ns}".encode()
+            acc = zlib.crc32(rec, acc)
+        return float(acc)
+
     def list_files(self, logical_dir: str, suffix: str = ".parquet") -> list[str]:
         """Sorted logical paths of suffix-matching files directly under the
         dir (object-store prefix listing)."""

@@ -151,3 +151,10 @@ def test_stacked_signs_compose():
     for q in ("error +-fatal", "error -+fatal", "error NOT fatal"):
         ast = parse_query(q, cfg)
         assert [t.term for t in ast.must_not] == ["fatal"], q
+
+
+def test_field_group_keeps_inner_explicit_scope():
+    # tantivy's set_default_field fills MISSING fields only: an explicitly
+    # scoped clause inside a field group keeps its own field
+    ast = parse_query("text:(alpha OR role:assistant)", CFG)
+    assert ast.should == [TermQuery("text", "alpha"), TermQuery("role", "assistant")]

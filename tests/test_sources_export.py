@@ -2,6 +2,7 @@
 CSV / RowBinary with partition-by) — reference file_source.rs,
 search_stream/leaf.rs:140-237."""
 
+import datetime
 import json
 import os
 
@@ -126,3 +127,21 @@ def test_table_source_matches_parquet(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown input format"):
         read_transcripts_table(spark, pq, fmt="orc")
+
+
+def test_vec_source_binds_columns_by_name(spark):
+    # pyspark zips pandas columns to schema fields positionally; vec_source
+    # must reorder by name so shuffled dict key order can't swap the
+    # same-typed string columns (conv_id/role/text/tool)
+    rows = [
+        {
+            "text": "hello world",
+            "role": "user",
+            "conv_id": "c1",
+            "tool": "",
+            "turn_idx": 0,
+            "ts": datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc),
+        }
+    ]
+    out = vec_source(spark, rows).collect()[0]
+    assert (out.conv_id, out.role, out.text, out.tool) == ("c1", "user", "hello world", "")
