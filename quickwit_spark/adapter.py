@@ -69,7 +69,13 @@ def documents_index(spark: SparkSession, sf_dir: str) -> str:
     if Catalog.exists(final):  # lost a race
         shutil.rmtree(tmp, ignore_errors=True)
     else:
-        os.replace(tmp, final) if not os.path.exists(final) else shutil.rmtree(tmp)
+        try:
+            os.replace(tmp, final)
+        except OSError:
+            # another process published `final` between the exists() check
+            # and the rename (os.replace onto a non-empty dir raises);
+            # their copy is equivalent — drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
     return final
 
 
@@ -127,5 +133,11 @@ def documents_generic_index(spark: SparkSession, sf_dir: str) -> str:
     if Catalog.exists(final):  # lost a race
         shutil.rmtree(tmp, ignore_errors=True)
     else:
-        os.replace(tmp, final) if not os.path.exists(final) else shutil.rmtree(tmp)
+        try:
+            os.replace(tmp, final)
+        except OSError:
+            # another process published `final` between the exists() check
+            # and the rename (os.replace onto a non-empty dir raises);
+            # their copy is equivalent — drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
     return final

@@ -432,9 +432,14 @@ def simhash_udf():
     @F.pandas_udf(LongType())
     def simhash(texts: pd.Series) -> pd.Series:
         tok_lists = tokenize_series(texts)
+        # token-less docs (empty/null/punctuation-only) get null, not 0:
+        # a 0 simhash would pair all of them at hamming distance 0, while
+        # text-similarity is undefined for empty token sets (the DuckDB
+        # oracle's unnest() likewise drops them)
+        empty = np.array([not lst for lst in tok_lists], bool)
         all_tokens = pd.Series([t for lst in tok_lists for t in lst])
         if len(all_tokens) == 0:
-            return pd.Series(np.zeros(len(texts), np.int64))
+            return pd.Series([pd.NA] * len(texts), dtype="Int64")
         uniq = pd.unique(all_tokens)
         h = _stable_token_hash64(pd.Series(uniq))
         shifts = np.arange(64, dtype=np.uint64)[None, :]
@@ -447,7 +452,9 @@ def simhash_udf():
             idx = np.fromiter((lut[t] for t in lst), np.int64, len(lst))
             v = bits[idx].sum(axis=0)
             out[i] = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
-        return pd.Series(out.view(np.int64))
+        res = pd.Series(out.view(np.int64), dtype="Int64")
+        res[empty] = pd.NA
+        return res
 
     return simhash
 
@@ -500,7 +507,9 @@ def simhash_pairs(
     """Near-dup pairs with SimHash Hamming distance <= max_hamming, using
     4×16-bit band blocking (a pair within distance 3 shares at least one of
     4 bands) then exact popcount verification — no all-pairs comparison."""
-    sh = df.select(F.col(id_col).alias("doc_id"), simhash_udf()(F.col(text_col)).alias("simhash"))
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), simhash_udf()(F.col(text_col)).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
     bands = [
         F.struct(
             F.lit(b).alias("band_idx"),

@@ -36,10 +36,14 @@ HEX_SPACE = 16**8  # the sampling key: first 8 hex chars of md5 → 32 bits
 
 
 def _threshold_hex(rate: float) -> str:
-    """Largest 8-hex-digit string h such that key < h keeps ≈rate of keys."""
+    """Threshold string h such that key < h keeps ≈rate of keys."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(min(int(rate * HEX_SPACE), HEX_SPACE - 1), "08x")
+    if rate >= 1.0:
+        # every 8-hex-digit key sorts below 'g'; capping at 'ffffffff'
+        # (exclusive) would drop the 1-in-2^32 keys equal to it
+        return "g"
+    return format(int(rate * HEX_SPACE), "08x")
 
 
 def _spark_key(id_col: str, salt: str):

@@ -765,6 +765,13 @@ def _near_dup_gemm(df: DataFrame, threshold: float, id_col: str, vec_col: str) -
     tmp = tempfile.mkdtemp(
         prefix="qw-neardup-", dir=_os.environ.get("QW_NEARDUP_SCRATCH")
     )
+    # the returned DataFrame is lazy — tasks re-read these chunks on every
+    # action, so the dir can't be removed eagerly; reclaim it at interpreter
+    # exit instead of leaking one corpus spill per call
+    import atexit
+    import shutil as _shutil
+
+    atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
     vec_dir = _os.path.join(tmp, "vectors")
     w = Window.orderBy(id_col)
     (

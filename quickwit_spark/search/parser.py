@@ -304,6 +304,10 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
     fm = config.fields.get(node.field)
     if fm is None:
         raise QueryParserError(f"field does not exist in schema: {node.field}")
+    if not fm.is_indexed:
+        # stored/fast-only fields have no postings: fail at bind time like
+        # tantivy's FieldNotIndexed instead of silently matching nothing
+        raise QueryParserError(f"field is not indexed: {node.field}")
     if fm.scalar_type != "text":
         # typed term query (i64/u64/f64/date/bytes): exact value match on
         # the canonical term string (same form the build task indexed)

@@ -158,3 +158,10 @@ def test_field_group_keeps_inner_explicit_scope():
     # scoped clause inside a field group keeps its own field
     ast = parse_query("text:(alpha OR role:assistant)", CFG)
     assert ast.should == [TermQuery("text", "alpha"), TermQuery("role", "assistant")]
+
+
+def test_query_on_unindexed_field_rejected():
+    # turn_idx is fast-only (indexed=False): bind-time error like tantivy's
+    # FieldNotIndexed, not a silent zero-hit query
+    with pytest.raises(QueryParserError, match="not indexed"):
+        parse_query("turn_idx:5", CFG)

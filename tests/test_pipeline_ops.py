@@ -494,3 +494,20 @@ def test_corpus_length_stats(spark):
     pdf = df.toPandas()  # noqa: F841
     ora = duckdb.sql(tx.corpus_length_stats_sql("pdf")).fetchone()
     assert tuple(ora) == (10, 55, 10, 5, 9, 10)
+
+
+def test_simhash_tokenless_docs_never_pair(spark):
+    """Empty/punctuation-only docs have no defined text similarity: they
+    must not all collide at simhash 0 and flood hamming-0 pairs (the
+    DuckDB oracle's unnest() gives them no vote rows either)."""
+    rows = [(0, "the quick brown fox"), (1, ""), (2, "..."), (3, None), (4, "the quick brown fox")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.simhash_pairs(df, max_hamming=3).collect()}
+    assert pairs == {(0, 4)}
+
+
+def test_hash_sample_rate_one_keeps_everything(spark):
+    from quickwit_spark.pipeline.sampling import sample_by_hash
+
+    df = spark.range(0, 5_000).withColumnRenamed("id", "doc_id")
+    assert sample_by_hash(df, 1.0).count() == 5_000
