@@ -635,7 +635,9 @@ FROM (
   FROM documents
 ) WHERE rn = 1""",
         "dd_ngram_jaccard": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
-        "dd_minhash_lsh": dd.ngram_jaccard_oracle_sql("documents", TOKS, 400_000, 3),
+        "dd_minhash_lsh": dd.minhash_lsh_oracle_sql(
+            "documents", TOKS, 400_000, num_hashes=32, bands=16, n=3
+        ),
         "dd_decontaminate": dd.decontaminate_oracle_sql(
             "documents", TOKS, "doc_id % 50 = 0", 5
         ),

@@ -14,6 +14,8 @@ and SimHash.  All shuffle-conscious:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -326,6 +328,18 @@ GROUP BY c.doc_id
 # -- MinHash + LSH -----------------------------------------------------------------
 
 
+_MH_P = 2_147_483_647  # 2^31 - 1: products a*base stay under 2^62, no long overflow
+
+
+def _minhash_perm(i: int) -> tuple[int, int]:
+    """Fixed affine-permutation params (a_i, b_i) for hash i, derived from
+    md5 so engine and oracle inline identical literals."""
+    d = hashlib.md5(f"qw-minhash-{i}".encode()).digest()
+    a = int.from_bytes(d[:8], "big") % (_MH_P - 1) + 1
+    b = int.from_bytes(d[8:], "big") % _MH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
@@ -333,12 +347,21 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of xxhash64(seed_i,
-    shingle), one aggregation with num_hashes partial-aggregated mins."""
+    """Per-doc MinHash signature: min over shingles of affine permutations
+    (a_i*h + b_i) mod 2^31-1 of an md5-derived 60-bit shingle hash — one
+    aggregation with num_hashes partial-aggregated mins.
+
+    Everything is a JVM built-in (md5/conv/arithmetic, whole-stage
+    codegen), and — unlike xxhash64 — every other engine can reproduce it
+    exactly (see minhash_lsh_oracle_sql), so LSH outputs are verifiable
+    rather than correct-with-high-probability-per-engine."""
     ex = _exploded_shingles(df, id_col, text_col, n, None)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}") for i in range(num_hashes)
-    ]
+    base = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long") % _MH_P
+    ex = ex.select("doc_id", base.alias("__h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _minhash_perm(i)
+        aggs.append(F.min((F.lit(a) * F.col("__h") + F.lit(b)) % _MH_P).alias(f"mh_{i}"))
     return ex.groupBy("doc_id").agg(*aggs)
 
 
@@ -359,12 +382,14 @@ def minhash_lsh_pairs(
     equality joins on (band_idx, band_hash)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    # band key = the row minhashes verbatim (comma-joined): no second hash
+    # to keep portable, and equality-join keys need no distribution
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "band_hash"
-            ),
+            F.concat_ws(
+                ",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
         )
         for b in range(bands)
     ]
@@ -405,6 +430,72 @@ def minhash_lsh_pairs(
             F.floor(F.lit(1_000_000) * F.col("shared") / union_sz).cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+def minhash_lsh_oracle_sql(
+    table: str,
+    toks_sql: str,
+    threshold_ppm: int,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs: re-derives the md5-affine MinHash
+    signatures, the band keys, AND the candidate blocking — banding is part
+    of the operator's semantics (LSH recall < 1 by design), so an exact
+    all-pairs Jaccard oracle would over-report whenever the bands miss a
+    qualifying pair."""
+    rows_per_band = num_hashes // bands
+    leads = " || ' ' || ".join(["term"] + [f"lead(term, {j}) OVER w" for j in range(1, n)])
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in ((i, _minhash_perm(i)) for i in range(num_hashes))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks_sql}) AS term,
+         unnest(range(len({toks_sql}))) AS pos
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, {leads} AS gram,
+           lead(term, {n-1}) OVER w AS tail_term
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE tail_term IS NOT NULL
+),
+h AS (
+  SELECT doc_id, gram,
+         CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) % {_MH_P} AS BIGINT) AS base
+  FROM sh
+),
+perm AS (SELECT * FROM (VALUES {perms}) t(i, a, b)),
+sig AS (
+  SELECT doc_id, i, min((a * base + b) % {_MH_P}) AS mh
+  FROM h CROSS JOIN perm GROUP BY doc_id, i
+),
+bandkey AS (
+  SELECT doc_id, i // {rows_per_band} AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, i // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandkey x JOIN bandkey y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT doc_a, doc_b, count(*) AS shared
+  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.gram = b.gram
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(1000000.0 * shared / (sa.n_sh + sb.n_sh - shared)) AS BIGINT) AS jaccard_ppm
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 1000000 >= {threshold_ppm} * (sa.n_sh + sb.n_sh - shared)
+"""
 
 
 # -- SimHash --------------------------------------------------------------------

@@ -511,3 +511,39 @@ def test_hash_sample_rate_one_keeps_everything(spark):
 
     df = spark.range(0, 5_000).withColumnRenamed("id", "doc_id")
     assert sample_by_hash(df, 1.0).count() == 5_000
+
+
+def test_minhash_lsh_oracle_twin_including_band_misses(spark):
+    """The DuckDB oracle reproduces the md5-affine signatures AND the band
+    blocking, so engine == oracle even for pairs the bands miss — the
+    contract is deterministic, not recall-by-luck.  A weak 2-band/16-row
+    config is used here precisely to force misses of above-threshold
+    pairs."""
+    import duckdb
+
+    rows = []
+    for d in range(40):
+        # each doc shares a sliding 10-of-12 token window with its
+        # neighbors: plenty of mid-jaccard pairs for the bands to miss
+        toks = " ".join(f"w{d + j}" for j in range(12))
+        rows.append((d, toks))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard_ppm"])
+        for r in dd.minhash_lsh_pairs(
+            df, threshold_ppm=100_000, num_hashes=32, bands=2, n=3
+        ).collect()
+    )
+    pdf = df.toPandas()  # noqa: F841 (duckdb reads it by name)
+    ora = sorted(
+        duckdb.sql(
+            dd.minhash_lsh_oracle_sql(
+                "pdf", tx.duckdb_tokens("text"), 100_000, num_hashes=32, bands=2, n=3
+            )
+        ).fetchall()
+    )
+    assert eng == ora
+    # sanity: the weak banding really does miss exact pairs (else this
+    # test wouldn't cover the divergence case)
+    exact = dd.ngram_jaccard_pairs(df, threshold_ppm=100_000, n=3).count()
+    assert len(eng) < exact
