@@ -98,6 +98,13 @@ def _clauses():
             st.sampled_from([" AND ", " OR ", " "]),
             word,
         ),
+        # field group with an explicitly scoped inner clause (the group
+        # field fills only the unscoped side, tantivy set_default_field)
+        st.builds(
+            lambda w, r: f"text:({w} OR role:{r})",
+            word,
+            st.sampled_from(_STATE["roles"]),
+        ),
     )
 
 
@@ -118,7 +125,8 @@ def _queries(draw):
 
 @st.composite
 def _requests(draw):
-    kw = dict(query=draw(_queries()), max_hits=draw(st.integers(1, 25)))
+    # max_hits=0 is the count-only request (reference count collector)
+    kw = dict(query=draw(_queries()), max_hits=draw(st.integers(0, 25)))
     if draw(st.booleans()):
         kw["start_offset"] = draw(st.integers(0, 8))
     if draw(st.booleans()):
