@@ -94,9 +94,18 @@ def pack_sequences(
     ).filter(F.col("n") > 0)
 
     p = int(num_buckets or t.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # Step 1: driver-fixed bucket boundaries (constants in the plan).
+    # Step 1: driver-fixed bucket boundaries (constants in the plan),
+    # computed on the RAW input's key column only — running approxQuantile
+    # on `t` would evaluate the tokenizer (for the n>0 filter) and pay a
+    # third full tokenization pass; boundary quality only affects balance,
+    # and the key distribution with empty docs included is the same for
+    # that purpose.
     bnds = sorted(
-        set(t.stat.approxQuantile("_k", [i / p for i in range(1, p)], 0.01))
+        set(
+            df.select(_monotone_key(df, id_col).alias("_k")).stat.approxQuantile(
+                "_k", [i / p for i in range(1, p)], 0.01
+            )
+        )
     )
     bucket = F.lit(0)
     for b in bnds:

@@ -28,12 +28,13 @@ def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
     null-keyed row (counted+dropped by validation) instead of failing the
     read — the reference counts parse failures per doc
     (indexer counters, indexer.rs:38-62)."""
-    return (
-        spark.read.schema(TRANSCRIPT_SCHEMA)
-        .option("mode", "PERMISSIVE")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
-        .json(path)
-    )
+    # No explicit timestampFormat: Spark's default lenient ISO-8601 parser
+    # accepts every RFC-3339 fraction precision.  An explicit "[.SSS][XXX]"
+    # pattern matches EXACTLY 3 fraction digits, so microsecond timestamps
+    # — including the engine's own canonical_date output — parsed to null
+    # and the documents were dropped as invalid (same bug class as the
+    # Kafka/Kinesis projection, streaming/ingest.py).
+    return spark.read.schema(TRANSCRIPT_SCHEMA).option("mode", "PERMISSIVE").json(path)
 
 
 def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -145,3 +145,18 @@ def test_vec_source_binds_columns_by_name(spark):
     ]
     out = vec_source(spark, rows).collect()[0]
     assert (out.conv_id, out.role, out.text, out.tool) == ("c1", "user", "hello world", "")
+
+
+def test_ndjson_microsecond_timestamps_parse(spark, tmp_path):
+    """RFC-3339 timestamps with >3 fraction digits (the engine's own
+    canonical_date form) must parse, not null out as invalid — a fixed
+    '[.SSS]' timestampFormat silently dropped them."""
+    path = str(tmp_path / "us.ndjson")
+    with open(path, "w") as f:
+        f.write(json.dumps({
+            "conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi",
+            "tool": "", "ts": "2026-03-01T10:20:30.123456Z",
+        }) + "\n")
+    rows = read_ndjson(spark, path).collect()
+    assert len(rows) == 1 and rows[0].ts is not None
+    assert rows[0].ts.microsecond == 123456
