@@ -201,6 +201,27 @@ def ft_stream_export(spark, sf_dir):
     return hits.select(F.col("ts").alias("doc_id"))
 
 
+def ft_agg_histogram(spark, sf_dir):
+    """Search-side date-histogram aggregation (beyond-reference: the
+    reference only counts hits, SURVEY §2.6): per-100s bucket doc counts
+    over every doc matching 'merge', straight off the fast-field stream
+    leaf (ts == doc_id in this corpus)."""
+    from .search.executor import search_agg_date_histogram
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_date_histogram(spark, idx, SearchRequest("merge"), 100)
+
+
+def ft_agg_terms(spark, sf_dir):
+    """Search-side terms aggregation over a STORED column (role carries
+    lang): matches joined to the split-pruned doc store, then one hash
+    agg — the facet-over-matching-docs shape."""
+    from .search.executor import search_agg_terms
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_terms(spark, idx, SearchRequest("merge"), "role")
+
+
 def ft_termdict(spark, sf_dir):
     """Term dictionary across splits (validates tokenize+build+merge path)."""
     idx = documents_index(spark, sf_dir)
@@ -530,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_turn_idx": ft_sort_by_turn_idx,
         "ft_count": ft_count,
         "ft_stream_export": ft_stream_export,
+        "ft_agg_histogram": ft_agg_histogram,
+        "ft_agg_terms": ft_agg_terms,
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
         "ft_generic_nested": ft_generic_nested,
@@ -610,6 +633,16 @@ ORDER BY doc_id ASC LIMIT 10""",
 SELECT count(DISTINCT doc_id) AS num_hits FROM tf WHERE term = 'query'""",
         "ft_stream_export": f"""{BM25_CTE}
 SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'""",
+        "ft_agg_histogram": f"""{BM25_CTE}
+SELECT CAST(doc_id // 100 * 100 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+GROUP BY 1""",
+        "ft_agg_terms": f"""{BM25_CTE}
+SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS doc_count
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+GROUP BY 1""",
         "ft_termdict": f"""{BM25_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf
 FROM tf GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 50""",

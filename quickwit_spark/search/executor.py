@@ -1827,3 +1827,74 @@ def export_stream(
     return grouped.groupBy(key).applyInPandas(
         pack, f"`{key}` {key_type}, n long, payload binary"
     )
+
+
+# -- search-side aggregations ---------------------------------------------------
+# Beyond the reference: quickwit ~v0.2's only "aggregation" is hit counting
+# (SURVEY §2.6).  These compose the stream leaf (every matching doc, no
+# top-k) with ordinary Spark hash aggregates — map-side combine, no driver
+# collect, no new shuffle shape — so a "facet over 10^12 turns" costs one
+# stream leaf + one aggregate exchange.
+
+
+def search_agg_date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    interval_s: int,
+    ts_field: str | None = None,
+) -> DataFrame:
+    """ES-style date-histogram over EVERY matching doc: bucket = epoch
+    floored to ``interval_s``, value = doc count.  The timestamp comes off
+    the fast-field store in the stream leaf — the doc store is never
+    touched."""
+    if interval_s <= 0:
+        raise ValueError(f"interval_s must be positive, got {interval_s}")
+    _, config = open_index(spark, index_dir)
+    field = ts_field or config.timestamp_field
+    if field is None:
+        raise ValueError("index has no timestamp field; pass ts_field")
+    hits = search_stream(spark, index_dir, request, field)
+    iv = int(interval_s)
+    bucket = (F.floor(F.col(f"`{field}`") / F.lit(iv)) * iv).cast("long")
+    return hits.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+
+
+def search_agg_terms(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    field: str,
+    size: int | None = None,
+) -> DataFrame:
+    """ES-style terms aggregation over every matching doc's ``field``:
+    (value, doc_count), ordered by count desc then value.  Fast i64 fields
+    aggregate straight off the stream leaf; stored columns join matches to
+    the doc store first — split-pruned (Catalyst PartitionFilters on
+    split_id) and column-pruned to (split_id, doc_id, field), the same
+    fetch_docs shape as export_stream's partition-by join."""
+    _, config = open_index(spark, index_dir)
+    fast = field == config.timestamp_field or field in config.extra_fast_fields
+    if fast:
+        vals = search_stream(spark, index_dir, request, field)
+    else:
+        if field not in config.doc_cols():
+            raise ValueError(f"field {field!r} is neither fast nor stored")
+        vehicle = _resolve_fast_field(
+            spark, index_dir, config.timestamp_field or "ts"
+        )
+        req = _dc_replace(request, start_offset=0, sort_by_field=vehicle)
+        hits, splits, _ast, _config = _leaf_hits_df(spark, index_dir, req)
+        docs = (
+            _table_scan(spark, index_dir, "docs")
+            .filter(F.col("split_id").isin([s.split_id for s in splits]))
+            .select("split_id", "doc_id", f"`{field}`")
+        )
+        vals = hits.select("split_id", "doc_id").join(docs, ["split_id", "doc_id"])
+    out = vals.groupBy(F.col(f"`{field}`").alias("value")).agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    out = out.orderBy(F.col("doc_count").desc(), F.col("value").asc())
+    return out.limit(int(size)) if size is not None else out

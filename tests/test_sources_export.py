@@ -160,3 +160,44 @@ def test_ndjson_microsecond_timestamps_parse(spark, tmp_path):
     rows = read_ndjson(spark, path).collect()
     assert len(rows) == 1 and rows[0].ts is not None
     assert rows[0].ts.microsecond == 123456
+
+
+def test_search_agg_histogram_and_terms(spark, small_idx):
+    """Search-side aggregations equal brute-force counts over the same
+    matches; the stored-column terms path must keep the doc-store scan
+    split-pruned (PartitionFilters) and column-pruned."""
+    import collections
+
+    from quickwit_spark.search.executor import (
+        search,
+        search_agg_date_histogram,
+        search_agg_terms,
+    )
+
+    req = SearchRequest("deploy")
+    ts_vals = [
+        r["ts"] for r in search_stream(spark, small_idx, req, "ts").collect()
+    ]
+    hist = {
+        r["bucket"]: r["doc_count"]
+        for r in search_agg_date_histogram(spark, small_idx, req, 86400).collect()
+    }
+    assert hist == dict(collections.Counter((t // 86400) * 86400 for t in ts_vals))
+
+    full = search(spark, small_idx, SearchRequest("deploy", max_hits=100_000))
+    want = collections.Counter(h["role"] for h in full.hits)
+    terms = search_agg_terms(spark, small_idx, req, "role")
+    got = {r["value"]: r["doc_count"] for r in terms.collect()}
+    assert got == dict(want)
+    # ordered by count desc then value; size= caps the rows
+    ordered = [(r["doc_count"], r["value"]) for r in terms.collect()]
+    assert ordered == sorted(ordered, key=lambda x: (-x[0], x[1]))
+    assert search_agg_terms(spark, small_idx, req, "role", size=1).count() == 1
+
+    plan = terms._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln and "/docs" in ln]
+    assert any("PartitionFilters: [" in ln and "split_id" in ln for ln in scan_lines), plan
+    assert any("role" in ln and "text" not in ln for ln in scan_lines), scan_lines
+
+    with pytest.raises(ValueError, match="neither fast nor stored"):
+        search_agg_terms(spark, small_idx, req, "nosuchcol")
