@@ -223,12 +223,33 @@ def cmd_search(args) -> dict:
         sort_by_field=args.sort_by,
     )
     resp = search(spark, args.index_dir, req)
-    return {
+    out = {
         "cmd": "search",
         "num_hits": resp.num_hits,
         "hits": resp.hits,
         "elapsed_time_micros": resp.elapsed_time_micros,
     }
+    # search-side aggregations (agg-only runs pass --max-hits 0)
+    if getattr(args, "agg_histogram_interval", None):
+        from quickwit_spark.search.executor import search_agg_date_histogram
+
+        rows = search_agg_date_histogram(
+            spark, args.index_dir, req, args.agg_histogram_interval
+        ).collect()
+        out["agg_histogram"] = {
+            int(r["bucket"]): int(r["doc_count"])
+            for r in sorted(rows, key=lambda r: r["bucket"])
+        }
+    if getattr(args, "agg_terms", None):
+        from quickwit_spark.search.executor import search_agg_terms
+
+        rows = search_agg_terms(
+            spark, args.index_dir, req, args.agg_terms, size=args.agg_terms_size
+        ).collect()
+        out["agg_terms"] = [
+            {"key": r["value"], "doc_count": int(r["doc_count"])} for r in rows
+        ]
+    return out
 
 
 def cmd_merge(args) -> dict:
@@ -600,6 +621,15 @@ def main(argv=None):
         "--search-fields", default=None,
         help="comma-separated default fields for unscoped clauses (overrides config)",
     )
+    s.add_argument(
+        "--agg-histogram-interval", type=int, default=None,
+        help="date-histogram aggregation over every match (bucket seconds)",
+    )
+    s.add_argument(
+        "--agg-terms", default=None,
+        help="terms facet over every match's fast/stored field",
+    )
+    s.add_argument("--agg-terms-size", type=int, default=10)
     s.set_defaults(fn=cmd_search)
 
     m = sub.add_parser("merge")

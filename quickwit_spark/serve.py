@@ -182,7 +182,11 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             req = SearchRequest(
                 query=qs["query"][0],
-                max_hits=_int_or_none(qs, "maxHits") or 20,
+                # `x if x is not None` not `or`: maxHits=0 is the COUNT
+                # request (count collector) and must not fall back to 20
+                max_hits=(
+                    mh if (mh := _int_or_none(qs, "maxHits")) is not None else 20
+                ),
                 start_offset=_int_or_none(qs, "startOffset") or 0,
                 start_timestamp=_int_or_none(qs, "startTimestamp"),
                 end_timestamp=_int_or_none(qs, "endTimestamp"),
@@ -236,8 +240,42 @@ class _Handler(BaseHTTPRequestHandler):
                         yield np.asarray([r[fast_field] for r in rows], dtype="<i8").tobytes()
 
                 return self._reply_chunked(bin_chunks(), "application/octet-stream")
+            # search-side aggregations (beyond-reference; agg-only clients
+            # pass maxHits=0, which takes the count-only fast path)
+            agg_interval = _int_or_none(qs, "aggHistogramInterval")
+            agg_terms = qs.get("aggTermsField", [None])[0]
+            aggs = {}
             with self.lock:
                 resp = search(self.spark, index_dir, req)
+                if agg_interval is not None:
+                    from quickwit_spark.search.executor import (
+                        search_agg_date_histogram,
+                    )
+
+                    rows = search_agg_date_histogram(
+                        self.spark, index_dir, req, agg_interval
+                    ).collect()
+                    aggs["histogram"] = {
+                        "interval": agg_interval,
+                        "buckets": [
+                            {"key": r["bucket"], "docCount": r["doc_count"]}
+                            for r in sorted(rows, key=lambda r: r["bucket"])
+                        ],
+                    }
+                if agg_terms is not None:
+                    from quickwit_spark.search.executor import search_agg_terms
+
+                    size = _int_or_none(qs, "aggTermsSize") or 10  # ES default
+                    rows = search_agg_terms(
+                        self.spark, index_dir, req, agg_terms, size=size
+                    ).collect()
+                    aggs["terms"] = {
+                        "field": agg_terms,
+                        "buckets": [
+                            {"key": r["value"], "docCount": r["doc_count"]}
+                            for r in rows
+                        ],
+                    }
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))
         out = {
@@ -245,6 +283,8 @@ class _Handler(BaseHTTPRequestHandler):
             "hits": resp.hits,
             "elapsedTimeMicros": resp.elapsed_time_micros,
         }
+        if aggs:
+            out["aggregations"] = aggs
         # format=json|prettyjson (reference rest-api.md: default prettyjson)
         fmt = qs.get("format", ["prettyjson"])[0]
         if fmt not in ("json", "prettyjson"):

@@ -290,3 +290,22 @@ def test_slow_stream_client_does_not_block_other_queries(server):
         assert elapsed < 30
     finally:
         s.close()
+
+
+def test_search_endpoint_aggregations(spark, server, index_root):
+    """aggTermsField / aggHistogramInterval return ES-shaped buckets whose
+    counts sum to numHits (every match lands in exactly one bucket)."""
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
+        "&aggTermsField=role&aggHistogramInterval=604800&format=json"
+    )
+    assert code == 200, body
+    got = json.loads(body)
+    assert got["hits"] == []
+    aggs = got["aggregations"]
+    assert sum(b["docCount"] for b in aggs["terms"]["buckets"]) == got["numHits"]
+    assert sum(b["docCount"] for b in aggs["histogram"]["buckets"]) == got["numHits"]
+    hist_keys = [b["key"] for b in aggs["histogram"]["buckets"]]
+    assert hist_keys == sorted(hist_keys) and all(k % 604800 == 0 for k in hist_keys)
+    counts = [b["docCount"] for b in aggs["terms"]["buckets"]]
+    assert counts == sorted(counts, reverse=True)
