@@ -223,7 +223,7 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
 
     q = queries()
     out = {}
-    for name in ("dd_minhash_lsh", "sim_ivf_topk", "tx_quality"):
+    for name in ("dd_minhash_lsh", "sim_ivf_topk", "tx_quality", "ft_agg_terms"):
         best = None
         for _ in range(2):  # best-of-2: run 1 warms worker arenas (see mem.py)
             t0 = time.monotonic()
