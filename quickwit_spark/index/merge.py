@@ -340,19 +340,26 @@ def execute_merge_round(
         for s in inputs:
             for f_, v in s.field_len_sums.items():
                 len_sums[f_] = len_sums.get(f_, 0) + v
-        meta = SplitMetadata(
-            split_id=op.output_split_id,
-            num_docs=sum(s.num_docs for s in inputs),
-            ts_min=min(s.ts_min for s in inputs),
-            ts_max=max(s.ts_max for s in inputs),
-            tags=tags,
-            num_merge_ops=max(s.num_merge_ops for s in inputs) + 1,
-            field_len_sums=len_sums,
-            metrics={"merged_from": op.split_ids},
+        produced.append(
+            SplitMetadata(
+                split_id=op.output_split_id,
+                num_docs=sum(s.num_docs for s in inputs),
+                ts_min=min(s.ts_min for s in inputs),
+                ts_max=max(s.ts_max for s in inputs),
+                tags=tags,
+                num_merge_ops=max(s.num_merge_ops for s in inputs) + 1,
+                field_len_sums=len_sums,
+                metrics={"merged_from": op.split_ids},
+            )
         )
-        cat.stage_split(meta)
+    # ONE staging transaction for the round (same O(catalog) economics as
+    # the builder's wave staging), then per-op atomic replaces — each swap
+    # stays its own transaction so a crash mid-round leaves every op either
+    # fully published or fully invisible (its output stays STAGED and GC's
+    # stale-staged sweep reclaims it)
+    cat.stage_splits(produced)
+    for op in ops:
         cat.replace_splits([op.output_split_id], op.split_ids)
-        produced.append(meta)
     return produced
 
 
