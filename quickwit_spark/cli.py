@@ -249,6 +249,17 @@ def cmd_search(args) -> dict:
         out["agg_terms"] = [
             {"key": r["value"], "doc_count": int(r["doc_count"])} for r in rows
         ]
+    if getattr(args, "agg_stats", None):
+        from quickwit_spark.search.executor import search_agg_stats
+
+        row = search_agg_stats(spark, args.index_dir, req, args.agg_stats).collect()[0]
+        out["agg_stats"] = {
+            "count": int(row["doc_count"]),
+            "min": None if row["min"] is None else int(row["min"]),
+            "max": None if row["max"] is None else int(row["max"]),
+            "sum": None if row["sum"] is None else int(row["sum"]),
+            "avg": None if row["avg"] is None else float(row["avg"]),
+        }
     return out
 
 
@@ -630,6 +641,10 @@ def main(argv=None):
         help="terms facet over every match's fast/stored field",
     )
     s.add_argument("--agg-terms-size", type=int, default=10)
+    s.add_argument(
+        "--agg-stats", default=None,
+        help="stats aggregation (count/min/max/sum/avg) over a fast i64 field",
+    )
     s.set_defaults(fn=cmd_search)
 
     m = sub.add_parser("merge")

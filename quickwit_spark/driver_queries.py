@@ -222,6 +222,15 @@ def ft_agg_terms(spark, sf_dir):
     return search_agg_terms(spark, idx, SearchRequest("merge"), "role")
 
 
+def ft_agg_stats(spark, sf_dir):
+    """Search-side stats aggregation over the ts fast field (== doc_id):
+    count/min/max/sum/avg of every match in one stream-leaf pass."""
+    from .search.executor import search_agg_stats
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_stats(spark, idx, SearchRequest("merge"), "ts")
+
+
 def ft_termdict(spark, sf_dir):
     """Term dictionary across splits (validates tokenize+build+merge path)."""
     idx = documents_index(spark, sf_dir)
@@ -553,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_stream_export": ft_stream_export,
         "ft_agg_histogram": ft_agg_histogram,
         "ft_agg_terms": ft_agg_terms,
+        "ft_agg_stats": ft_agg_stats,
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
         "ft_generic_nested": ft_generic_nested,
@@ -638,6 +648,13 @@ SELECT CAST(doc_id // 100 * 100 AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS doc_count
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
 GROUP BY 1""",
+        "ft_agg_stats": f"""{BM25_CTE}
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(min(doc_id) AS BIGINT) AS min,
+       CAST(max(doc_id) AS BIGINT) AS max,
+       CAST(sum(doc_id) AS BIGINT) AS sum,
+       round(CAST(sum(doc_id) AS DOUBLE) / count(*), 4) AS avg
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')""",
         "ft_agg_terms": f"""{BM25_CTE}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS doc_count
 FROM documents d

@@ -193,6 +193,18 @@ def resolve_sort(request: SearchRequest, config: IndexConfig) -> SearchRequest:
             "engine sorts integer-class fast fields only (reference u64 "
             "contract); scan the index's fastfields table for f64 columns"
         )
+    # reject unknown names driver-side: an unvalidated field would fail
+    # executor-side with an opaque Py4J traceback (and a dropped REST
+    # connection) instead of a 400
+    if (
+        request.sort_by_field is not None
+        and request.sort_by_field not in ("ts", "doc_len")
+        and request.sort_by_field not in config.extra_fast_fields
+    ):
+        raise ValueError(
+            f"unknown sort fast field {request.sort_by_field!r}: declared "
+            f"fast fields are {sorted(('doc_len', config.timestamp_field or 'ts') + config.extra_fast_fields)}"
+        )
     return request
 
 
@@ -1748,6 +1760,11 @@ def _resolve_fast_field(spark, index_dir: str, fast_field: str) -> str:
             "schema is integer-class (reference u64 contract); scan the "
             "index's fastfields table for f64 columns"
         )
+    if fast_field not in ("ts", "doc_len") and fast_field not in config.extra_fast_fields:
+        raise ValueError(
+            f"unknown fast field {fast_field!r}: declared fast fields are "
+            f"{sorted(('doc_len', config.timestamp_field or 'ts') + config.extra_fast_fields)}"
+        )
     return fast_field
 
 
@@ -1898,3 +1915,28 @@ def search_agg_terms(
     )
     out = out.orderBy(F.col("doc_count").desc(), F.col("value").asc())
     return out.limit(int(size)) if size is not None else out
+
+
+def search_agg_stats(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    field: str,
+) -> DataFrame:
+    """ES-style stats aggregation over every matching doc's fast i64
+    ``field``: one row (count, min, max, sum, avg).  avg is computed as
+    sum/count explicitly so any engine reproduces the exact double."""
+    hits = search_stream(spark, index_dir, request, field)
+    c = F.col(f"`{field}`")
+    return hits.agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.min(c).cast("long").alias("min"),
+        F.max(c).cast("long").alias("max"),
+        F.sum(c).cast("long").alias("sum"),
+    ).select(
+        "doc_count",
+        "min",
+        "max",
+        "sum",
+        F.round(F.col("sum").cast("double") / F.col("doc_count"), 4).alias("avg"),
+    )

@@ -276,6 +276,21 @@ class _Handler(BaseHTTPRequestHandler):
                             for r in rows
                         ],
                     }
+                agg_stats = qs.get("aggStatsField", [None])[0]
+                if agg_stats is not None:
+                    from quickwit_spark.search.executor import search_agg_stats
+
+                    row = search_agg_stats(
+                        self.spark, index_dir, req, agg_stats
+                    ).collect()[0]
+                    aggs["stats"] = {
+                        "field": agg_stats,
+                        "count": row["doc_count"],
+                        "min": row["min"],
+                        "max": row["max"],
+                        "sum": row["sum"],
+                        "avg": row["avg"],
+                    }
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))
         out = {

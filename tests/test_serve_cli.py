@@ -297,7 +297,8 @@ def test_search_endpoint_aggregations(spark, server, index_root):
     counts sum to numHits (every match lands in exactly one bucket)."""
     code, body, _ = _get(
         f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
-        "&aggTermsField=role&aggHistogramInterval=604800&format=json"
+        "&aggTermsField=role&aggHistogramInterval=604800"
+        "&aggStatsField=ts&format=json"
     )
     assert code == 200, body
     got = json.loads(body)
@@ -309,3 +310,20 @@ def test_search_endpoint_aggregations(spark, server, index_root):
     assert hist_keys == sorted(hist_keys) and all(k % 604800 == 0 for k in hist_keys)
     counts = [b["docCount"] for b in aggs["terms"]["buckets"]]
     assert counts == sorted(counts, reverse=True)
+    stats = aggs["stats"]
+    assert stats["count"] == got["numHits"]
+    assert stats["min"] <= stats["avg"] <= stats["max"]
+    # every match lands in the [min, max] histogram span
+    assert hist_keys[0] <= stats["min"] and stats["max"] < hist_keys[-1] + 604800
+
+
+def test_unknown_fast_field_is_400(server):
+    """An undeclared fast field must be rejected driver-side as a 400 —
+    not crash executor-side and drop the HTTP connection."""
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
+        "&aggStatsField=nope&format=json"
+    )
+    if isinstance(body, bytes):
+        body = body.decode()
+    assert code == 400 and "nope" in body
