@@ -229,37 +229,31 @@ def cmd_search(args) -> dict:
         "hits": resp.hits,
         "elapsed_time_micros": resp.elapsed_time_micros,
     }
-    # search-side aggregations (agg-only runs pass --max-hits 0)
-    if getattr(args, "agg_histogram_interval", None):
-        from quickwit_spark.search.executor import search_agg_date_histogram
+    # search-side aggregations (agg-only runs pass --max-hits 0); every
+    # requested aggregation shares ONE stream leaf (search_agg_multi)
+    agg_interval = getattr(args, "agg_histogram_interval", None)
+    agg_terms = getattr(args, "agg_terms", None)
+    agg_stats = getattr(args, "agg_stats", None)
+    if (agg_interval, agg_terms, agg_stats) != (None, None, None):
+        from quickwit_spark.search.executor import search_agg_multi
 
-        rows = search_agg_date_histogram(
-            spark, args.index_dir, req, args.agg_histogram_interval
-        ).collect()
-        out["agg_histogram"] = {
-            int(r["bucket"]): int(r["doc_count"])
-            for r in sorted(rows, key=lambda r: r["bucket"])
-        }
-    if getattr(args, "agg_terms", None):
-        from quickwit_spark.search.executor import search_agg_terms
-
-        rows = search_agg_terms(
-            spark, args.index_dir, req, args.agg_terms, size=args.agg_terms_size
-        ).collect()
-        out["agg_terms"] = [
-            {"key": r["value"], "doc_count": int(r["doc_count"])} for r in rows
-        ]
-    if getattr(args, "agg_stats", None):
-        from quickwit_spark.search.executor import search_agg_stats
-
-        row = search_agg_stats(spark, args.index_dir, req, args.agg_stats).collect()[0]
-        out["agg_stats"] = {
-            "count": int(row["doc_count"]),
-            "min": None if row["min"] is None else int(row["min"]),
-            "max": None if row["max"] is None else int(row["max"]),
-            "sum": None if row["sum"] is None else int(row["sum"]),
-            "avg": None if row["avg"] is None else float(row["avg"]),
-        }
+        multi = search_agg_multi(
+            spark,
+            args.index_dir,
+            req,
+            histogram_interval=agg_interval,
+            terms_field=agg_terms,
+            terms_size=getattr(args, "agg_terms_size", 10),
+            stats_field=agg_stats,
+        )
+        if "histogram" in multi:
+            out["agg_histogram"] = {b: n for b, n in multi["histogram"]}
+        if "terms" in multi:
+            out["agg_terms"] = [
+                {"key": v, "doc_count": n} for v, n in multi["terms"]
+            ]
+        if "stats" in multi:
+            out["agg_stats"] = multi["stats"]
     return out
 
 

@@ -814,11 +814,14 @@ def make_split_scorer(
     request: SearchRequest,
     mode: str = "topk",
     index_dir: str | None = None,
+    stream_fields: tuple[str, ...] | None = None,
 ):
     """Build the cogrouped scorer function.  mode: 'topk' (per-split top
     offset+max_hits, winners' stored fields fetched in-task) or 'stream'
     (emit every matching doc, no fetch — the search-stream fast-field export
-    path, search_stream/leaf.rs analog)."""
+    path, search_stream/leaf.rs analog).  stream_fields (stream mode only)
+    adds one int64 column per resolved fast field (``mf_<i>``) so several
+    aggregations share a single match-evaluation pass."""
     n_top = request.start_offset + request.max_hits
     pos_terms = sorted(positive_terms(ast))
     ts_lo, ts_hi = request.start_timestamp, request.end_timestamp
@@ -842,6 +845,8 @@ def make_split_scorer(
     lens_tracked = set(config.lens_tracked_fields) | {"text"}
     f_cols = fetch_cols(config)
     _EMPTY_DTYPES = {"turn_idx": np.int32, "ts_epoch": np.int64}
+    mf_fields = tuple(stream_fields) if (mode == "stream" and stream_fields) else ()
+    mf_names = [f"mf_{i}" for i in range(len(mf_fields))]
 
     def score_split(
         key,
@@ -857,6 +862,7 @@ def make_split_scorer(
                 "score": pd.Series(dtype=np.float64),
                 "sort_value": pd.Series(dtype=np.int64),
                 "split_num_hits": pd.Series(dtype=np.int64),
+                **{c: pd.Series(dtype=np.int64) for c in mf_names},
                 **(
                     {
                         c: pd.Series(dtype=_EMPTY_DTYPES.get(c, object))
@@ -988,6 +994,9 @@ def make_split_scorer(
                 "split_num_hits": num_hits,
             }
         )
+        for name, f in zip(mf_names, mf_fields):
+            # stream mode: take is the identity, so this is vals-by-doc
+            out[name] = _fast_field_values(f, ff_pdf, lens, docs)[take]
         if fetch:
             fields = _fetch_doc_fields(index_dir, split_id, docs[take], f_cols)
             out = out.merge(fields, on="doc_id", how="left")
@@ -1055,16 +1064,22 @@ def _fast_field_values(field: str, ff_pdf: pd.DataFrame, lens: np.ndarray, docs:
 
 
 def _leaf_hits_df(
-    spark: SparkSession, index_dir: str, request: SearchRequest
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    stream_fields: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, list[SplitMetadata], object, IndexConfig]:
     """Stream-mode leaf as a DataFrame (every matching doc, no top-k) —
     the data-scale path behind search_stream/export_stream.  Top-k search
     deliberately does NOT come through here: it is the separate RDD
-    _leaf_hit_rows job (see its docstring for why)."""
+    _leaf_hit_rows job (see its docstring for why).  stream_fields adds
+    one ``mf_<i> long`` column per resolved fast field."""
     cat, config, ast, splits, terms, buckets, scorer, _gstats = _plan_leaf(
-        spark, index_dir, request, "stream"
+        spark, index_dir, request, "stream", stream_fields=stream_fields
     )
     schema = HITS_SCHEMA
+    if stream_fields:
+        schema += "".join(f", mf_{i} long" for i in range(len(stream_fields)))
     if not splits:
         empty = spark.createDataFrame([], schema)
         return empty, splits, ast, config
@@ -1250,6 +1265,7 @@ def _plan_leaf(
     request: SearchRequest,
     mode: str,
     fetch_in_leaf: bool = True,
+    stream_fields: tuple[str, ...] | None = None,
 ):
     """Shared driver-side planning: parse, prune, stats, scorer."""
     cat, config = open_index(spark, index_dir)
@@ -1259,7 +1275,13 @@ def _plan_leaf(
     buckets = term_buckets(spark, terms, config.term_merge_buckets)
     gstats = global_term_stats(spark, index_dir, cat, terms, buckets)
     scorer = make_split_scorer(
-        config, gstats, ast, request, mode, index_dir if fetch_in_leaf else None
+        config,
+        gstats,
+        ast,
+        request,
+        mode,
+        index_dir if fetch_in_leaf else None,
+        stream_fields=stream_fields,
     )
     return cat, config, ast, splits, sorted(terms), buckets, scorer, gstats
 
@@ -1940,3 +1962,123 @@ def search_agg_stats(
         "sum",
         F.round(F.col("sum").cast("double") / F.col("doc_count"), 4).alias("avg"),
     )
+
+
+def search_stream_multi(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    fields: list[str],
+) -> DataFrame:
+    """Multi-column search stream: (split_id, doc_id) of EVERY matching doc
+    plus one int64 column per requested fast field, from ONE leaf pass.
+    With ``fields=[]`` it is the bare match stream (identity only) — the
+    cheapest vehicle for doc-store-join aggregations."""
+    out_names = list(dict.fromkeys(fields))
+    resolved = [_resolve_fast_field(spark, index_dir, f) for f in out_names]
+    uniq = list(dict.fromkeys(resolved))
+    req = _dc_replace(request, start_offset=0, sort_by_field=None)
+    hits, _splits, _ast, _config = _leaf_hits_df(
+        spark, index_dir, req, stream_fields=tuple(uniq)
+    )
+    sel = [F.col("split_id"), F.col("doc_id")]
+    for name, res in zip(out_names, resolved):
+        sel.append(F.col(f"mf_{uniq.index(res)}").alias(name))
+    return hits.select(*sel)
+
+
+def search_agg_multi(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    histogram_interval: int | None = None,
+    terms_field: str | None = None,
+    terms_size: int | None = 10,
+    stats_field: str | None = None,
+) -> dict:
+    """Every requested aggregation off ONE stream leaf: the match set is
+    evaluated once (postings decoded once per split), persisted, and each
+    aggregation reduces the shared DataFrame.  The per-aggregation
+    functions above re-run the leaf per call — fine for one aggregation,
+    but an ES-style request carries several, and at data scale the match
+    evaluation (not the reduce) is the cost.  Returns collected plain
+    python: {'histogram': [(bucket, count)...], 'terms': [(value, count)
+    ...], 'stats': {...}} — only the requested keys."""
+    _, config = open_index(spark, index_dir)
+    fast_fields: list[str] = []
+    ts_field = None
+    if histogram_interval is not None:
+        if histogram_interval <= 0:
+            raise ValueError(f"interval must be positive, got {histogram_interval}")
+        ts_field = config.timestamp_field
+        if ts_field is None:
+            raise ValueError("index has no timestamp field for the histogram")
+        fast_fields.append(ts_field)
+    terms_fast = False
+    if terms_field is not None:
+        terms_fast = (
+            terms_field == config.timestamp_field
+            or terms_field in config.extra_fast_fields
+        )
+        if terms_fast:
+            fast_fields.append(terms_field)
+        elif terms_field not in config.doc_cols():
+            raise ValueError(f"field {terms_field!r} is neither fast nor stored")
+    if stats_field is not None:
+        fast_fields.append(stats_field)
+    hits = search_stream_multi(spark, index_dir, request, fast_fields)
+    hits = hits.persist()
+    try:
+        out: dict = {}
+        if histogram_interval is not None:
+            iv = int(histogram_interval)
+            bucket = (F.floor(F.col(f"`{ts_field}`") / F.lit(iv)) * iv).cast("long")
+            rows = (
+                hits.groupBy(bucket.alias("bucket"))
+                .agg(F.count("*").cast("long").alias("doc_count"))
+                .collect()
+            )
+            out["histogram"] = sorted((int(r["bucket"]), int(r["doc_count"])) for r in rows)
+        if terms_field is not None:
+            if terms_fast:
+                vals = hits
+            else:
+                splits = [
+                    r["split_id"]
+                    for r in hits.select("split_id").distinct().collect()
+                ]
+                docs = (
+                    _table_scan(spark, index_dir, "docs")
+                    .filter(F.col("split_id").isin(splits))
+                    .select("split_id", "doc_id", f"`{terms_field}`")
+                )
+                vals = hits.select("split_id", "doc_id").join(
+                    docs, ["split_id", "doc_id"]
+                )
+            tdf = (
+                vals.groupBy(F.col(f"`{terms_field}`").alias("value"))
+                .agg(F.count("*").cast("long").alias("doc_count"))
+                .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+            )
+            if terms_size is not None:
+                tdf = tdf.limit(int(terms_size))
+            out["terms"] = [(r["value"], int(r["doc_count"])) for r in tdf.collect()]
+        if stats_field is not None:
+            c = F.col(f"`{stats_field}`")
+            r = hits.agg(
+                F.count("*").cast("long").alias("doc_count"),
+                F.min(c).cast("long").alias("min"),
+                F.max(c).cast("long").alias("max"),
+                F.sum(c).cast("long").alias("sum"),
+            ).collect()[0]
+            n = int(r["doc_count"])
+            out["stats"] = {
+                "count": n,
+                "min": None if r["min"] is None else int(r["min"]),
+                "max": None if r["max"] is None else int(r["max"]),
+                "sum": None if r["sum"] is None else int(r["sum"]),
+                "avg": None if n == 0 else round(int(r["sum"]) / n, 4),
+            }
+        return out
+    finally:
+        hits.unpersist()

@@ -244,53 +244,42 @@ class _Handler(BaseHTTPRequestHandler):
             # pass maxHits=0, which takes the count-only fast path)
             agg_interval = _int_or_none(qs, "aggHistogramInterval")
             agg_terms = qs.get("aggTermsField", [None])[0]
+            agg_stats = qs.get("aggStatsField", [None])[0]
             aggs = {}
             with self.lock:
                 resp = search(self.spark, index_dir, req)
-                if agg_interval is not None:
-                    from quickwit_spark.search.executor import (
-                        search_agg_date_histogram,
-                    )
-
-                    rows = search_agg_date_histogram(
-                        self.spark, index_dir, req, agg_interval
-                    ).collect()
-                    aggs["histogram"] = {
-                        "interval": agg_interval,
-                        "buckets": [
-                            {"key": r["bucket"], "docCount": r["doc_count"]}
-                            for r in sorted(rows, key=lambda r: r["bucket"])
-                        ],
-                    }
-                if agg_terms is not None:
-                    from quickwit_spark.search.executor import search_agg_terms
+                if (agg_interval, agg_terms, agg_stats) != (None, None, None):
+                    # ALL requested aggregations share one stream leaf:
+                    # the match set is evaluated once, not once per agg
+                    from quickwit_spark.search.executor import search_agg_multi
 
                     size = _int_or_none(qs, "aggTermsSize") or 10  # ES default
-                    rows = search_agg_terms(
-                        self.spark, index_dir, req, agg_terms, size=size
-                    ).collect()
-                    aggs["terms"] = {
-                        "field": agg_terms,
-                        "buckets": [
-                            {"key": r["value"], "docCount": r["doc_count"]}
-                            for r in rows
-                        ],
-                    }
-                agg_stats = qs.get("aggStatsField", [None])[0]
-                if agg_stats is not None:
-                    from quickwit_spark.search.executor import search_agg_stats
-
-                    row = search_agg_stats(
-                        self.spark, index_dir, req, agg_stats
-                    ).collect()[0]
-                    aggs["stats"] = {
-                        "field": agg_stats,
-                        "count": row["doc_count"],
-                        "min": row["min"],
-                        "max": row["max"],
-                        "sum": row["sum"],
-                        "avg": row["avg"],
-                    }
+                    multi = search_agg_multi(
+                        self.spark,
+                        index_dir,
+                        req,
+                        histogram_interval=agg_interval,
+                        terms_field=agg_terms,
+                        terms_size=size,
+                        stats_field=agg_stats,
+                    )
+                    if "histogram" in multi:
+                        aggs["histogram"] = {
+                            "interval": agg_interval,
+                            "buckets": [
+                                {"key": b, "docCount": n}
+                                for b, n in multi["histogram"]
+                            ],
+                        }
+                    if "terms" in multi:
+                        aggs["terms"] = {
+                            "field": agg_terms,
+                            "buckets": [
+                                {"key": v, "docCount": n} for v, n in multi["terms"]
+                            ],
+                        }
+                    if "stats" in multi:
+                        aggs["stats"] = {"field": agg_stats, **multi["stats"]}
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))
         out = {

@@ -201,3 +201,52 @@ def test_search_agg_histogram_and_terms(spark, small_idx):
 
     with pytest.raises(ValueError, match="neither fast nor stored"):
         search_agg_terms(spark, small_idx, req, "nosuchcol")
+
+
+def test_search_agg_multi_matches_individual_aggs(spark, small_idx):
+    """The fused one-leaf-pass aggregation path returns exactly what the
+    per-aggregation functions return (histogram + stored-column terms +
+    stats over ts and turn_idx, all from one persisted match stream)."""
+    from quickwit_spark.search.executor import (
+        search_agg_date_histogram,
+        search_agg_multi,
+        search_agg_stats,
+        search_agg_terms,
+    )
+
+    req = SearchRequest("deploy")
+    multi = search_agg_multi(
+        spark,
+        small_idx,
+        req,
+        histogram_interval=86400,
+        terms_field="role",
+        terms_size=None,
+        stats_field="turn_idx",
+    )
+    hist = sorted(
+        (int(r["bucket"]), int(r["doc_count"]))
+        for r in search_agg_date_histogram(spark, small_idx, req, 86400).collect()
+    )
+    assert multi["histogram"] == hist
+    terms = [
+        (r["value"], int(r["doc_count"]))
+        for r in search_agg_terms(spark, small_idx, req, "role").collect()
+    ]
+    assert multi["terms"] == terms
+    st = search_agg_stats(spark, small_idx, req, "turn_idx").collect()[0]
+    assert multi["stats"] == {
+        "count": st["doc_count"],
+        "min": st["min"],
+        "max": st["max"],
+        "sum": st["sum"],
+        "avg": st["avg"],
+    }
+
+    # fast-field terms path (ts is the declared timestamp field)
+    m2 = search_agg_multi(spark, small_idx, req, terms_field="turn_idx", terms_size=3)
+    t2 = [
+        (r["value"], int(r["doc_count"]))
+        for r in search_agg_terms(spark, small_idx, req, "turn_idx", size=3).collect()
+    ]
+    assert m2["terms"] == t2 and set(m2) == {"terms"}
