@@ -234,7 +234,8 @@ def cmd_search(args) -> dict:
     agg_interval = getattr(args, "agg_histogram_interval", None)
     agg_terms = getattr(args, "agg_terms", None)
     agg_stats = getattr(args, "agg_stats", None)
-    if (agg_interval, agg_terms, agg_stats) != (None, None, None):
+    agg_pcts = getattr(args, "agg_percentiles", None)
+    if (agg_interval, agg_terms, agg_stats, agg_pcts) != (None, None, None, None):
         from quickwit_spark.search.executor import search_agg_multi
 
         multi = search_agg_multi(
@@ -245,6 +246,7 @@ def cmd_search(args) -> dict:
             terms_field=agg_terms,
             terms_size=getattr(args, "agg_terms_size", 10),
             stats_field=agg_stats,
+            percentiles_field=agg_pcts,
         )
         if "histogram" in multi:
             out["agg_histogram"] = {b: n for b, n in multi["histogram"]}
@@ -254,6 +256,8 @@ def cmd_search(args) -> dict:
             ]
         if "stats" in multi:
             out["agg_stats"] = multi["stats"]
+        if "percentiles" in multi:
+            out["agg_percentiles"] = multi["percentiles"]
     return out
 
 
@@ -638,6 +642,10 @@ def main(argv=None):
     s.add_argument(
         "--agg-stats", default=None,
         help="stats aggregation (count/min/max/sum/avg) over a fast i64 field",
+    )
+    s.add_argument(
+        "--agg-percentiles", default=None,
+        help="EXACT p50/p90/p99 percentiles over a fast i64 field",
     )
     s.set_defaults(fn=cmd_search)
 

@@ -231,6 +231,16 @@ def ft_agg_stats(spark, sf_dir):
     return search_agg_stats(spark, idx, SearchRequest("merge"), "ts")
 
 
+def ft_agg_percentiles(spark, sf_dir):
+    """Search-side EXACT percentiles aggregation (inverse-CDF closed formula
+    over a two-level value histogram — no global sort, no t-digest) over the
+    ts fast field (== doc_id) of every match."""
+    from .search.executor import search_agg_percentiles
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_percentiles(spark, idx, SearchRequest("merge"), "ts")
+
+
 def ft_termdict(spark, sf_dir):
     """Term dictionary across splits (validates tokenize+build+merge path)."""
     idx = documents_index(spark, sf_dir)
@@ -563,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_agg_histogram": ft_agg_histogram,
         "ft_agg_terms": ft_agg_terms,
         "ft_agg_stats": ft_agg_stats,
+        "ft_agg_percentiles": ft_agg_percentiles,
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
         "ft_generic_nested": ft_generic_nested,
@@ -655,6 +666,15 @@ SELECT CAST(count(*) AS BIGINT) AS doc_count,
        CAST(sum(doc_id) AS BIGINT) AS sum,
        round(CAST(sum(doc_id) AS DOUBLE) / count(*), 4) AS avg
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')""",
+        "ft_agg_percentiles": f"""{BM25_CTE}
+, matches AS (SELECT DISTINCT doc_id AS v FROM tf WHERE term = 'merge')
+, hist AS (SELECT v, count(*) AS c FROM matches GROUP BY 1)
+, cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist)
+, tot AS (SELECT count(*) AS n FROM matches)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS doc_count,
+       CAST((SELECT min(v) FROM cum WHERE cum >= ceil(0.5 * (SELECT n FROM tot))) AS BIGINT) AS p50,
+       CAST((SELECT min(v) FROM cum WHERE cum >= ceil(0.9 * (SELECT n FROM tot))) AS BIGINT) AS p90,
+       CAST((SELECT min(v) FROM cum WHERE cum >= ceil(0.99 * (SELECT n FROM tot))) AS BIGINT) AS p99""",
         "ft_agg_terms": f"""{BM25_CTE}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS doc_count
 FROM documents d

@@ -1964,6 +1964,95 @@ def search_agg_stats(
     )
 
 
+def _exact_percentiles(vals: DataFrame, col: str, qs: tuple) -> tuple[int, dict]:
+    """EXACT percentiles of an int64 column without a global sort, scale-safe:
+
+    1. ONE map-side-combined hash agg builds the value histogram (cardinality
+       = distinct values, never rows);
+    2. a COARSE histogram (value >> 16) collapses that to <= 2^48/2^16 rows —
+       in practice a few thousand — whose driver-side cumsum locates the
+       bucket holding each target rank;
+    3. only the needed buckets' fine rows are collected (<= 65536 distinct
+       values each) and the closed formula ``min(v) where cum >= ceil(q*n)``
+       picks the exact value — the same formula a SQL twin evaluates with a
+       window cumsum, so engines agree by construction.
+
+    Returns (n, {'p50': v, ...}); values are None when n == 0."""
+    import math
+
+    v = F.col(f"`{col}`").cast("long")
+    hist = vals.groupBy(v.alias("v")).agg(F.count("*").cast("long").alias("c"))
+    hist = hist.persist()
+    try:
+        coarse = sorted(
+            (int(r["b"]), int(r["c"]))
+            for r in hist.groupBy(F.shiftright("v", 16).alias("b"))
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        n = sum(c for _, c in coarse)
+        names = [f"p{round(q * 100)}" for q in qs]
+        if n == 0:
+            return 0, {name: None for name in names}
+        # rank -> owning coarse bucket + count of values before it
+        targets: dict[str, tuple[int, int]] = {}
+        for q, name in zip(qs, names):
+            need = math.ceil(q * n)
+            cum = 0
+            for b, c in coarse:
+                if cum + c >= need:
+                    targets[name] = (b, need - cum)  # rank within bucket
+                    break
+                cum += c
+        buckets = sorted({b for b, _ in targets.values()})
+        fine = {
+            b: sorted(rows)
+            for b, rows in _group_by(
+                (
+                    (int(r["v"]) >> 16, (int(r["v"]), int(r["c"])))
+                    for r in hist.filter(
+                        F.shiftright("v", 16).isin(buckets)
+                    ).collect()
+                )
+            ).items()
+        }
+        out = {}
+        for name, (b, need_in_b) in targets.items():
+            cum = 0
+            for val, c in fine[b]:
+                cum += c
+                if cum >= need_in_b:
+                    out[name] = val
+                    break
+        return n, out
+    finally:
+        hist.unpersist()
+
+
+def _group_by(pairs):
+    d: dict = {}
+    for k, item in pairs:
+        d.setdefault(k, []).append(item)
+    return d
+
+
+def search_agg_percentiles(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    field: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """ES-style percentiles aggregation over every matching doc's fast i64
+    ``field`` — EXACT (inverse-CDF, ``min(v) where cum >= ceil(q*n)``), not
+    the t-digest approximation: one row (doc_count, p50, p90, p99...)."""
+    hits = search_stream(spark, index_dir, request, field)
+    n, pcts = _exact_percentiles(hits, field, qs)
+    row = {"doc_count": n, **pcts}
+    ddl = ", ".join(f"{k} long" for k in row)
+    return spark.createDataFrame([tuple(row.values())], ddl)
+
+
 def search_stream_multi(
     spark: SparkSession,
     index_dir: str,
@@ -1995,6 +2084,8 @@ def search_agg_multi(
     terms_field: str | None = None,
     terms_size: int | None = 10,
     stats_field: str | None = None,
+    percentiles_field: str | None = None,
+    percentiles: tuple = (0.5, 0.9, 0.99),
 ) -> dict:
     """Every requested aggregation off ONE stream leaf: the match set is
     evaluated once (postings decoded once per split), persisted, and each
@@ -2026,6 +2117,8 @@ def search_agg_multi(
             raise ValueError(f"field {terms_field!r} is neither fast nor stored")
     if stats_field is not None:
         fast_fields.append(stats_field)
+    if percentiles_field is not None:
+        fast_fields.append(percentiles_field)
     hits = search_stream_multi(spark, index_dir, request, fast_fields)
     hits = hits.persist()
     try:
@@ -2079,6 +2172,9 @@ def search_agg_multi(
                 "sum": None if r["sum"] is None else int(r["sum"]),
                 "avg": None if n == 0 else round(int(r["sum"]) / n, 4),
             }
+        if percentiles_field is not None:
+            n, pcts = _exact_percentiles(hits, percentiles_field, percentiles)
+            out["percentiles"] = {"count": n, **pcts}
         return out
     finally:
         hits.unpersist()

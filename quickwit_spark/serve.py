@@ -245,10 +245,16 @@ class _Handler(BaseHTTPRequestHandler):
             agg_interval = _int_or_none(qs, "aggHistogramInterval")
             agg_terms = qs.get("aggTermsField", [None])[0]
             agg_stats = qs.get("aggStatsField", [None])[0]
+            agg_pcts = qs.get("aggPercentilesField", [None])[0]
             aggs = {}
             with self.lock:
                 resp = search(self.spark, index_dir, req)
-                if (agg_interval, agg_terms, agg_stats) != (None, None, None):
+                if (agg_interval, agg_terms, agg_stats, agg_pcts) != (
+                    None,
+                    None,
+                    None,
+                    None,
+                ):
                     # ALL requested aggregations share one stream leaf:
                     # the match set is evaluated once, not once per agg
                     from quickwit_spark.search.executor import search_agg_multi
@@ -262,6 +268,7 @@ class _Handler(BaseHTTPRequestHandler):
                         terms_field=agg_terms,
                         terms_size=size,
                         stats_field=agg_stats,
+                        percentiles_field=agg_pcts,
                     )
                     if "histogram" in multi:
                         aggs["histogram"] = {
@@ -280,6 +287,11 @@ class _Handler(BaseHTTPRequestHandler):
                         }
                     if "stats" in multi:
                         aggs["stats"] = {"field": agg_stats, **multi["stats"]}
+                    if "percentiles" in multi:
+                        aggs["percentiles"] = {
+                            "field": agg_pcts,
+                            **multi["percentiles"],
+                        }
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))
         out = {

@@ -298,7 +298,7 @@ def test_search_endpoint_aggregations(spark, server, index_root):
     code, body, _ = _get(
         f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
         "&aggTermsField=role&aggHistogramInterval=604800"
-        "&aggStatsField=ts&format=json"
+        "&aggStatsField=ts&aggPercentilesField=ts&format=json"
     )
     assert code == 200, body
     got = json.loads(body)
@@ -315,6 +315,9 @@ def test_search_endpoint_aggregations(spark, server, index_root):
     assert stats["min"] <= stats["avg"] <= stats["max"]
     # every match lands in the [min, max] histogram span
     assert hist_keys[0] <= stats["min"] and stats["max"] < hist_keys[-1] + 604800
+    pcts = aggs["percentiles"]
+    assert pcts["count"] == got["numHits"]
+    assert stats["min"] <= pcts["p50"] <= pcts["p90"] <= pcts["p99"] <= stats["max"]
 
 
 def test_unknown_fast_field_is_400(server):

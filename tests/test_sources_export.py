@@ -250,3 +250,45 @@ def test_search_agg_multi_matches_individual_aggs(spark, small_idx):
         for r in search_agg_terms(spark, small_idx, req, "turn_idx", size=3).collect()
     ]
     assert m2["terms"] == t2 and set(m2) == {"terms"}
+
+
+def test_search_agg_percentiles_exact(spark, small_idx):
+    """Percentiles equal the brute-force inverse-CDF over the sorted match
+    values, and the two-level histogram kernel handles negative values,
+    coarse-bucket boundaries, and empty inputs."""
+    import math
+
+    from quickwit_spark.search.executor import (
+        _exact_percentiles,
+        search_agg_multi,
+        search_agg_percentiles,
+    )
+
+    req = SearchRequest("deploy")
+    vals = sorted(
+        r["ts"] for r in search_stream(spark, small_idx, req, "ts").collect()
+    )
+    row = search_agg_percentiles(spark, small_idx, req, "ts").collect()[0]
+    assert row["doc_count"] == len(vals)
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        assert row[name] == vals[math.ceil(q * len(vals)) - 1], name
+
+    multi = search_agg_multi(spark, small_idx, req, percentiles_field="ts")
+    assert multi["percentiles"] == {
+        "count": row["doc_count"], "p50": row["p50"],
+        "p90": row["p90"], "p99": row["p99"],
+    }
+
+    # kernel: negatives + values straddling the 2^16 coarse-bucket edge
+    raw = [-70000, -70000, -1, 0, 1, 65535, 65536, 65537, 10**12]
+    df = spark.createDataFrame([(v,) for v in raw], "x long")
+    n, pcts = _exact_percentiles(df, "x", (0.01, 0.5, 1.0))
+    s = sorted(raw)
+    assert n == len(raw)
+    assert pcts == {
+        "p1": s[math.ceil(0.01 * n) - 1],
+        "p50": s[math.ceil(0.5 * n) - 1],
+        "p100": s[-1],
+    }
+    n0, p0 = _exact_percentiles(df.filter("x > 1e15"), "x", (0.5,))
+    assert n0 == 0 and p0 == {"p50": None}
