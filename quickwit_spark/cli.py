@@ -235,7 +235,8 @@ def cmd_search(args) -> dict:
     agg_terms = getattr(args, "agg_terms", None)
     agg_stats = getattr(args, "agg_stats", None)
     agg_pcts = getattr(args, "agg_percentiles", None)
-    if (agg_interval, agg_terms, agg_stats, agg_pcts) != (None, None, None, None):
+    agg_card = getattr(args, "agg_cardinality", None)
+    if any(a is not None for a in (agg_interval, agg_terms, agg_stats, agg_pcts, agg_card)):
         from quickwit_spark.search.executor import search_agg_multi
 
         multi = search_agg_multi(
@@ -247,6 +248,7 @@ def cmd_search(args) -> dict:
             terms_size=getattr(args, "agg_terms_size", 10),
             stats_field=agg_stats,
             percentiles_field=agg_pcts,
+            cardinality_field=agg_card,
         )
         if "histogram" in multi:
             out["agg_histogram"] = {b: n for b, n in multi["histogram"]}
@@ -258,6 +260,8 @@ def cmd_search(args) -> dict:
             out["agg_stats"] = multi["stats"]
         if "percentiles" in multi:
             out["agg_percentiles"] = multi["percentiles"]
+        if "cardinality" in multi:
+            out["agg_cardinality"] = multi["cardinality"]
     return out
 
 
@@ -646,6 +650,10 @@ def main(argv=None):
     s.add_argument(
         "--agg-percentiles", default=None,
         help="EXACT p50/p90/p99 percentiles over a fast i64 field",
+    )
+    s.add_argument(
+        "--agg-cardinality", default=None,
+        help="EXACT distinct-value count over a fast or stored field",
     )
     s.set_defaults(fn=cmd_search)
 

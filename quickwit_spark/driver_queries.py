@@ -241,6 +241,16 @@ def ft_agg_percentiles(spark, sf_dir):
     return search_agg_percentiles(spark, idx, SearchRequest("merge"), "ts")
 
 
+def ft_agg_cardinality(spark, sf_dir):
+    """Search-side EXACT cardinality aggregation over a STORED column (role
+    carries lang): matches joined to the split-pruned doc store, one
+    distinct-count agg — the ES cardinality shape without HLL error."""
+    from .search.executor import search_agg_cardinality
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_cardinality(spark, idx, SearchRequest("merge"), "role")
+
+
 def ft_termdict(spark, sf_dir):
     """Term dictionary across splits (validates tokenize+build+merge path)."""
     idx = documents_index(spark, sf_dir)
@@ -574,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_agg_terms": ft_agg_terms,
         "ft_agg_stats": ft_agg_stats,
         "ft_agg_percentiles": ft_agg_percentiles,
+        "ft_agg_cardinality": ft_agg_cardinality,
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
         "ft_generic_nested": ft_generic_nested,
@@ -675,6 +686,11 @@ SELECT CAST((SELECT n FROM tot) AS BIGINT) AS doc_count,
        CAST((SELECT min(v) FROM cum WHERE cum >= ceil(0.5 * (SELECT n FROM tot))) AS BIGINT) AS p50,
        CAST((SELECT min(v) FROM cum WHERE cum >= ceil(0.9 * (SELECT n FROM tot))) AS BIGINT) AS p90,
        CAST((SELECT min(v) FROM cum WHERE cum >= ceil(0.99 * (SELECT n FROM tot))) AS BIGINT) AS p99""",
+        "ft_agg_cardinality": f"""{BM25_CTE}
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS cardinality
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')""",
         "ft_agg_terms": f"""{BM25_CTE}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS doc_count
 FROM documents d

@@ -1914,29 +1914,53 @@ def search_agg_terms(
     the doc store first — split-pruned (Catalyst PartitionFilters on
     split_id) and column-pruned to (split_id, doc_id, field), the same
     fetch_docs shape as export_stream's partition-by join."""
-    _, config = open_index(spark, index_dir)
-    fast = field == config.timestamp_field or field in config.extra_fast_fields
-    if fast:
-        vals = search_stream(spark, index_dir, request, field)
-    else:
-        if field not in config.doc_cols():
-            raise ValueError(f"field {field!r} is neither fast nor stored")
-        vehicle = _resolve_fast_field(
-            spark, index_dir, config.timestamp_field or "ts"
-        )
-        req = _dc_replace(request, start_offset=0, sort_by_field=vehicle)
-        hits, splits, _ast, _config = _leaf_hits_df(spark, index_dir, req)
-        docs = (
-            _table_scan(spark, index_dir, "docs")
-            .filter(F.col("split_id").isin([s.split_id for s in splits]))
-            .select("split_id", "doc_id", f"`{field}`")
-        )
-        vals = hits.select("split_id", "doc_id").join(docs, ["split_id", "doc_id"])
+    vals = _agg_values_df(spark, index_dir, request, field)
     out = vals.groupBy(F.col(f"`{field}`").alias("value")).agg(
         F.count("*").cast("long").alias("doc_count")
     )
     out = out.orderBy(F.col("doc_count").desc(), F.col("value").asc())
     return out.limit(int(size)) if size is not None else out
+
+
+def _agg_values_df(
+    spark: SparkSession, index_dir: str, request: SearchRequest, field: str
+) -> DataFrame:
+    """Per-match values of ``field`` for aggregation: fast i64 fields come
+    straight off the stream leaf; stored columns join matches to the doc
+    store — split-pruned (Catalyst PartitionFilters on split_id) and
+    column-pruned to (split_id, doc_id, field), the same fetch_docs shape
+    as export_stream's partition-by join."""
+    _, config = open_index(spark, index_dir)
+    fast = field == config.timestamp_field or field in config.extra_fast_fields
+    if fast:
+        return search_stream(spark, index_dir, request, field)
+    if field not in config.doc_cols():
+        raise ValueError(f"field {field!r} is neither fast nor stored")
+    vehicle = _resolve_fast_field(spark, index_dir, config.timestamp_field or "ts")
+    req = _dc_replace(request, start_offset=0, sort_by_field=vehicle)
+    hits, splits, _ast, _config = _leaf_hits_df(spark, index_dir, req)
+    docs = (
+        _table_scan(spark, index_dir, "docs")
+        .filter(F.col("split_id").isin([s.split_id for s in splits]))
+        .select("split_id", "doc_id", f"`{field}`")
+    )
+    return hits.select("split_id", "doc_id").join(docs, ["split_id", "doc_id"])
+
+
+def search_agg_cardinality(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    field: str,
+) -> DataFrame:
+    """ES-style cardinality aggregation over every matching doc's ``field``
+    (fast or stored) — EXACT distinct count (one partial-agg distinct
+    shuffle), not the HLL approximation: one row (doc_count, cardinality)."""
+    vals = _agg_values_df(spark, index_dir, request, field)
+    return vals.agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.countDistinct(F.col(f"`{field}`")).cast("long").alias("cardinality"),
+    )
 
 
 def search_agg_stats(
@@ -2086,6 +2110,7 @@ def search_agg_multi(
     stats_field: str | None = None,
     percentiles_field: str | None = None,
     percentiles: tuple = (0.5, 0.9, 0.99),
+    cardinality_field: str | None = None,
 ) -> dict:
     """Every requested aggregation off ONE stream leaf: the match set is
     evaluated once (postings decoded once per split), persisted, and each
@@ -2105,22 +2130,40 @@ def search_agg_multi(
         if ts_field is None:
             raise ValueError("index has no timestamp field for the histogram")
         fast_fields.append(ts_field)
-    terms_fast = False
-    if terms_field is not None:
-        terms_fast = (
-            terms_field == config.timestamp_field
-            or terms_field in config.extra_fast_fields
+    def _classify(field: str) -> bool:
+        """True → fast (ride the stream leaf); False → stored (doc-store
+        join); raises on neither."""
+        fast = (
+            field == config.timestamp_field or field in config.extra_fast_fields
         )
-        if terms_fast:
-            fast_fields.append(terms_field)
-        elif terms_field not in config.doc_cols():
-            raise ValueError(f"field {terms_field!r} is neither fast nor stored")
+        if fast:
+            fast_fields.append(field)
+        elif field not in config.doc_cols():
+            raise ValueError(f"field {field!r} is neither fast nor stored")
+        return fast
+
+    terms_fast = terms_field is not None and _classify(terms_field)
+    card_fast = cardinality_field is not None and _classify(cardinality_field)
     if stats_field is not None:
         fast_fields.append(stats_field)
     if percentiles_field is not None:
         fast_fields.append(percentiles_field)
     hits = search_stream_multi(spark, index_dir, request, fast_fields)
     hits = hits.persist()
+
+    def _vals(field: str, fast: bool) -> DataFrame:
+        if fast:
+            return hits
+        splits = [
+            r["split_id"] for r in hits.select("split_id").distinct().collect()
+        ]
+        docs = (
+            _table_scan(spark, index_dir, "docs")
+            .filter(F.col("split_id").isin(splits))
+            .select("split_id", "doc_id", f"`{field}`")
+        )
+        return hits.select("split_id", "doc_id").join(docs, ["split_id", "doc_id"])
+
     try:
         out: dict = {}
         if histogram_interval is not None:
@@ -2133,23 +2176,9 @@ def search_agg_multi(
             )
             out["histogram"] = sorted((int(r["bucket"]), int(r["doc_count"])) for r in rows)
         if terms_field is not None:
-            if terms_fast:
-                vals = hits
-            else:
-                splits = [
-                    r["split_id"]
-                    for r in hits.select("split_id").distinct().collect()
-                ]
-                docs = (
-                    _table_scan(spark, index_dir, "docs")
-                    .filter(F.col("split_id").isin(splits))
-                    .select("split_id", "doc_id", f"`{terms_field}`")
-                )
-                vals = hits.select("split_id", "doc_id").join(
-                    docs, ["split_id", "doc_id"]
-                )
             tdf = (
-                vals.groupBy(F.col(f"`{terms_field}`").alias("value"))
+                _vals(terms_field, terms_fast)
+                .groupBy(F.col(f"`{terms_field}`").alias("value"))
                 .agg(F.count("*").cast("long").alias("doc_count"))
                 .orderBy(F.col("doc_count").desc(), F.col("value").asc())
             )
@@ -2175,6 +2204,17 @@ def search_agg_multi(
         if percentiles_field is not None:
             n, pcts = _exact_percentiles(hits, percentiles_field, percentiles)
             out["percentiles"] = {"count": n, **pcts}
+        if cardinality_field is not None:
+            r = _vals(cardinality_field, card_fast).agg(
+                F.count("*").cast("long").alias("doc_count"),
+                F.countDistinct(F.col(f"`{cardinality_field}`"))
+                .cast("long")
+                .alias("cardinality"),
+            ).collect()[0]
+            out["cardinality"] = {
+                "count": int(r["doc_count"]),
+                "cardinality": int(r["cardinality"]),
+            }
         return out
     finally:
         hits.unpersist()

@@ -246,14 +246,13 @@ class _Handler(BaseHTTPRequestHandler):
             agg_terms = qs.get("aggTermsField", [None])[0]
             agg_stats = qs.get("aggStatsField", [None])[0]
             agg_pcts = qs.get("aggPercentilesField", [None])[0]
+            agg_card = qs.get("aggCardinalityField", [None])[0]
             aggs = {}
             with self.lock:
                 resp = search(self.spark, index_dir, req)
-                if (agg_interval, agg_terms, agg_stats, agg_pcts) != (
-                    None,
-                    None,
-                    None,
-                    None,
+                if any(
+                    a is not None
+                    for a in (agg_interval, agg_terms, agg_stats, agg_pcts, agg_card)
                 ):
                     # ALL requested aggregations share one stream leaf:
                     # the match set is evaluated once, not once per agg
@@ -269,6 +268,7 @@ class _Handler(BaseHTTPRequestHandler):
                         terms_size=size,
                         stats_field=agg_stats,
                         percentiles_field=agg_pcts,
+                        cardinality_field=agg_card,
                     )
                     if "histogram" in multi:
                         aggs["histogram"] = {
@@ -291,6 +291,11 @@ class _Handler(BaseHTTPRequestHandler):
                         aggs["percentiles"] = {
                             "field": agg_pcts,
                             **multi["percentiles"],
+                        }
+                    if "cardinality" in multi:
+                        aggs["cardinality"] = {
+                            "field": agg_card,
+                            **multi["cardinality"],
                         }
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))

@@ -298,7 +298,7 @@ def test_search_endpoint_aggregations(spark, server, index_root):
     code, body, _ = _get(
         f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
         "&aggTermsField=role&aggHistogramInterval=604800"
-        "&aggStatsField=ts&aggPercentilesField=ts&format=json"
+        "&aggStatsField=ts&aggPercentilesField=ts&aggCardinalityField=role&format=json"
     )
     assert code == 200, body
     got = json.loads(body)
@@ -318,6 +318,10 @@ def test_search_endpoint_aggregations(spark, server, index_root):
     pcts = aggs["percentiles"]
     assert pcts["count"] == got["numHits"]
     assert stats["min"] <= pcts["p50"] <= pcts["p90"] <= pcts["p99"] <= stats["max"]
+    card = aggs["cardinality"]
+    assert card["count"] == got["numHits"]
+    # cardinality of role == the number of terms buckets (role has few values)
+    assert card["cardinality"] == len(aggs["terms"]["buckets"])
 
 
 def test_unknown_fast_field_is_400(server):

@@ -252,6 +252,35 @@ def test_search_agg_multi_matches_individual_aggs(spark, small_idx):
     assert m2["terms"] == t2 and set(m2) == {"terms"}
 
 
+def test_search_agg_cardinality(spark, small_idx):
+    """Exact distinct count over matches: stored column (role) and fast
+    field (turn_idx), standalone and through the fused multi path."""
+    import collections
+
+    from quickwit_spark.search.executor import (
+        search,
+        search_agg_cardinality,
+        search_agg_multi,
+    )
+
+    req = SearchRequest("deploy")
+    full = search(spark, small_idx, SearchRequest("deploy", max_hits=100_000))
+    roles = collections.Counter(h["role"] for h in full.hits)
+    row = search_agg_cardinality(spark, small_idx, req, "role").collect()[0]
+    assert row["doc_count"] == len(full.hits)
+    assert row["cardinality"] == len(roles)
+
+    turn_card = len({h["turn_idx"] for h in full.hits})
+    multi = search_agg_multi(spark, small_idx, req, cardinality_field="turn_idx")
+    assert multi["cardinality"] == {
+        "count": len(full.hits), "cardinality": turn_card,
+    }
+    m_stored = search_agg_multi(spark, small_idx, req, cardinality_field="role")
+    assert m_stored["cardinality"] == {
+        "count": len(full.hits), "cardinality": len(roles),
+    }
+
+
 def test_search_agg_percentiles_exact(spark, small_idx):
     """Percentiles equal the brute-force inverse-CDF over the sorted match
     values, and the two-level histogram kernel handles negative values,
