@@ -251,6 +251,16 @@ def ft_agg_cardinality(spark, sf_dir):
     return search_agg_cardinality(spark, idx, SearchRequest("merge"), "role")
 
 
+def ft_agg_terms_stats(spark, sf_dir):
+    """ES-style sub-aggregation: terms buckets over the stored role column
+    (carries lang), each with stats of the ts fast field (== doc_id) — one
+    stream-leaf pass + one hash agg."""
+    from .search.executor import search_agg_terms_stats
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_terms_stats(spark, idx, SearchRequest("merge"), "role", "ts")
+
+
 def ft_termdict(spark, sf_dir):
     """Term dictionary across splits (validates tokenize+build+merge path)."""
     idx = documents_index(spark, sf_dir)
@@ -585,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_agg_stats": ft_agg_stats,
         "ft_agg_percentiles": ft_agg_percentiles,
         "ft_agg_cardinality": ft_agg_cardinality,
+        "ft_agg_terms_stats": ft_agg_terms_stats,
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
         "ft_generic_nested": ft_generic_nested,
@@ -691,6 +702,16 @@ SELECT CAST(count(*) AS BIGINT) AS doc_count,
        CAST(count(DISTINCT d.lang) AS BIGINT) AS cardinality
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')""",
+        "ft_agg_terms_stats": f"""{BM25_CTE}
+SELECT d.lang AS value,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(min(d.doc_id) AS BIGINT) AS min,
+       CAST(max(d.doc_id) AS BIGINT) AS max,
+       CAST(sum(d.doc_id) AS BIGINT) AS sum,
+       round(CAST(sum(d.doc_id) AS DOUBLE) / count(*), 4) AS avg
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+GROUP BY 1""",
         "ft_agg_terms": f"""{BM25_CTE}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS doc_count
 FROM documents d

@@ -1947,6 +1947,66 @@ def _agg_values_df(
     return hits.select("split_id", "doc_id").join(docs, ["split_id", "doc_id"])
 
 
+def search_agg_terms_stats(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    terms_field: str,
+    metric_field: str,
+    size: int | None = None,
+) -> DataFrame:
+    """ES-style sub-aggregation: terms buckets over ``terms_field`` (fast or
+    stored), each carrying stats (doc_count/min/max/sum/avg) of the fast i64
+    ``metric_field`` — one stream-leaf pass + one hash agg, the
+    terms-with-nested-metric shape."""
+    _, config = open_index(spark, index_dir)
+    t_fast = (
+        terms_field == config.timestamp_field
+        or terms_field in config.extra_fast_fields
+    )
+    if t_fast:
+        vals = search_stream_multi(
+            spark, index_dir, request, [terms_field, metric_field]
+        )
+    else:
+        if terms_field not in config.doc_cols():
+            raise ValueError(f"field {terms_field!r} is neither fast nor stored")
+        resolved = _resolve_fast_field(spark, index_dir, metric_field)
+        req = _dc_replace(request, start_offset=0, sort_by_field=None)
+        hits, splits, _ast, _cfg = _leaf_hits_df(
+            spark, index_dir, req, stream_fields=(resolved,)
+        )
+        hits = hits.select(
+            "split_id", "doc_id", F.col("mf_0").alias(metric_field)
+        )
+        docs = (
+            _table_scan(spark, index_dir, "docs")
+            .filter(F.col("split_id").isin([s.split_id for s in splits]))
+            .select("split_id", "doc_id", f"`{terms_field}`")
+        )
+        vals = hits.join(docs, ["split_id", "doc_id"])
+    m = F.col(f"`{metric_field}`")
+    out = (
+        vals.groupBy(F.col(f"`{terms_field}`").alias("value"))
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.min(m).cast("long").alias("min"),
+            F.max(m).cast("long").alias("max"),
+            F.sum(m).cast("long").alias("sum"),
+        )
+        .select(
+            "value",
+            "doc_count",
+            "min",
+            "max",
+            "sum",
+            F.round(F.col("sum").cast("double") / F.col("doc_count"), 4).alias("avg"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+    )
+    return out.limit(int(size)) if size is not None else out
+
+
 def search_agg_cardinality(
     spark: SparkSession,
     index_dir: str,

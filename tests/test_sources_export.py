@@ -252,6 +252,40 @@ def test_search_agg_multi_matches_individual_aggs(spark, small_idx):
     assert m2["terms"] == t2 and set(m2) == {"terms"}
 
 
+def test_search_agg_terms_stats(spark, small_idx):
+    """Terms buckets with nested metric stats equal brute-force per-bucket
+    reduction over the full hit set (stored terms, fast metric)."""
+    import collections
+
+    from quickwit_spark.search.executor import search, search_agg_terms_stats
+
+    req = SearchRequest("deploy")
+    full = search(spark, small_idx, SearchRequest("deploy", max_hits=100_000))
+    by_role = collections.defaultdict(list)
+    for h in full.hits:
+        by_role[h["role"]].append(h["turn_idx"])
+    rows = search_agg_terms_stats(
+        spark, small_idx, req, "role", "turn_idx"
+    ).collect()
+    assert len(rows) == len(by_role)
+    for r in rows:
+        vs = by_role[r["value"]]
+        assert (r["doc_count"], r["min"], r["max"], r["sum"]) == (
+            len(vs), min(vs), max(vs), sum(vs),
+        )
+        assert r["avg"] == round(sum(vs) / len(vs), 4)
+    counts = [(r["doc_count"], r["value"]) for r in rows]
+    assert counts == sorted(counts, key=lambda x: (-x[0], x[1]))
+    # fast-terms path: group by turn_idx, metric ts
+    rows2 = search_agg_terms_stats(
+        spark, small_idx, req, "turn_idx", "ts", size=5
+    ).collect()
+    assert len(rows2) == 5
+    by_turn = collections.Counter(h["turn_idx"] for h in full.hits)
+    for r in rows2:
+        assert r["doc_count"] == by_turn[r["value"]]
+
+
 def test_search_agg_cardinality(spark, small_idx):
     """Exact distinct count over matches: stored column (role) and fast
     field (turn_idx), standalone and through the fused multi path."""
