@@ -233,10 +233,14 @@ def cmd_search(args) -> dict:
     # requested aggregation shares ONE stream leaf (search_agg_multi)
     agg_interval = getattr(args, "agg_histogram_interval", None)
     agg_terms = getattr(args, "agg_terms", None)
+    agg_terms_metric = getattr(args, "agg_terms_metric", None)
     agg_stats = getattr(args, "agg_stats", None)
     agg_pcts = getattr(args, "agg_percentiles", None)
     agg_card = getattr(args, "agg_cardinality", None)
-    if any(a is not None for a in (agg_interval, agg_terms, agg_stats, agg_pcts, agg_card)):
+    if any(
+        a is not None
+        for a in (agg_interval, agg_terms, agg_terms_metric, agg_stats, agg_pcts, agg_card)
+    ):
         from quickwit_spark.search.executor import search_agg_multi
 
         multi = search_agg_multi(
@@ -246,6 +250,7 @@ def cmd_search(args) -> dict:
             histogram_interval=agg_interval,
             terms_field=agg_terms,
             terms_size=getattr(args, "agg_terms_size", 10),
+            terms_metric_field=agg_terms_metric,
             stats_field=agg_stats,
             percentiles_field=agg_pcts,
             cardinality_field=agg_card,
@@ -256,6 +261,8 @@ def cmd_search(args) -> dict:
             out["agg_terms"] = [
                 {"key": v, "doc_count": n} for v, n in multi["terms"]
             ]
+        if "terms_stats" in multi:
+            out["agg_terms_stats"] = multi["terms_stats"]
         if "stats" in multi:
             out["agg_stats"] = multi["stats"]
         if "percentiles" in multi:
@@ -643,6 +650,11 @@ def main(argv=None):
         help="terms facet over every match's fast/stored field",
     )
     s.add_argument("--agg-terms-size", type=int, default=10)
+    s.add_argument(
+        "--agg-terms-metric", default=None,
+        help="nested stats (min/max/sum/avg of this fast i64 field) inside "
+        "each --agg-terms bucket (ES sub-aggregation)",
+    )
     s.add_argument(
         "--agg-stats", default=None,
         help="stats aggregation (count/min/max/sum/avg) over a fast i64 field",

@@ -2167,6 +2167,7 @@ def search_agg_multi(
     histogram_interval: int | None = None,
     terms_field: str | None = None,
     terms_size: int | None = 10,
+    terms_metric_field: str | None = None,
     stats_field: str | None = None,
     percentiles_field: str | None = None,
     percentiles: tuple = (0.5, 0.9, 0.99),
@@ -2204,6 +2205,10 @@ def search_agg_multi(
 
     terms_fast = terms_field is not None and _classify(terms_field)
     card_fast = cardinality_field is not None and _classify(cardinality_field)
+    if terms_metric_field is not None:
+        if terms_field is None:
+            raise ValueError("terms_metric_field requires terms_field")
+        fast_fields.append(terms_metric_field)  # metric must be a fast i64
     if stats_field is not None:
         fast_fields.append(stats_field)
     if percentiles_field is not None:
@@ -2211,7 +2216,9 @@ def search_agg_multi(
     hits = search_stream_multi(spark, index_dir, request, fast_fields)
     hits = hits.persist()
 
-    def _vals(field: str, fast: bool) -> DataFrame:
+    def _vals(field: str, fast: bool, keep: tuple = ()) -> DataFrame:
+        """hits rows carrying ``field`` (plus the stream-leaf ``keep``
+        columns when the field lives in the doc store)."""
         if fast:
             return hits
         splits = [
@@ -2222,7 +2229,8 @@ def search_agg_multi(
             .filter(F.col("split_id").isin(splits))
             .select("split_id", "doc_id", f"`{field}`")
         )
-        return hits.select("split_id", "doc_id").join(docs, ["split_id", "doc_id"])
+        lhs = hits.select("split_id", "doc_id", *[F.col(f"`{c}`") for c in keep])
+        return lhs.join(docs, ["split_id", "doc_id"])
 
     try:
         out: dict = {}
@@ -2245,6 +2253,32 @@ def search_agg_multi(
             if terms_size is not None:
                 tdf = tdf.limit(int(terms_size))
             out["terms"] = [(r["value"], int(r["doc_count"])) for r in tdf.collect()]
+        if terms_metric_field is not None:
+            m = F.col(f"`{terms_metric_field}`")
+            sdf = (
+                _vals(terms_field, terms_fast, keep=(terms_metric_field,))
+                .groupBy(F.col(f"`{terms_field}`").alias("value"))
+                .agg(
+                    F.count("*").cast("long").alias("doc_count"),
+                    F.min(m).cast("long").alias("min"),
+                    F.max(m).cast("long").alias("max"),
+                    F.sum(m).cast("long").alias("sum"),
+                )
+                .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+            )
+            if terms_size is not None:
+                sdf = sdf.limit(int(terms_size))
+            out["terms_stats"] = [
+                {
+                    "value": r["value"],
+                    "doc_count": int(r["doc_count"]),
+                    "min": int(r["min"]),
+                    "max": int(r["max"]),
+                    "sum": int(r["sum"]),
+                    "avg": round(int(r["sum"]) / int(r["doc_count"]), 4),
+                }
+                for r in sdf.collect()
+            ]
         if stats_field is not None:
             c = F.col(f"`{stats_field}`")
             r = hits.agg(

@@ -244,6 +244,7 @@ class _Handler(BaseHTTPRequestHandler):
             # pass maxHits=0, which takes the count-only fast path)
             agg_interval = _int_or_none(qs, "aggHistogramInterval")
             agg_terms = qs.get("aggTermsField", [None])[0]
+            agg_terms_metric = qs.get("aggTermsMetricField", [None])[0]
             agg_stats = qs.get("aggStatsField", [None])[0]
             agg_pcts = qs.get("aggPercentilesField", [None])[0]
             agg_card = qs.get("aggCardinalityField", [None])[0]
@@ -252,7 +253,10 @@ class _Handler(BaseHTTPRequestHandler):
                 resp = search(self.spark, index_dir, req)
                 if any(
                     a is not None
-                    for a in (agg_interval, agg_terms, agg_stats, agg_pcts, agg_card)
+                    for a in (
+                        agg_interval, agg_terms, agg_terms_metric,
+                        agg_stats, agg_pcts, agg_card,
+                    )
                 ):
                     # ALL requested aggregations share one stream leaf:
                     # the match set is evaluated once, not once per agg
@@ -266,6 +270,7 @@ class _Handler(BaseHTTPRequestHandler):
                         histogram_interval=agg_interval,
                         terms_field=agg_terms,
                         terms_size=size,
+                        terms_metric_field=agg_terms_metric,
                         stats_field=agg_stats,
                         percentiles_field=agg_pcts,
                         cardinality_field=agg_card,
@@ -284,6 +289,12 @@ class _Handler(BaseHTTPRequestHandler):
                             "buckets": [
                                 {"key": v, "docCount": n} for v, n in multi["terms"]
                             ],
+                        }
+                    if "terms_stats" in multi:
+                        aggs["termsStats"] = {
+                            "field": agg_terms,
+                            "metricField": agg_terms_metric,
+                            "buckets": multi["terms_stats"],
                         }
                     if "stats" in multi:
                         aggs["stats"] = {"field": agg_stats, **multi["stats"]}

@@ -297,7 +297,7 @@ def test_search_endpoint_aggregations(spark, server, index_root):
     counts sum to numHits (every match lands in exactly one bucket)."""
     code, body, _ = _get(
         f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
-        "&aggTermsField=role&aggHistogramInterval=604800"
+        "&aggTermsField=role&aggTermsMetricField=ts&aggHistogramInterval=604800"
         "&aggStatsField=ts&aggPercentilesField=ts&aggCardinalityField=role&format=json"
     )
     assert code == 200, body
@@ -322,6 +322,14 @@ def test_search_endpoint_aggregations(spark, server, index_root):
     assert card["count"] == got["numHits"]
     # cardinality of role == the number of terms buckets (role has few values)
     assert card["cardinality"] == len(aggs["terms"]["buckets"])
+    # nested sub-aggregation: same buckets as terms, each with ts stats
+    ts_stats = aggs["termsStats"]
+    assert ts_stats["field"] == "role" and ts_stats["metricField"] == "ts"
+    assert [(b["value"], b["doc_count"]) for b in ts_stats["buckets"]] == [
+        (b["key"], b["docCount"]) for b in aggs["terms"]["buckets"]
+    ]
+    for b in ts_stats["buckets"]:
+        assert stats["min"] <= b["min"] <= b["avg"] <= b["max"] <= stats["max"]
 
 
 def test_unknown_fast_field_is_400(server):

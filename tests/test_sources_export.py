@@ -251,6 +251,25 @@ def test_search_agg_multi_matches_individual_aggs(spark, small_idx):
     ]
     assert m2["terms"] == t2 and set(m2) == {"terms"}
 
+    # nested terms_stats rides the same fused leaf (stored terms + fast metric)
+    from quickwit_spark.search.executor import search_agg_terms_stats
+
+    m3 = search_agg_multi(
+        spark, small_idx, req,
+        terms_field="role", terms_size=None, terms_metric_field="turn_idx",
+    )
+    expect = [
+        r.asDict()
+        for r in search_agg_terms_stats(
+            spark, small_idx, req, "role", "turn_idx"
+        ).collect()
+    ]
+    assert m3["terms_stats"] == expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires terms_field"):
+        search_agg_multi(spark, small_idx, req, terms_metric_field="turn_idx")
+
 
 def test_search_agg_terms_stats(spark, small_idx):
     """Terms buckets with nested metric stats equal brute-force per-bucket
