@@ -261,6 +261,39 @@ def ft_agg_terms_stats(spark, sf_dir):
     return search_agg_terms_stats(spark, idx, SearchRequest("merge"), "role", "ts")
 
 
+def ft_agg_range(spark, sf_dir):
+    """ES-style range aggregation over the ts fast field (== doc_id):
+    edges [100, 250, 400] -> buckets (*,100) [100,250) [250,400) [400,*),
+    doc counts over every match — one stream-leaf pass + an O(edges)
+    hash agg.  Buckets keyed as ES-style 'lo-hi' strings."""
+    from .search.executor import search_agg_range
+
+    idx = documents_index(spark, sf_dir)
+    out = search_agg_range(
+        spark, idx, SearchRequest("merge"), "ts", [100, 250, 400]
+    )
+    return out.select(
+        F.concat_ws(
+            "-",
+            F.coalesce(F.col("lo").cast("string"), F.lit("*")),
+            F.coalesce(F.col("hi").cast("string"), F.lit("*")),
+        ).alias("key"),
+        "doc_count",
+    )
+
+
+def ft_agg_top_hits(spark, sf_dir):
+    """ES-style top_hits sub-aggregation: per stored-role bucket (carries
+    lang), the top-3 matches by the ts fast field descending, with rank —
+    one stream-leaf pass + ONE window shuffle keyed on the bucket value."""
+    from .search.executor import search_agg_top_hits
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_top_hits(
+        spark, idx, SearchRequest("merge"), "role", "ts", 3
+    )
+
+
 def ft_termdict(spark, sf_dir):
     """Term dictionary across splits (validates tokenize+build+merge path)."""
     idx = documents_index(spark, sf_dir)
@@ -596,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_agg_percentiles": ft_agg_percentiles,
         "ft_agg_cardinality": ft_agg_cardinality,
         "ft_agg_terms_stats": ft_agg_terms_stats,
+        "ft_agg_range": ft_agg_range,
+        "ft_agg_top_hits": ft_agg_top_hits,
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
         "ft_generic_nested": ft_generic_nested,
@@ -712,6 +747,34 @@ SELECT d.lang AS value,
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
 GROUP BY 1""",
+        "ft_agg_range": f"""{BM25_CTE}
+, m AS (
+  SELECT d.doc_id AS v FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+), b AS (
+  SELECT (CASE WHEN v >= 100 THEN 1 ELSE 0 END
+        + CASE WHEN v >= 250 THEN 1 ELSE 0 END
+        + CASE WHEN v >= 400 THEN 1 ELSE 0 END) AS ord
+  FROM m
+)
+SELECT concat(
+         CASE ord WHEN 1 THEN '100' WHEN 2 THEN '250' WHEN 3 THEN '400' ELSE '*' END,
+         '-',
+         CASE ord WHEN 0 THEN '100' WHEN 1 THEN '250' WHEN 2 THEN '400' ELSE '*' END
+       ) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM b GROUP BY 1""",
+        "ft_agg_top_hits": f"""{BM25_CTE}
+, m AS (
+  SELECT d.lang AS value, d.doc_id FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+), r AS (
+  SELECT value, doc_id,
+         row_number() OVER (PARTITION BY value ORDER BY doc_id DESC) AS rank
+  FROM m
+)
+SELECT value, CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS sort_value
+FROM r WHERE rank <= 3""",
         "ft_agg_terms": f"""{BM25_CTE}
 SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS doc_count
 FROM documents d

@@ -1893,12 +1893,7 @@ def search_agg_date_histogram(
     field = ts_field or config.timestamp_field
     if field is None:
         raise ValueError("index has no timestamp field; pass ts_field")
-    hits = search_stream(spark, index_dir, request, field)
-    iv = int(interval_s)
-    bucket = (F.floor(F.col(f"`{field}`") / F.lit(iv)) * iv).cast("long")
-    return hits.groupBy(bucket.alias("bucket")).agg(
-        F.count("*").cast("long").alias("doc_count")
-    )
+    return search_agg_histogram(spark, index_dir, request, field, interval_s)
 
 
 def search_agg_terms(
@@ -2005,6 +2000,126 @@ def search_agg_terms_stats(
         .orderBy(F.col("doc_count").desc(), F.col("value").asc())
     )
     return out.limit(int(size)) if size is not None else out
+
+
+def search_agg_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    field: str,
+    interval: int,
+) -> DataFrame:
+    """ES-style numeric histogram over every matching doc's fast i64
+    ``field``: bucket = value floored to ``interval``, value = doc count.
+    The date histogram is this with the timestamp field.  One stream-leaf
+    pass + one map-side-combined hash agg — bucket cardinality is bounded
+    by value range / interval, never by rows."""
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    hits = search_stream(spark, index_dir, request, field)
+    iv = int(interval)
+    bucket = (F.floor(F.col(f"`{field}`") / F.lit(iv)) * iv).cast("long")
+    return (
+        hits.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def search_agg_range(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    field: str,
+    edges: list,
+) -> DataFrame:
+    """ES-style range aggregation over every matching doc's fast i64
+    ``field``: sorted ``edges`` [e0, e1, ...] define buckets (-inf, e0),
+    [e0, e1), ..., [e_last, +inf) — lo inclusive, hi exclusive, the ES
+    range-agg convention.  Returns (lo, hi, doc_count) with NULL for the
+    open ends; empty buckets are omitted (count them client-side if the
+    ES zero-filled shape is needed).  One stream-leaf pass + one hash agg
+    keyed on the bucket ordinal — the reduce is O(len(edges))."""
+    es = [int(e) for e in edges]
+    if not es or es != sorted(es) or len(set(es)) != len(es):
+        raise ValueError(f"edges must be non-empty, strictly increasing: {edges}")
+    hits = search_stream(spark, index_dir, request, field)
+    v = F.col(f"`{field}`")
+    # bucket ordinal = number of edges <= v (0 .. len(es)), a branch-free
+    # sum of comparisons — Catalyst folds this into one projection
+    ordinal = sum((v >= F.lit(e)).cast("int") for e in es)
+    out = (
+        hits.groupBy(ordinal.alias("ord"))
+        .agg(F.count("*").cast("long").alias("doc_count"))
+    )
+    # element_at is 1-indexed and raises on index 0, so both ends guard
+    edges_lit = F.lit(es)
+    lo = F.when(F.col("ord") > 0, F.element_at(edges_lit, F.col("ord")))
+    hi = F.when(F.col("ord") < len(es), F.element_at(edges_lit, F.col("ord") + 1))
+    return (
+        out.select(
+            lo.cast("long").alias("lo"),
+            hi.cast("long").alias("hi"),
+            "doc_count",
+        )
+        .orderBy(F.col("lo").asc_nulls_first())
+    )
+
+
+def search_agg_top_hits(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    terms_field: str,
+    sort_field: str,
+    k: int,
+    asc: bool = False,
+) -> DataFrame:
+    """ES-style top_hits sub-aggregation: for each terms bucket over
+    ``terms_field`` (fast or stored), the top ``k`` matching docs by the
+    fast i64 ``sort_field`` (desc by default), with their rank.  One
+    stream-leaf pass, then ONE window shuffle keyed on the bucket value —
+    per-bucket state is the top-k heap, so skewed buckets stream, they
+    don't accumulate.  Ties break on (split_id, doc_id) for determinism."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    _, config = open_index(spark, index_dir)
+    t_fast = (
+        terms_field == config.timestamp_field
+        or terms_field in config.extra_fast_fields
+    )
+    if t_fast:
+        vals = search_stream_multi(
+            spark, index_dir, request, [terms_field, sort_field]
+        )
+    else:
+        if terms_field not in config.doc_cols():
+            raise ValueError(f"field {terms_field!r} is neither fast nor stored")
+        hits = search_stream_multi(spark, index_dir, request, [sort_field])
+        req_splits = [
+            r["split_id"] for r in hits.select("split_id").distinct().collect()
+        ]
+        docs = (
+            _table_scan(spark, index_dir, "docs")
+            .filter(F.col("split_id").isin(req_splits))
+            .select("split_id", "doc_id", f"`{terms_field}`")
+        )
+        vals = hits.join(docs, ["split_id", "doc_id"])
+    from pyspark.sql.window import Window
+
+    sv = F.col(f"`{sort_field}`")
+    order = [sv.asc() if asc else sv.desc(), F.col("split_id"), F.col("doc_id")]
+    w = Window.partitionBy(F.col(f"`{terms_field}`")).orderBy(*order)
+    return (
+        vals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(f"`{terms_field}`").alias("value"),
+            "rank",
+            sv.cast("long").alias("sort_value"),
+        )
+        .orderBy("value", "rank")
+    )
 
 
 def search_agg_cardinality(

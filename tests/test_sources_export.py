@@ -305,6 +305,54 @@ def test_search_agg_terms_stats(spark, small_idx):
         assert r["doc_count"] == by_turn[r["value"]]
 
 
+def test_search_agg_range_and_top_hits(spark, small_idx):
+    """Range buckets partition the match set exactly (lo inclusive, hi
+    exclusive, open ends NULL); top_hits returns each bucket's k best
+    sort values with ranks 1..k."""
+    import collections
+
+    import pytest
+
+    from quickwit_spark.search.executor import (
+        search,
+        search_agg_range,
+        search_agg_top_hits,
+    )
+
+    req = SearchRequest("deploy")
+    full = search(spark, small_idx, SearchRequest("deploy", max_hits=100_000))
+    vals = [h["turn_idx"] for h in full.hits]
+
+    edges = [2, 5]
+    rows = search_agg_range(spark, small_idx, req, "turn_idx", edges).collect()
+    exp: dict = collections.Counter()
+    for v in vals:
+        o = sum(v >= e for e in edges)
+        exp[(edges[o - 1] if o else None, edges[o] if o < len(edges) else None)] += 1
+    assert {(r["lo"], r["hi"]): r["doc_count"] for r in rows} == dict(exp)
+    assert sum(r["doc_count"] for r in rows) == len(vals)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        search_agg_range(spark, small_idx, req, "turn_idx", [5, 2])
+
+    by_role = collections.defaultdict(list)
+    for h in full.hits:
+        by_role[h["role"]].append(h["turn_idx"])
+    out = search_agg_top_hits(spark, small_idx, req, "role", "turn_idx", 2)
+    got = collections.defaultdict(list)
+    for r in out.collect():
+        got[r["value"]].append((r["rank"], r["sort_value"]))
+    assert set(got) == set(by_role)
+    for role, pairs in got.items():
+        k = min(2, len(by_role[role]))
+        assert [rk for rk, _ in pairs] == list(range(1, k + 1))
+        assert [sv for _, sv in pairs] == sorted(by_role[role], reverse=True)[:k]
+    # ascending: rank 1 is each bucket's minimum
+    asc = search_agg_top_hits(spark, small_idx, req, "role", "turn_idx", 1, asc=True)
+    assert {r["value"]: r["sort_value"] for r in asc.collect()} == {
+        role: min(vs) for role, vs in by_role.items()
+    }
+
+
 def test_search_agg_cardinality(spark, small_idx):
     """Exact distinct count over matches: stored column (role) and fast
     field (turn_idx), standalone and through the fused multi path."""
