@@ -221,6 +221,12 @@ def cmd_search(args) -> dict:
             tuple(args.search_fields.split(",")) if getattr(args, "search_fields", None) else None
         ),
         sort_by_field=args.sort_by,
+        snippet_fields=(
+            tuple(args.snippet_fields.split(","))
+            if getattr(args, "snippet_fields", None)
+            else None
+        ),
+        snippet_max_chars=getattr(args, "snippet_max_chars", None) or 150,
     )
     resp = search(spark, args.index_dir, req)
     out = {
@@ -641,6 +647,12 @@ def main(argv=None):
         "--search-fields", default=None,
         help="comma-separated default fields for unscoped clauses (overrides config)",
     )
+    s.add_argument(
+        "--snippet-fields", default=None,
+        help="comma-separated tokenized text fields to return highlighted "
+        "fragments for (hit['snippets'])",
+    )
+    s.add_argument("--snippet-max-chars", type=int, default=150)
     s.add_argument(
         "--agg-histogram-interval", type=int, default=None,
         help="date-histogram aggregation over every match (bucket seconds)",

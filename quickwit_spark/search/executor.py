@@ -1765,6 +1765,17 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
     _, config = open_index(spark, index_dir)
     out = [_hit_dict(config, r) for r in page]
     _maybe_add_source(index_dir, out, page)
+    if request.snippet_fields:
+        from .snippet import attach_snippets
+
+        ast = parse_query(request.query, config, request.search_fields)
+        attach_snippets(
+            config,
+            ast,
+            out,
+            tuple(request.snippet_fields),
+            max_chars=request.snippet_max_chars,
+        )
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 
 

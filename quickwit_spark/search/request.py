@@ -25,3 +25,8 @@ class SearchRequest:
     # (conv_id, turn_idx) so results are split-layout independent (used for
     # the DuckDB driver oracle where the SQL knows nothing about splits)
     tiebreak: str = "reference"
+    # highlighted fragments for these stored tokenized text fields, added
+    # to each hit as hit["snippets"] = {field: "<b>..</b> .."} — generated
+    # driver-side for the final page only (beyond-reference; snippet.py)
+    snippet_fields: tuple[str, ...] | None = None
+    snippet_max_chars: int = 150

@@ -194,6 +194,12 @@ class _Handler(BaseHTTPRequestHandler):
                     tuple(qs["searchField"][0].split(",")) if "searchField" in qs else None
                 ),
                 sort_by_field=qs.get("sortByField", [None])[0],
+                snippet_fields=(
+                    tuple(qs["snippetFields"][0].split(","))
+                    if "snippetFields" in qs
+                    else None
+                ),
+                snippet_max_chars=_int_or_none(qs, "snippetMaxChars") or 150,
             )
             if is_stream:
                 fast_field = qs.get("fastField", [None])[0]

@@ -72,6 +72,29 @@ def test_search_endpoint_matches_library(spark, server, index_root):
     ]
 
 
+def test_search_endpoint_snippets(server):
+    """snippetFields returns highlighted fragments per hit; a bad field is
+    a 400, not a dropped connection."""
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=3"
+        "&snippetFields=text&snippetMaxChars=80&format=json"
+    )
+    assert code == 200
+    got = json.loads(body)
+    assert got["hits"]
+    for h in got["hits"]:
+        snip = h["snippets"]["text"]
+        assert "<b>" in snip
+        plain = snip.replace("<b>", "").replace("</b>", "")
+        assert len(plain) <= 80 and plain in h["text"]
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=1&snippetFields=role"
+    )
+    if isinstance(body, bytes):
+        body = body.decode()
+    assert code == 400 and "role" in body
+
+
 def test_search_params(server):
     url = (
         f"{server}/api/v1/conv/search?query=error&startOffset=2&maxHits=3"
