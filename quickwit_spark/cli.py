@@ -243,9 +243,13 @@ def cmd_search(args) -> dict:
     agg_stats = getattr(args, "agg_stats", None)
     agg_pcts = getattr(args, "agg_percentiles", None)
     agg_card = getattr(args, "agg_cardinality", None)
+    agg_sig = getattr(args, "agg_significant", None)
     if any(
         a is not None
-        for a in (agg_interval, agg_terms, agg_terms_metric, agg_stats, agg_pcts, agg_card)
+        for a in (
+            agg_interval, agg_terms, agg_terms_metric, agg_stats, agg_pcts,
+            agg_card, agg_sig,
+        )
     ):
         from quickwit_spark.search.executor import search_agg_multi
 
@@ -260,6 +264,8 @@ def cmd_search(args) -> dict:
             stats_field=agg_stats,
             percentiles_field=agg_pcts,
             cardinality_field=agg_card,
+            significant_field=agg_sig,
+            significant_size=getattr(args, "agg_significant_size", 10),
         )
         if "histogram" in multi:
             out["agg_histogram"] = {b: n for b, n in multi["histogram"]}
@@ -275,6 +281,8 @@ def cmd_search(args) -> dict:
             out["agg_percentiles"] = multi["percentiles"]
         if "cardinality" in multi:
             out["agg_cardinality"] = multi["cardinality"]
+        if "significant_terms" in multi:
+            out["agg_significant_terms"] = multi["significant_terms"]
     return out
 
 
@@ -679,6 +687,12 @@ def main(argv=None):
         "--agg-cardinality", default=None,
         help="EXACT distinct-value count over a fast or stored field",
     )
+    s.add_argument(
+        "--agg-significant", default=None,
+        help="significant_terms over a default-tokenized text field "
+        "(foreground = matches, background = term-stats LSM; JLH score)",
+    )
+    s.add_argument("--agg-significant-size", type=int, default=10)
     s.set_defaults(fn=cmd_search)
 
     m = sub.add_parser("merge")

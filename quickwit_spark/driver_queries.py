@@ -294,6 +294,20 @@ def ft_agg_top_hits(spark, sf_dir):
     )
 
 
+def ft_agg_significant(spark, sf_dir):
+    """ES-style significant_terms over the tokenized text field: terms
+    over-represented among docs matching 'merge' versus the whole corpus
+    (JLH score = (fg% - bg%) * fg%/bg%) — foreground df from one match
+    pass + JVM re-tokenize, background df from the term-stats LSM (the
+    corpus is never rescanned)."""
+    from .search.executor import search_agg_significant_terms
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_significant_terms(
+        spark, idx, SearchRequest("merge"), "text", size=15, min_doc_count=3
+    )
+
+
 def ft_termdict(spark, sf_dir):
     """Term dictionary across splits (validates tokenize+build+merge path)."""
     idx = documents_index(spark, sf_dir)
@@ -631,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_agg_terms_stats": ft_agg_terms_stats,
         "ft_agg_range": ft_agg_range,
         "ft_agg_top_hits": ft_agg_top_hits,
+        "ft_agg_significant": ft_agg_significant,
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
         "ft_generic_nested": ft_generic_nested,
@@ -780,6 +795,22 @@ SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS doc_count
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
 GROUP BY 1""",
+        "ft_agg_significant": f"""{BM25_CTE}
+, matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+, fg AS (
+  SELECT t.term, count(*) AS fg_count
+  FROM tf t JOIN matches m USING (doc_id)
+  GROUP BY 1 HAVING count(*) >= 3
+)
+, tot AS (SELECT (SELECT count(*) FROM matches) AS fgt, (SELECT n FROM st) AS n)
+SELECT term,
+       CAST(fg_count AS BIGINT) AS fg_count,
+       CAST(df AS BIGINT) AS bg_count,
+       round((fg_count / CAST(fgt AS DOUBLE) - df / CAST(n AS DOUBLE))
+             * (fg_count / CAST(fgt AS DOUBLE)) / (df / CAST(n AS DOUBLE)), 4) AS score
+FROM fg JOIN dfreq USING (term) CROSS JOIN tot
+WHERE fg_count / CAST(fgt AS DOUBLE) > df / CAST(n AS DOUBLE)
+ORDER BY score DESC, term ASC LIMIT 15""",
         "ft_termdict": f"""{BM25_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf
 FROM tf GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 50""",

@@ -2013,6 +2013,131 @@ def search_agg_terms_stats(
     return out.limit(int(size)) if size is not None else out
 
 
+def search_agg_significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    field: str = "text",
+    size: int | None = None,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES-style significant_terms over a tokenized text ``field``: the terms
+    whose document frequency among the MATCHING docs (foreground) is
+    anomalously high versus the whole corpus (background), scored with the
+    ES JLH heuristic ``(fg% - bg%) * fg%/bg%`` (absolute lift × relative
+    lift); only terms with fg% > bg% and foreground df >= ``min_doc_count``
+    qualify.  Returns (term, fg_count, bg_count, score) ordered by score
+    desc then term.
+
+    Scale shape (beyond-reference — quickwit v0.2 only counts hits):
+
+    * foreground: one stream-leaf match pass (postings decoded once per
+      split), a split+column-pruned doc-store join for ``field``, JVM-side
+      tokenization (``filter(split(lower(..)))`` — the same default-tokenizer
+      definition the index build uses, whole-stage codegen, zero Python),
+      ``explode(array_distinct(..))`` and ONE hash agg keyed on term — work
+      is O(matching docs), key cardinality is the foreground vocabulary.
+    * background: the term-stats LSM deltas (the same O(publish-batches)
+      files that give cold queries their global doc_freq,
+      index/builder.py _write_termstats_delta) read as ONE Spark scan and
+      summed per term — the corpus is NEVER rescanned.  If the LSM is
+      incomplete the corpus text is re-tokenized as a fallback.
+    """
+    cat, config = open_index(spark, index_dir)
+    _check_significant_field(config, field)
+    vals = _agg_values_df(spark, index_dir, request, field).persist()
+    try:
+        fg_total = vals.count()
+        out = _significant_terms_df(
+            spark, index_dir, cat, vals, fg_total, field, size, min_doc_count
+        )
+        # the page is tiny (<= size terms); materialize before unpersist
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        vals.unpersist()
+
+
+def _default_tokens_expr(c):
+    """JVM twin of functions/tokenizer.py tokenize_text: split on
+    non-alphanumeric runs, lowercase, drop empties and tokens > 40 chars
+    (tantivy RemoveLongFilter) — stays in whole-stage codegen."""
+    return F.filter(
+        F.split(F.lower(c), "[^0-9a-z]+"),
+        lambda t: (t != F.lit("")) & (F.length(t) <= 40),
+    )
+
+
+def _check_significant_field(config, field: str) -> None:
+    fm = config.fields.get(field)
+    if fm is None or fm.scalar_type != "text" or fm.tokenizer != "default":
+        raise ValueError(
+            f"significant_terms needs a default-tokenized text field, got {field!r}"
+        )
+    if field not in config.doc_cols():
+        raise ValueError(f"field {field!r} is not stored")
+
+
+def _significant_terms_df(
+    spark: SparkSession,
+    index_dir: str,
+    cat: Catalog,
+    vals: DataFrame,
+    fg_total: int,
+    field: str,
+    size: int | None,
+    min_doc_count: int,
+) -> DataFrame:
+    """Core of significant_terms given the per-match ``field`` values:
+    foreground df = one tokenize + hash agg over ``vals``; background df =
+    the term-stats LSM deltas summed per term (doc-store rescan only if the
+    LSM is incomplete); JLH score, ordered desc."""
+    fg = (
+        vals.select(
+            F.explode(
+                F.array_distinct(_default_tokens_expr(F.col(f"`{field}`")))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("fg_count"))
+        .filter(F.col("fg_count") >= int(min_doc_count))
+    )
+    bg_total = cat.global_stats()["num_docs"]
+    ts_files = cat.termstats_files()
+    if ts_files:
+        st = storage_for(index_dir)
+        bg = (
+            spark.read.parquet(*[st.spark_url(p) for p in ts_files])
+            .filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("doc_freq").cast("long").alias("bg_count"))
+        )
+    else:  # LSM incomplete: derive background df from the doc store
+        bg = (
+            _table_scan(spark, index_dir, "docs")
+            .select(
+                F.explode(
+                    F.array_distinct(_default_tokens_expr(F.col(f"`{field}`")))
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("bg_count"))
+        )
+    fgp = F.col("fg_count") / F.lit(float(fg_total))
+    bgp = F.col("bg_count") / F.lit(float(bg_total))
+    out = (
+        fg.join(bg, "term")
+        .filter(fgp > bgp)
+        .select(
+            "term",
+            "fg_count",
+            "bg_count",
+            F.round((fgp - bgp) * fgp / bgp, 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+    )
+    return out.limit(int(size)) if size is not None else out
+
+
 def search_agg_histogram(
     spark: SparkSession,
     index_dir: str,
@@ -2298,6 +2423,9 @@ def search_agg_multi(
     percentiles_field: str | None = None,
     percentiles: tuple = (0.5, 0.9, 0.99),
     cardinality_field: str | None = None,
+    significant_field: str | None = None,
+    significant_size: int | None = 10,
+    significant_min_doc_count: int = 3,
 ) -> dict:
     """Every requested aggregation off ONE stream leaf: the match set is
     evaluated once (postings decoded once per split), persisted, and each
@@ -2331,6 +2459,8 @@ def search_agg_multi(
 
     terms_fast = terms_field is not None and _classify(terms_field)
     card_fast = cardinality_field is not None and _classify(cardinality_field)
+    if significant_field is not None:
+        _check_significant_field(config, significant_field)
     if terms_metric_field is not None:
         if terms_field is None:
             raise ValueError("terms_metric_field requires terms_field")
@@ -2435,6 +2565,27 @@ def search_agg_multi(
                 "count": int(r["doc_count"]),
                 "cardinality": int(r["cardinality"]),
             }
+        if significant_field is not None:
+            cat, _ = open_index(spark, index_dir)
+            sig = _significant_terms_df(
+                spark,
+                index_dir,
+                cat,
+                _vals(significant_field, False),
+                hits.count(),
+                significant_field,
+                significant_size,
+                significant_min_doc_count,
+            )
+            out["significant_terms"] = [
+                {
+                    "term": r["term"],
+                    "fg_count": int(r["fg_count"]),
+                    "bg_count": int(r["bg_count"]),
+                    "score": float(r["score"]),
+                }
+                for r in sig.collect()
+            ]
         return out
     finally:
         hits.unpersist()

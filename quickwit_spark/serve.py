@@ -254,6 +254,7 @@ class _Handler(BaseHTTPRequestHandler):
             agg_stats = qs.get("aggStatsField", [None])[0]
             agg_pcts = qs.get("aggPercentilesField", [None])[0]
             agg_card = qs.get("aggCardinalityField", [None])[0]
+            agg_sig = qs.get("aggSignificantField", [None])[0]
             aggs = {}
             with self.lock:
                 resp = search(self.spark, index_dir, req)
@@ -261,7 +262,7 @@ class _Handler(BaseHTTPRequestHandler):
                     a is not None
                     for a in (
                         agg_interval, agg_terms, agg_terms_metric,
-                        agg_stats, agg_pcts, agg_card,
+                        agg_stats, agg_pcts, agg_card, agg_sig,
                     )
                 ):
                     # ALL requested aggregations share one stream leaf:
@@ -280,6 +281,10 @@ class _Handler(BaseHTTPRequestHandler):
                         stats_field=agg_stats,
                         percentiles_field=agg_pcts,
                         cardinality_field=agg_card,
+                        significant_field=agg_sig,
+                        significant_size=(
+                            _int_or_none(qs, "aggSignificantSize") or 10
+                        ),
                     )
                     if "histogram" in multi:
                         aggs["histogram"] = {
@@ -313,6 +318,11 @@ class _Handler(BaseHTTPRequestHandler):
                         aggs["cardinality"] = {
                             "field": agg_card,
                             **multi["cardinality"],
+                        }
+                    if "significant_terms" in multi:
+                        aggs["significantTerms"] = {
+                            "field": agg_sig,
+                            "buckets": multi["significant_terms"],
                         }
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))

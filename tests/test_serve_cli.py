@@ -355,6 +355,28 @@ def test_search_endpoint_aggregations(spark, server, index_root):
         assert stats["min"] <= b["min"] <= b["avg"] <= b["max"] <= stats["max"]
 
 
+def test_search_endpoint_significant_terms(server):
+    """aggSignificantField returns JLH-scored buckets desc; the query's own
+    term dominates; a raw-tokenized field is a 400."""
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
+        "&aggSignificantField=text&aggSignificantSize=5&format=json"
+    )
+    assert code == 200, body
+    got = json.loads(body)
+    sig = got["aggregations"]["significantTerms"]
+    assert sig["field"] == "text" and len(sig["buckets"]) == 5
+    assert sig["buckets"][0]["term"] == "deploy"
+    scores = [b["score"] for b in sig["buckets"]]
+    assert scores == sorted(scores, reverse=True)
+    for b in sig["buckets"]:
+        assert 0 < b["fg_count"] <= got["numHits"] and b["bg_count"] >= b["fg_count"]
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=0&aggSignificantField=role"
+    )
+    assert code == 400
+
+
 def test_unknown_fast_field_is_400(server):
     """An undeclared fast field must be rejected driver-side as a 400 —
     not crash executor-side and drop the HTTP connection."""

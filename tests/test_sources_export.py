@@ -422,3 +422,69 @@ def test_search_agg_percentiles_exact(spark, small_idx):
     }
     n0, p0 = _exact_percentiles(df.filter("x > 1e15"), "x", (0.5,))
     assert n0 == 0 and p0 == {"p50": None}
+
+
+def test_search_agg_significant_terms(spark, small_idx):
+    """significant_terms equals the brute-force JLH computation over the
+    match set vs the whole corpus: fg df from per-doc distinct tokens of
+    the matches, bg df = corpus doc frequency (served by the term-stats
+    LSM, never a corpus rescan), score = (fg% - bg%) * fg%/bg% for terms
+    with fg% > bg% and fg df >= min_doc_count."""
+    import collections
+
+    from quickwit_spark.functions.tokenizer import tokenize_text
+    from quickwit_spark.search.executor import (
+        search,
+        search_agg_multi,
+        search_agg_significant_terms,
+    )
+
+    req = SearchRequest("deploy")
+    full = search(spark, small_idx, SearchRequest("deploy", max_hits=100_000))
+    fg_ctr = collections.Counter()
+    for h in full.hits:
+        fg_ctr.update(set(tokenize_text(h["text"])))
+    corpus = [r["text"] for r in spark.read.parquet(f"{small_idx}/docs").select("text").collect()]
+    bg_ctr = collections.Counter()
+    for t in corpus:
+        bg_ctr.update(set(tokenize_text(t)))
+    fg_total, bg_total = len(full.hits), len(corpus)
+
+    want = {}
+    for term, fg in fg_ctr.items():
+        if fg < 3:
+            continue
+        bg = bg_ctr[term]
+        fgp, bgp = fg / float(fg_total), bg / float(bg_total)
+        if fgp > bgp:
+            want[term] = (fg, bg, round((fgp - bgp) * fgp / bgp, 4))
+
+    got = {
+        r["term"]: (r["fg_count"], r["bg_count"], r["score"])
+        for r in search_agg_significant_terms(
+            spark, small_idx, req, "text", size=None, min_doc_count=3
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for term, (fg, bg, score) in want.items():
+        gfg, gbg, gscore = got[term]
+        assert (gfg, gbg) == (fg, bg), term
+        assert gscore == pytest.approx(score, abs=1e-4), term
+
+    # ordering + size cap; the query's own terms dominate
+    top = search_agg_significant_terms(spark, small_idx, req, "text", size=3).collect()
+    assert len(top) == 3 and top[0]["term"] == "deploy"
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+    # fused multi path returns the same top rows
+    multi = search_agg_multi(
+        spark, small_idx, req, significant_field="text", significant_size=3
+    )
+    assert [b["term"] for b in multi["significant_terms"]] == [r["term"] for r in top]
+
+    # raw-tokenized and unknown fields are clean rejections
+    with pytest.raises(ValueError, match="default-tokenized"):
+        search_agg_significant_terms(spark, small_idx, req, "role")
+    with pytest.raises(ValueError, match="default-tokenized"):
+        search_agg_significant_terms(spark, small_idx, req, "nosuchcol")
