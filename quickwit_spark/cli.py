@@ -283,6 +283,15 @@ def cmd_search(args) -> dict:
             out["agg_cardinality"] = multi["cardinality"]
         if "significant_terms" in multi:
             out["agg_significant_terms"] = multi["significant_terms"]
+    agg_filters = getattr(args, "agg_filters", None)
+    if agg_filters is not None:
+        import json as _json
+
+        from quickwit_spark.search.executor import search_agg_filters
+
+        flt = _json.loads(agg_filters)
+        rows = search_agg_filters(spark, args.index_dir, req, flt).collect()
+        out["agg_filters"] = {r["key"]: int(r["doc_count"]) for r in rows}
     return out
 
 
@@ -693,6 +702,12 @@ def main(argv=None):
         "(foreground = matches, background = term-stats LSM; JLH score)",
     )
     s.add_argument("--agg-significant-size", type=int, default=10)
+    s.add_argument(
+        "--agg-filters", default=None,
+        help='JSON object of named sub-queries counted within the base '
+        'query, e.g. \'{"errors": "error OR failure"}\' — all in one '
+        "batched leaf pass",
+    )
     s.set_defaults(fn=cmd_search)
 
     m = sub.add_parser("merge")

@@ -294,6 +294,21 @@ def ft_agg_top_hits(spark, sf_dir):
     )
 
 
+def ft_agg_filters(spark, sf_dir):
+    """ES-style filters aggregation: named sub-queries counted within the
+    base query's scope, ALL in one batched leaf pass (multi_search) —
+    Q filter counts cost ~one query's job floor, not Q."""
+    from .search.executor import search_agg_filters
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_filters(
+        spark,
+        idx,
+        SearchRequest("merge"),
+        {"deploy": "deploy", "errorish": "error OR failure"},
+    )
+
+
 def ft_agg_significant(spark, sf_dir):
     """ES-style significant_terms over the tokenized text field: terms
     over-represented among docs matching 'merge' versus the whole corpus
@@ -646,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_agg_range": ft_agg_range,
         "ft_agg_top_hits": ft_agg_top_hits,
         "ft_agg_significant": ft_agg_significant,
+        "ft_agg_filters": ft_agg_filters,
         "ft_termdict": ft_termdict,
         "ft_postings_roundtrip": ft_postings_roundtrip,
         "ft_generic_nested": ft_generic_nested,
@@ -795,6 +811,15 @@ SELECT d.lang AS value, CAST(count(*) AS BIGINT) AS doc_count
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
 GROUP BY 1""",
+        "ft_agg_filters": f"""{BM25_CTE}
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+SELECT 'deploy' AS key,
+       CAST((SELECT count(*) FROM m
+             WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'deploy')) AS BIGINT) AS doc_count
+UNION ALL
+SELECT 'errorish' AS key,
+       CAST((SELECT count(*) FROM m
+             WHERE doc_id IN (SELECT doc_id FROM tf WHERE term IN ('error', 'failure'))) AS BIGINT) AS doc_count""",
         "ft_agg_significant": f"""{BM25_CTE}
 , matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
 , fg AS (

@@ -2258,6 +2258,41 @@ def search_agg_top_hits(
     )
 
 
+def search_agg_filters(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    filters: dict[str, str],
+) -> DataFrame:
+    """ES-style filters aggregation: named sub-queries, each counted within
+    the base request's scope (``base AND (filter)``), ALL evaluated in ONE
+    batched leaf pass (multi_search: each leaf task opens its split once,
+    reads the union of every filter's posting rows in one pruned scan, and
+    runs every count against it — Q filters cost ~one query's job floor,
+    not Q).  Counts are exact (the count-only path never materializes
+    hits).  Returns (key, doc_count) in the caller's filter order."""
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    reqs = []
+    for name, q in filters.items():
+        if not str(q).strip():
+            raise ValueError(f"filter {name!r} has an empty query")
+        base = request.query.strip()
+        combined = f"({base}) AND ({q})" if base else str(q)
+        reqs.append(
+            _dc_replace(
+                request,
+                query=combined,
+                max_hits=0,
+                start_offset=0,
+                tiebreak="reference",  # counts are tiebreak-independent
+            )
+        )
+    resps = multi_search(spark, index_dir, reqs)
+    rows = [(name, int(r.num_hits)) for name, r in zip(filters, resps)]
+    return spark.createDataFrame(rows, "key string, doc_count long")
+
+
 def search_agg_cardinality(
     spark: SparkSession,
     index_dir: str,

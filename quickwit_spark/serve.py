@@ -324,6 +324,25 @@ class _Handler(BaseHTTPRequestHandler):
                             "field": agg_sig,
                             "buckets": multi["significant_terms"],
                         }
+                agg_filters = qs.get("aggFilters", [None])[0]
+                if agg_filters is not None:
+                    from quickwit_spark.search.executor import search_agg_filters
+
+                    try:
+                        flt = json.loads(agg_filters)
+                    except json.JSONDecodeError as e:
+                        raise ValueError(f"aggFilters is not valid JSON: {e}")
+                    if not isinstance(flt, dict):
+                        raise ValueError("aggFilters must be a JSON object")
+                    rows = search_agg_filters(
+                        self.spark, index_dir, req, flt
+                    ).collect()
+                    aggs["filters"] = {
+                        "buckets": [
+                            {"key": r["key"], "docCount": int(r["doc_count"])}
+                            for r in rows
+                        ]
+                    }
         except ValueError as e:  # parser rejection (bad query / field)
             return self._err(400, str(e))
         out = {

@@ -377,6 +377,27 @@ def test_search_endpoint_significant_terms(server):
     assert code == 400
 
 
+def test_search_endpoint_filters_agg(server):
+    """aggFilters (URL-encoded JSON) returns one named count bucket per
+    filter; malformed JSON is a 400."""
+    import urllib.parse
+
+    flt = urllib.parse.quote(json.dumps({"d": "deploy", "e": "error OR failure"}))
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=merge&maxHits=0"
+        f"&aggFilters={flt}&format=json"
+    )
+    assert code == 200, body
+    got = json.loads(body)
+    buckets = {b["key"]: b["docCount"] for b in got["aggregations"]["filters"]["buckets"]}
+    assert set(buckets) == {"d", "e"}
+    assert all(0 < v <= got["numHits"] for v in buckets.values())
+    code, _, _ = _get(
+        f"{server}/api/v1/conv/search?query=merge&maxHits=0&aggFilters=notjson"
+    )
+    assert code == 400
+
+
 def test_unknown_fast_field_is_400(server):
     """An undeclared fast field must be rejected driver-side as a 400 —
     not crash executor-side and drop the HTTP connection."""

@@ -488,3 +488,40 @@ def test_search_agg_significant_terms(spark, small_idx):
         search_agg_significant_terms(spark, small_idx, req, "role")
     with pytest.raises(ValueError, match="default-tokenized"):
         search_agg_significant_terms(spark, small_idx, req, "nosuchcol")
+
+
+def test_search_agg_filters(spark, small_idx):
+    """Named filter buckets equal independent count queries (base AND
+    filter), evaluated in one batched leaf pass; empty/blank filters are
+    clean rejections."""
+    from quickwit_spark.search.executor import search, search_agg_filters
+
+    got = {
+        r["key"]: r["doc_count"]
+        for r in search_agg_filters(
+            spark,
+            small_idx,
+            SearchRequest("merge"),
+            {"deploy": "deploy", "errorish": "error OR failure", "self": "merge"},
+        ).collect()
+    }
+    for name, q in (
+        ("deploy", "(merge) AND (deploy)"),
+        ("errorish", "(merge) AND (error OR failure)"),
+        ("self", "merge"),
+    ):
+        want = search(spark, small_idx, SearchRequest(q, max_hits=0)).num_hits
+        assert got[name] == want, name
+    # a filters agg with an EMPTY base query counts the filters alone
+    alone = {
+        r["key"]: r["doc_count"]
+        for r in search_agg_filters(
+            spark, small_idx, SearchRequest("merge"), {"m": "merge"}
+        ).collect()
+    }
+    assert alone["m"] == got["self"]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        search_agg_filters(spark, small_idx, SearchRequest("merge"), {})
+    with pytest.raises(ValueError, match="empty query"):
+        search_agg_filters(spark, small_idx, SearchRequest("merge"), {"x": " "})
