@@ -3,6 +3,8 @@
 Endpoints (same shapes as docs/reference/rest-api.md):
 
 * ``GET /health`` — liveness probe (rest.rs's /health analog).
+* ``GET /metrics`` — Prometheus text exposition of the request counters
+  (rest.rs:52-54 metrics_service; quickwit-common/src/metrics.rs).
 * ``GET /api/v1/{index_id}/search`` — params ``query`` (required),
   ``startTimestamp``, ``endTimestamp``, ``startOffset``, ``maxHits``,
   ``searchField`` (comma-separated), ``sortByField`` →
@@ -35,7 +37,27 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from quickwit_spark import metrics
 from quickwit_spark.index.catalog import Catalog
+
+# quickwit-serve/src/counters.rs:24-36 registers rest_api:search:num_requests
+# and bumps it per search request (rest.rs:50); the extra families below
+# cover the other routes and the error taxonomy so an operator can alert on
+# 4xx/5xx rates without log scraping.
+COUNTERS = {
+    "search": metrics.new_counter(
+        "rest_api:search:num_requests", "Number of search requests"
+    ),
+    "stream": metrics.new_counter(
+        "rest_api:search_stream:num_requests", "Number of search stream requests"
+    ),
+    "batch": metrics.new_counter(
+        "rest_api:search_batch:num_requests", "Number of batch search requests"
+    ),
+    "errors": metrics.new_counter(
+        "rest_api:errors:num_responses", "Number of 4xx/5xx REST responses"
+    ),
+}
 
 
 def _int_or_none(qs: dict, key: str):
@@ -75,6 +97,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _err(self, code: int, msg: str):
+        COUNTERS["errors"].inc()
         self._reply(code, json.dumps({"error": msg}).encode())
 
     def _reply_chunked(self, chunks, ctype: str) -> None:
@@ -103,6 +126,7 @@ class _Handler(BaseHTTPRequestHandler):
             or parts[3:] != ["search", "batch"]
         ):
             return self._err(404, f"no POST route for {url.path}")
+        COUNTERS["batch"].inc()
         if _bad_index_id(parts[2]):
             return self._err(404, f"index {parts[2]!r} not found")
         index_dir = os.path.join(self.index_root, parts[2])
@@ -151,6 +175,8 @@ class _Handler(BaseHTTPRequestHandler):
         parts = [p for p in url.path.split("/") if p]
         if parts in (["health"], ["health", "livez"]):  # health_check.rs:50
             return self._reply(200, b'{"status": "ok"}')
+        if parts == ["metrics"]:  # rest.rs:52-54 metrics_service
+            return self._reply(200, metrics.render().encode(), metrics.CONTENT_TYPE)
         if parts == ["cluster", "members"]:
             # cluster.rs:52 analog — on Spark the "cluster" is the app and
             # its executors (the scheduler owns membership/retry, so this
@@ -179,6 +205,7 @@ class _Handler(BaseHTTPRequestHandler):
         if "query" not in qs:
             return self._err(400, "missing required param 'query'")
         is_stream = len(parts) == 5 and parts[4] == "stream"
+        COUNTERS["stream" if is_stream else "search"].inc()  # rest.rs:50
         try:
             req = SearchRequest(
                 query=qs["query"][0],

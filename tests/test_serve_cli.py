@@ -60,6 +60,36 @@ def test_cluster_members(server):
     assert code == 200 and members and members[0]["default_parallelism"] >= 1
 
 
+def test_metrics_endpoint(server):
+    """GET /metrics serves Prometheus text format and the search counter
+    moves per request (rest.rs:50-54; counters.rs rest_api:search:num_requests)."""
+
+    def scrape():
+        code, body, ctype = _get(f"{server}/metrics")
+        assert code == 200 and ctype.startswith("text/plain")
+        vals = {}
+        for line in body.decode().splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            name, v = line.rsplit(" ", 1)
+            vals[name] = int(v)
+        return vals
+
+    before = scrape()
+    assert "rest_api:search:num_requests" in before
+    _get(f"{server}/api/v1/conv/search?query=deploy&maxHits=1")
+    _get(f"{server}/api/v1/nosuchindex/search?query=deploy")  # 404 → errors
+    after = scrape()
+    assert (
+        after["rest_api:search:num_requests"]
+        >= before["rest_api:search:num_requests"] + 1
+    )
+    assert (
+        after["rest_api:errors:num_responses"]
+        >= before["rest_api:errors:num_responses"] + 1
+    )
+
+
 def test_search_endpoint_matches_library(spark, server, index_root):
     code, body, ctype = _get(f"{server}/api/v1/conv/search?query=deploy&maxHits=5")
     assert code == 200 and ctype == "application/json"
