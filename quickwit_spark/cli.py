@@ -784,7 +784,14 @@ def main(argv=None):
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
-    out = args.fn(args)
+    try:
+        out = args.fn(args)
+    except ValueError as e:
+        # user-input errors (bad query, bad config, bad field) get the
+        # reference CLI's surface — one error line + exit 1 (main.rs:83-100
+        # anyhow handling), not a Python traceback
+        print(json.dumps({"cmd": args.cmd, "error": str(e)}))
+        return 1
     print(json.dumps(out))
     return 0
 

@@ -259,8 +259,23 @@ class _Parser:
             fieldname, text = _unescape(t[:colon]), t[colon + 1 :]
             if _find_unescaped(text, "[") >= 0 or _find_unescaped(text, "{") >= 0:
                 raise QueryParserError("range queries are not supported")
+            _reject_comparison(text)
             return _RawClause(fieldname, _unescape(text))
+        _reject_comparison(t)
         return _RawClause(bound_field, _unescape(t))
+
+
+def _reject_comparison(text: str) -> None:
+    """``field:>foo`` / ``<=bar`` are range comparisons in the tantivy
+    grammar and the reference rejects every range form
+    (query_builder.rs:152-156 expects Err for ``title:>foo``); silently
+    tokenizing away the operator would turn a range into a term match.
+    Escaped operators (``\\>foo``) lex with the escape marker first and
+    stay literal."""
+    if text[:1] in (">", "<"):
+        raise QueryParserError(
+            "range queries are not supported (reference query_builder.rs:36-39)"
+        )
 
 
 def _bind_field(node, fieldname: str):

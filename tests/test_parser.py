@@ -72,6 +72,26 @@ def test_range_rejected():
             parse_query(q, CFG)  # query_builder.rs:36-39
 
 
+def test_comparison_range_rejected():
+    """query_builder.rs:152-156: ``title:>foo`` is a range form and must be
+    rejected, not silently tokenized down to the bare term."""
+    for q in ["text:>foo", "text:<foo", "ts:>=5", "text: <bar", ">foo"]:
+        with pytest.raises(QueryParserError, match="range"):
+            parse_query(q, CFG)
+    # escaped operator stays a literal and analyzes to the term
+    assert parse_query(r"text:\>foo", CFG) == TermQuery("text", "foo")
+
+
+def test_quoted_colon_is_literal():
+    """query_builder.rs:163-174: a colon INSIDE a quoted value never splits
+    a new field scope — ``server.name:".bar:"`` must build a term/phrase
+    query on the scoped field."""
+    assert parse_query('text:".bar:"', CFG) == TermQuery("text", "bar")
+    assert parse_query('text:"for.bar:b"', CFG) == PhraseQuery(
+        "text", ("for", "bar", "b")
+    )
+
+
 def test_backslash_escaping():
     """query-language.md 'Escaping Special Characters': \\X makes X literal —
     escaped colons don't split field:term, escaped spaces don't end the
