@@ -207,10 +207,11 @@ def cmd_bench_queries(args) -> dict:
 
 def cmd_search(args) -> dict:
     from quickwit_spark.search.executor import search
-    from quickwit_spark.search.request import SearchRequest
+    from quickwit_spark.search.request import SearchRequest, parse_sort_by_dsl
 
     spark = _get_spark("qw-search", args.local_cpus, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
+    sort_field, sort_asc = parse_sort_by_dsl(args.sort_by)
     req = SearchRequest(
         query=args.query,
         max_hits=args.max_hits,
@@ -220,7 +221,8 @@ def cmd_search(args) -> dict:
         search_fields=(
             tuple(args.search_fields.split(",")) if getattr(args, "search_fields", None) else None
         ),
-        sort_by_field=args.sort_by,
+        sort_by_field=sort_field,
+        sort_asc=sort_asc,
         snippet_fields=(
             tuple(args.snippet_fields.split(","))
             if getattr(args, "snippet_fields", None)
@@ -659,7 +661,12 @@ def main(argv=None):
     s.add_argument("--start-offset", type=int, default=0)
     s.add_argument("--start-timestamp", type=int, default=None)
     s.add_argument("--end-timestamp", type=int, default=None)
-    s.add_argument("--sort-by", default=None)
+    s.add_argument(
+        "--sort-by",
+        default=None,
+        help="fast field to sort by: '+field' asc, '-field' desc, bare asc "
+        "(the REST sortByField mini-DSL, sort_by.rs:64-75)",
+    )
     s.add_argument(
         "--search-fields", default=None,
         help="comma-separated default fields for unscoped clauses (overrides config)",

@@ -30,3 +30,19 @@ class SearchRequest:
     # driver-side for the final page only (beyond-reference; snippet.py)
     snippet_fields: tuple[str, ...] | None = None
     snippet_max_chars: int = 150
+
+
+def parse_sort_by_dsl(s: str | None) -> tuple[str | None, bool]:
+    """``sortByField`` mini-DSL shared by REST and CLI (rest.rs:361-371 →
+    sort_by.rs:64-75 ``SortByField::from``): ``+field`` → ascending,
+    ``-field`` → descending, bare ``field`` → ASCENDING (the surface layer
+    always sets an explicit order; the proto-level Desc default applies
+    only when no sort field reaches the engine at all).  Returns
+    ``(field_or_None, sort_asc)``."""
+    if s is None:
+        return None, False
+    if s.startswith("+"):
+        return s[1:].strip(), True
+    if s.startswith("-"):
+        return s[1:].strip(), False
+    return s.strip(), True

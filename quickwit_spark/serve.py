@@ -11,9 +11,13 @@ Endpoints (same shapes as docs/reference/rest-api.md):
   ``{"numHits": N, "hits": [...], "elapsedTimeMicros": T}``
   (rest-api.md:47-69; SearchRequest proto quickwit-proto/src/quickwit.rs:6-37).
 * ``GET /api/v1/{index_id}/search/stream`` — params ``query``,
-  ``fastField`` (required), ``outputFormat`` = ``csv`` →
+  ``fastField`` (required), ``outputFormat`` = ``csv`` |
+  ``clickHouseRowBinary``, ``partitionByField`` (RowBinary only:
+  per-partition blocks of value/size/i64s, search_stream/mod.rs:50-69) →
   ``text/csv`` body, one fast-field value per line
   (rest-api.md:70-114, search_stream/leaf.rs analog).
+  ``sortByField`` uses the reference mini-DSL everywhere: ``+f`` asc,
+  ``-f`` desc, bare asc (rest.rs:361-371, sort_by.rs:64-75).
 * ``POST /api/v1/{index_id}/search/batch`` — body ``{"queries": [{...
   search params per query...}]}`` → ``{"responses": [...]}`` — Q queries
   in ONE Spark leaf job (multi_search; no reference analog — the
@@ -39,6 +43,7 @@ from urllib.parse import parse_qs, urlparse
 
 from quickwit_spark import metrics
 from quickwit_spark.index.catalog import Catalog
+from quickwit_spark.search.request import parse_sort_by_dsl as _sort_by_mini_dsl
 
 # quickwit-serve/src/counters.rs:24-36 registers rest_api:search:num_requests
 # and bumps it per search request (rest.rs:50); the extra families below
@@ -63,6 +68,8 @@ COUNTERS = {
 def _int_or_none(qs: dict, key: str):
     v = qs.get(key, [None])[0]
     return int(v) if v is not None else None
+
+
 
 
 def _bad_index_id(index_id: str) -> bool:
@@ -135,20 +142,23 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(n) or b"{}")
-            reqs = [
-                SearchRequest(
-                    query=q["query"],
-                    max_hits=int(q.get("maxHits", 20)),
-                    start_offset=int(q.get("startOffset", 0)),
-                    start_timestamp=q.get("startTimestamp"),
-                    end_timestamp=q.get("endTimestamp"),
-                    search_fields=(
-                        tuple(q["searchField"].split(",")) if "searchField" in q else None
-                    ),
-                    sort_by_field=q.get("sortByField"),
+            reqs = []
+            for q in body.get("queries", []):
+                sf, s_asc = _sort_by_mini_dsl(q.get("sortByField"))
+                reqs.append(
+                    SearchRequest(
+                        query=q["query"],
+                        max_hits=int(q.get("maxHits", 20)),
+                        start_offset=int(q.get("startOffset", 0)),
+                        start_timestamp=q.get("startTimestamp"),
+                        end_timestamp=q.get("endTimestamp"),
+                        search_fields=(
+                            tuple(q["searchField"].split(",")) if "searchField" in q else None
+                        ),
+                        sort_by_field=sf,
+                        sort_asc=s_asc,
+                    )
                 )
-                for q in body.get("queries", [])
-            ]
             if not reqs:
                 return self._err(400, "body must contain a non-empty 'queries' list")
             with self.lock:
@@ -207,6 +217,7 @@ class _Handler(BaseHTTPRequestHandler):
         is_stream = len(parts) == 5 and parts[4] == "stream"
         COUNTERS["stream" if is_stream else "search"].inc()  # rest.rs:50
         try:
+            sf, s_asc = _sort_by_mini_dsl(qs.get("sortByField", [None])[0])
             req = SearchRequest(
                 query=qs["query"][0],
                 # `x if x is not None` not `or`: maxHits=0 is the COUNT
@@ -220,7 +231,8 @@ class _Handler(BaseHTTPRequestHandler):
                 search_fields=(
                     tuple(qs["searchField"][0].split(",")) if "searchField" in qs else None
                 ),
-                sort_by_field=qs.get("sortByField", [None])[0],
+                sort_by_field=sf,
+                sort_asc=s_asc,
                 snippet_fields=(
                     tuple(qs["snippetFields"][0].split(","))
                     if "snippetFields" in qs
@@ -235,6 +247,51 @@ class _Handler(BaseHTTPRequestHandler):
                 fmt = qs.get("outputFormat", ["csv"])[0]
                 if fmt not in ("csv", "clickHouseRowBinary"):
                     return self._err(400, f"unsupported outputFormat {fmt!r}")
+                partition_by = qs.get("partitionByField", [None])[0]
+                if partition_by is not None:
+                    # leaf.rs:140-145: partitioned export requires the
+                    # RowBinary format; CSV + partitionBy is a 400
+                    if fmt != "clickHouseRowBinary":
+                        return self._err(
+                            400,
+                            "partitionByField requires "
+                            "outputFormat=clickHouseRowBinary",
+                        )
+                    import struct
+                    from itertools import islice
+
+                    from quickwit_spark.search.executor import export_stream
+
+                    with self.lock:
+                        rows_it = export_stream(
+                            self.spark, index_dir, req, fast_field,
+                            output_format="rowbinary",
+                            partition_by=partition_by,
+                        ).toLocalIterator(prefetchPartitions=True)
+
+                    # reference wire format (search_stream/mod.rs:50-69):
+                    # per partition, partition value (8B LE) + payload
+                    # byte size (8B LE) + the i64 values
+                    def part_chunks():
+                        while True:
+                            with self.lock:
+                                rows = list(islice(rows_it, 64))
+                            if not rows:
+                                return
+                            out = []
+                            for r in rows:
+                                payload = r["payload"]
+                                out.append(
+                                    struct.pack(
+                                        "<qQ", int(r[partition_by]), len(payload)
+                                    )
+                                    + payload
+                                )
+                            yield b"".join(out)
+
+                    return self._reply_chunked(
+                        part_chunks(), "application/octet-stream"
+                    )
                 # toLocalIterator: partitions stream to the driver one at a
                 # time — memory stays bounded no matter how many docs match
                 # (collect() of a hot query's export could be index-sized).

@@ -167,6 +167,66 @@ def test_stream_endpoint_rowbinary(server):
     assert code == 400
 
 
+def test_sort_by_field_mini_dsl(spark, server, index_root):
+    """rest.rs:361-371 / sort_by.rs:64-75: sortByField=+f asc, -f desc,
+    bare f ASC (the REST layer always sets an explicit order)."""
+
+    def hits(url_sort):
+        code, body, _ = _get(
+            f"{server}/api/v1/conv/search?query=deploy&maxHits=5"
+            f"&sortByField={url_sort}&format=json"
+        )
+        assert code == 200
+        return [h["sort_value"] for h in json.loads(body)["hits"]]
+
+    asc_plus, desc, bare = hits("%2Bts"), hits("-ts"), hits("ts")
+    assert asc_plus == sorted(asc_plus)
+    assert desc == sorted(desc, reverse=True)
+    assert bare == asc_plus  # bare field is ascending, sort_by.rs:70-71
+    want = search(
+        spark,
+        os.path.join(index_root, "conv"),
+        SearchRequest("deploy", max_hits=5, sort_by_field="ts", sort_asc=True),
+    )
+    assert asc_plus == [h["sort_value"] for h in want.hits]
+
+
+def test_stream_endpoint_partitioned_rowbinary(server):
+    """partitionByField + clickHouseRowBinary: per-partition blocks of
+    partition value (8B LE) + payload size (8B LE) + i64 values
+    (search_stream/mod.rs:50-69 serialize_partitions); CSV + partitionBy
+    is rejected (leaf.rs:140-145)."""
+    import struct
+
+    import numpy as np
+
+    _, csv_body, _ = _get(
+        f"{server}/api/v1/conv/search/stream?query=deploy&fastField=ts&outputFormat=csv"
+    )
+    all_vals = sorted(int(ln) for ln in csv_body.decode().splitlines() if ln)
+    code, body, ctype = _get(
+        f"{server}/api/v1/conv/search/stream?query=deploy&fastField=ts"
+        "&outputFormat=clickHouseRowBinary&partitionByField=turn_idx"
+    )
+    assert code == 200 and ctype == "application/octet-stream"
+    got_vals, seen_parts, off = [], set(), 0
+    while off < len(body):
+        part, size = struct.unpack_from("<qQ", body, off)
+        off += 16
+        assert size % 8 == 0
+        got_vals.extend(np.frombuffer(body[off : off + size], dtype="<i8").tolist())
+        assert part not in seen_parts  # one block per partition value
+        seen_parts.add(part)
+        off += size
+    assert off == len(body)
+    assert sorted(got_vals) == all_vals and len(seen_parts) > 1
+    code, _, _ = _get(
+        f"{server}/api/v1/conv/search/stream?query=deploy&fastField=ts"
+        "&outputFormat=csv&partitionByField=turn_idx"
+    )
+    assert code == 400
+
+
 def test_batch_endpoint(spark, server, index_root):
     import urllib.request as ur
 
