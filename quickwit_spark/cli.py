@@ -85,7 +85,19 @@ def cmd_create(args) -> dict:
     from quickwit_spark.index.catalog import Catalog
 
     if Catalog.exists(args.index_dir):
-        return {"cmd": "create", "error": f"index already exists at {args.index_dir}"}
+        if not getattr(args, "overwrite", False):
+            return {"cmd": "create", "error": f"index already exists at {args.index_dir}"}
+        # create --overwrite (quickwit-cli/src/index.rs:177-183): delete
+        # the existing index, then create fresh
+        import shutil
+
+        from quickwit_spark.index.catalog import PUBLISHED, STAGED
+        from quickwit_spark.index.merge import garbage_collect
+
+        cat = Catalog(args.index_dir)
+        cat.mark_for_deletion([s.split_id for s in cat.splits(states=(STAGED, PUBLISHED))])
+        garbage_collect(args.index_dir)
+        shutil.rmtree(args.index_dir, ignore_errors=True)
     cfg = _resolve_config(args)
     Catalog.create(args.index_dir, cfg.to_dict(), metastore=getattr(args, "metastore", None))
     return {"cmd": "create", "index_dir": args.index_dir, "index_id": cfg.index_id}
@@ -97,6 +109,12 @@ def cmd_build(args) -> dict:
     spark = _get_spark("qw-build", args.local_cpus, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = _resolve_config(args)
+    if getattr(args, "overwrite", False):
+        from quickwit_spark.index.catalog import Catalog
+        from quickwit_spark.index.merge import reset_index
+
+        if Catalog.exists(args.index_dir):
+            reset_index(args.index_dir)
     from quickwit_spark.sources import read_transcripts_table
 
     df = read_transcripts_table(spark, args.input, fmt=args.input_format)
@@ -340,6 +358,12 @@ def cmd_ingest(args) -> dict:
     spark = _get_spark("qw-ingest", args.local_cpus, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = _resolve_config(args)
+    if getattr(args, "overwrite", False) and Catalog.exists(args.index_dir):
+        # ingest --overwrite (quickwit-cli/src/index.rs:646-648): reset the
+        # index (all splits deleted, checkpoints zeroed) before ingesting
+        from quickwit_spark.index.merge import reset_index
+
+        reset_index(args.index_dir)
     input_path, fmt, build_id = args.input, "ndjson", args.build_id
     if getattr(args, "source", None):
         # registered source: path/format from the catalog record; build ids
@@ -620,6 +644,7 @@ def main(argv=None):
         help="metastore backend (default json; sqlite = the SQL-metastore "
         "analog, local filesystems only)",
     )
+    cr.add_argument("--overwrite", action="store_true", help="delete any existing index first (index.rs:177-183)")
     cr.set_defaults(fn=cmd_create)
 
     b = sub.add_parser("build")
@@ -637,6 +662,7 @@ def main(argv=None):
     b.add_argument("--wave-size", type=int, default=None)
     b.add_argument("--split-docs", type=int, default=50_000)
     b.add_argument("--segment-docs", type=int, default=8_000)
+    b.add_argument("--overwrite", action="store_true", help="reset the index (all splits + checkpoints) before building")
     b.set_defaults(fn=cmd_build)
 
     bb = sub.add_parser("bench-build")
@@ -736,6 +762,7 @@ def main(argv=None):
     ing.add_argument("--config", default=None, help="index-config JSON/YAML file")
     ing.add_argument("--split-docs", type=int, default=50_000)
     ing.add_argument("--segment-docs", type=int, default=8_000)
+    ing.add_argument("--overwrite", action="store_true", help="reset the index before ingesting (index.rs:646-648)")
     ing.set_defaults(fn=cmd_ingest)
 
     de = sub.add_parser("describe")

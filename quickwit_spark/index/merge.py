@@ -476,6 +476,44 @@ def garbage_collect(index_dir: str, include_staged: bool = False) -> list[str]:
     return dead
 
 
+def reset_index(index_dir: str) -> dict:
+    """quickwit-core/src/index.rs:162-185 ``reset_index`` analog (the
+    ``ingest --overwrite`` path, quickwit-cli/src/index.rs:646-648): mark
+    EVERY split for deletion and delete its files, leaving the index
+    config/sources in place.  Beyond the reference we also zero the source
+    checkpoints and the term-stats LSM — an overwritten index that kept
+    its checkpoint would resume-skip the re-ingested data, which is never
+    what --overwrite means.  Single-administrator operation: like the
+    reference, it assumes no concurrent build (run_index_checklist gates
+    it there)."""
+    cat = Catalog(index_dir)
+    storage = storage_for(index_dir)
+    all_ids = [
+        s.split_id for s in cat.splits([STAGED, PUBLISHED, MARKED_FOR_DELETION])
+    ]
+    cat.mark_for_deletion(all_ids)
+    # delete committed term-stats delta files NOW: once dereferenced below
+    # they would sit behind GC's QW_GC_GRACE_SECS orphan guard
+    import pyarrow.fs as pafs
+
+    for rel in cat._state["termstats"]["deltas"]:
+        p = os.path.join(index_dir, rel)
+        if not storage.exists(p):
+            continue
+        if storage.info(p).type == pafs.FileType.Directory:
+            storage.delete_dir(p)
+        else:
+            storage.delete_file(p)
+
+    def clear(state):
+        state["checkpoint"] = {}
+        state["termstats"] = {"deltas": [], "complete": True}
+
+    cat.update(clear)
+    deleted = garbage_collect(index_dir, include_staged=True)
+    return {"splits_reset": len(all_ids), "splits_deleted": len(deleted)}
+
+
 def _sweep_uncataloged_split_dirs(cat: Catalog, storage, paths: dict) -> None:
     """Delete split data dirs with NO catalog row in any state: a merge /
     demux / build that crashed after writing data but before stage_split

@@ -293,3 +293,55 @@ def test_flat_config_with_array_field_round_trips():
     rt = config_from_any(cfg.to_dict())
     assert rt == cfg
     assert rt.split_num_docs_target == 123 and rt.merge_factor == 7
+
+
+def test_reset_index_and_overwrite_flags(spark, tmp_path):
+    """reset_index (quickwit-core/src/index.rs:162-185) wipes splits,
+    checkpoints, and termstats but keeps config/sources; build --overwrite
+    re-ingests the same build_id from scratch instead of resume-skipping."""
+    from quickwit_spark.cli import cmd_build
+    from quickwit_spark.fixtures.transcripts import write_transcripts_parquet
+    from quickwit_spark.index.merge import reset_index
+    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.request import SearchRequest
+
+    src = tmp_path / "in.parquet"
+    write_transcripts_parquet(str(src), n_conversations=20, seed=3)
+    idx = str(tmp_path / "idx")
+    ns = dict(
+        input=str(src), input_format="auto", index_dir=idx, build_id="b0",
+        config=None, n_splits=None, wave_size=None, split_docs=200,
+        segment_docs=64, local_cpus="4", shuffle_partitions=8,
+    )
+    out = cmd_build(argparse.Namespace(**ns, overwrite=False))
+    assert out["published_splits"] > 0
+    cat = Catalog(idx)
+    cat.add_source("s1", "file", {"path": str(src), "format": "parquet"})
+    assert cat.checkpoint()  # build recorded positions
+
+    r = reset_index(idx)
+    assert r["splits_reset"] == out["n_splits"]
+    cat = Catalog(idx)
+    assert cat.splits() == [] and cat.checkpoint() == {}
+    assert cat.sources().get("s1") is not None  # config + sources survive
+    assert cat.config_dict is not None
+
+    # same build_id would normally resume-skip everything; after the reset
+    # it must rebuild, and --overwrite does reset+build in one command
+    out2 = cmd_build(argparse.Namespace(**ns, overwrite=True))
+    assert out2["published_splits"] == out["published_splits"]
+    assert out2["skipped_splits"] == 0
+    got = search(spark, idx, SearchRequest("the", max_hits=1))
+    assert got.num_hits > 0
+
+
+def test_create_overwrite(tmp_path):
+    """create --overwrite (index.rs:177-183) replaces an existing index."""
+    idx = str(tmp_path / "idx")
+    ns = dict(index_dir=idx, config=None, split_docs=9, segment_docs=9, metastore=None)
+    out = cmd_create(argparse.Namespace(**ns, overwrite=False))
+    assert "error" not in out
+    out = cmd_create(argparse.Namespace(**ns, overwrite=False))
+    assert "already exists" in out["error"]
+    out = cmd_create(argparse.Namespace(**ns, overwrite=True))
+    assert "error" not in out and Catalog.exists(idx)
