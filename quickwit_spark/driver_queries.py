@@ -58,8 +58,15 @@ def _score_expr() -> str:
 def _bm25_topk_sql(terms: list[str], mode: str, k: int, offset: int = 0,
                    not_terms: list[str] | None = None,
                    ts_range: tuple[int | None, int | None] = (None, None),
-                   extra_score: str = "0.0", extra_where: str = "TRUE") -> str:
+                   extra_score: str = "0.0", extra_where: str = "TRUE",
+                   weights: dict[str, float] | None = None) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
+    w_expr = "1.0"
+    if weights:
+        cases = " ".join(
+            f"WHEN tf.term = '{t}' THEN {w}" for t, w in sorted(weights.items())
+        )
+        w_expr = f"CASE {cases} ELSE 1.0 END"
     need = len(terms) if mode == "and" else 1
     nt = ""
     if not_terms:
@@ -77,7 +84,7 @@ cand AS (
   GROUP BY doc_id HAVING count(DISTINCT term) >= {need}
 ),
 sc AS (
-  SELECT cand.doc_id, sum({_score_expr()}) + {extra_score} AS score
+  SELECT cand.doc_id, sum(({w_expr}) * ({_score_expr()})) + {extra_score} AS score
   FROM cand
   JOIN tf ON tf.doc_id = cand.doc_id AND tf.term IN ({tl})
   JOIN dl ON dl.doc_id = cand.doc_id
@@ -186,6 +193,22 @@ def ft_sort_by_turn_idx(spark, sf_dir):
     req = SearchRequest("merge", max_hits=10, sort_by_field="turn_idx", sort_asc=True)
     out = search_df(spark, idx, req)
     return out.select(F.col("turn_idx").cast("long").alias("doc_id"))
+
+
+def ft_boost(spark, sf_dir):
+    """'spark merge^2' — the tantivy boost grammar: merge's BM25
+    contribution doubles, matching is unchanged (parser.py TermQuery.boost;
+    tantivy UserInputAst::Boost / BoostQuery)."""
+    return _ft(spark, sf_dir, "spark merge^2")
+
+
+def ft_match_all(spark, sf_dir):
+    """'*' (UserInputLeaf::All → AllQuery): browse-latest — every doc
+    matches at constant score, page by ts descending."""
+    idx = documents_index(spark, sf_dir)
+    req = SearchRequest("*", max_hits=10, sort_by_field="ts")
+    out = search_df(spark, idx, req)
+    return out.select(F.col("ts_epoch").alias("doc_id"))
 
 
 def ft_count(spark, sf_dir):
@@ -650,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_timerange": ft_timerange,
         "ft_sort_by_ts": ft_sort_by_ts,
         "ft_sort_by_turn_idx": ft_sort_by_turn_idx,
+        "ft_boost": ft_boost,
+        "ft_match_all": ft_match_all,
         "ft_count": ft_count,
         "ft_stream_export": ft_stream_export,
         "ft_agg_histogram": ft_agg_histogram,
@@ -738,6 +763,11 @@ ORDER BY doc_id DESC LIMIT 10""",
         "ft_sort_by_turn_idx": f"""{BM25_CTE}
 SELECT doc_id FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
 ORDER BY doc_id ASC LIMIT 10""",
+        "ft_boost": _bm25_topk_sql(
+            ["spark", "merge"], "and", 10, weights={"merge": 2.0}
+        ),
+        "ft_match_all": """
+SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 10""",
         "ft_count": f"""{BM25_CTE}
 SELECT count(DISTINCT doc_id) AS num_hits FROM tf WHERE term = 'query'""",
         "ft_stream_export": f"""{BM25_CTE}

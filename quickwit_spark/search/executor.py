@@ -63,12 +63,14 @@ from ..functions.codec import (
 )
 from ..index.catalog import Catalog, SplitMetadata
 from .parser import (
+    AllQuery,
     BoolQuery,
     PhraseQuery,
     TermQuery,
     collect_terms,
     extract_tag_predicate,
     parse_query,
+    positive_term_weights,
     positive_terms,
 )
 from .request import SearchRequest
@@ -824,6 +826,8 @@ def make_split_scorer(
     aggregations share a single match-evaluation pass."""
     n_top = request.start_offset + request.max_hits
     pos_terms = sorted(positive_terms(ast))
+    # per-term boost multipliers ('term^2'); all 1.0 for unboosted queries
+    pos_weights = positive_term_weights(ast)
     ts_lo, ts_hi = request.start_timestamp, request.end_timestamp
     sort_field = request.sort_by_field
     fetch = mode == "topk" and index_dir is not None
@@ -832,14 +836,15 @@ def make_split_scorer(
     )
     single_term_wand = unfiltered_topk and isinstance(ast, TermQuery)
     # pure disjunction of term queries → MaxScore (exact count, pruned
-    # scoring); any must/must_not/phrase falls back to full evaluation
+    # scoring); any must/must_not/phrase falls back to full evaluation,
+    # and so do per-clause boosts (MaxScore's bounds assume weight 1.0)
     disjunction_maxscore = (
         unfiltered_topk
         and isinstance(ast, BoolQuery)
         and not ast.must
         and not ast.must_not
         and len(ast.should) >= 2
-        and all(isinstance(c, TermQuery) for c in ast.should)
+        and all(isinstance(c, TermQuery) and c.boost == 1.0 for c in ast.should)
     )
 
     lens_tracked = set(config.lens_tracked_fields) | {"text"}
@@ -912,6 +917,10 @@ def make_split_scorer(
             docs, scores = _wand_single_term(
                 row, gstats, ast.field, ast.term, field_lens(ast.field), n_top, lo, hi
             )
+            if ast.boost != 1.0:
+                # a uniform multiplier never reorders, so WAND's internal
+                # threshold math stays valid — scale the exact scores after
+                scores = scores * ast.boost
             num_hits = (
                 int(row.doc_freq) if lo is None else _term_count_in_range(row, lo, hi)
             )
@@ -923,6 +932,20 @@ def make_split_scorer(
                 field_lens,
                 n_top,
             )
+        elif isinstance(ast, AllQuery):
+            # '*': every doc in the split matches with constant score 1.0
+            # (tantivy AllQuery scorer) — zero postings decode; num_docs
+            # comes off the already-loaded doc_lens fast-field column.
+            # Doc-range slices (lo/hi) keep sub-split leaf units exact.
+            docs = np.arange(
+                lo or 0, len(lens) if hi is None else min(hi, len(lens)), dtype=np.int64
+            )
+            if len(docs) and (ts_lo is not None or ts_hi is not None):
+                docs = _ts_filter(docs, ff_pdf, ts_lo, ts_hi)
+            num_hits = len(docs)
+            if num_hits == 0:
+                return empty
+            scores = np.ones(len(docs), np.float64)
         else:
             docs = _eval_node(ast, postings)
             if len(docs) and (ts_lo is not None or ts_hi is not None):
@@ -952,7 +975,8 @@ def make_split_scorer(
                     dl = np.ones(len(pv), np.int64)  # raw/typed fields: len 1
                 avg = gstats["avg_len"].get(field, 1.0) or 1.0
                 term_idf = bm25_idf(gstats["df"].get((field, term), 0), gstats["num_docs"])
-                scores[pv] += term_idf * tf_norm(tf, dl, avg)
+                w = pos_weights.get((field, term), 1.0)
+                scores[pv] += w * term_idf * tf_norm(tf, dl, avg)
 
         if len(docs) == 0:
             if num_hits > 0:
@@ -1363,6 +1387,8 @@ def _est_split_rows(asts, gstats, n_splits: int) -> float:
         elif isinstance(node, PhraseQuery):
             for t in node.terms:
                 total += 3.0 * df_map.get((node.field, t), 0)
+        elif isinstance(node, AllQuery):
+            total += gstats["num_docs"]  # every doc matches, zero decode
         else:
             for c in (*node.must, *node.should, *node.must_not):
                 walk(c)

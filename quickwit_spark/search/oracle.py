@@ -16,7 +16,14 @@ import pandas as pd
 from ..config import IndexConfig
 from ..functions.bm25 import B, K1
 from ..functions.tokenizer import tokenize_text
-from .parser import BoolQuery, PhraseQuery, TermQuery, parse_query, positive_terms
+from .parser import (
+    AllQuery,
+    BoolQuery,
+    PhraseQuery,
+    TermQuery,
+    parse_query,
+    positive_term_weights,
+)
 from .request import SearchRequest
 
 
@@ -95,6 +102,8 @@ class OracleIndex:
 
     # -- boolean evaluation (plain sets) ---------------------------------
     def _eval(self, node) -> set[tuple[str, int]]:
+        if isinstance(node, AllQuery):
+            return set(self.by_key)
         if isinstance(node, TermQuery):
             return set(self.postings.get((node.field, node.term), {}))
         if isinstance(node, PhraseQuery):
@@ -134,16 +143,16 @@ class OracleIndex:
         df = len(self.postings.get((field, term), {}))
         return math.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5))
 
-    def _score(self, key, terms: set[tuple[str, str]]) -> float:
+    def _score(self, key, weights: dict[tuple[str, str], float]) -> float:
         s = 0.0
-        for field, term in terms:
+        for (field, term), w in weights.items():
             plist = self.postings.get((field, term), {})
             if key not in plist:
                 continue
             tf = float(len(plist[key]))
             dlen = float(self.doc_lens[field][key])
             avg = self.avg_len[field]
-            s += self._idf(field, term) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dlen / avg))
+            s += w * self._idf(field, term) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dlen / avg))
         return s
 
     def search(self, request: SearchRequest) -> dict:
@@ -172,8 +181,13 @@ class OracleIndex:
                 {"split_id": k[0], "doc_id": k[1], "score": float(v)} for v, k in ordered
             ]
         else:
-            terms = positive_terms(ast)
-            scored = [(self._score(k, terms), k) for k in matched]
+            if isinstance(ast, AllQuery):
+                # tantivy AllQuery: constant score 1.0 for every doc — the
+                # tie-break below fully determines the order
+                scored = [(1.0, k) for k in matched]
+            else:
+                weights = positive_term_weights(ast)
+                scored = [(self._score(k, weights), k) for k in matched]
             if request.tiebreak == "global_key":
                 ordered = sorted(
                     scored,

@@ -35,12 +35,24 @@ class QueryParserError(ValueError):
 class TermQuery:
     field: str
     term: str
+    # score multiplier (tantivy UserInputAst::Boost / BoostQuery): ``term^2``
+    # doubles this clause's BM25 contribution; matching is unchanged
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class PhraseQuery:
     field: str
     terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class AllQuery:
+    """``*`` — match every document (tantivy UserInputLeaf::All →
+    AllQuery, constant score 1.0).  Only valid as the WHOLE query here;
+    the common uses (browse-latest with a sort field, total counts) never
+    nest it."""
 
 
 @dataclass
@@ -56,6 +68,7 @@ class _RawClause:
     field: str | None
     text: str
     phrase: bool = False
+    boost: float = 1.0
 
 
 # -- lexer -------------------------------------------------------------------
@@ -115,8 +128,19 @@ def _lex(q: str) -> list[str]:
                     j += 1
             if j >= n:
                 raise QueryParserError(f"unterminated phrase in query: {q!r}")
-            tokens.append('"' + "".join(body) + '"')
+            tok = '"' + "".join(body) + '"'
             i = j + 1
+            # '"a b"^2' — a boost suffix right after the closing quote
+            # belongs to the phrase (tantivy grammar: boost binds to the
+            # preceding leaf); it rides on the token past the quote so
+            # parse_clause can split it off
+            if i < n and q[i] == "^":
+                k = i
+                while k < n and not q[k].isspace() and q[k] not in _SPECIAL:
+                    k += 1
+                tok += q[i:k]
+                i = k
+            tokens.append(tok)
         elif c == "[" or c == "{":
             raise QueryParserError(
                 f"range queries are not supported (reference query_builder.rs:36-39): {q!r}"
@@ -246,9 +270,29 @@ class _Parser:
             if self.peek() != ")":
                 raise QueryParserError("unbalanced parens")
             self.next()
+            # '(a b)^2' — a group boost distributes multiplicatively onto
+            # the leaves (BooleanQuery's score is the sum of child scores,
+            # so BoostQuery(group) ≡ boosting every child)
+            nxt = self.peek()
+            if nxt is not None and nxt.startswith("^") and _ESC not in nxt:
+                b = _parse_boost(nxt[1:])
+                if b is not None:
+                    self.next()
+                    inner = _apply_boost(inner, b)
             return inner if bound_field is None else _bind_field(inner, bound_field)
         if t.startswith('"'):
-            return _RawClause(bound_field, _unescape(t[1:-1]), phrase=True)
+            qi = t.rfind('"')
+            boost = 1.0
+            if qi < len(t) - 1:  # '"body"^2' suffix attached by the lexer
+                b = _parse_boost(t[qi + 2 :]) if t[qi + 1] == "^" else None
+                if b is None:
+                    raise QueryParserError(f"invalid boost suffix on phrase: {t!r}")
+                boost = b
+            return _RawClause(bound_field, _unescape(t[1:qi]), phrase=True, boost=boost)
+        if t == "*" and bound_field is None:
+            # bare unescaped '*' → match-all (UserInputLeaf::All); '\*' lexes
+            # with the escape sentinel and stays a literal term
+            return AllQuery()
         colon = _find_unescaped(t, ":") if bound_field is None else -1
         if colon == len(t) - 1 and colon >= 0:
             fieldname = _unescape(t[:-1])
@@ -260,9 +304,54 @@ class _Parser:
             if _find_unescaped(text, "[") >= 0 or _find_unescaped(text, "{") >= 0:
                 raise QueryParserError("range queries are not supported")
             _reject_comparison(text)
-            return _RawClause(fieldname, _unescape(text))
+            text, boost = _split_boost(text)
+            return _RawClause(fieldname, _unescape(text), boost=boost)
         _reject_comparison(t)
-        return _RawClause(bound_field, _unescape(t))
+        text, boost = _split_boost(t)
+        return _RawClause(bound_field, _unescape(text), boost=boost)
+
+
+def _parse_boost(s: str) -> float | None:
+    """Numeric boost value or None if ``s`` isn't one (then the '^' is
+    treated as literal term text, which the analyzer strips — lenient
+    where tantivy's grammar would hard-error)."""
+    try:
+        b = float(_unescape(s))
+    except ValueError:
+        return None
+    return b if b >= 0.0 and b == b else None  # reject negatives and NaN
+
+
+def _split_boost(text: str) -> tuple[str, float]:
+    """Split a trailing unescaped ``^<float>`` boost off a term token
+    (tantivy grammar: ``deploy^2`` boosts the leaf)."""
+    idx, j = -1, 0
+    while j < len(text):
+        if text[j] == _ESC:
+            j += 2
+            continue
+        if text[j] == "^":
+            idx = j
+        j += 1
+    if idx <= 0:  # no '^', or nothing before it — not a boost form
+        return text, 1.0
+    b = _parse_boost(text[idx + 1 :])
+    if b is None:
+        return text, 1.0
+    return text[:idx], b
+
+
+def _apply_boost(node, b: float):
+    """Multiply every positive leaf's boost by ``b`` (group boosts)."""
+    if isinstance(node, _RawClause):
+        return _RawClause(node.field, node.text, node.phrase, node.boost * b)
+    if isinstance(node, BoolQuery):
+        return BoolQuery(
+            must=[_apply_boost(c, b) for c in node.must],
+            should=[_apply_boost(c, b) for c in node.should],
+            must_not=node.must_not,  # negated clauses never score
+        )
+    return node
 
 
 def _reject_comparison(text: str) -> None:
@@ -285,7 +374,7 @@ def _bind_field(node, fieldname: str):
     if isinstance(node, _RawClause):
         if node.field is not None:
             return node
-        return _RawClause(fieldname, node.text, node.phrase)
+        return _RawClause(fieldname, node.text, node.phrase, node.boost)
     if isinstance(node, BoolQuery):
         return BoolQuery(
             must=[_bind_field(c, fieldname) for c in node.must],
@@ -307,12 +396,23 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
             should=[_resolve(c, config, default_fields) for c in node.should],
             must_not=[_resolve(c, config, default_fields) for c in node.must_not],
         )
+    if isinstance(node, AllQuery):
+        # only meaningful as the whole query: nested, its constant-1.0
+        # score would have to merge into BM25 sums (the engine's pruned
+        # paths can't), and '* AND x' is just 'x' anyway
+        raise QueryParserError(
+            "'*' (match all) must be the entire query, not a sub-clause"
+        )
     assert isinstance(node, _RawClause)
     if node.field is None:
         if not default_fields:
             raise QueryParserError("no default search field configured")
         alts = [
-            _resolve(_RawClause(f, node.text, node.phrase), config, default_fields)
+            _resolve(
+                _RawClause(f, node.text, node.phrase, node.boost),
+                config,
+                default_fields,
+            )
             for f in default_fields
         ]
         return alts[0] if len(alts) == 1 else BoolQuery(should=alts)
@@ -329,13 +429,17 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
         from ..functions.typed_terms import canonical_query_term
 
         try:
-            return TermQuery(node.field, canonical_query_term(fm.scalar_type, node.text))
+            return TermQuery(
+                node.field,
+                canonical_query_term(fm.scalar_type, node.text),
+                boost=node.boost,
+            )
         except ValueError as e:
             raise QueryParserError(
                 f"invalid {fm.scalar_type} value for field {node.field}: {node.text!r}"
             ) from e
     if fm.tokenizer == "raw":
-        return TermQuery(node.field, node.text)
+        return TermQuery(node.field, node.text, boost=node.boost)
     toks = tokenize_text(node.text)
     if fm.tokenizer == "stem_en":
         # query terms are analyzed with the same filter chain as documents
@@ -347,14 +451,14 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
         raise QueryParserError(f"query term analyzes to nothing: {node.text!r}")
     if node.phrase or len(toks) > 1:
         if len(toks) == 1:
-            return TermQuery(node.field, toks[0])
+            return TermQuery(node.field, toks[0], boost=node.boost)
         if fm.record != "position":
             raise QueryParserError(
                 f"phrase query on field {node.field} requires record=position "
                 "(reference docs/reference/index-config.md:123-142)"
             )
-        return PhraseQuery(node.field, tuple(toks))
-    return TermQuery(node.field, toks[0])
+        return PhraseQuery(node.field, tuple(toks), boost=node.boost)
+    return TermQuery(node.field, toks[0], boost=node.boost)
 
 
 def parse_query(
@@ -365,6 +469,8 @@ def parse_query(
     if not tokens:
         raise QueryParserError("empty query")
     ast = _Parser(tokens).parse_query()
+    if isinstance(ast, AllQuery):  # bare '*': nothing to schema-bind
+        return ast
     default_fields = tuple(search_fields) if search_fields else config.default_search_fields
     return _resolve(ast, config, default_fields)
 
@@ -393,6 +499,31 @@ def positive_terms(node) -> set[tuple[str, str]]:
     elif isinstance(node, BoolQuery):
         for c in node.must + node.should:
             out |= positive_terms(c)
+    return out
+
+
+def positive_term_weights(node) -> dict[tuple[str, str], float]:
+    """Per-(field, term) score multiplier for BM25: the MAX boost over
+    positive clauses mentioning the term.  Max (not sum) keeps the
+    engine's convention that a term contributes ONCE no matter how many
+    positive clauses repeat it — with every boost at the default 1.0 the
+    weights are all 1.0 and scoring is byte-identical to the unboosted
+    engine."""
+    out: dict[tuple[str, str], float] = {}
+
+    def walk(n):
+        if isinstance(n, TermQuery):
+            k = (n.field, n.term)
+            out[k] = max(out.get(k, 0.0), n.boost)
+        elif isinstance(n, PhraseQuery):
+            for t in n.terms:
+                k = (n.field, t)
+                out[k] = max(out.get(k, 0.0), n.boost)
+        elif isinstance(n, BoolQuery):
+            for c in n.must + n.should:
+                walk(c)
+
+    walk(node)
     return out
 
 

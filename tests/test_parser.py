@@ -82,6 +82,33 @@ def test_comparison_range_rejected():
     assert parse_query(r"text:\>foo", CFG) == TermQuery("text", "foo")
 
 
+def test_boost_grammar():
+    """tantivy '^' boost grammar (UserInputAst::Boost): term, scoped term,
+    phrase, and group boosts; matching is unchanged, only the score
+    multiplier rides on the leaf."""
+    assert parse_query("deploy^2", CFG) == TermQuery("text", "deploy", boost=2.0)
+    assert parse_query("text:deploy^1.5", CFG) == TermQuery("text", "deploy", boost=1.5)
+    assert parse_query('"a b"^2', CFG) == PhraseQuery("text", ("a", "b"), boost=2.0)
+    grp = parse_query("(a b)^3", CFG)
+    assert all(c.boost == 3.0 for c in grp.must)
+    # non-numeric suffix is NOT a boost: the '^' analyzes away as term text
+    assert parse_query("deploy^x", CFG) == PhraseQuery("text", ("deploy", "x"))
+    # escaped '^' stays literal
+    assert parse_query(r"deploy\^2", CFG) == PhraseQuery("text", ("deploy", "2"))
+
+
+def test_match_all():
+    """bare '*' → AllQuery (UserInputLeaf::All); nested '*' and escaped
+    '\\*' are not match-all."""
+    from quickwit_spark.search.parser import AllQuery
+
+    assert parse_query("*", CFG) == AllQuery()
+    with pytest.raises(QueryParserError, match="entire query"):
+        parse_query("* deploy", CFG)
+    with pytest.raises(QueryParserError):  # literal '*' analyzes to nothing
+        parse_query(r"\*", CFG)
+
+
 def test_quoted_colon_is_literal():
     """query_builder.rs:163-174: a colon INSIDE a quoted value never splits
     a new field scope — ``server.name:".bar:"`` must build a term/phrase

@@ -85,9 +85,14 @@ def built(spark, tmp_path_factory, request):
 
 def _clauses():
     word = st.sampled_from(_STATE["vocab"])
+    boost = st.sampled_from(["0.5", "2", "3.0"])
     return st.one_of(
         word,
         st.sampled_from(_STATE["phrases"]),
+        # boosted leaves (tantivy '^' grammar): term, phrase, scoped term
+        st.builds(lambda w, b: f"{w}^{b}", word, boost),
+        st.builds(lambda p, b: f"{p}^{b}", st.sampled_from(_STATE["phrases"]), boost),
+        st.builds(lambda w, b: f"text:{w}^{b}", word, boost),
         st.builds(lambda r: f"role:{r}", st.sampled_from(_STATE["roles"])),
         st.builds(lambda w: f"text:{w}", word),
         st.builds(lambda p: f"text:{p}", st.sampled_from(_STATE["phrases"])),
@@ -125,8 +130,10 @@ def _queries(draw):
 
 @st.composite
 def _requests(draw):
-    # max_hits=0 is the count-only request (reference count collector)
-    kw = dict(query=draw(_queries()), max_hits=draw(st.integers(0, 25)))
+    # max_hits=0 is the count-only request (reference count collector);
+    # one query in ~12 is the match-all browse ('*', AllQuery)
+    q = "*" if draw(st.integers(0, 11)) == 0 else draw(_queries())
+    kw = dict(query=q, max_hits=draw(st.integers(0, 25)))
     if draw(st.booleans()):
         kw["start_offset"] = draw(st.integers(0, 8))
     if draw(st.booleans()):
