@@ -1311,7 +1311,10 @@ def _plan_leaf(
 
 
 def _leaf_hit_rows(
-    spark: SparkSession, index_dir: str, request: SearchRequest
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    only_split_ids: set[str] | None = None,
 ) -> list[dict]:
     """Top-k leaf search as ONE plain-RDD mapPartitions job.
 
@@ -1335,6 +1338,10 @@ def _leaf_hit_rows(
     _, _, ast, splits, terms, buckets, scorer, gstats = _plan_leaf(
         spark, index_dir, request, "topk", fetch_in_leaf
     )
+    if only_split_ids is not None:
+        # the caller already answered the other splits from metadata
+        # (match-all count fast path) — the leaf touches only these
+        splits = [s for s in splits if s.split_id in only_split_ids]
     if not splits:
         return []
     sids = [s.split_id for s in splits]
@@ -1715,17 +1722,43 @@ def _search_rows(
     The leaf task fetches its winners' stored fields itself (one Spark job
     per query total); the driver merge (merge_fruits analog, root.rs:170-232)
     then just sorts <= splits*(offset+k) fully-materialized rows and pages."""
-    _, config = open_index(spark, index_dir)
+    cat, config = open_index(spark, index_dir)
     request = resolve_sort(request, config)
+    only_split_ids: set[str] | None = None
+    meta_count = 0
+    if request.max_hits == 0 and request.start_offset == 0:
+        ast = parse_query(request.query, config, request.search_fields)
+        if isinstance(ast, AllQuery):
+            # match-all count: every doc in a split counts, so any split
+            # FULLY inside the time range (or any split at all when no
+            # range is given) is answered from catalog metadata — zero
+            # Spark jobs, zero split reads.  Only time-range BOUNDARY
+            # splits run the leaf (the root-level twin of the reference's
+            # whole-segment timestamp skip, filters.rs:64-66).  At 10^4
+            # splits / 100 TB a total-count request costs one catalog read.
+            lo, hi = request.start_timestamp, request.end_timestamp
+
+            def fully_inside(s) -> bool:
+                if lo is None and hi is None:
+                    return True
+                if s.ts_min is None or s.ts_max is None:
+                    return False
+                return (lo is None or s.ts_min >= lo) and (hi is None or s.ts_max < hi)
+
+            splits = prune_splits(cat, config, ast, request)
+            meta_count = sum(s.num_docs for s in splits if fully_inside(s))
+            only_split_ids = {s.split_id for s in splits if not fully_inside(s)}
+            if not only_split_ids:
+                return [], meta_count
     for attempt in (0, 1):
         try:
-            hit_rows = _leaf_hit_rows(spark, index_dir, request)
+            hit_rows = _leaf_hit_rows(spark, index_dir, request, only_split_ids)
             # keyed per (split, range): sub-split units report disjoint
             # counts that SUM to the split's exact total
             per_unit_hits: dict[tuple[str, int], int] = {}
             for r in hit_rows:
                 per_unit_hits[(r["split_id"], r.get("__lo", 0))] = int(r["split_num_hits"])
-            num_hits = sum(per_unit_hits.values())
+            num_hits = meta_count + sum(per_unit_hits.values())
             hit_rows.sort(key=_sort_key(request))
             page = hit_rows[request.start_offset : request.start_offset + request.max_hits]
             if page and "conv_id" not in page[0]:

@@ -490,6 +490,35 @@ def test_count_only_max_hits_zero(spark, built, q):
     assert resp.num_hits == oracle.search(SearchRequest(q, max_hits=100000))["num_hits"]
 
 
+def test_match_all_count_is_metadata_only(spark, built, monkeypatch):
+    """'*' count with no time range is answered from catalog num_docs —
+    the leaf must NOT run (at 10^4 splits a total count costs one catalog
+    read); with a range, only boundary splits run the leaf and the total
+    still matches the oracle."""
+    import quickwit_spark.search.executor as ex
+
+    index_dir, oracle, docs = built
+    real_leaf = ex._leaf_hit_rows
+
+    def boom(*a, **k):
+        raise AssertionError("leaf ran for a metadata-answerable count")
+
+    monkeypatch.setattr(ex, "_leaf_hit_rows", boom)
+    resp = ex.search(spark, index_dir, SearchRequest("*", max_hits=0))
+    assert resp.num_hits == len(docs) and resp.hits == []
+    monkeypatch.setattr(ex, "_leaf_hit_rows", real_leaf)
+
+    # a range that slices through split boundaries: metadata + boundary leaf
+    ts0 = 1767225600 + 13 * 86400
+    ts1 = 1767225600 + 61 * 86400
+    req = SearchRequest("*", max_hits=0, start_timestamp=ts0, end_timestamp=ts1)
+    resp = ex.search(spark, index_dir, req)
+    want = oracle.search(
+        SearchRequest("*", max_hits=1, start_timestamp=ts0, end_timestamp=ts1)
+    )
+    assert resp.num_hits == want["num_hits"] > 0
+
+
 def test_count_only_with_ts_filter(spark, built):
     index_dir, oracle, _ = built
     ts0 = 1767225600 + 40 * 86400
