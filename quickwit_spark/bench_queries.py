@@ -16,4 +16,9 @@ BENCH_QUERIES = {
     "q6_not": dict(query="error NOT timeout"),
     "q7_sort_ts": dict(query="deploy", sort_by_field="ts"),
     "q8_offset": dict(query="error", start_offset=20, max_hits=10),
+    # '*' browse-latest: every doc matches at constant score, page by ts —
+    # the leaf reads only fast fields (zero postings decode)
+    "q10_match_all_sort": dict(query="*", sort_by_field="ts", max_hits=10),
+    # '*' total count: answered from catalog metadata, no Spark job at all
+    "q11_match_all_count": dict(query="*", max_hits=0),
 }
