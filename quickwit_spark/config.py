@@ -140,6 +140,15 @@ class IndexConfig:
 
     def __post_init__(self):
         by_name = {m.name: m for m in self.field_mappings}
+        if len(by_name) != len(self.field_mappings):
+            names = [m.name for m in self.field_mappings]
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(f"duplicate field mappings: {dupes}")
+        if self.max_merge_factor < self.merge_factor:
+            raise ValueError(
+                "max_merge_factor must be >= merge_factor "
+                "(reference index_config.rs:292-299)"
+            )
         if self.sort_by_field is not None:
             sb = by_name.get(self.sort_by_field)
             if sb is None or not sb.fast:

@@ -289,6 +289,7 @@ def test_flat_config_with_array_field_round_trips():
         default_search_fields=("text",),
         split_num_docs_target=123,
         merge_factor=7,
+        max_merge_factor=8,
     )
     rt = config_from_any(cfg.to_dict())
     assert rt == cfg
@@ -345,3 +346,30 @@ def test_create_overwrite(tmp_path):
     assert "already exists" in out["error"]
     out = cmd_create(argparse.Namespace(**ns, overwrite=True))
     assert "error" not in out and Catalog.exists(idx)
+
+
+def test_config_rejects_duplicates_and_bad_merge_factors():
+    """index_config.rs:274-299 validate(): duplicate mappings and
+    max_merge_factor < merge_factor are config errors, not silent."""
+    from quickwit_spark.config import FieldMapping, IndexConfig
+
+    base = dict(
+        index_id="x",
+        timestamp_field=None,
+        default_search_fields=("text",),
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        IndexConfig(
+            field_mappings=(
+                FieldMapping("text", "text", record="position"),
+                FieldMapping("text", "text"),
+            ),
+            **base,
+        )
+    with pytest.raises(ValueError, match="max_merge_factor"):
+        IndexConfig(
+            field_mappings=(FieldMapping("text", "text", record="position"),),
+            merge_factor=10,
+            max_merge_factor=9,
+            **base,
+        )
