@@ -65,6 +65,10 @@ class SplitMetadata:
     ts_max: int | None = None
     tags: list[str] = field(default_factory=list)
     num_merge_ops: int = 0
+    # demux lineage (reference SplitMetadata.demux_num_ops): a demuxed
+    # split is MATURE for merge no matter how small — re-merging it would
+    # undo the tenant clustering (merge_policy.rs:247-249)
+    demux_num_ops: int = 0
     create_seq: int = 0
     # per-field sum of BM25 field lengths (exact, not the reference's lossy
     # 1-byte fieldnorms) — global avg_len = Σ len_sum / Σ num_docs

@@ -66,20 +66,47 @@ def size_level(num_docs: int, min_level: int = MIN_LEVEL_NUM_DOCS) -> int:
 def build_merge_operations(
     splits: list[SplitMetadata], config: IndexConfig, min_level: int = MIN_LEVEL_NUM_DOCS
 ) -> list[MergeOperation]:
-    """The planner: pure function catalog rows → merge ops."""
-    young = [s for s in splits if s.num_docs < config.split_num_docs_target]
+    """The planner: pure function catalog rows → merge ops.
+
+    Maturity rule (is_mature_for_merge, merge_policy.rs:241-250): a split
+    at/above the doc target, or one that has been DEMUXED, never merges
+    again (re-merging a demuxed split would undo its tenant clustering).
+
+    Candidate rule (merge_candidate_size, merge_policy.rs:445-493): within
+    a level, splits accumulate until one more would exceed
+    max_merge_factor or the accumulated docs already reach the target; a
+    candidate is valid with >= merge_factor splits, OR with as few as TWO
+    splits when their docs reach the target — so two half-target splits
+    merge into one mature split instead of lingering forever
+    (test_merge_policy_splits_entire_level_reach_merge_max_doc,
+    test_merge_policy_last_merge_can_have_a_lower_merge_factor)."""
+    young = [
+        s
+        for s in splits
+        if s.num_docs < config.split_num_docs_target and s.demux_num_ops == 0
+    ]
     by_level: dict[int, list[SplitMetadata]] = {}
     for s in young:
         by_level.setdefault(size_level(s.num_docs, min_level), []).append(s)
     ops = []
     for level in sorted(by_level):
         group = sorted(by_level[level], key=lambda s: (s.create_seq, s.split_id))
-        while len(group) >= config.merge_factor:
-            take = group[: config.max_merge_factor]
-            # stay under the mature-split target
-            while len(take) > config.merge_factor and sum(s.num_docs for s in take) > config.split_num_docs_target:
-                take = take[:-1]
-            group = group[len(take) :]
+        while True:
+            take: list[SplitMetadata] = []
+            tot = 0
+            for s in group:
+                if len(take) >= config.max_merge_factor or (
+                    take and tot >= config.split_num_docs_target
+                ):
+                    break  # one more split would be too big
+                take.append(s)
+                tot += s.num_docs
+            if len(take) < 2 or (
+                len(take) < config.merge_factor
+                and tot < config.split_num_docs_target
+            ):
+                break  # too small — leave the remainder for a later round
+            group = group[len(take):]
             ops.append(
                 MergeOperation(
                     [s.split_id for s in take],
@@ -668,8 +695,12 @@ def execute_demux(
 
     def record_lineage(state):  # SplitMetadata.demux analog
         ops = max(state["splits"][s]["num_merge_ops"] for s in split_ids) + 1
+        dops = max(state["splits"][s].get("demux_num_ops", 0) for s in split_ids) + 1
         for sid in new_ids:
             state["splits"][sid]["num_merge_ops"] = ops
+            # demux lineage makes the outputs merge-mature
+            # (merge_policy.rs:247-249): see build_merge_operations
+            state["splits"][sid]["demux_num_ops"] = dops
 
     cat.update(record_lineage)
     cat.replace_splits(new_ids, split_ids)

@@ -61,6 +61,37 @@ def test_policy_merge_factor_bounds():
     assert ops[0].split_ids == ["s0", "s1", "s2", "s3"]
 
 
+def test_policy_level_reaching_target_merges_below_factor():
+    """merge_policy.rs merge_candidate_size + the reference's
+    test_merge_policy_splits_entire_level_reach_merge_max_doc /
+    ..._last_merge_can_have_a_lower_merge_factor: two splits whose docs
+    already reach the target merge even though merge_factor is 3 —
+    otherwise half-target splits linger forever."""
+    ops = build_merge_operations([_meta("a", 1200, 0), _meta("b", 1200, 1)], CFG)
+    assert len(ops) == 1 and sorted(ops[0].split_ids) == ["a", "b"]
+    # ...but two splits BELOW the target stay unmerged (TooSmall)
+    assert build_merge_operations([_meta("a", 150, 0), _meta("b", 150, 1)], CFG) == []
+    # a single split never merges with itself (reference: len <= 1 TooSmall)
+    assert build_merge_operations([_meta("a", 1999, 0)], CFG) == []
+
+
+def test_policy_demuxed_splits_are_merge_mature():
+    """merge_policy.rs:247-249: a demuxed split never merges again, no
+    matter how small — re-merging would undo the tenant clustering."""
+    demuxed = [
+        SplitMetadata(
+            split_id=f"d{i}", state=PUBLISHED, num_docs=150, ts_min=0,
+            ts_max=1, create_seq=i, demux_num_ops=1,
+        )
+        for i in range(4)
+    ]
+    assert build_merge_operations(demuxed, CFG) == []
+    # mixed: only the un-demuxed young splits merge
+    mixed = demuxed + [_meta(f"s{i}", 150, 10 + i) for i in range(3)]
+    ops = build_merge_operations(mixed, CFG)
+    assert len(ops) == 1 and sorted(ops[0].split_ids) == ["s0", "s1", "s2"]
+
+
 @pytest.fixture(scope="module")
 def merged_index(spark, tmp_path_factory):
     pdf = generate_transcripts(n_conversations=50, seed=7)
