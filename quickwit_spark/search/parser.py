@@ -133,8 +133,11 @@ def _lex(q: str) -> list[str]:
             # '"a b"^2' — a boost suffix right after the closing quote
             # belongs to the phrase (tantivy grammar: boost binds to the
             # preceding leaf); it rides on the token past the quote so
-            # parse_clause can split it off
-            if i < n and q[i] == "^":
+            # parse_clause can split it off.  '~' rides along too so the
+            # parser can REJECT slop syntax instead of silently treating
+            # '~2' as an extra term (tantivy 0.15's grammar has no slop —
+            # the reference 400s such queries)
+            if i < n and q[i] in "^~":
                 k = i
                 while k < n and not q[k].isspace() and q[k] not in _SPECIAL:
                     k += 1
@@ -283,7 +286,12 @@ class _Parser:
         if t.startswith('"'):
             qi = t.rfind('"')
             boost = 1.0
-            if qi < len(t) - 1:  # '"body"^2' suffix attached by the lexer
+            if qi < len(t) - 1:  # '"body"^2' / '"body"~2' suffix from the lexer
+                if t[qi + 1] == "~":
+                    raise QueryParserError(
+                        "phrase slop/fuzzy ('~') is not supported "
+                        "(tantivy 0.15 grammar has no slop)"
+                    )
                 b = _parse_boost(t[qi + 2 :]) if t[qi + 1] == "^" else None
                 if b is None:
                     raise QueryParserError(f"invalid boost suffix on phrase: {t!r}")

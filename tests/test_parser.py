@@ -212,3 +212,10 @@ def test_query_on_unindexed_field_rejected():
     # FieldNotIndexed, not a silent zero-hit query
     with pytest.raises(QueryParserError, match="not indexed"):
         parse_query("turn_idx:5", CFG)
+
+
+def test_phrase_slop_rejected():
+    """'"a b"~2' — tantivy 0.15's grammar has no slop; silently treating
+    '~2' as an extra AND term would change matching, so it's a 400."""
+    with pytest.raises(QueryParserError, match="slop"):
+        parse_query('"a b"~2', CFG)
