@@ -263,11 +263,23 @@ class _Handler(BaseHTTPRequestHandler):
                     from quickwit_spark.search.executor import export_stream
 
                     with self.lock:
-                        rows_it = export_stream(
+                        df = export_stream(
                             self.spark, index_dir, req, fast_field,
                             output_format="rowbinary",
                             partition_by=partition_by,
-                        ).toLocalIterator(prefetchPartitions=True)
+                        )
+                        # reference contract (leaf.rs:346-357): the
+                        # partition field must be numeric — reject BEFORE
+                        # the chunked reply starts (a mid-stream error
+                        # would only truncate the body)
+                        ptype = df.schema[0].dataType.simpleString()
+                        if ptype not in ("bigint", "int", "smallint", "tinyint", "long"):
+                            return self._err(
+                                400,
+                                f"partitionByField {partition_by!r} must be "
+                                f"an integer column (got {ptype})",
+                            )
+                        rows_it = df.toLocalIterator(prefetchPartitions=True)
 
                     # reference wire format (search_stream/mod.rs:50-69):
                     # per partition, partition value (8B LE) + payload

@@ -225,6 +225,13 @@ def test_stream_endpoint_partitioned_rowbinary(server):
         "&outputFormat=csv&partitionByField=turn_idx"
     )
     assert code == 400
+    # a non-numeric partition column is rejected up-front (leaf.rs:346-357:
+    # the partition field must be a numeric fast field), not mid-stream
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search/stream?query=deploy&fastField=ts"
+        "&outputFormat=clickHouseRowBinary&partitionByField=role"
+    )
+    assert code == 400 and b"integer column" in body
 
 
 def test_batch_endpoint(spark, server, index_root):
