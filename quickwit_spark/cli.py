@@ -224,7 +224,7 @@ def cmd_bench_queries(args) -> dict:
 
 
 def cmd_search(args) -> dict:
-    from quickwit_spark.search.executor import search
+    from quickwit_spark.search.executor import explain, search
     from quickwit_spark.search.request import SearchRequest, parse_sort_by_dsl
 
     spark = _get_spark("qw-search", args.local_cpus, args.shuffle_partitions)
@@ -248,6 +248,10 @@ def cmd_search(args) -> dict:
         ),
         snippet_max_chars=getattr(args, "snippet_max_chars", None) or 150,
     )
+    if getattr(args, "explain", False):
+        # plan-only: which splits survive pruning, which leaf strategy
+        # runs, per-term df — no leaf execution
+        return {"cmd": "search", "explain": explain(spark, args.index_dir, req)}
     resp = search(spark, args.index_dir, req)
     out = {
         "cmd": "search",
@@ -703,6 +707,11 @@ def main(argv=None):
         "fragments for (hit['snippets'])",
     )
     s.add_argument("--snippet-max-chars", type=int, default=150)
+    s.add_argument(
+        "--explain", action="store_true",
+        help="print the query plan (split pruning, leaf strategy, per-term "
+        "df, in-process vs spark-job leaf) without executing the search",
+    )
     s.add_argument(
         "--agg-histogram-interval", type=int, default=None,
         help="date-histogram aggregation over every match (bucket seconds)",

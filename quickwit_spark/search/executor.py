@@ -1838,6 +1838,84 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 
 
+def _term_bucket_of(field: str, term: str, n_buckets: int) -> int:
+    from ..functions.codec import term_bucket
+
+    return term_bucket(field, term, n_buckets)
+
+
+def explain(spark: SparkSession, index_dir: str, request: SearchRequest) -> dict:
+    """Driver-side query-plan introspection — runs the SAME planning as a
+    real search (parse → prune → stats) but never launches the leaf.
+    Mirrors make_split_scorer's strategy selection; keep the two in sync.
+
+    Returns which splits survive time/tag pruning, the scoring strategy
+    the leaf would run (metadata-only count / block-max WAND / MaxScore /
+    match-all scan / full boolean eval), per-term global doc_freq, the
+    leaf cost estimate, and whether the leaf runs in-process or as a
+    Spark job — the observability half of the reference's leaf cost model
+    (root.rs:280-301) surfaced to users."""
+    cat, config = open_index(spark, index_dir)
+    request = resolve_sort(request, config)
+    ast = parse_query(request.query, config, request.search_fields)
+    all_splits = cat.splits()
+    splits = prune_splits(cat, config, ast, request)
+    terms = sorted(collect_terms(ast))
+    buckets = term_buckets(spark, set(terms), config.term_merge_buckets)
+    gstats = global_term_stats(spark, index_dir, cat, set(terms), buckets)
+    unfiltered_topk = (
+        request.sort_by_field is None
+        and request.start_timestamp is None
+        and request.end_timestamp is None
+    )
+    count_only = request.max_hits == 0 and request.start_offset == 0
+    if isinstance(ast, AllQuery):
+        no_range = request.start_timestamp is None and request.end_timestamp is None
+        strategy = (
+            "match_all_metadata_count" if (count_only and no_range) else "match_all_scan"
+        )
+    elif unfiltered_topk and isinstance(ast, TermQuery):
+        strategy = "block_max_wand"
+    elif (
+        unfiltered_topk
+        and isinstance(ast, BoolQuery)
+        and not ast.must
+        and not ast.must_not
+        and len(ast.should) >= 2
+        and all(isinstance(c, TermQuery) and c.boost == 1.0 for c in ast.should)
+    ):
+        strategy = "maxscore_union"
+    else:
+        strategy = "full_eval"
+    est = _est_split_rows(ast, gstats, len(splits))
+    in_process = strategy == "match_all_metadata_count" or (
+        len(splits) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8"))
+        and est * len(splits)
+        <= float(os.environ.get("QW_DRIVER_LEAF_MAX_ROWS", "50000"))
+    )
+    return {
+        "query": request.query,
+        "ast": repr(ast),
+        "strategy": strategy,
+        "splits_total": len(all_splits),
+        "splits_after_pruning": len(splits),
+        "splits_pruned": len(all_splits) - len(splits),
+        "terms": [
+            {
+                "field": f,
+                "term": t,
+                "doc_freq": int(gstats["df"].get((f, t), 0)),
+                "bucket": _term_bucket_of(f, t, config.term_merge_buckets),
+            }
+            for f, t in terms
+        ],
+        "num_docs_total": int(gstats["num_docs"]),
+        "est_rows_per_split": round(est, 1),
+        "leaf": "in_process" if in_process else "spark_job",
+        "sort_by_field": request.sort_by_field,
+    }
+
+
 def _resolve_fast_field(spark, index_dir: str, fast_field: str) -> str:
     """Export-side fast-field name resolution, mirroring resolve_sort: the
     index's declared timestamp field streams from the ts plumbing column,

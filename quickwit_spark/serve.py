@@ -352,7 +352,13 @@ class _Handler(BaseHTTPRequestHandler):
             agg_card = qs.get("aggCardinalityField", [None])[0]
             agg_sig = qs.get("aggSignificantField", [None])[0]
             aggs = {}
+            want_explain = qs.get("explain", ["false"])[0] in ("true", "1")
+            plan = None
             with self.lock:
+                if want_explain:
+                    from quickwit_spark.search.executor import explain
+
+                    plan = explain(self.spark, index_dir, req)
                 resp = search(self.spark, index_dir, req)
                 if any(
                     a is not None
@@ -448,6 +454,8 @@ class _Handler(BaseHTTPRequestHandler):
         }
         if aggs:
             out["aggregations"] = aggs
+        if plan is not None:
+            out["explain"] = plan
         # format=json|prettyjson (reference rest-api.md: default prettyjson)
         fmt = qs.get("format", ["prettyjson"])[0]
         if fmt not in ("json", "prettyjson"):

@@ -505,3 +505,28 @@ def test_unknown_fast_field_is_400(server):
     if isinstance(body, bytes):
         body = body.decode()
     assert code == 400 and "nope" in body
+
+
+def test_explain_endpoint_and_strategies(spark, server, index_root):
+    """explain=true surfaces the driver-side plan: strategy selection must
+    match make_split_scorer's (WAND for one term, MaxScore for pure OR,
+    metadata count for '*' count-only, full_eval otherwise)."""
+    from quickwit_spark.search.executor import explain
+    from quickwit_spark.search.request import SearchRequest as SR
+
+    idx = os.path.join(index_root, "conv")
+    assert explain(spark, idx, SR("deploy"))["strategy"] == "block_max_wand"
+    assert explain(spark, idx, SR("deploy OR error"))["strategy"] == "maxscore_union"
+    assert explain(spark, idx, SR("*", max_hits=0))["strategy"] == "match_all_metadata_count"
+    assert explain(spark, idx, SR("deploy^2 OR error"))["strategy"] == "full_eval"
+    p = explain(spark, idx, SR('"deploy failure"', start_timestamp=1))
+    assert p["strategy"] == "full_eval" and p["splits_after_pruning"] >= 1
+    dfq = {t["term"]: t["doc_freq"] for t in p["terms"]}
+    assert dfq["deploy"] > 0 and dfq["failure"] > 0
+
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=1&explain=true&format=json"
+    )
+    got = json.loads(body)
+    assert code == 200 and got["explain"]["strategy"] == "block_max_wand"
+    assert got["numHits"] > 0  # explain rides along, search still runs
