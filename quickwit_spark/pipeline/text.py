@@ -90,15 +90,27 @@ def with_lang_id(df: DataFrame, col: str = "text", threshold_pct: int = 8) -> Da
     Outputs are exact-integer (`stopword_ppm` = floor(1e6·n_stop/n_tokens),
     threshold compared as 100·n_stop >= pct·n_tokens) so that the engine and
     the DuckDB oracle can never disagree on a float-rounding boundary."""
-    toks = tokens_col(col)
+    # tokens and the stopword count go through multi-referenced aliases so
+    # each is computed once per row (CodegenFallback higher-order exprs get
+    # no codegen-level CSE; see with_repetition_signals)
+    toks = F.col("__l_toks")
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = F.col("__l_nstop")
     n_tok = F.size(toks)
     ppm = F.when(n_tok > 0, F.floor(F.lit(1_000_000) * n_stop / n_tok)).otherwise(F.lit(0))
     is_en = n_stop * 100 >= n_tok * threshold_pct
-    return df.withColumn(
-        "lang_pred", F.when((n_tok > 0) & is_en, F.lit("en")).otherwise(F.lit("unk"))
-    ).withColumn("stopword_ppm", ppm.cast("long"))
+    return (
+        df.withColumn("__l_toks", tokens_col(col))
+        .withColumn(
+            "__l_nstop",
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))),
+        )
+        .withColumn(
+            "lang_pred", F.when((n_tok > 0) & is_en, F.lit("en")).otherwise(F.lit("unk"))
+        )
+        .withColumn("stopword_ppm", ppm.cast("long"))
+        .drop("__l_toks", "__l_nstop")
+    )
 
 
 def lang_id_sql(toks: str, threshold_pct: int = 8) -> tuple[str, str]:
@@ -128,7 +140,11 @@ def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
               + 300000·[2 <= mean_token_len <= 12]
               + floor(300000·alpha_chars/n_chars)
     """
-    toks = tokens_col(col)
+    # the token array is materialized through a multi-referenced alias
+    # (dropped before return) so the regexp tokenizer runs ONCE per row —
+    # higher-order array exprs are CodegenFallback, so inlined copies are
+    # each evaluated (see with_repetition_signals)
+    toks = F.col("__q_toks")
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(col))
     alpha_chars = F.length(F.regexp_replace(F.col(col), "[^A-Za-z]", ""))
@@ -143,10 +159,12 @@ def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
         + F.when(n_chars > 0, F.floor(F.lit(300_000) * alpha_chars / n_chars)).otherwise(F.lit(0))
     )
     return (
-        df.withColumn("n_tokens", n_tokens.cast("long"))
+        df.withColumn("__q_toks", tokens_col(col))
+        .withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn("alpha_ppm", alpha_ppm.cast("long"))
         .withColumn("mean_tok_ppm", mean_tok_ppm.cast("long"))
         .withColumn("quality_ppm", score_ppm.cast("long"))
+        .drop("__q_toks")
     )
 
 
@@ -198,14 +216,23 @@ def with_repetition_signals(df: DataFrame, col: str = "text") -> DataFrame:
 
     All ppm values use the module's exact-integer floor(1e6·a/c) scheme, so
     the DuckDB oracle can never disagree on a rounding boundary.  Everything
-    is built-in higher-order functions — zero Python in the hot path; the
-    top-token scan is O(tokens·distinct) per doc, fine for documents and
-    bounded by the 40-char token cap."""
-    toks = tokens_col(col)
+    is built-in higher-order functions — zero Python in the hot path.
+
+    The token and n-gram arrays are materialized through ALIASED columns
+    (``__rep_*``, dropped before return), not inlined: higher-order array
+    functions are CodegenFallback, so whole-stage codegen's subexpression
+    elimination never sees them — an inlined ``tokens_col`` was evaluated
+    31 separate times in the executed plan (regexp split per occurrence),
+    ~13x the whole pass.  CollapseProject keeps a multi-referenced
+    non-cheap alias as its own projection, which is exactly the barrier
+    needed.  The top-token count is a sort + longest-equal-run fold,
+    O(n log n) per doc (a distinct×filter scan is O(tokens·distinct) and
+    dominates on long documents)."""
+    toks = F.col("__rep_toks")
     n_tok = F.size(toks)
 
     def dup_ppm(n: int) -> Column:
-        grams = _ngram_col(toks, n)
+        grams = F.col(f"__rep_g{n}")
         total = F.size(grams)
         dups = total - F.size(F.array_distinct(grams))
         return (
@@ -214,8 +241,23 @@ def with_repetition_signals(df: DataFrame, col: str = "text") -> DataFrame:
             .cast("long")
         )
 
-    top_cnt = F.array_max(
-        F.transform(F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    # max token frequency == longest run of equal values in the sorted
+    # token array; the initial prev='' can never match a real token (the
+    # tokenizer emits no empty tokens)
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     top_ppm = (
         F.when(n_tok > 0, F.floor(F.lit(1_000_000) * top_cnt / n_tok))
@@ -223,9 +265,13 @@ def with_repetition_signals(df: DataFrame, col: str = "text") -> DataFrame:
         .cast("long")
     )
     return (
-        df.withColumn("dup_bigram_ppm", dup_ppm(2))
+        df.withColumn("__rep_toks", tokens_col(col))
+        .withColumn("__rep_g2", _ngram_col(toks, 2))
+        .withColumn("__rep_g3", _ngram_col(toks, 3))
+        .withColumn("dup_bigram_ppm", dup_ppm(2))
         .withColumn("dup_trigram_ppm", dup_ppm(3))
         .withColumn("top_token_ppm", top_ppm)
+        .drop("__rep_toks", "__rep_g2", "__rep_g3")
     )
 
 
@@ -274,23 +320,91 @@ def filter_corpus(
     whole filter into the scan (one pass, no shuffle, predicate-pushdown
     friendly).  Returns the surviving rows of ``df`` unchanged (signal
     columns are computed for the predicate, then dropped)."""
-    out = with_quality_score(df, col)
-    out = with_repetition_signals(out, col)
-    pred = (
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
-        & (F.col("quality_ppm") >= min_quality_ppm)
-        & (F.col("dup_trigram_ppm") <= max_dup_trigram_ppm)
-        & (F.col("top_token_ppm") <= max_top_token_ppm)
-    )
-    if lang is not None:
-        out = with_lang_id(out, col)
-        pred = pred & (F.col("lang_pred") == lang)
-    added = ["n_tokens", "alpha_ppm", "mean_tok_ppm", "quality_ppm",
-             "dup_bigram_ppm", "dup_trigram_ppm", "top_token_ppm"]
-    if lang is not None:
-        added += ["lang_pred", "stopword_ppm"]
-    return out.filter(pred).drop(*added)
+    # The predicate is ONE self-contained expression with the token array
+    # LET-BOUND via a higher-order function: transform over a 1-element
+    # array binds the tokenizer's output to a lambda variable that every
+    # signal then references.  Composing the with_*() columns and
+    # filtering on them instead measures 31 copies of the regexp
+    # tokenizer in the executed plan (30 s vs ~2 s on a 5k-doc corpus):
+    # the optimizer substitutes the aliases into the condition
+    # transitively, and higher-order array exprs are CodegenFallback, so
+    # no codegen CSE ever deduplicates the copies.  A lambda variable
+    # cannot be substituted — the expression stays single-evaluation no
+    # matter where the optimizer moves it.
+    n_chars = F.length(F.col(col))
+    alpha_chars = F.length(F.regexp_replace(F.col(col), "[^A-Za-z]", ""))
+
+    def pred_of(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        sum_tok_len = F.length(F.concat_ws("", toks))
+        len_ok = (n_tokens >= 5) & (n_tokens <= 5000)
+        tok_ok = (
+            (sum_tok_len >= 2 * n_tokens)
+            & (sum_tok_len <= 12 * n_tokens)
+            & (n_tokens > 0)
+        )
+        quality_ppm = (
+            F.when(len_ok, 400_000).otherwise(0)
+            + F.when(tok_ok, 300_000).otherwise(0)
+            + F.when(
+                n_chars > 0, F.floor(F.lit(300_000) * alpha_chars / n_chars)
+            ).otherwise(F.lit(0))
+        )
+
+        def dup_ppm_of(grams: Column) -> Column:
+            total = F.size(grams)
+            dups = total - F.size(F.array_distinct(grams))
+            return (
+                F.when(total > 0, F.floor(F.lit(1_000_000) * dups / total))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+
+        # nested let: the trigram array is also bound once
+        dup3_ok = F.element_at(
+            F.transform(
+                F.array(_ngram_col(toks, 3)),
+                lambda g3: dup_ppm_of(g3) <= max_dup_trigram_ppm,
+            ),
+            1,
+        )
+        top_cnt = F.aggregate(
+            F.array_sort(toks),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, t: F.struct(
+                t.alias("prev"),
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+        top_ppm = (
+            F.when(n_tokens > 0, F.floor(F.lit(1_000_000) * top_cnt / n_tokens))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        keep = (
+            (n_tokens >= min_tokens)
+            & (n_tokens <= max_tokens)
+            & (quality_ppm >= min_quality_ppm)
+            & dup3_ok
+            & (top_ppm <= max_top_token_ppm)
+        )
+        if lang is not None:
+            stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+            n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            is_en = (n_tokens > 0) & (n_stop * 100 >= n_tokens * 8)
+            lang_pred = F.when(is_en, F.lit("en")).otherwise(F.lit("unk"))
+            keep = keep & (lang_pred == F.lit(lang))
+        return keep
+
+    keep = F.element_at(F.transform(F.array(tokens_col(col)), pred_of), 1)
+    return df.filter(keep)
 
 
 def filter_corpus_sql(
