@@ -95,10 +95,17 @@ def shingles_col(text_col: str = "text", n: int = 3):
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
 ) -> DataFrame:
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks"))
-    ex = toks.select(
-        "doc_id", F.explode(shingles_of_tokens("__toks", n)).alias("sh")
+    # let-bound token array (transform over a 1-element array): an aliased
+    # __toks column gets substituted into shingles_of_tokens's several
+    # references by the optimizer, re-running the tokenizer per reference
+    # (see text.filter_corpus)
+    sh_arr = F.element_at(
+        F.transform(
+            F.array(tokens_col(text_col)), lambda t: shingles_of_tokens(t, n)
+        ),
+        1,
     )
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(sh_arr).alias("sh"))
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("sh").agg(F.count("*").alias("df_sh")).filter(F.col("df_sh") > max_shingle_df)
@@ -198,18 +205,27 @@ def passage_dup_stats(
     (map-side combine) → broadcast-or-shuffle join back by fingerprint.
     Passage fingerprints are uniform md5s, so the agg key space is
     skew-free by construction — no salting needed (unlike raw-term keys)."""
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks"))
-    n_pass = F.ceil(F.size("__toks") / F.lit(window)).cast("int")
-    passages = toks.filter(F.size("__toks") > 0).select(
-        "doc_id",
-        F.explode(
+    # the token array is LET-BOUND via transform-over-1-element-array so
+    # the tokenizer runs once per row — aliased intermediate columns get
+    # substituted into every reference by the optimizer (12 tokenizer
+    # copies measured in the executed plan; see text.filter_corpus)
+    def passages_of(t):
+        n_pass = F.ceil(F.size(t) / F.lit(window)).cast("int")
+        return F.when(
+            F.size(t) > 0,
             F.transform(
                 F.sequence(F.lit(0), n_pass - 1),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("__toks", i * window + 1, window))
-                ),
-            )
-        ).alias("fp"),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(t, i * window + 1, window))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pass_arr = F.element_at(
+        F.transform(F.array(tokens_col(text_col)), passages_of), 1
+    )
+    # explode (not explode_outer): token-less docs vanish, same as the
+    # previous size>0 filter
+    passages = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pass_arr).alias("fp")
     )
     freq = passages.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("n_docs_with_fp")

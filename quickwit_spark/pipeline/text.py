@@ -521,12 +521,15 @@ def with_self_perplexity(
     df's id column + (n_bigrams, nll_micro).
     """
     sep = "\x1f"
-    toks = tokens_col(text_col)
-    grams = df.select(
-        F.col(id_col), F.explode(_ngram_col(toks, 2)).alias("bg")
+    # let-bound token array: _ngram_col references its input twice, so an
+    # inlined tokenizer expression would run 2x per gram stream (9 copies
+    # measured across the whole plan; see filter_corpus)
+    bg_arr = F.element_at(
+        F.transform(F.array(tokens_col(text_col)), lambda t: _ngram_col(t, 2)), 1
     )
+    grams = df.select(F.col(id_col), F.explode(bg_arr).alias("bg"))
     vocab = (
-        df.select(F.explode(toks).alias("t")).agg(
+        df.select(F.explode(tokens_col(text_col)).alias("t")).agg(
             F.countDistinct("t").alias("v")
         ).collect()[0]["v"]
     ) or 1
