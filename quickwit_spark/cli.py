@@ -84,23 +84,41 @@ def cmd_create(args) -> dict:
 
     from quickwit_spark.index.catalog import Catalog
 
-    if Catalog.exists(args.index_dir):
-        if not getattr(args, "overwrite", False):
-            return {"cmd": "create", "error": f"index already exists at {args.index_dir}"}
-        # create --overwrite (quickwit-cli/src/index.rs:177-183): delete
-        # the existing index, then create fresh
-        import shutil
-
+    overwriting = Catalog.exists(args.index_dir)
+    if overwriting and not getattr(args, "overwrite", False):
+        return {"cmd": "create", "error": f"index already exists at {args.index_dir}"}
+    # the NEW config must resolve/validate BEFORE anything is deleted —
+    # `create --overwrite --config bad.yaml` must fail with the old index
+    # intact, not wipe it and then error (the reference validates the
+    # config file first too, index.rs:177-183)
+    cfg = _resolve_new_config(args)
+    if overwriting:
+        # delete through the storage abstraction: shutil.rmtree silently
+        # no-ops on object-store URIs, which would leave the OLD catalog
+        # (config, checkpoints, termstats) to be picked up by create
         from quickwit_spark.index.catalog import PUBLISHED, STAGED
         from quickwit_spark.index.merge import garbage_collect
+        from quickwit_spark.storage import storage_for
 
         cat = Catalog(args.index_dir)
         cat.mark_for_deletion([s.split_id for s in cat.splits(states=(STAGED, PUBLISHED))])
         garbage_collect(args.index_dir)
-        shutil.rmtree(args.index_dir, ignore_errors=True)
-    cfg = _resolve_config(args)
+        storage_for(args.index_dir).delete_dir(args.index_dir)
     Catalog.create(args.index_dir, cfg.to_dict(), metastore=getattr(args, "metastore", None))
     return {"cmd": "create", "index_dir": args.index_dir, "index_id": cfg.index_id}
+
+
+def _resolve_new_config(args):
+    """Config for a from-scratch (re)create: an explicit --config file, else
+    the default transcripts config — NEVER the doomed index's stored config
+    (that is what --overwrite is discarding)."""
+    from quickwit_spark.config import load_config, transcripts_config
+
+    if getattr(args, "config", None):
+        return load_config(args.config)
+    return transcripts_config(
+        split_num_docs_target=args.split_docs, segment_num_docs_target=args.segment_docs
+    )
 
 
 def cmd_build(args) -> dict:
@@ -695,7 +713,8 @@ def main(argv=None):
         "--sort-by",
         default=None,
         help="fast field to sort by: '+field' asc, '-field' desc, bare asc "
-        "(the REST sortByField mini-DSL, sort_by.rs:64-75)",
+        "(the REST sortByField mini-DSL, sort_by.rs:64-75); use the "
+        "--sort-by=-field form — a separate '-field' token parses as a flag",
     )
     s.add_argument(
         "--search-fields", default=None,

@@ -297,6 +297,12 @@ class IndexConfig:
 
     @staticmethod
     def from_dict(d: dict) -> "IndexConfig":
+        # loading a PERSISTED catalog must never raise on shapes that were
+        # valid when written: configs stored before the merge-factor rule
+        # existed may carry max_merge_factor < merge_factor — clamp up
+        # instead of bricking every open of an existing index (strict
+        # validation applies to user-supplied configs at create time)
+        mf = d.get("merge_factor", 3)
         return IndexConfig(
             index_id=d["index_id"],
             field_mappings=tuple(FieldMapping(**m) for m in d["field_mappings"]),
@@ -305,8 +311,8 @@ class IndexConfig:
             default_search_fields=tuple(d.get("default_search_fields", ())),
             split_num_docs_target=d.get("split_num_docs_target", 5_000),
             segment_num_docs_target=d.get("segment_num_docs_target", 1_000),
-            merge_factor=d.get("merge_factor", 3),
-            max_merge_factor=d.get("max_merge_factor", 4),
+            merge_factor=mf,
+            max_merge_factor=max(d.get("max_merge_factor", 4), mf),
             max_values_per_tag_field=d.get("max_values_per_tag_field", 1_000),
             term_merge_buckets=d.get("term_merge_buckets", 32),
             store_source=d.get("store_source", False),

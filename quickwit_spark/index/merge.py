@@ -519,11 +519,21 @@ def reset_index(index_dir: str) -> dict:
         s.split_id for s in cat.splits([STAGED, PUBLISHED, MARKED_FOR_DELETION])
     ]
     cat.mark_for_deletion(all_ids)
-    # delete committed term-stats delta files NOW: once dereferenced below
-    # they would sit behind GC's QW_GC_GRACE_SECS orphan guard
+    # clear the catalog references FIRST, then delete the captured delta
+    # files: the reverse order has a crash window where the catalog still
+    # lists a deleted file and every subsequent query's global_term_stats
+    # read fails.  This order only ever leaves orphan files, which GC
+    # sweeps after the grace period.
+    doomed_deltas = list(cat._state["termstats"]["deltas"])
+
+    def clear(state):
+        state["checkpoint"] = {}
+        state["termstats"] = {"deltas": [], "complete": True}
+
+    cat.update(clear)
     import pyarrow.fs as pafs
 
-    for rel in cat._state["termstats"]["deltas"]:
+    for rel in doomed_deltas:
         p = os.path.join(index_dir, rel)
         if not storage.exists(p):
             continue
@@ -531,12 +541,6 @@ def reset_index(index_dir: str) -> dict:
             storage.delete_dir(p)
         else:
             storage.delete_file(p)
-
-    def clear(state):
-        state["checkpoint"] = {}
-        state["termstats"] = {"deltas": [], "complete": True}
-
-    cat.update(clear)
     deleted = garbage_collect(index_dir, include_staged=True)
     return {"splits_reset": len(all_ids), "splits_deleted": len(deleted)}
 

@@ -94,17 +94,13 @@ def with_lang_id(df: DataFrame, col: str = "text", threshold_pct: int = 8) -> Da
     # each is computed once per row (CodegenFallback higher-order exprs get
     # no codegen-level CSE; see with_repetition_signals)
     toks = F.col("__l_toks")
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.col("__l_nstop")
     n_tok = F.size(toks)
     ppm = F.when(n_tok > 0, F.floor(F.lit(1_000_000) * n_stop / n_tok)).otherwise(F.lit(0))
     is_en = n_stop * 100 >= n_tok * threshold_pct
     return (
         df.withColumn("__l_toks", tokens_col(col))
-        .withColumn(
-            "__l_nstop",
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))),
-        )
+        .withColumn("__l_nstop", _stopword_count_expr(toks))
         .withColumn(
             "lang_pred", F.when((n_tok > 0) & is_en, F.lit("en")).otherwise(F.lit("unk"))
         )
@@ -123,6 +119,74 @@ def lang_id_sql(toks: str, threshold_pct: int = 8) -> tuple[str, str]:
         f"THEN 'en' ELSE 'unk' END"
     )
     return pred, ppm
+
+
+# -- shared signal expression builders ---------------------------------------
+# One definition per formula, parameterized over a token Column, so the
+# withColumn surfaces (with_quality_score / with_repetition_signals /
+# with_lang_id) and the lambda-bound filter_corpus predicate can never
+# drift apart (or away from their DuckDB twins).
+
+
+def _stopword_count_expr(toks: Column) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+
+def _quality_ppm_expr(toks: Column, col: str) -> Column:
+    """score_ppm = 400000·[5<=n_tokens<=5000] + 300000·[2<=mean_tok_len<=12]
+    + floor(300000·alpha/chars) — see with_quality_score."""
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(col))
+    alpha_chars = F.length(F.regexp_replace(F.col(col), "[^A-Za-z]", ""))
+    sum_tok_len = F.length(F.concat_ws("", toks))
+    len_ok = (n_tokens >= 5) & (n_tokens <= 5000)
+    tok_ok = (
+        (sum_tok_len >= 2 * n_tokens)
+        & (sum_tok_len <= 12 * n_tokens)
+        & (n_tokens > 0)
+    )
+    return (
+        F.when(len_ok, 400_000).otherwise(0)
+        + F.when(tok_ok, 300_000).otherwise(0)
+        + F.when(
+            n_chars > 0, F.floor(F.lit(300_000) * alpha_chars / n_chars)
+        ).otherwise(F.lit(0))
+    )
+
+
+def _dup_ppm_expr(grams: Column) -> Column:
+    """ppm of n-grams that repeat an earlier identical n-gram."""
+    total = F.size(grams)
+    dups = total - F.size(F.array_distinct(grams))
+    return (
+        F.when(total > 0, F.floor(F.lit(1_000_000) * dups / total))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def _top_run_count_expr(toks: Column) -> Column:
+    """Max token frequency == longest run of equal values in the sorted
+    token array, O(n log n) per doc (a distinct×filter scan is
+    O(tokens·distinct) and dominates on long documents).  The initial
+    prev='' can never match a real token (the tokenizer emits no empty
+    tokens)."""
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
 
 
 # -- quality scoring --------------------------------------------------------------
@@ -151,13 +215,7 @@ def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     sum_tok_len = F.length(F.concat_ws("", toks))
     alpha_ppm = F.when(n_chars > 0, F.floor(F.lit(1_000_000) * alpha_chars / n_chars)).otherwise(F.lit(0))
     mean_tok_ppm = F.when(n_tokens > 0, F.floor(F.lit(1_000_000) * sum_tok_len / n_tokens)).otherwise(F.lit(0))
-    len_ok = (n_tokens >= 5) & (n_tokens <= 5000)
-    tok_ok = (sum_tok_len >= 2 * n_tokens) & (sum_tok_len <= 12 * n_tokens) & (n_tokens > 0)
-    score_ppm = (
-        F.when(len_ok, 400_000).otherwise(0)
-        + F.when(tok_ok, 300_000).otherwise(0)
-        + F.when(n_chars > 0, F.floor(F.lit(300_000) * alpha_chars / n_chars)).otherwise(F.lit(0))
-    )
+    score_ppm = _quality_ppm_expr(toks, col)
     return (
         df.withColumn("__q_toks", tokens_col(col))
         .withColumn("n_tokens", n_tokens.cast("long"))
@@ -232,33 +290,9 @@ def with_repetition_signals(df: DataFrame, col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
 
     def dup_ppm(n: int) -> Column:
-        grams = F.col(f"__rep_g{n}")
-        total = F.size(grams)
-        dups = total - F.size(F.array_distinct(grams))
-        return (
-            F.when(total > 0, F.floor(F.lit(1_000_000) * dups / total))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
+        return _dup_ppm_expr(F.col(f"__rep_g{n}"))
 
-    # max token frequency == longest run of equal values in the sorted
-    # token array; the initial prev='' can never match a real token (the
-    # tokenizer emits no empty tokens)
-    top_cnt = F.aggregate(
-        F.array_sort(toks),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
-    )
+    top_cnt = _top_run_count_expr(toks)
     top_ppm = (
         F.when(n_tok > 0, F.floor(F.lit(1_000_000) * top_cnt / n_tok))
         .otherwise(F.lit(0))
@@ -331,73 +365,34 @@ def filter_corpus(
     # no codegen CSE ever deduplicates the copies.  A lambda variable
     # cannot be substituted — the expression stays single-evaluation no
     # matter where the optimizer moves it.
-    n_chars = F.length(F.col(col))
-    alpha_chars = F.length(F.regexp_replace(F.col(col), "[^A-Za-z]", ""))
-
     def pred_of(toks: Column) -> Column:
         n_tokens = F.size(toks)
-        sum_tok_len = F.length(F.concat_ws("", toks))
-        len_ok = (n_tokens >= 5) & (n_tokens <= 5000)
-        tok_ok = (
-            (sum_tok_len >= 2 * n_tokens)
-            & (sum_tok_len <= 12 * n_tokens)
-            & (n_tokens > 0)
-        )
-        quality_ppm = (
-            F.when(len_ok, 400_000).otherwise(0)
-            + F.when(tok_ok, 300_000).otherwise(0)
-            + F.when(
-                n_chars > 0, F.floor(F.lit(300_000) * alpha_chars / n_chars)
-            ).otherwise(F.lit(0))
-        )
-
-        def dup_ppm_of(grams: Column) -> Column:
-            total = F.size(grams)
-            dups = total - F.size(F.array_distinct(grams))
-            return (
-                F.when(total > 0, F.floor(F.lit(1_000_000) * dups / total))
-                .otherwise(F.lit(0))
-                .cast("long")
-            )
-
         # nested let: the trigram array is also bound once
         dup3_ok = F.element_at(
             F.transform(
                 F.array(_ngram_col(toks, 3)),
-                lambda g3: dup_ppm_of(g3) <= max_dup_trigram_ppm,
+                lambda g3: _dup_ppm_expr(g3) <= max_dup_trigram_ppm,
             ),
             1,
         )
-        top_cnt = F.aggregate(
-            F.array_sort(toks),
-            F.struct(
-                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-            ),
-            lambda acc, t: F.struct(
-                t.alias("prev"),
-                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-                F.greatest(
-                    acc.best,
-                    F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-                ).alias("best"),
-            ),
-            lambda acc: acc.best,
-        )
         top_ppm = (
-            F.when(n_tokens > 0, F.floor(F.lit(1_000_000) * top_cnt / n_tokens))
+            F.when(
+                n_tokens > 0,
+                F.floor(F.lit(1_000_000) * _top_run_count_expr(toks) / n_tokens),
+            )
             .otherwise(F.lit(0))
             .cast("long")
         )
         keep = (
             (n_tokens >= min_tokens)
             & (n_tokens <= max_tokens)
-            & (quality_ppm >= min_quality_ppm)
+            & (_quality_ppm_expr(toks, col) >= min_quality_ppm)
             & dup3_ok
             & (top_ppm <= max_top_token_ppm)
         )
         if lang is not None:
-            stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-            n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            n_stop = _stopword_count_expr(toks)
+            # same default threshold as with_lang_id (threshold_pct=8)
             is_en = (n_tokens > 0) & (n_stop * 100 >= n_tokens * 8)
             lang_pred = F.when(is_en, F.lit("en")).otherwise(F.lit("unk"))
             keep = keep & (lang_pred == F.lit(lang))

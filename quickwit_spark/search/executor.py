@@ -809,6 +809,40 @@ def _count_only_row(split_id: str, num_hits: int) -> pd.DataFrame:
     )
 
 
+def select_strategy(ast, request: SearchRequest, mode: str = "topk") -> str:
+    """The ONE place that picks the leaf scoring strategy — shared by
+    make_split_scorer (which executes it) and explain (which reports it),
+    so introspection can never drift from what the leaf actually runs.
+
+    * ``match_all_scan`` — '*' (constant score, zero postings decode)
+    * ``block_max_wand`` — single unfiltered term (block skipping)
+    * ``maxscore_union`` — pure unboosted term disjunction (counted-but-
+      unscored pruning; per-clause boosts fall back — the bounds assume
+      weight 1.0)
+    * ``full_eval`` — everything else (boolean eval + BM25 over matches)
+    """
+    unfiltered_topk = (
+        mode == "topk"
+        and request.sort_by_field is None
+        and request.start_timestamp is None
+        and request.end_timestamp is None
+    )
+    if isinstance(ast, AllQuery):
+        return "match_all_scan"
+    if unfiltered_topk and isinstance(ast, TermQuery):
+        return "block_max_wand"
+    if (
+        unfiltered_topk
+        and isinstance(ast, BoolQuery)
+        and not ast.must
+        and not ast.must_not
+        and len(ast.should) >= 2
+        and all(isinstance(c, TermQuery) and c.boost == 1.0 for c in ast.should)
+    ):
+        return "maxscore_union"
+    return "full_eval"
+
+
 def make_split_scorer(
     config: IndexConfig,
     gstats: dict,
@@ -831,21 +865,9 @@ def make_split_scorer(
     ts_lo, ts_hi = request.start_timestamp, request.end_timestamp
     sort_field = request.sort_by_field
     fetch = mode == "topk" and index_dir is not None
-    unfiltered_topk = (
-        mode == "topk" and sort_field is None and ts_lo is None and ts_hi is None
-    )
-    single_term_wand = unfiltered_topk and isinstance(ast, TermQuery)
-    # pure disjunction of term queries → MaxScore (exact count, pruned
-    # scoring); any must/must_not/phrase falls back to full evaluation,
-    # and so do per-clause boosts (MaxScore's bounds assume weight 1.0)
-    disjunction_maxscore = (
-        unfiltered_topk
-        and isinstance(ast, BoolQuery)
-        and not ast.must
-        and not ast.must_not
-        and len(ast.should) >= 2
-        and all(isinstance(c, TermQuery) and c.boost == 1.0 for c in ast.should)
-    )
+    strategy = select_strategy(ast, request, mode)
+    single_term_wand = strategy == "block_max_wand"
+    disjunction_maxscore = strategy == "maxscore_union"
 
     lens_tracked = set(config.lens_tracked_fields) | {"text"}
     f_cols = fetch_cols(config)
@@ -1722,45 +1744,62 @@ def _search_rows(
     The leaf task fetches its winners' stored fields itself (one Spark job
     per query total); the driver merge (merge_fruits analog, root.rs:170-232)
     then just sorts <= splits*(offset+k) fully-materialized rows and pages."""
-    cat, config = open_index(spark, index_dir)
-    request = resolve_sort(request, config)
-    only_split_ids: set[str] | None = None
-    meta_count = 0
-    if request.max_hits == 0 and request.start_offset == 0:
-        ast = parse_query(request.query, config, request.search_fields)
-        if isinstance(ast, AllQuery):
-            # match-all count: every doc in a split counts, so any split
-            # FULLY inside the time range (or any split at all when no
-            # range is given) is answered from catalog metadata — zero
-            # Spark jobs, zero split reads.  Only time-range BOUNDARY
-            # splits run the leaf (the root-level twin of the reference's
-            # whole-segment timestamp skip, filters.rs:64-66).  At 10^4
-            # splits / 100 TB a total-count request costs one catalog read.
-            lo, hi = request.start_timestamp, request.end_timestamp
-
-            def fully_inside(s) -> bool:
-                if lo is None and hi is None:
-                    return True
-                if s.ts_min is None or s.ts_max is None:
-                    return False
-                return (lo is None or s.ts_min >= lo) and (hi is None or s.ts_max < hi)
-
-            splits = prune_splits(cat, config, ast, request)
-            meta_count = sum(s.num_docs for s in splits if fully_inside(s))
-            only_split_ids = {s.split_id for s in splits if not fully_inside(s)}
-            if not only_split_ids:
-                return [], meta_count
     for attempt in (0, 1):
+        cat, config = open_index(spark, index_dir)
+        req = resolve_sort(request, config)
+        only_split_ids: set[str] | None = None
+        meta_count = 0
+        cat_token = None
+        if req.max_hits == 0 and req.start_offset == 0:
+            ast = parse_query(req.query, config, req.search_fields)
+            if isinstance(ast, AllQuery):
+                # match-all count: every doc in a split counts, so any split
+                # FULLY inside the time range (or any split at all when no
+                # range is given) is answered from catalog metadata — zero
+                # Spark jobs, zero split reads.  Only time-range BOUNDARY
+                # splits run the leaf (the root-level twin of the reference's
+                # whole-segment timestamp skip, filters.rs:64-66).  At 10^4
+                # splits / 100 TB a total-count request costs one catalog
+                # read.  Recomputed on every retry attempt and cross-checked
+                # against the catalog state token after the leaf: the leaf
+                # re-reads the catalog itself, so a concurrent merge commit
+                # between the two reads would otherwise count a replaced
+                # boundary split in neither half.
+                lo, hi = req.start_timestamp, req.end_timestamp
+
+                def fully_inside(s) -> bool:
+                    if lo is None and hi is None:
+                        return True
+                    if s.ts_min is None or s.ts_max is None:
+                        return False
+                    return (lo is None or s.ts_min >= lo) and (
+                        hi is None or s.ts_max < hi
+                    )
+
+                cat_token = Catalog.state_token(index_dir)
+                splits = prune_splits(cat, config, ast, req)
+                meta_count = sum(s.num_docs for s in splits if fully_inside(s))
+                only_split_ids = {s.split_id for s in splits if not fully_inside(s)}
+                if not only_split_ids:
+                    # pure-metadata answer from ONE atomic catalog read
+                    return [], meta_count
         try:
-            hit_rows = _leaf_hit_rows(spark, index_dir, request, only_split_ids)
+            hit_rows = _leaf_hit_rows(spark, index_dir, req, only_split_ids)
+            if cat_token is not None and Catalog.state_token(index_dir) != cat_token:
+                # catalog changed between the metadata count and the leaf
+                if attempt:
+                    raise SplitVanishedError(
+                        "catalog changed twice during a metadata-count query"
+                    )
+                continue
             # keyed per (split, range): sub-split units report disjoint
             # counts that SUM to the split's exact total
             per_unit_hits: dict[tuple[str, int], int] = {}
             for r in hit_rows:
                 per_unit_hits[(r["split_id"], r.get("__lo", 0))] = int(r["split_num_hits"])
             num_hits = meta_count + sum(per_unit_hits.values())
-            hit_rows.sort(key=_sort_key(request))
-            page = hit_rows[request.start_offset : request.start_offset + request.max_hits]
+            hit_rows.sort(key=_sort_key(req))
+            page = hit_rows[req.start_offset : req.start_offset + req.max_hits]
             if page and "conv_id" not in page[0]:
                 _fetch_page_fields(index_dir, page)
             return page, num_hits
@@ -1847,7 +1886,8 @@ def _term_bucket_of(field: str, term: str, n_buckets: int) -> int:
 def explain(spark: SparkSession, index_dir: str, request: SearchRequest) -> dict:
     """Driver-side query-plan introspection — runs the SAME planning as a
     real search (parse → prune → stats) but never launches the leaf.
-    Mirrors make_split_scorer's strategy selection; keep the two in sync.
+    Strategy comes from select_strategy, the same function the scorer
+    executes, so the report cannot drift from the actual plan.
 
     Returns which splits survive time/tag pruning, the scoring strategy
     the leaf would run (metadata-only count / block-max WAND / MaxScore /
@@ -1863,30 +1903,12 @@ def explain(spark: SparkSession, index_dir: str, request: SearchRequest) -> dict
     terms = sorted(collect_terms(ast))
     buckets = term_buckets(spark, set(terms), config.term_merge_buckets)
     gstats = global_term_stats(spark, index_dir, cat, set(terms), buckets)
-    unfiltered_topk = (
-        request.sort_by_field is None
-        and request.start_timestamp is None
-        and request.end_timestamp is None
-    )
     count_only = request.max_hits == 0 and request.start_offset == 0
-    if isinstance(ast, AllQuery):
-        no_range = request.start_timestamp is None and request.end_timestamp is None
-        strategy = (
-            "match_all_metadata_count" if (count_only and no_range) else "match_all_scan"
-        )
-    elif unfiltered_topk and isinstance(ast, TermQuery):
-        strategy = "block_max_wand"
-    elif (
-        unfiltered_topk
-        and isinstance(ast, BoolQuery)
-        and not ast.must
-        and not ast.must_not
-        and len(ast.should) >= 2
-        and all(isinstance(c, TermQuery) and c.boost == 1.0 for c in ast.should)
-    ):
-        strategy = "maxscore_union"
-    else:
-        strategy = "full_eval"
+    no_range = request.start_timestamp is None and request.end_timestamp is None
+    strategy = select_strategy(ast, request)
+    if strategy == "match_all_scan" and count_only and no_range:
+        # the root answers this from catalog metadata before any leaf runs
+        strategy = "match_all_metadata_count"
     est = _est_split_rows(ast, gstats, len(splits))
     in_process = strategy == "match_all_metadata_count" or (
         len(splits) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8"))

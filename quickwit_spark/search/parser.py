@@ -322,12 +322,18 @@ class _Parser:
 def _parse_boost(s: str) -> float | None:
     """Numeric boost value or None if ``s`` isn't one (then the '^' is
     treated as literal term text, which the analyzer strips — lenient
-    where tantivy's grammar would hard-error)."""
+    where tantivy's grammar would hard-error).  A VALID number that is
+    zero, negative, or NaN is an explicit error: boost 0 zeroes every
+    score, collapsing ranking to pure tie-break order — the pruned
+    top-k paths select candidates by unboosted score first, so results
+    would silently diverge from full evaluation."""
     try:
         b = float(_unescape(s))
     except ValueError:
         return None
-    return b if b >= 0.0 and b == b else None  # reject negatives and NaN
+    if not (b > 0.0):  # rejects 0, negatives, and NaN in one comparison
+        raise QueryParserError(f"boost must be a positive number: ^{s}")
+    return b
 
 
 def _split_boost(text: str) -> tuple[str, float]:
