@@ -243,7 +243,11 @@ def cmd_bench_queries(args) -> dict:
 
 def cmd_search(args) -> dict:
     from quickwit_spark.search.executor import explain, search
-    from quickwit_spark.search.request import SearchRequest, parse_sort_by_dsl
+    from quickwit_spark.search.request import (
+        SearchRequest,
+        parse_search_after,
+        parse_sort_by_dsl,
+    )
 
     spark = _get_spark("qw-search", args.local_cpus, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
@@ -259,6 +263,7 @@ def cmd_search(args) -> dict:
         ),
         sort_by_field=sort_field,
         sort_asc=sort_asc,
+        search_after=parse_search_after(getattr(args, "search_after", None)),
         snippet_fields=(
             tuple(args.snippet_fields.split(","))
             if getattr(args, "snippet_fields", None)
@@ -726,6 +731,12 @@ def main(argv=None):
         "fragments for (hit['snippets'])",
     )
     s.add_argument("--snippet-max-chars", type=int, default=150)
+    s.add_argument(
+        "--search-after", default=None,
+        help="cursor pagination: '<sortValueOrScore>,<split_id>,<doc_id>' of "
+        "the previous page's last hit — O(k) deep paging (vs --start-offset's "
+        "O(offset)); mutually exclusive with --start-offset",
+    )
     s.add_argument(
         "--explain", action="store_true",
         help="print the query plan (split pruning, leaf strategy, per-term "

@@ -27,7 +27,7 @@ from .pipeline import sampling as smp
 from .pipeline import similarity as sim
 from .pipeline import text as tx
 from .pipeline.multimodal import extract_features, synthesize_assets
-from .search.executor import search_df, search_stream
+from .search.executor import search, search_df, search_stream
 from .search.request import SearchRequest
 
 TOKS = DUCKDB_TOKENIZE_LIST.format(col="text")
@@ -208,6 +208,22 @@ def ft_match_all(spark, sf_dir):
     idx = documents_index(spark, sf_dir)
     req = SearchRequest("*", max_hits=10, sort_by_field="ts")
     out = search_df(spark, idx, req)
+    return out.select(F.col("ts_epoch").alias("doc_id"))
+
+
+def ft_search_after(spark, sf_dir):
+    """Cursor pagination: page 2 of a ts-sorted result fetched via the
+    page-1 tail cursor (search_after), not an offset — O(k) at any depth."""
+    idx = documents_index(spark, sf_dir)
+    p1 = SearchRequest("merge", max_hits=10, sort_by_field="ts")
+    last = search(spark, idx, p1).hits[-1]
+    p2 = SearchRequest(
+        "merge",
+        max_hits=10,
+        sort_by_field="ts",
+        search_after=(last["sort_value"], last["split_id"], last["doc_id"]),
+    )
+    out = search_df(spark, idx, p2)
     return out.select(F.col("ts_epoch").alias("doc_id"))
 
 
@@ -675,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_turn_idx": ft_sort_by_turn_idx,
         "ft_boost": ft_boost,
         "ft_match_all": ft_match_all,
+        "ft_search_after": ft_search_after,
         "ft_count": ft_count,
         "ft_stream_export": ft_stream_export,
         "ft_agg_histogram": ft_agg_histogram,
@@ -768,6 +785,11 @@ ORDER BY doc_id ASC LIMIT 10""",
         ),
         "ft_match_all": """
 SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 10""",
+        "ft_search_after": f"""{BM25_CTE}
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+SELECT doc_id FROM m
+WHERE doc_id < (SELECT doc_id FROM m ORDER BY doc_id DESC LIMIT 1 OFFSET 9)
+ORDER BY doc_id DESC LIMIT 10""",
         "ft_count": f"""{BM25_CTE}
 SELECT count(DISTINCT doc_id) AS num_hits FROM tf WHERE term = 'query'""",
         "ft_stream_export": f"""{BM25_CTE}

@@ -826,6 +826,9 @@ def select_strategy(ast, request: SearchRequest, mode: str = "topk") -> str:
         and request.sort_by_field is None
         and request.start_timestamp is None
         and request.end_timestamp is None
+        # a cursor needs the docs BELOW the pruned paths' thresholds —
+        # WAND/MaxScore would re-return the already-seen top-k
+        and request.search_after is None
     )
     if isinstance(ast, AllQuery):
         return "match_all_scan"
@@ -1014,6 +1017,25 @@ def make_split_scorer(
             sv = _fast_field_values(sort_field, ff_pdf, lens, docs)
         else:
             sv = np.zeros(len(docs), np.int64)
+
+        if request.search_after is not None and mode == "topk":
+            # cursor pagination: drop rows at-or-before the cursor in
+            # result order, BEFORE the top-k — num_hits (computed above)
+            # stays the full count.  Equal primary values break by the
+            # reference (split_id, doc_id) order; within one split the
+            # split_id comparison is a scalar.
+            c_v, c_split, c_doc = request.search_after
+            prim = sv if sort_field is not None else scores
+            asc = request.sort_asc if sort_field is not None else False
+            after_prim = (prim > c_v) if asc else (prim < c_v)
+            if split_id > c_split:
+                key_after = np.ones(len(docs), bool)
+            elif split_id == c_split:
+                key_after = docs > c_doc
+            else:
+                key_after = np.zeros(len(docs), bool)
+            keep = after_prim | ((prim == c_v) & key_after)
+            docs, scores, sv = docs[keep], scores[keep], sv[keep]
 
         if mode == "stream":
             take = np.arange(len(docs))
@@ -1744,6 +1766,14 @@ def _search_rows(
     The leaf task fetches its winners' stored fields itself (one Spark job
     per query total); the driver merge (merge_fruits analog, root.rs:170-232)
     then just sorts <= splits*(offset+k) fully-materialized rows and pages."""
+    if request.search_after is not None:
+        if request.start_offset:
+            raise ValueError("search_after and start_offset are mutually exclusive")
+        if request.tiebreak != "reference":
+            raise ValueError(
+                "search_after requires tiebreak='reference' (the cursor's "
+                "tie order is (split_id, doc_id))"
+            )
     for attempt in (0, 1):
         cat, config = open_index(spark, index_dir)
         req = resolve_sort(request, config)
@@ -1798,6 +1828,11 @@ def _search_rows(
             for r in hit_rows:
                 per_unit_hits[(r["split_id"], r.get("__lo", 0))] = int(r["split_num_hits"])
             num_hits = meta_count + sum(per_unit_hits.values())
+            # count-only sentinel rows (doc_id=-1) carry split_num_hits for
+            # splits that contributed no page candidates (max_hits=0, or a
+            # search_after cursor past every row of the split) — they are
+            # counts, never hits
+            hit_rows = [r for r in hit_rows if r["doc_id"] >= 0]
             hit_rows.sort(key=_sort_key(req))
             page = hit_rows[req.start_offset : req.start_offset + req.max_hits]
             if page and "conv_id" not in page[0]:

@@ -30,6 +30,31 @@ class SearchRequest:
     # driver-side for the final page only (beyond-reference; snippet.py)
     snippet_fields: tuple[str, ...] | None = None
     snippet_max_chars: int = 150
+    # cursor pagination (beyond-reference, the ES search_after shape):
+    # (last_sort_value_or_score, last_split_id, last_doc_id) of the
+    # previous page's final hit — the next page returns hits strictly
+    # AFTER it in result order.  O(k) per page at any depth, vs
+    # start_offset's O(offset) leaf work; mutually exclusive with
+    # start_offset.  Ties on the primary value break by the reference
+    # (split_id, doc_id) order, so it requires tiebreak='reference'.
+    search_after: tuple | None = None
+
+
+def parse_search_after(s: str | None) -> tuple | None:
+    """``searchAfter=<value>,<split_id>,<doc_id>`` (REST/CLI form): the
+    previous page's last hit's sort value (or BM25 score, float) plus its
+    reference tie key.  Returns the SearchRequest.search_after tuple."""
+    if s is None:
+        return None
+    parts = s.split(",")
+    if len(parts) != 3:
+        raise ValueError(
+            "searchAfter must be '<sortValueOrScore>,<split_id>,<doc_id>' "
+            f"(got {s!r})"
+        )
+    raw = parts[0]
+    value = float(raw) if ("." in raw or "e" in raw.lower()) else int(raw)
+    return (value, parts[1], int(parts[2]))
 
 
 def parse_sort_by_dsl(s: str | None) -> tuple[str | None, bool]:

@@ -43,6 +43,7 @@ from urllib.parse import parse_qs, urlparse
 
 from quickwit_spark import metrics
 from quickwit_spark.index.catalog import Catalog
+from quickwit_spark.search.request import parse_search_after as _parse_search_after
 from quickwit_spark.search.request import parse_sort_by_dsl as _sort_by_mini_dsl
 
 # quickwit-serve/src/counters.rs:24-36 registers rest_api:search:num_requests
@@ -233,6 +234,7 @@ class _Handler(BaseHTTPRequestHandler):
                 ),
                 sort_by_field=sf,
                 sort_asc=s_asc,
+                search_after=_parse_search_after(qs.get("searchAfter", [None])[0]),
                 snippet_fields=(
                     tuple(qs["snippetFields"][0].split(","))
                     if "snippetFields" in qs

@@ -490,6 +490,63 @@ def test_count_only_max_hits_zero(spark, built, q):
     assert resp.num_hits == oracle.search(SearchRequest(q, max_hits=100000))["num_hits"]
 
 
+def test_search_after_cursor_pagination(spark, built):
+    """Cursor paging (beyond-reference, ES search_after shape): walking
+    pages via (last_value, split_id, doc_id) cursors reproduces the
+    offset-paged sequence exactly, for both fast-field sort and BM25
+    order; num_hits stays the full count on every page."""
+    index_dir, oracle, _ = built
+
+    def walk(req_kw, cursor_of, pages=4, k=7):
+        seen, cursor = [], None
+        for _ in range(pages):
+            req = SearchRequest(max_hits=k, search_after=cursor, **req_kw)
+            resp = search(spark, index_dir, req)
+            if not resp.hits:
+                break
+            seen.extend(resp.hits)
+            assert resp.num_hits == want_total
+            cursor = cursor_of(resp.hits[-1])
+        return seen
+
+    # fast-field sort, both directions
+    for asc in (False, True):
+        base_kw = dict(query="error", sort_by_field="ts", sort_asc=asc)
+        want_total = search(spark, index_dir, SearchRequest(max_hits=1, **base_kw)).num_hits
+        flat = search(spark, index_dir, SearchRequest(max_hits=28, **base_kw)).hits
+        got = walk(base_kw, lambda h: (h["sort_value"], h["split_id"], h["doc_id"]))
+        assert [(h["split_id"], h["doc_id"]) for h in got] == [
+            (h["split_id"], h["doc_id"]) for h in flat
+        ]
+    # BM25 order: cursor carries the score
+    base_kw = dict(query="deploy failure")
+    want_total = search(spark, index_dir, SearchRequest(max_hits=1, **base_kw)).num_hits
+    flat = search(spark, index_dir, SearchRequest(max_hits=28, **base_kw)).hits
+    got = walk(base_kw, lambda h: (h["score"], h["split_id"], h["doc_id"]))
+    assert [(h["split_id"], h["doc_id"]) for h in got] == [
+        (h["split_id"], h["doc_id"]) for h in flat
+    ]
+    # cursor past the last hit: empty page, full count intact
+    last = flat[-1]
+    resp = search(
+        spark,
+        index_dir,
+        SearchRequest(
+            max_hits=10,
+            search_after=(0.0, last["split_id"], last["doc_id"]),
+            **base_kw,
+        ),
+    )
+    assert resp.num_hits == want_total
+    # offset + cursor is a user error
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        search(
+            spark,
+            index_dir,
+            SearchRequest("error", start_offset=3, search_after=(1, "a", 0)),
+        )
+
+
 def test_match_all_count_is_metadata_only(spark, built, monkeypatch):
     """'*' count with no time range is answered from catalog num_docs —
     the leaf must NOT run (at 10^4 splits a total count costs one catalog
