@@ -1620,6 +1620,9 @@ def multi_search(
             (r["split_id"], r.get("__lo", 0)): int(r["split_num_hits"]) for r in hit_rows
         }
         num_hits = sum(per_unit_hits.values())
+        # drop count-only sentinels (doc_id=-1): under a search_after
+        # cursor a split can contribute its count but no page rows
+        hit_rows = [r for r in hit_rows if r["doc_id"] >= 0]
         hit_rows.sort(key=_sort_key(req))
         page = hit_rows[req.start_offset : req.start_offset + req.max_hits]
         if page and "conv_id" not in page[0]:

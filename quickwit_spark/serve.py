@@ -158,6 +158,7 @@ class _Handler(BaseHTTPRequestHandler):
                         ),
                         sort_by_field=sf,
                         sort_asc=s_asc,
+                        search_after=_parse_search_after(q.get("searchAfter")),
                     )
                 )
             if not reqs:
