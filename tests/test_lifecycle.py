@@ -127,10 +127,15 @@ def test_search_during_concurrent_build_merge_gc(spark, tmp_path_factory):
         return sum("the" in tokenize_text(t) for p in pdfs for t in p["text"])
 
     valid = {0} | {count_the(batches[: i + 1]) for i in range(3)}
+    # match-all totals per published state (the metadata-count fast path
+    # races merges too: its catalog snapshot + state-token check must
+    # never produce a half-state count)
+    valid_all = {0} | {sum(len(b) for b in batches[: i + 1]) for i in range(3)}
 
     build_index(spark, spark.createDataFrame(batches[0]), cfg, idx, build_id="c0", n_splits=4)
     errors: list = []
     observed: set = set()
+    observed_all: set = set()
     stop = threading.Event()
 
     def searcher():
@@ -140,8 +145,17 @@ def test_search_during_concurrent_build_merge_gc(spark, tmp_path_factory):
             except Exception as e:  # noqa: BLE001 — record everything
                 errors.append(repr(e))
 
+    def counter():
+        while not stop.is_set():
+            try:
+                observed_all.add(search(spark, idx, SearchRequest("*", max_hits=0)).num_hits)
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
     t = threading.Thread(target=searcher)
+    t2 = threading.Thread(target=counter)
     t.start()
+    t2.start()
     try:
         for i in (1, 2):
             build_index(
@@ -153,6 +167,11 @@ def test_search_during_concurrent_build_merge_gc(spark, tmp_path_factory):
     finally:
         stop.set()
         t.join(60)
+        t2.join(60)
 
     assert not errors, errors[:3]
     assert observed and observed <= valid, (sorted(observed), sorted(valid))
+    assert observed_all and observed_all <= valid_all, (
+        sorted(observed_all),
+        sorted(valid_all),
+    )
