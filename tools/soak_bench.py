@@ -111,7 +111,14 @@ def main() -> None:
     garbage_collect(index_dir)
     merge_secs = max(round(time.monotonic() - t0, 1), 0.1)  # guard: no-op round
     merged_splits = len(Catalog(index_dir).splits())
-    for req in queries.values():  # re-warm: new split dirs
+    # fresh SEARCHER session for the merged-layout timings: after two 10M
+    # builds + a merge, this JVM's python workers hold multi-GB RSS and
+    # worker caches full of dead split data — measured 3-5x inflated
+    # latencies vs a clean process.  A real deployment never runs the
+    # searcher inside the indexer's executors either.
+    spark.stop()
+    spark = get_spark(str(args.cpus))
+    for req in queries.values():  # re-warm: new split dirs, new workers
         search(spark, index_dir, req)
     mtimes: dict[str, list] = {k: [] for k in queries}
     for _ in range(args.repeats):
