@@ -200,6 +200,25 @@ class OracleIndex:
             else:
                 ordered = sorted(scored, key=lambda sk: (-sk[0], sk[1][0], sk[1][1]))
             hits = [{"split_id": k[0], "doc_id": k[1], "score": s} for s, k in ordered]
+        if request.search_after is not None:
+            # cursor paging: drop everything at-or-before the cursor in
+            # result order (the engine filters per split; the oracle just
+            # slices its fully-ordered list — same semantics)
+            c_v, c_split, c_doc = request.search_after
+            if request.sort_by_field is not None:
+                sign = 1 if request.sort_asc else -1
+
+                def before_or_at(h):
+                    k = (sign * h["score"], h["split_id"], h["doc_id"])
+                    return k <= (sign * c_v, c_split, c_doc)
+
+            else:
+
+                def before_or_at(h):
+                    k = (-h["score"], h["split_id"], h["doc_id"])
+                    return k <= (-c_v, c_split, c_doc)
+
+            hits = [h for h in hits if not before_or_at(h)]
         lo, hi = request.start_offset, request.start_offset + request.max_hits
         hits = hits[lo:hi]
         for h in hits:

@@ -7,6 +7,7 @@ bounds, offsets, fast-field sort) the way the reference's proptest suites
 stress merge/demux invariants (merge_executor.rs:1111-1151)."""
 
 import os
+from dataclasses import replace as _dc_replace
 
 import numpy as np
 import pytest
@@ -165,3 +166,30 @@ def test_random_query_rank_identity(spark, built, req):
     got_key = "sort_value" if req.sort_by_field is not None else "score"
     for g, w in zip(resp.hits, exp["hits"]):
         assert g[got_key] == pytest.approx(w["score"], rel=1e-6), req
+    # cursor follow-up: page 2 via search_after from this page's last hit
+    # must rank-match the oracle's cursor page (reference tiebreak only;
+    # BM25 cursors need the exact engine score, so use the engine's value)
+    if resp.hits and req.start_offset == 0 and req.tiebreak == "reference":
+        last = resp.hits[-1]
+        # each side gets ITS OWN score for the cursor: cursor equality is
+        # exact-float (same engine recomputes the same value), but engine
+        # and oracle BM25 sums differ in the last ulp — page-1 rank
+        # identity above already proves the cursor doc is the same
+        req2 = _dc_replace(
+            req, search_after=(last[got_key], last["split_id"], last["doc_id"])
+        )
+        resp2 = search(spark, index_dir, req2)
+        exp2 = oracle.search(
+            _dc_replace(
+                req,
+                search_after=(
+                    exp["hits"][-1]["score"],
+                    last["split_id"],
+                    last["doc_id"],
+                ),
+            )
+        )
+        assert resp2.num_hits == exp["num_hits"], req2
+        got2 = [(h["split_id"], h["doc_id"]) for h in resp2.hits]
+        want2 = [(h["split_id"], h["doc_id"]) for h in exp2["hits"]]
+        assert got2 == want2, f"req={req2}\ngot:  {got2}\nwant: {want2}"
