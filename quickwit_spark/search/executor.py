@@ -1001,7 +1001,12 @@ def make_split_scorer(
                 avg = gstats["avg_len"].get(field, 1.0) or 1.0
                 term_idf = bm25_idf(gstats["df"].get((field, term), 0), gstats["num_docs"])
                 w = pos_weights.get((field, term), 1.0)
-                scores[pv] += w * term_idf * tf_norm(tf, dl, avg)
+                # (idf·tf_norm)·w, NOT w·idf·tf_norm: float association
+                # must match the WAND path's post-scale exactly, or a
+                # boosted term's score differs in the last ulp between
+                # strategies and exact-score search_after cursors break
+                base = term_idf * tf_norm(tf, dl, avg)
+                scores[pv] += base * w if w != 1.0 else base
 
         if len(docs) == 0:
             if num_hits > 0:
@@ -1025,6 +1030,14 @@ def make_split_scorer(
             # reference (split_id, doc_id) order; within one split the
             # split_id comparison is a scalar.
             c_v, c_split, c_doc = request.search_after
+            if sort_field is not None and isinstance(c_v, float):
+                # int64 discipline: comparing an int64 sort array against
+                # a float cursor upcasts to float64 and collapses distinct
+                # values above 2^53 (parse_search_after normalizes
+                # integral floats; anything left is a user error)
+                raise ValueError(
+                    f"sort-field search_after value must be an integer (got {c_v!r})"
+                )
             prim = sv if sort_field is not None else scores
             asc = request.sort_asc if sort_field is not None else False
             after_prim = (prim > c_v) if asc else (prim < c_v)
@@ -1549,6 +1562,19 @@ def multi_search(
     if any(r.tiebreak == "global_key" for r in requests):
         raise ValueError("multi_search supports only the 'reference' tiebreak")
     cat, config = open_index(spark, index_dir)
+    live_sids = {s.split_id for s in cat.splits()}
+    for r in requests:
+        # same user-input contract as the single-query path (_search_rows)
+        if r.search_after is not None:
+            if r.start_offset:
+                raise ValueError(
+                    "search_after and start_offset are mutually exclusive"
+                )
+            if r.search_after[1] not in live_sids:
+                raise ValueError(
+                    f"stale search_after cursor: split {r.search_after[1]!r} "
+                    "no longer exists (replaced by a merge) — restart pagination"
+                )
     requests = [resolve_sort(r, config) for r in requests]
     plans = []
     all_terms: set[tuple[str, str]] = set()
@@ -1780,6 +1806,18 @@ def _search_rows(
     for attempt in (0, 1):
         cat, config = open_index(spark, index_dir)
         req = resolve_sort(request, config)
+        if req.search_after is not None and req.search_after[1] not in {
+            s.split_id for s in cat.splits()
+        }:
+            # a merge/demux replaced the cursor's split: its tie key is
+            # meaningless against the new split ids — comparing anyway
+            # would silently duplicate the boundary doc or skip tie-group
+            # rows.  Loud failure; the client restarts pagination (ES
+            # solves the same problem with point-in-time contexts).
+            raise ValueError(
+                f"stale search_after cursor: split {req.search_after[1]!r} "
+                "no longer exists (replaced by a merge) — restart pagination"
+            )
         only_split_ids: set[str] | None = None
         meta_count = 0
         cat_token = None

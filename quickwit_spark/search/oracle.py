@@ -205,18 +205,17 @@ class OracleIndex:
             # result order (the engine filters per split; the oracle just
             # slices its fully-ordered list — same semantics)
             c_v, c_split, c_doc = request.search_after
-            if request.sort_by_field is not None:
-                sign = 1 if request.sort_asc else -1
+            # BM25 order is just the sign=-1 (descending) case of the
+            # sort-field comparison; both key on the 'score' slot
+            sign = (
+                (1 if request.sort_asc else -1)
+                if request.sort_by_field is not None
+                else -1
+            )
 
-                def before_or_at(h):
-                    k = (sign * h["score"], h["split_id"], h["doc_id"])
-                    return k <= (sign * c_v, c_split, c_doc)
-
-            else:
-
-                def before_or_at(h):
-                    k = (-h["score"], h["split_id"], h["doc_id"])
-                    return k <= (-c_v, c_split, c_doc)
+            def before_or_at(h):
+                k = (sign * h["score"], h["split_id"], h["doc_id"])
+                return k <= (sign * c_v, c_split, c_doc)
 
             hits = [h for h in hits if not before_or_at(h)]
         lo, hi = request.start_offset, request.start_offset + request.max_hits

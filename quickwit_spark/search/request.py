@@ -40,21 +40,39 @@ class SearchRequest:
     search_after: tuple | None = None
 
 
-def parse_search_after(s: str | None) -> tuple | None:
-    """``searchAfter=<value>,<split_id>,<doc_id>`` (REST/CLI form): the
-    previous page's last hit's sort value (or BM25 score, float) plus its
-    reference tie key.  Returns the SearchRequest.search_after tuple."""
+def parse_search_after(s) -> tuple | None:
+    """``searchAfter=<value>,<split_id>,<doc_id>`` (REST query-string/CLI
+    form) or the ES-style JSON array ``[value, split_id, doc_id]`` (batch
+    body): the previous page's last hit's sort value (or BM25 score,
+    float) plus its reference tie key.  Integral float values normalize
+    to int — sort-field cursors compare against int64 arrays, and a
+    float64 cursor would collapse distinct values above 2^53 (the same
+    discipline _fast_field_values enforces)."""
     if s is None:
         return None
-    parts = s.split(",")
-    if len(parts) != 3:
-        raise ValueError(
-            "searchAfter must be '<sortValueOrScore>,<split_id>,<doc_id>' "
-            f"(got {s!r})"
-        )
-    raw = parts[0]
-    value = float(raw) if ("." in raw or "e" in raw.lower()) else int(raw)
-    return (value, parts[1], int(parts[2]))
+    if isinstance(s, (list, tuple)):
+        if len(s) != 3:
+            raise ValueError(
+                f"searchAfter must be [value, split_id, doc_id] (got {s!r})"
+            )
+        value, split_id, doc_id = s
+        if not isinstance(value, (int, float)):
+            raise ValueError(f"searchAfter value must be numeric (got {value!r})")
+    elif isinstance(s, str):
+        parts = s.split(",")
+        if len(parts) != 3:
+            raise ValueError(
+                "searchAfter must be '<sortValueOrScore>,<split_id>,<doc_id>' "
+                f"(got {s!r})"
+            )
+        raw = parts[0]
+        value = float(raw) if ("." in raw or "e" in raw.lower()) else int(raw)
+        split_id, doc_id = parts[1], parts[2]
+    else:
+        raise ValueError(f"searchAfter must be a string or 3-element array (got {s!r})")
+    if isinstance(value, float) and value.is_integer():
+        value = int(value)
+    return (value, str(split_id), int(doc_id))
 
 
 def parse_sort_by_dsl(s: str | None) -> tuple[str | None, bool]:

@@ -247,6 +247,13 @@ class _Handler(BaseHTTPRequestHandler):
                 fast_field = qs.get("fastField", [None])[0]
                 if fast_field is None:
                     return self._err(400, "missing required param 'fastField'")
+                if req.search_after is not None:
+                    # the stream leaf exports EVERY matching doc (no top-k
+                    # order), so a cursor has no meaning — reject rather
+                    # than silently re-export everything
+                    return self._err(
+                        400, "searchAfter is not supported on /search/stream"
+                    )
                 fmt = qs.get("outputFormat", ["csv"])[0]
                 if fmt not in ("csv", "clickHouseRowBinary"):
                     return self._err(400, f"unsupported outputFormat {fmt!r}")

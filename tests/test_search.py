@@ -537,7 +537,7 @@ def test_search_after_cursor_pagination(spark, built):
             **base_kw,
         ),
     )
-    assert resp.num_hits == want_total
+    assert resp.num_hits == want_total and resp.hits == []
     # offset + cursor is a user error
     with pytest.raises(ValueError, match="mutually exclusive"):
         search(
