@@ -173,3 +173,39 @@ def test_sqlite_metastore_end_to_end(spark, tmp_path):
         assert _hits_key(search(spark, dirs["sqlite"], req)) == _hits_key(
             search(spark, dirs["json"], req)
         ), req.query
+
+
+def test_object_store_reset_and_create_overwrite(spark, tmp_path_factory):
+    """reset_index and `create --overwrite` must work on object-store URIs:
+    shutil.rmtree silently no-ops on a non-local URI, so a path-based
+    delete would leave the OLD catalog (config/checkpoints/termstats) to
+    be silently picked up by the new create (review finding)."""
+    import argparse
+
+    from quickwit_spark.cli import cmd_create
+    from quickwit_spark.index.merge import reset_index
+
+    base = tmp_path_factory.mktemp("objstore-reset")
+    idx = f"qwsim://{base}/idx"
+    pdf = generate_transcripts(n_conversations=10, seed=11)
+    build_index(spark, spark.createDataFrame(pdf), CFG, idx, build_id="b0")
+    assert search(spark, idx, SearchRequest("the", max_hits=1)).num_hits > 0
+
+    r = reset_index(idx)
+    assert r["splits_reset"] > 0
+    cat = Catalog(idx)
+    assert cat.splits() == [] and cat.checkpoint() == {}
+    assert cat.config_dict is not None  # config survives a reset
+
+    # create --overwrite on the object store: the old catalog must NOT
+    # leak into the fresh index (old config had split target 600)
+    out = cmd_create(
+        argparse.Namespace(
+            index_dir=idx, config=None, split_docs=123, segment_docs=45,
+            metastore=None, overwrite=True,
+        )
+    )
+    assert "error" not in out
+    fresh = Catalog(idx)
+    assert fresh.splits() == []
+    assert fresh.config_dict["split_num_docs_target"] == 123
