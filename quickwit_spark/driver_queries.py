@@ -670,6 +670,17 @@ def mm_features(spark, sf_dir):
     )
 
 
+def mm_real_decode(spark, sf_dir):
+    """REAL container decode (WAV PCM via stdlib wave + numpy DSP, PPM/P6
+    raw RGB) through the same mapInPandas plumbing — rows-only check:
+    binary container parsing is not SQL-expressible in DuckDB."""
+    from .pipeline.multimodal import synthesize_real_assets
+
+    assets = synthesize_real_assets(spark, n=48)
+    out = extract_features(assets, decoder="real", dim=16)
+    return out.select("asset_id", "media_type", "n_bytes", F.size("feature").alias("dim"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -740,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": sim_near_dup,
         "sim_semdedup": sim_semdedup,
         "mm_features": mm_features,
+        "mm_real_decode": mm_real_decode,
     }
 
 
