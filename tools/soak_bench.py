@@ -128,7 +128,7 @@ def main() -> None:
             mtimes[name].append(time.monotonic() - t0)
 
     out = {
-        "metric": "10M-turn soak: build turns/sec + query p50",
+        "metric": f"{n_turns / 1e6:.0f}M-turn soak: build turns/sec + query p50",
         "turns": n_turns,
         "build_secs_best": round(best, 1),
         "turns_per_sec_best": round(n_turns / best, 0),
