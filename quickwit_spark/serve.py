@@ -71,6 +71,31 @@ def _int_or_none(qs: dict, key: str):
     return int(v) if v is not None else None
 
 
+# The reference derives its query-string structs with
+# serde(deny_unknown_fields) (rest.rs:124-127, 224-227): an unrecognized
+# parameter is a 400, never a silent default. Same contract here, with
+# our extensions (searchAfter / snippets / explain / agg*) in the search
+# set; the stream set is exactly the reference's
+# SearchStreamRequestQueryString fields.
+_SEARCH_PARAMS = frozenset(
+    {
+        "query", "searchField", "startTimestamp", "endTimestamp",
+        "maxHits", "startOffset", "format", "sortByField",
+        "searchAfter", "snippetFields", "snippetMaxChars", "explain",
+        "aggHistogramInterval", "aggTermsField", "aggTermsSize",
+        "aggTermsMetricField", "aggStatsField", "aggPercentilesField",
+        "aggCardinalityField", "aggSignificantField",
+        "aggSignificantSize", "aggFilters",
+    }
+)
+_STREAM_PARAMS = frozenset(
+    {
+        "query", "searchField", "startTimestamp", "endTimestamp",
+        "fastField", "outputFormat", "partitionByField",
+    }
+)
+
+
 
 
 def _bad_index_id(index_id: str) -> bool:
@@ -217,6 +242,14 @@ class _Handler(BaseHTTPRequestHandler):
         if "query" not in qs:
             return self._err(400, "missing required param 'query'")
         is_stream = len(parts) == 5 and parts[4] == "stream"
+        # serde(deny_unknown_fields) parity (rest.rs:124,225): a typo'd
+        # param must 400, not silently fall back to its default
+        allowed = _STREAM_PARAMS if is_stream else _SEARCH_PARAMS
+        unknown = sorted(set(qs) - allowed)
+        if unknown:
+            return self._err(
+                400, f"unknown query parameter(s): {', '.join(unknown)}"
+            )
         COUNTERS["stream" if is_stream else "search"].inc()  # rest.rs:50
         try:
             sf, s_asc = _sort_by_mini_dsl(qs.get("sortByField", [None])[0])
@@ -247,6 +280,10 @@ class _Handler(BaseHTTPRequestHandler):
                 fast_field = qs.get("fastField", [None])[0]
                 if fast_field is None:
                     return self._err(400, "missing required param 'fastField'")
+                if not fast_field:
+                    # rest.rs deserialize_not_empty_string: empty is a 400,
+                    # not a field named ""
+                    return self._err(400, "fastField must not be empty")
                 if req.search_after is not None:
                     # the stream leaf exports EVERY matching doc (no top-k
                     # order), so a cursor has no meaning — reject rather

@@ -136,6 +136,29 @@ def test_search_params(server):
     assert len(got["hits"]) <= 3 and got["numHits"] > 0
 
 
+def test_unknown_query_param_is_400(server):
+    """serde(deny_unknown_fields) parity (rest.rs:124,225): a typo'd
+    parameter must 400 and name the offender, not silently default."""
+    code, body, _ = _get(f"{server}/api/v1/conv/search?query=error&maxhits=3")
+    if isinstance(body, bytes):
+        body = body.decode()
+    assert code == 400 and "maxhits" in body
+    # stream endpoint has its OWN (reference-exact) allowed set:
+    # search-only params like startOffset are unknown there
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search/stream?query=error&fastField=ts"
+        "&startOffset=2"
+    )
+    if isinstance(body, bytes):
+        body = body.decode()
+    assert code == 400 and "startOffset" in body
+    # empty fastField: deserialize_not_empty_string is a 400
+    code, _, _ = _get(
+        f"{server}/api/v1/conv/search/stream?query=error&fastField="
+    )
+    assert code == 400
+
+
 def test_stream_endpoint_csv(server):
     code, body, ctype = _get(
         f"{server}/api/v1/conv/search/stream?query=deploy&fastField=ts&outputFormat=csv"
@@ -337,7 +360,9 @@ def test_search_endpoint_generic_schema(spark, tmp_path):
     try:
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         q = urllib.parse.quote("attributes.server:srv-2 needle")
-        status, body, ctype = _get(f"{base}/api/v1/ev/search?query={q}&max_hits=3")
+        # maxHits, not max_hits: the param grammar is camelCase and
+        # unknown params are 400s (deny_unknown_fields parity)
+        status, body, ctype = _get(f"{base}/api/v1/ev/search?query={q}&maxHits=3")
         assert status == 200 and "application/json" in ctype
         out = json.loads(body)
         assert out["numHits"] > 0
