@@ -603,27 +603,46 @@ def cmd_split_extract(args) -> dict:
 
 
 def cmd_gc(args) -> dict:
-    """Standalone garbage collection (quickwit-cli `index gc` analog):
-    delete MarkedForDeletion split data + drop catalog rows."""
+    """Standalone garbage collection (quickwit-cli `index gc` analog,
+    quickwit-cli/src/index.rs `GarbageCollectIndexArgs` with its
+    --grace-period and --dry-run flags)."""
     from quickwit_spark.index.merge import garbage_collect
 
-    return {
-        "cmd": "gc",
-        "deleted": garbage_collect(
-            args.index_dir, include_staged=getattr(args, "staged", False)
-        ),
-    }
+    dry_run = getattr(args, "dry_run", False)
+    removed = garbage_collect(
+        args.index_dir,
+        include_staged=getattr(args, "staged", False),
+        staged_grace_secs=getattr(args, "grace_period", None),
+        deletion_grace_secs=getattr(args, "deletion_grace_period", None),
+        dry_run=dry_run,
+    )
+    key = "candidates" if dry_run else "deleted"
+    return {"cmd": "gc", "dry_run": dry_run, key: removed}
 
 
 def cmd_delete(args) -> dict:
-    """Delete the whole index (quickwit-cli `index delete` analog): mark
-    every split for deletion, GC the data files, remove the index dir.
+    """Delete the whole index (quickwit-cli `index delete` analog,
+    quickwit-core/src/index.rs:55-115): mark every split for deletion, GC
+    the data files, remove the index dir.  ``--dry-run`` lists the splits
+    that would be removed (index.rs:67-79) without touching anything.
     Requires --yes (the CLI is non-interactive)."""
     import shutil
 
-    from quickwit_spark.index.catalog import PUBLISHED, STAGED, Catalog
+    from quickwit_spark.index.catalog import (
+        MARKED_FOR_DELETION,
+        PUBLISHED,
+        STAGED,
+        Catalog,
+    )
     from quickwit_spark.index.merge import garbage_collect
 
+    if getattr(args, "dry_run", False):
+        cat = Catalog(args.index_dir)
+        doomed = [
+            s.split_id
+            for s in cat.splits(states=(STAGED, PUBLISHED, MARKED_FOR_DELETION))
+        ]
+        return {"cmd": "delete", "dry_run": True, "candidates": doomed}
     if not args.yes:
         return {"cmd": "delete", "error": "pass --yes to confirm deletion"}
     cat = Catalog(args.index_dir)
@@ -844,11 +863,29 @@ def main(argv=None):
         "--staged", action="store_true",
         help="also remove Staged splits (stale-staged cleanup; no build may be running)",
     )
+    g.add_argument(
+        "--dry-run", action="store_true",
+        help="list the split ids GC would delete without deleting anything",
+    )
+    g.add_argument(
+        "--grace-period", type=float, default=None,
+        help="seconds a Staged split must be untouched before it is "
+        "collected (default QW_GC_STAGED_GRACE_SECS=86400)",
+    )
+    g.add_argument(
+        "--deletion-grace-period", type=float, default=None,
+        help="seconds a MarkedForDeletion split waits before its data is "
+        "deleted (default QW_GC_DELETION_GRACE_SECS=0)",
+    )
     g.set_defaults(fn=cmd_gc)
 
     dl = sub.add_parser("delete")
     dl.add_argument("--index-dir", required=True)
     dl.add_argument("--yes", action="store_true")
+    dl.add_argument(
+        "--dry-run", action="store_true",
+        help="list the split ids that would be removed without deleting",
+    )
     dl.set_defaults(fn=cmd_delete)
 
     sv = sub.add_parser("serve")

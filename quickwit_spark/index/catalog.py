@@ -36,6 +36,12 @@ from typing import Callable, Iterable
 from ..storage import storage_for
 from .metastore import resolve_backend
 
+
+def _now() -> float:
+    import time
+
+    return time.time()
+
 STAGED = "Staged"
 PUBLISHED = "Published"
 MARKED_FOR_DELETION = "MarkedForDeletion"
@@ -70,6 +76,10 @@ class SplitMetadata:
     # undo the tenant clustering (merge_policy.rs:247-249)
     demux_num_ops: int = 0
     create_seq: int = 0
+    # wall-clock of the last state transition (reference
+    # SplitMetadata.update_timestamp): drives the gc grace period for
+    # stale Staged splits.  0.0 = legacy row (treated as infinitely old)
+    update_ts: float = 0.0
     # per-field sum of BM25 field lengths (exact, not the reference's lossy
     # 1-byte fieldnorms) — global avg_len = Σ len_sum / Σ num_docs
     field_len_sums: dict[str, int] = field(default_factory=dict)
@@ -192,8 +202,10 @@ class Catalog:
         splits; one catalog transaction per split would cost O(splits x
         catalog-size) driver time on the JSON backend — a wave stages all
         its splits in a single commit instead."""
+        now = _now()
         for meta in metas:
             meta.state = STAGED
+            meta.update_ts = now
 
         def apply(state):
             for meta in metas:
@@ -240,8 +252,10 @@ class Catalog:
                     raise SplitsNotStagedError(
                         f"split {sid} is {state['splits'][sid]['state']}, not Staged"
                     )
+            now = _now()
             for sid in split_ids:
                 state["splits"][sid]["state"] = PUBLISHED
+                state["splits"][sid]["update_ts"] = now
             for pid, (_frm, to) in checkpoint_delta.items():
                 cp[pid] = to
             ts = state["termstats"]
@@ -277,10 +291,13 @@ class Catalog:
                         f"replace_splits: replaced split {sid!r} is not "
                         "published (lost a concurrent merge race?)"
                     )
+            now = _now()
             for sid in new_split_ids:
                 state["splits"][sid]["state"] = PUBLISHED
+                state["splits"][sid]["update_ts"] = now
             for sid in replaced_split_ids:
                 state["splits"][sid]["state"] = MARKED_FOR_DELETION
+                state["splits"][sid]["update_ts"] = now
 
         self.update(apply)
 
@@ -289,9 +306,11 @@ class Catalog:
         NOT the merge transaction (replace_splits validates states)."""
 
         def apply(state):
+            now = _now()
             for sid in split_ids:
                 if sid in state["splits"]:
                     state["splits"][sid]["state"] = MARKED_FOR_DELETION
+                    state["splits"][sid]["update_ts"] = now
 
         self.update(apply)
 

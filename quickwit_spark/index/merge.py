@@ -454,16 +454,67 @@ def compact_termstats_deltas(spark: SparkSession, index_dir: str) -> str | None:
     return new_rel
 
 
-def garbage_collect(index_dir: str, include_staged: bool = False) -> list[str]:
-    """Delete data of MarkedForDeletion splits + drop their catalog rows
-    (garbage_collection.rs:34,76,156 analog).  ``include_staged`` also
-    removes Staged splits — the reference's stale-staged cleanup
-    (garbage_collector.rs:56-146; a build that died between stage and
-    publish leaves them); only safe when no build is currently running."""
+def garbage_collect(
+    index_dir: str,
+    include_staged: bool = False,
+    *,
+    staged_grace_secs: float | None = None,
+    deletion_grace_secs: float | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete data of dangling splits + drop their catalog rows — the
+    ``run_garbage_collect`` analog (garbage_collection.rs:76-146):
+
+    1. Staged splits whose last state transition (``update_ts``) is older
+       than ``staged_grace_secs`` are marked for deletion — a build that
+       died between stage and publish leaves them, while a LIVE build's
+       staged splits are younger than the grace period and survive
+       (reference STAGED_GRACE_PERIOD = 24 h, garbage_collector.rs:36).
+    2. MarkedForDeletion splits older than ``deletion_grace_secs`` have
+       their data deleted and their catalog rows dropped (reference
+       DELETION_GRACE_PERIOD = 2 min, garbage_collector.rs:43; our default
+       is 0 — the rename-free publish protocol means a reader that opened
+       a split before it was marked re-resolves from the catalog on error,
+       so the read-after-mark window the reference guards is narrower here).
+    3. ``dry_run`` returns the candidate split ids from both passes without
+       mutating anything (garbage_collection.rs:100-115).
+
+    ``include_staged=True`` is the legacy immediate-cleanup switch: it
+    zeroes the staged grace period (only safe when no build is running).
+    Defaults come from QW_GC_STAGED_GRACE_SECS (86400) and
+    QW_GC_DELETION_GRACE_SECS (0)."""
+    import time as _time
+
     cat = Catalog(index_dir)
     storage = storage_for(index_dir)
-    states = [MARKED_FOR_DELETION] + ([STAGED] if include_staged else [])
-    dead = [s.split_id for s in cat.splits(states)]
+    if staged_grace_secs is None:
+        staged_grace_secs = (
+            0.0
+            if include_staged
+            else float(os.environ.get("QW_GC_STAGED_GRACE_SECS", "86400"))
+        )
+    if deletion_grace_secs is None:
+        deletion_grace_secs = float(os.environ.get("QW_GC_DELETION_GRACE_SECS", "0"))
+    now = _time.time()
+    stale_staged = [
+        s.split_id
+        for s in cat.splits([STAGED])
+        if now - s.update_ts >= staged_grace_secs
+    ]
+    if dry_run:
+        return sorted(
+            [s.split_id for s in cat.splits([MARKED_FOR_DELETION])] + stale_staged
+        )
+    if stale_staged:
+        cat.mark_for_deletion(stale_staged)
+        now = _time.time()  # the mark stamped update_ts; re-read the clock so
+        # a 0 deletion grace sweeps them in this same pass, while a positive
+        # grace defers them to the next pass (garbage_collection.rs:126-132)
+    dead = [
+        s.split_id
+        for s in cat.splits([MARKED_FOR_DELETION])
+        if now - s.update_ts >= deletion_grace_secs
+    ]
     paths = _paths(index_dir)
     for sid in dead:
         for table in paths.values():

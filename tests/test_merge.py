@@ -334,6 +334,57 @@ def test_gc_stale_staged(spark, tmp_index_dir):
     assert cat.splits()  # published splits untouched
 
 
+def test_gc_grace_periods_and_dry_run(spark, tmp_index_dir):
+    """run_garbage_collect semantics (garbage_collection.rs:76-146): staged
+    splits age out via update_ts against staged_grace_secs; dry_run lists
+    candidates without mutating; a positive deletion grace defers
+    freshly-marked splits to the next pass."""
+    import os
+    import time
+
+    from quickwit_spark.index.catalog import MARKED_FOR_DELETION, STAGED
+
+    pdf = generate_transcripts(n_conversations=10, seed=3)
+    cfg = transcripts_config(split_num_docs_target=300, segment_num_docs_target=64)
+    build_index(spark, spark.createDataFrame(pdf), cfg, tmp_index_dir)
+    cat = Catalog(tmp_index_dir)
+    cat.stage_split(SplitMetadata(split_id="young-staged", num_docs=3))
+    os.makedirs(f"{tmp_index_dir}/docs/split_id=young-staged", exist_ok=True)
+    [young] = Catalog(tmp_index_dir).splits([STAGED])
+    assert young.update_ts > 0, "stage_splits must stamp update_ts"
+
+    # dry_run: reports the would-be candidates, deletes nothing
+    cands = garbage_collect(tmp_index_dir, staged_grace_secs=0.0, dry_run=True)
+    assert cands == ["young-staged"]
+    assert Catalog(tmp_index_dir).splits([STAGED])
+    assert os.path.exists(f"{tmp_index_dir}/docs/split_id=young-staged")
+
+    # a staged split younger than the grace period survives a real pass
+    assert garbage_collect(tmp_index_dir, staged_grace_secs=3600.0) == []
+    assert Catalog(tmp_index_dir).splits([STAGED])
+
+    # aged out (update_ts in the past) -> marked and, with the default 0
+    # deletion grace, swept in the same pass
+    def age(state):
+        state["splits"]["young-staged"]["update_ts"] = time.time() - 7200
+
+    cat = Catalog(tmp_index_dir)
+    cat.update(age)
+    assert garbage_collect(tmp_index_dir, staged_grace_secs=3600.0) == [
+        "young-staged"
+    ]
+    assert not os.path.exists(f"{tmp_index_dir}/docs/split_id=young-staged")
+
+    # a positive deletion grace defers a freshly-marked split to a later pass
+    cat = Catalog(tmp_index_dir)
+    victim = cat.splits()[0].split_id
+    cat.mark_for_deletion([victim])
+    assert garbage_collect(tmp_index_dir, deletion_grace_secs=3600.0) == []
+    assert Catalog(tmp_index_dir).splits([MARKED_FOR_DELETION])
+    assert garbage_collect(tmp_index_dir, deletion_grace_secs=0.0) == [victim]
+    assert Catalog(tmp_index_dir).splits([MARKED_FOR_DELETION]) == []
+
+
 def test_second_generation_merge_keeps_segment_order(spark, tmp_path_factory):
     """Regression: merging MERGED splits must keep fastfield segments unique
     and doc-ordered.  The old seg_id rebase (+ord*1_000_000) collided when a

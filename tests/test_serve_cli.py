@@ -331,6 +331,19 @@ def test_cli_ingest_describe_gc_delete(spark, tmp_path):
 
     assert cmd_gc(a)["deleted"] == []  # nothing marked yet
 
+    # dry runs report candidates and touch nothing (quickwit-cli
+    # index gc/delete --dry-run, quickwit-cli/src/index.rs:92-101)
+    a.dry_run = True
+    a.grace_period = 0.0
+    a.deletion_grace_period = None
+    gc_dry = cmd_gc(a)
+    assert gc_dry["dry_run"] is True and gc_dry["candidates"] == []
+    del_dry = cmd_delete(a)
+    assert del_dry["dry_run"] is True
+    assert len(del_dry["candidates"]) == out["published_splits"]
+    assert os.path.exists(a.index_dir)  # nothing deleted
+    a.dry_run = False
+
     a.yes = False
     assert "error" in cmd_delete(a)
     a.yes = True
