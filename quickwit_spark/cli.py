@@ -477,6 +477,9 @@ def cmd_describe(args) -> dict:
                 "state": s.state,
                 "num_docs": s.num_docs,
                 "ts_range": [s.ts_min, s.ts_max],
+                # last state-transition wall clock (SplitMetadata.update_ts)
+                # — what gc's grace periods age against; 0.0 = legacy row
+                "update_ts": s.update_ts,
             }
             for s in all_states
         ]
