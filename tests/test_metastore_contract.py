@@ -230,3 +230,90 @@ def test_delete_source_spares_sibling_prefix(cat):
         cat.add_source("bad/name", "ndjson", {})
     with _pytest.raises(ValueError, match="may not contain"):
         cat.add_source("bad~name", "ndjson", {})
+
+
+def _race_worker(index_dir: str, wid: int, rounds: int) -> None:
+    """One writer process: stage -> publish its own splits with a private
+    checkpoint partition, periodically merge-replace two of its published
+    splits, and mark every third publish for deletion."""
+    from quickwit_spark.index.catalog import Catalog as C
+    from quickwit_spark.index.catalog import SplitMetadata as SM
+
+    cat = C(index_dir)
+    prev = None
+    published: list[str] = []
+    docs = {}  # split_id -> num_docs (merges carry the sum of their inputs)
+    for r in range(rounds):
+        sid = f"w{wid}-{r:03d}"
+        cat.stage_split(SM(split_id=sid, num_docs=1))
+        docs[sid] = 1
+        pos = f"{r:08d}"
+        cat.publish_splits([sid], {f"p{wid}": (prev, pos)})
+        prev = pos
+        published.append(sid)
+        if r % 3 == 2:
+            cat.mark_for_deletion([published.pop()])
+        if len(published) >= 4:
+            merged = f"w{wid}-m{r:03d}"
+            docs[merged] = docs[published[0]] + docs[published[1]]
+            cat.stage_split(SM(split_id=merged, num_docs=docs[merged]))
+            cat.replace_splits([merged], published[:2])
+            published = [merged] + published[2:]
+
+
+def _race_gc(index_dir: str, stop_flag) -> None:
+    """Janitor process: run garbage_collect in a loop with the default
+    staged grace (in-flight staged splits must survive) and a zero
+    deletion grace (marked splits are reclaimed while writers race)."""
+    from quickwit_spark.index.merge import garbage_collect
+
+    while not stop_flag.is_set():
+        garbage_collect(index_dir, deletion_grace_secs=0.0)
+
+
+@pytest.mark.parametrize("metastore", ["json", "sqlite"])
+def test_processes_racing_publish_merge_gc(tmp_path, metastore):
+    """Two+ OS processes racing stage/publish/replace/mark while a janitor
+    process garbage-collects concurrently: every checkpoint partition ends
+    at its writer's last position (no lost publish), replace never
+    double-spends an input, and GC's staged grace never eats an in-flight
+    staged split — the reference metastore's concurrent-writers contract
+    (tests.rs) plus garbage_collector.rs running alongside."""
+    import multiprocessing as mp
+
+    index_dir = str(tmp_path / "race_lifecycle")
+    Catalog.create(index_dir, {"index_id": "race"}, metastore=metastore)
+    rounds = 24
+    stop = mp.Event()
+    writers = [
+        mp.Process(target=_race_worker, args=(index_dir, w, rounds))
+        for w in range(3)
+    ]
+    janitor = mp.Process(target=_race_gc, args=(index_dir, stop))
+    janitor.start()
+    for p in writers:
+        p.start()
+    for p in writers:
+        p.join(timeout=120)
+        assert p.exitcode == 0, "writer crashed (lost race / contract violation)"
+    stop.set()
+    janitor.join(timeout=60)
+    assert janitor.exitcode == 0
+
+    from quickwit_spark.index.merge import garbage_collect
+
+    garbage_collect(index_dir, deletion_grace_secs=0.0)  # final sweep
+    cat = Catalog(index_dir)
+    # no lost publish: each partition's checkpoint is its writer's last pos
+    cp = cat._state["checkpoint"]
+    assert cp == {f"p{w}": f"{rounds - 1:08d}" for w in range(3)}
+    final = _states(cat)
+    # the final sweep reclaimed everything marked; nothing is stuck staged
+    # (every staged split was published or replace-published by its writer)
+    assert all(st == PUBLISHED for st in final.values()), final
+    # per-writer doc conservation: publishes - marks survive, with merges
+    # preserving num_docs (replace is swap, not loss)
+    for w in range(3):
+        mine = [s for s in cat.splits() if s.split_id.startswith(f"w{w}-")]
+        marked = sum(1 for r in range(rounds) if r % 3 == 2)
+        assert sum(s.num_docs for s in mine) == rounds - marked
