@@ -118,7 +118,13 @@ def bench_queries(spark, index_dir: str, repeats: int = 7) -> tuple[dict, dict]:
     # steal), so consecutive repeats of one query would pin all the noise
     # on whichever queries run first
     times: dict[str, list] = {name: [] for name in BENCH_QUERIES}
+    # per-ROUND host probe: a first-touch page-fault rate sampled between
+    # rounds tags each repeat with the host state it ran under, so the
+    # JSON can report a quiet-window median per query instead of one
+    # global "the host was slow at some point" annotation
+    round_gbps: list[float] = []
     for _ in range(repeats):
+        round_gbps.append(probe_page_fault_gbps(32))
         for name, kw in BENCH_QUERIES.items():
             t0 = time.monotonic()
             search(spark, index_dir, SearchRequest(**kw))
@@ -126,7 +132,13 @@ def bench_queries(spark, index_dir: str, repeats: int = 7) -> tuple[dict, dict]:
     p50 = {n: round(statistics.median(ts), 4) for n, ts in times.items()}
     p99 = {n: round(max(ts), 4) for n, ts in times.items()}
     pmin = {n: round(min(ts), 4) for n, ts in times.items()}
-    return p50, p99, pmin
+    quiet = [i for i, g in enumerate(round_gbps) if g >= 1.0]
+    p50_quiet = {
+        n: round(statistics.median([ts[i] for i in quiet]), 4)
+        for n, ts in times.items()
+        if len(quiet) >= 3
+    }
+    return p50, p99, pmin, p50_quiet, [round(g, 2) for g in round_gbps]
 
 
 def probe_page_fault_gbps(size_mb: int = 96) -> float:
@@ -262,7 +274,9 @@ def main():
     page_gbps_start = probe_page_fault_gbps()
     corpus = ensure_corpus(n_conv)
     build = bench_build(spark, corpus)
-    queries, queries_p99, queries_min = bench_queries(spark, build["index_dir"])
+    queries, queries_p99, queries_min, queries_p50_quiet, round_gbps = bench_queries(
+        spark, build["index_dir"]
+    )
     queries["q9_stream_export"] = bench_stream(spark, build["index_dir"])
     batched_qps = bench_multi(spark, build["index_dir"])
     merged = bench_merged(spark, build["index_dir"])
@@ -277,6 +291,11 @@ def main():
         "queries": queries,
         "queries_p99": queries_p99,
         "queries_min": queries_min,
+        # per-query median over only the repeat rounds whose host probe was
+        # quiet (>= 1 GB/s first-touch) — absent when fewer than 3 rounds
+        # were quiet; the per-round probes are in query_round_gbps
+        "queries_p50_quiet": queries_p50_quiet,
+        "query_round_gbps": round_gbps,
         # first-touch page-fault GB/s at bench start/end: < ~1 means the
         # host was serving fresh pages slowly (0.05 GB/s windows observed;
         # warm memory runs 15+ GB/s) and wall times are host-bound, not
