@@ -31,13 +31,33 @@ _STATE: dict = {}
 _DOC_COL = {"ts": "ts_epoch", "turn_idx": "turn_idx", "role": "role", "tool": "tool"}
 
 
-@pytest.fixture(scope="module")
-def built(spark, tmp_path_factory):
+@pytest.fixture(scope="module", params=["fresh", "merged"])
+def built(spark, tmp_path_factory, request):
+    """Fresh AND post-merge layouts: merges remap docIDs and re-encode the
+    fast-field segments the aggregation stream leaf reads."""
     pdf = generate_transcripts(n_conversations=25, seed=11)
-    index_dir = str(tmp_path_factory.mktemp("idx_agg_rand"))
-    cfg = transcripts_config(split_num_docs_target=250, segment_num_docs_target=64)
-    build_index(spark, spark.createDataFrame(pdf), cfg, index_dir)
-    docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+    index_dir = str(tmp_path_factory.mktemp(f"idx_agg_rand_{request.param}"))
+    cfg = (
+        transcripts_config(split_num_docs_target=250, segment_num_docs_target=64)
+        if request.param == "fresh"
+        else transcripts_config(
+            split_num_docs_target=5000, segment_num_docs_target=64,
+            merge_factor=3, max_merge_factor=4,
+        )
+    )
+    build_index(spark, spark.createDataFrame(pdf), cfg, index_dir,
+                n_splits=6 if request.param == "merged" else None)
+    if request.param == "merged":
+        from quickwit_spark.index.catalog import Catalog
+        from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
+
+        assert run_merge_pipeline(spark, index_dir)
+        garbage_collect(index_dir)
+        live = {s.split_id for s in Catalog(index_dir).splits()}
+        docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+        docs = docs[docs["split_id"].isin(live)]
+    else:
+        docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
     oracle = OracleIndex(docs, cfg)
 
     from collections import Counter
