@@ -27,7 +27,7 @@ from .pipeline import sampling as smp
 from .pipeline import similarity as sim
 from .pipeline import text as tx
 from .pipeline.multimodal import extract_features, synthesize_assets
-from .search.executor import search, search_df, search_stream
+from .search.executor import search, search_collapse, search_df, search_stream
 from .search.request import SearchRequest
 
 TOKS = DUCKDB_TOKENIZE_LIST.format(col="text")
@@ -140,6 +140,23 @@ def ft_generic_typed(spark, sf_dir):
 
 def ft_topk_single(spark, sf_dir):
     return _ft(spark, sf_dir, "spark")
+
+
+def ft_collapse(spark, sf_dir):
+    """ES-style field collapse: the best-BM25 doc per source (``tool``),
+    groups ranked by their best hit's score — ONE scored match-stream leaf
+    pass + ONE window shuffle on the collapse key (search_collapse); ties
+    break on the global doc key (the ``ts`` fast field carries doc_id)."""
+    idx = documents_index(spark, sf_dir)
+    out = search_collapse(
+        spark, idx, SearchRequest("dup", max_hits=10), "tool", tie_field="ts"
+    )
+    return out.select(
+        F.col("tool").alias("source"),
+        "group_hits",
+        F.col("ts_epoch").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
 
 
 def ft_topk_and(spark, sf_dir):
@@ -689,6 +706,7 @@ def mm_real_decode(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_topk_single": ft_topk_single,
+        "ft_collapse": ft_collapse,
         "ft_topk_and": ft_topk_and,
         "ft_topk_or": ft_topk_or,
         "ft_topk_not": ft_topk_not,
@@ -773,6 +791,31 @@ def oracle_sql() -> dict[str, str]:
       WHERE t1.doc_id = cand.doc_id AND t1.term = 'table' AND t2.term = 'hash')"""
     return {
         "ft_topk_single": _bm25_topk_sql(["spark"], "or", 10),
+        "ft_collapse": f"""{BM25_CTE},
+cand AS (
+  SELECT doc_id FROM tf WHERE term IN ('dup')
+  GROUP BY doc_id HAVING count(DISTINCT term) >= 1
+),
+sc AS (
+  SELECT cand.doc_id, sum({_score_expr()}) AS score
+  FROM cand
+  JOIN tf ON tf.doc_id = cand.doc_id AND tf.term IN ('dup')
+  JOIN dl ON dl.doc_id = cand.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN st
+  GROUP BY cand.doc_id
+),
+gr AS (
+  SELECT d.source, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS group_hits
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+)
+SELECT source, group_hits, doc_id, round(score, 4) AS score
+FROM gr WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "ft_topk_and": _bm25_topk_sql(["spark", "query"], "and", 10),
         "ft_topk_or": _bm25_topk_sql(["dup", "vector"], "or", 15),
         "ft_topk_not": _bm25_topk_sql(["dup"], "or", 15, not_terms=["window"]),

@@ -854,13 +854,17 @@ def make_split_scorer(
     mode: str = "topk",
     index_dir: str | None = None,
     stream_fields: tuple[str, ...] | None = None,
+    stream_scored: bool = False,
 ):
     """Build the cogrouped scorer function.  mode: 'topk' (per-split top
     offset+max_hits, winners' stored fields fetched in-task) or 'stream'
     (emit every matching doc, no fetch — the search-stream fast-field export
     path, search_stream/leaf.rs analog).  stream_fields (stream mode only)
     adds one int64 column per resolved fast field (``mf_<i>``) so several
-    aggregations share a single match-evaluation pass."""
+    aggregations share a single match-evaluation pass.  stream_scored
+    additionally BM25-scores every streamed match (full evaluation, no
+    pruning — a downstream group-by needs every group's best score, so
+    top-k shortcuts cannot apply): the field-collapse vehicle."""
     n_top = request.start_offset + request.max_hits
     pos_terms = sorted(positive_terms(ast))
     # per-term boost multipliers ('term^2'); all 1.0 for unboosted queries
@@ -981,8 +985,10 @@ def make_split_scorer(
             scores = np.zeros(len(docs), np.float64)
             # stream mode exports every matching doc's fast-field value — no
             # ranking, so skip BM25 entirely (the reference stream collector
-            # never scores either, search_stream/collector.rs:32-116)
-            for field, term in pos_terms if mode != "stream" else []:
+            # never scores either, search_stream/collector.rs:32-116) unless
+            # the caller asked for a scored stream (field collapse)
+            score_stream = mode != "stream" or stream_scored
+            for field, term in pos_terms if score_stream else []:
                 d, t = postings.candidates_only((field, term), docs)
                 if len(d) == 0:
                     continue
@@ -1149,14 +1155,21 @@ def _leaf_hits_df(
     index_dir: str,
     request: SearchRequest,
     stream_fields: tuple[str, ...] | None = None,
+    stream_scored: bool = False,
 ) -> tuple[DataFrame, list[SplitMetadata], object, IndexConfig]:
     """Stream-mode leaf as a DataFrame (every matching doc, no top-k) —
     the data-scale path behind search_stream/export_stream.  Top-k search
     deliberately does NOT come through here: it is the separate RDD
     _leaf_hit_rows job (see its docstring for why).  stream_fields adds
-    one ``mf_<i> long`` column per resolved fast field."""
+    one ``mf_<i> long`` column per resolved fast field; stream_scored
+    fills the score column with full BM25 (field collapse)."""
     cat, config, ast, splits, terms, buckets, scorer, _gstats = _plan_leaf(
-        spark, index_dir, request, "stream", stream_fields=stream_fields
+        spark,
+        index_dir,
+        request,
+        "stream",
+        stream_fields=stream_fields,
+        stream_scored=stream_scored,
     )
     schema = HITS_SCHEMA
     if stream_fields:
@@ -1347,6 +1360,7 @@ def _plan_leaf(
     mode: str,
     fetch_in_leaf: bool = True,
     stream_fields: tuple[str, ...] | None = None,
+    stream_scored: bool = False,
 ):
     """Shared driver-side planning: parse, prune, stats, scorer."""
     cat, config = open_index(spark, index_dir)
@@ -1363,6 +1377,7 @@ def _plan_leaf(
         mode,
         index_dir if fetch_in_leaf else None,
         stream_fields=stream_fields,
+        stream_scored=stream_scored,
     )
     return cat, config, ast, splits, sorted(terms), buckets, scorer, gstats
 
@@ -2490,6 +2505,108 @@ def search_agg_top_hits(
             sv.cast("long").alias("sort_value"),
         )
         .orderBy("value", "rank")
+    )
+
+
+def search_collapse(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    collapse_field: str,
+    tie_field: str | None = None,
+) -> DataFrame:
+    """ES-style field collapse (beyond-reference; the natural "top
+    conversations" query over a transcript corpus): one result row per
+    distinct ``collapse_field`` value among the matching docs — each
+    group's highest-BM25 doc — with groups ranked by that best score.
+
+    Plan: ONE scored stream-leaf pass (every match is BM25-scored in full:
+    a group's best hit can be any of its docs, so top-k pruning cannot
+    apply), ONE window shuffle keyed on the collapse value (per-group
+    state is a single row — skewed groups stream through the rank, they
+    don't accumulate), then the offset..offset+max_hits winners join the
+    split-pruned, column-pruned doc store for their stored fields.
+    Ordering and ties: (score desc, split_id, doc_id), or
+    (score desc, tie_field asc) when ``tie_field`` names a fast field
+    that is a global document key (split-layout-independent ordering).
+    Returns (collapse value, group_hits, score, split_id, doc_id, stored
+    fields...)."""
+    if request.sort_by_field is not None:
+        raise ValueError("collapse ranks by BM25; sort_by_field is not supported")
+    if request.search_after is not None:
+        raise ValueError("collapse does not support search_after cursors")
+    _, config = open_index(spark, index_dir)
+
+    def _is_fast(f: str) -> bool:
+        return f == config.timestamp_field or f in config.extra_fast_fields
+
+    if tie_field is not None and not _is_fast(tie_field):
+        raise ValueError(f"tie_field {tie_field!r} must be a fast field")
+    fast = _is_fast(collapse_field)
+    req = _dc_replace(request, start_offset=0, sort_by_field=None)
+    stream_fields = tuple(
+        _resolve_fast_field(spark, index_dir, f)
+        for f in ([collapse_field] if fast else []) + ([tie_field] if tie_field else [])
+    )
+    hits, splits, _ast, _cfg = _leaf_hits_df(
+        spark, index_dir, req, stream_fields=stream_fields or None, stream_scored=True
+    )
+    cols = [F.col("split_id"), F.col("doc_id"), F.col("score")]
+    if fast:
+        cols.append(F.col("mf_0").alias("__ckey"))
+    if tie_field is not None:
+        cols.append(F.col(f"mf_{len(stream_fields) - 1}").alias("__tie"))
+    vals = hits.select(*cols)
+    if not fast:
+        if collapse_field not in config.doc_cols():
+            raise ValueError(
+                f"field {collapse_field!r} is neither fast nor stored"
+            )
+        keys = (
+            _table_scan(spark, index_dir, "docs")
+            .filter(F.col("split_id").isin([s.split_id for s in splits]))
+            .select(
+                "split_id", "doc_id", F.col(f"`{collapse_field}`").alias("__ckey")
+            )
+        )
+        vals = vals.join(keys, ["split_id", "doc_id"])
+    from pyspark.sql.window import Window
+
+    order = (
+        [F.col("score").desc(), F.col("__tie")]
+        if tie_field is not None
+        else [F.col("score").desc(), F.col("split_id"), F.col("doc_id")]
+    )
+    w = Window.partitionBy("__ckey").orderBy(*order)
+    reps = (
+        vals.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "group_hits",
+            F.count("*").over(Window.partitionBy("__ckey")).cast("long"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    page = (
+        reps.orderBy(*order)
+        .offset(int(request.start_offset))
+        .limit(int(request.max_hits))
+    )
+    f_cols = [c for c in fetch_cols(config) if c != "doc_id"]
+    docs_tbl = _table_scan(spark, index_dir, "docs").select(
+        "split_id", "doc_id", *[F.col(f"`{c}`") for c in f_cols]
+    )
+    return (
+        page.join(docs_tbl, ["split_id", "doc_id"], "left")
+        .select(
+            F.col("__ckey").alias(collapse_field),
+            "group_hits",
+            "score",
+            "split_id",
+            "doc_id",
+            *[F.col(f"`{c}`") for c in f_cols if c != collapse_field],
+        )
+        .orderBy(*order)
     )
 
 

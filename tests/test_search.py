@@ -584,3 +584,62 @@ def test_count_only_with_ts_filter(spark, built):
     assert resp.hits == []
     want = oracle.search(SearchRequest("error", max_hits=100000, start_timestamp=ts0))
     assert resp.num_hits == want["num_hits"]
+
+
+def test_field_collapse_matches_oracle(spark, built):
+    """ES-style collapse: one hit per conv_id (the group's best-BM25 doc),
+    groups ranked by that score; group_hits counts the group's matches.
+    Verified against the pure-Python oracle's scores + a pandas collapse."""
+    from quickwit_spark.search.executor import search_collapse
+    from quickwit_spark.search.parser import parse_query, positive_term_weights
+
+    index_dir, oracle, docs = built
+    req = SearchRequest("deploy failure", max_hits=5)
+    got = search_collapse(spark, index_dir, req, "conv_id").collect()
+
+    ast = parse_query(req.query, CFG, None)
+    weights = positive_term_weights(ast)
+    groups: dict = {}
+    for k in oracle._eval(ast):
+        conv = oracle.by_key[k]["conv_id"]
+        groups.setdefault(conv, []).append((oracle._score(k, weights), k))
+    reps = []
+    for conv, items in groups.items():
+        s, k = sorted(items, key=lambda t: (-t[0], t[1][0], t[1][1]))[0]
+        reps.append((s, k, conv, len(items)))
+    reps.sort(key=lambda t: (-t[0], t[1][0], t[1][1]))
+    want = reps[: req.max_hits]
+
+    assert len(got) == len(want)
+    for g, (s, k, conv, n) in zip(got, want):
+        assert g["conv_id"] == conv
+        assert (g["split_id"], g["doc_id"]) == k
+        assert g["group_hits"] == n
+        assert g["score"] == pytest.approx(s, rel=1e-6)
+        # the representative's stored fields come back too
+        assert isinstance(g["text"], str) and g["text"]
+
+    # offset paging: page 2 continues exactly where page 1 ended
+    req2 = SearchRequest("deploy failure", max_hits=3, start_offset=2)
+    page2 = search_collapse(spark, index_dir, req2, "conv_id").collect()
+    assert [(r["conv_id"]) for r in page2] == [c for _, _, c, _ in reps[2:5]]
+
+    # fast-field collapse key + global tie field: one row per turn_idx value
+    by_turn = search_collapse(
+        spark, index_dir, SearchRequest("deploy", max_hits=4), "turn_idx",
+        tie_field="ts",
+    ).collect()
+    assert len({r["turn_idx"] for r in by_turn}) == len(by_turn) == 4
+    scores = [r["score"] for r in by_turn]
+    assert scores == sorted(scores, reverse=True)
+
+    with pytest.raises(ValueError, match="sort_by_field"):
+        search_collapse(
+            spark, index_dir,
+            SearchRequest("deploy", sort_by_field="ts"), "conv_id",
+        )
+    with pytest.raises(ValueError, match="fast field"):
+        search_collapse(
+            spark, index_dir, SearchRequest("deploy"), "conv_id",
+            tie_field="role",
+        )

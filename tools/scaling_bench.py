@@ -98,6 +98,12 @@ def main():
     ap.add_argument("--n", type=int, default=2, help="small parallelism N (4N must fit the box; both runs are taskset-pinned — see BASELINE.md note on the unsaturated regime)")
     ap.add_argument("--convs", type=int, default=150_000, help="conversations (~20 turns each)")
     ap.add_argument("--repeats", type=int, default=1, help="take best-of over repeats")
+    ap.add_argument(
+        "--extra-pairs", default="",
+        help="additional N:4N pairs to measure and record as secondary "
+        "evidence, e.g. '8:32' (the saturated single-box regime — see the "
+        "BASELINE.md note on why the primary pair stays unsaturated)",
+    )
     args = ap.parse_args()
 
     os.makedirs("/tmp/qwspark_scale", exist_ok=True)
@@ -116,19 +122,48 @@ def main():
 
     zip_path = make_pyfiles_zip("/tmp/qwspark_scale/quickwit_spark.zip")
 
+    pairs = [(args.n, args.n * 4)]
+    for spec in filter(None, args.extra_pairs.split(",")):
+        a, b = spec.split(":")
+        pairs.append((int(a), int(b)))
+    levels = sorted({c for p in pairs for c in p})
+
+    sys.path.insert(0, REPO)
+    from bench import probe_page_fault_gbps
+
+    # repeats are interleaved ACROSS levels (2,8,2,8,...), not level-by-level:
+    # this host's first-touch page-fault bandwidth swings 0.05-15+ GB/s in
+    # windows of minutes, and higher parallelism suffers more from a slow
+    # window (8 concurrent faulting workers vs 2) — consecutive same-level
+    # runs would pin a window's noise on one side of the ratio
     results = {}
-    for cpus in (args.n, args.n * 4):
-        best = None
-        for _ in range(args.repeats):
+    probes = []
+    for _ in range(args.repeats):
+        for cpus in levels:
+            probes.append(round(probe_page_fault_gbps(64), 2))
             r = run_one(cpus, corpus, zip_path, args.convs)
+            best = results.get(cpus)
             if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
-                best = r
-        results[cpus] = best
+                results[cpus] = r
+    for cpus in levels:
+        best = results[cpus]
         print(f"local[{cpus}]: {best['turns']} turns in {best['secs']}s "
               f"= {best['turns_per_sec']} turns/sec", file=sys.stderr)
 
     lo, hi = results[args.n], results[args.n * 4]
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    secondary = []
+    for a, b in pairs[1:]:
+        e = (results[b]["turns_per_sec"] / results[a]["turns_per_sec"]) / (b / a)
+        secondary.append(
+            {
+                "n_cores": a,
+                "n4_cores": b,
+                "turns_per_sec_n": results[a]["turns_per_sec"],
+                "turns_per_sec_4n": results[b]["turns_per_sec"],
+                "scaling_efficiency": round(e, 3),
+            }
+        )
     summary = {
         "metric": "index-build throughput scaling efficiency (N vs 4N cores)",
         "n_cores": args.n,
@@ -142,7 +177,14 @@ def main():
         "target": 0.8,
         "pass": eff >= 0.8,
         "launcher": "spark-submit --py-files quickwit_spark.zip",
+        # first-touch page-fault GB/s probed before each run, in run order:
+        # < ~1 marks a host-paging window where wall times are host-bound
+        # (see BASELINE.md host_page_gbps note) — efficiency measured there
+        # under-reports the engine
+        "host_page_gbps": probes,
     }
+    if secondary:
+        summary["secondary_pairs"] = secondary
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
@@ -172,6 +214,15 @@ measure:
 
 **Throughput scaling efficiency N→4N = {eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 Raw numbers in `BENCH_SCALING.json`; reproduce with `python tools/scaling_bench.py`."""
+    for s in secondary:
+        section += (
+            f"\nSecondary pair local[{s['n_cores']}]→local[{s['n4_cores']}]: "
+            f"{s['turns_per_sec_n']:,} → {s['turns_per_sec_4n']:,} turns/sec, "
+            f"efficiency {s['scaling_efficiency']:.3f} — the saturated "
+            "single-box regime (shared memory/IO subsystem), reported for "
+            "completeness; a real 4N-executor cluster adds nodes, not "
+            "core-contention on one node."
+        )
     update_baseline_md(section)
     print(json.dumps(summary))
 
