@@ -275,6 +275,24 @@ def cmd_search(args) -> dict:
         # plan-only: which splits survive pruning, which leaf strategy
         # runs, per-term df — no leaf execution
         return {"cmd": "search", "explain": explain(spark, args.index_dir, req)}
+    if getattr(args, "collapse_field", None):
+        # field collapse: one hit per distinct field value (its own
+        # response shape — no snippets/aggs)
+        from quickwit_spark.search.executor import search_collapse_rows
+
+        rows, n_groups, n_docs = search_collapse_rows(
+            spark,
+            args.index_dir,
+            req,
+            args.collapse_field,
+            getattr(args, "collapse_tie_field", None),
+        )
+        return {
+            "cmd": "search",
+            "num_hits": n_docs,
+            "collapse": {"field": args.collapse_field, "num_groups": n_groups},
+            "hits": rows,
+        }
     resp = search(spark, args.index_dir, req)
     out = {
         "cmd": "search",
@@ -753,6 +771,16 @@ def main(argv=None):
         "fragments for (hit['snippets'])",
     )
     s.add_argument("--snippet-max-chars", type=int, default=150)
+    s.add_argument(
+        "--collapse-field", default=None,
+        help="field collapse: return one hit per distinct value of this "
+        "field (the group's best-BM25 doc), groups ranked by that score",
+    )
+    s.add_argument(
+        "--collapse-tie-field", default=None,
+        help="fast field used as the global tie key for collapse ordering "
+        "(default: split_id, doc_id)",
+    )
     s.add_argument(
         "--search-after", default=None,
         help="cursor pagination: '<sortValueOrScore>,<split_id>,<doc_id>' of "

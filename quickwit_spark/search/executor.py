@@ -2531,6 +2531,17 @@ def search_collapse(
     that is a global document key (split-layout-independent ordering).
     Returns (collapse value, group_hits, score, split_id, doc_id, stored
     fields...)."""
+    reps, order, config = _collapse_reps(
+        spark, index_dir, request, collapse_field, tie_field
+    )
+    return _collapse_page(
+        spark, index_dir, request, collapse_field, reps, order, config
+    )
+
+
+def _collapse_reps(spark, index_dir, request, collapse_field, tie_field):
+    """Shared collapse core: the per-group representative rows (__ckey,
+    group_hits, score, split_id, doc_id[, __tie]) plus the order columns."""
     if request.sort_by_field is not None:
         raise ValueError("collapse ranks by BM25; sort_by_field is not supported")
     if request.search_after is not None:
@@ -2587,6 +2598,13 @@ def search_collapse(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return reps, order, config
+
+
+def _collapse_page(
+    spark, index_dir, request, collapse_field, reps, order, config
+) -> DataFrame:
+    """Page the representatives and join the winners' stored fields."""
     page = (
         reps.orderBy(*order)
         .offset(int(request.start_offset))
@@ -2608,6 +2626,38 @@ def search_collapse(
         )
         .orderBy(*order)
     )
+
+
+def search_collapse_rows(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    collapse_field: str,
+    tie_field: str | None = None,
+) -> tuple[list[dict], int, int]:
+    """Collapse for the REST path: (hits as JSON-safe dicts, total distinct
+    groups, total matching docs).  The representatives DataFrame is
+    persisted so the totals aggregate and the page read evaluate the
+    scored leaf ONCE (the search_agg_multi persist pattern)."""
+    reps, order, config = _collapse_reps(
+        spark, index_dir, request, collapse_field, tie_field
+    )
+    reps = reps.persist()
+    try:
+        tot = reps.agg(
+            F.count("*").cast("long").alias("groups"),
+            F.coalesce(F.sum("group_hits"), F.lit(0)).cast("long").alias("docs"),
+        ).collect()[0]
+        page = _collapse_page(
+            spark, index_dir, request, collapse_field, reps, order, config
+        )
+        rows = [
+            {k: _json_safe(v) for k, v in r.asDict().items()}
+            for r in page.collect()
+        ]
+        return rows, int(tot["groups"]), int(tot["docs"])
+    finally:
+        reps.unpersist()
 
 
 def search_agg_filters(

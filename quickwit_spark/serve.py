@@ -86,6 +86,7 @@ _SEARCH_PARAMS = frozenset(
         "aggTermsMetricField", "aggStatsField", "aggPercentilesField",
         "aggCardinalityField", "aggSignificantField",
         "aggSignificantSize", "aggFilters",
+        "collapseField", "collapseTieField",
     }
 )
 _STREAM_PARAMS = frozenset(
@@ -389,6 +390,47 @@ class _Handler(BaseHTTPRequestHandler):
                         yield np.asarray([r[fast_field] for r in rows], dtype="<i8").tobytes()
 
                 return self._reply_chunked(bin_chunks(), "application/octet-stream")
+            # field collapse (beyond-reference, ES `collapse`): one hit per
+            # distinct field value; its own response shape, so it composes
+            # with neither snippets nor aggregations
+            collapse_field = qs.get("collapseField", [None])[0]
+            if collapse_field is not None:
+                if req.snippet_fields is not None:
+                    return self._err(
+                        400, "collapseField cannot combine with snippetFields"
+                    )
+                if any(
+                    qs.get(p, [None])[0] is not None
+                    for p in (
+                        "aggHistogramInterval", "aggTermsField",
+                        "aggTermsMetricField", "aggStatsField",
+                        "aggPercentilesField", "aggCardinalityField",
+                        "aggSignificantField", "aggFilters",
+                    )
+                ):
+                    return self._err(
+                        400, "collapseField cannot combine with agg* params"
+                    )
+                from quickwit_spark.search.executor import search_collapse_rows
+
+                with self.lock:
+                    rows, n_groups, n_docs = search_collapse_rows(
+                        self.spark,
+                        index_dir,
+                        req,
+                        collapse_field,
+                        qs.get("collapseTieField", [None])[0],
+                    )
+                out = {
+                    "numHits": n_docs,
+                    "collapse": {"field": collapse_field, "numGroups": n_groups},
+                    "hits": rows,
+                }
+                fmt = qs.get("format", ["prettyjson"])[0]
+                if fmt not in ("json", "prettyjson"):
+                    return self._err(400, f"unsupported format {fmt!r}")
+                body = json.dumps(out, indent=2 if fmt == "prettyjson" else None)
+                return self._reply(200, body.encode())
             # search-side aggregations (beyond-reference; agg-only clients
             # pass maxHits=0, which takes the count-only fast path)
             agg_interval = _int_or_none(qs, "aggHistogramInterval")

@@ -568,3 +568,47 @@ def test_explain_endpoint_and_strategies(spark, server, index_root):
     got = json.loads(body)
     assert code == 200 and got["explain"]["strategy"] == "block_max_wand"
     assert got["numHits"] > 0  # explain rides along, search still runs
+
+
+def test_search_endpoint_collapse(spark, server, index_root):
+    """collapseField: one hit per distinct field value, matching the
+    library's search_collapse page; totals cover ALL groups/docs; agg and
+    snippet combinations are rejected."""
+    from quickwit_spark.search.executor import search_collapse
+
+    st, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=3"
+        "&collapseField=conv_id&format=json"
+    )
+    assert st == 200
+    out = json.loads(body)
+    assert out["collapse"]["field"] == "conv_id"
+    assert len(out["hits"]) == 3
+    assert out["collapse"]["numGroups"] >= 3
+    assert out["numHits"] >= out["collapse"]["numGroups"]
+    lib = search_collapse(
+        spark, os.path.join(index_root, "conv"),
+        SearchRequest("deploy", max_hits=3), "conv_id",
+    ).collect()
+    assert [h["conv_id"] for h in out["hits"]] == [r["conv_id"] for r in lib]
+    assert [h["group_hits"] for h in out["hits"]] == [
+        r["group_hits"] for r in lib
+    ]
+    # distinct conv_ids by construction
+    assert len({h["conv_id"] for h in out["hits"]}) == 3
+
+    st, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&collapseField=conv_id"
+        "&aggTermsField=role"
+    )
+    assert st == 400 and b"agg" in body
+    st, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&collapseField=conv_id"
+        "&snippetFields=text"
+    )
+    assert st == 400 and b"snippet" in body
+    # unknown-field taxonomy flows through (ValueError -> 400)
+    st, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&collapseField=nope"
+    )
+    assert st == 400

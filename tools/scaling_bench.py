@@ -120,6 +120,16 @@ def main():
             n_files=max(8, args.convs // 4000),
         )
 
+    # pre-warm the corpus into the page cache: a session that WRITES the
+    # corpus times warm reads, a later session that reuses the file times
+    # cold disk — and 8 concurrent cold readers stall far more than 2, so
+    # cache state would silently skew the N→4N ratio between sessions
+    for root, _dirs, files in os.walk(corpus):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
     zip_path = make_pyfiles_zip("/tmp/qwspark_scale/quickwit_spark.zip")
 
     pairs = [(args.n, args.n * 4)]
