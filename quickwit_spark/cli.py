@@ -641,6 +641,115 @@ def cmd_gc(args) -> dict:
     return {"cmd": "gc", "dry_run": dry_run, key: removed}
 
 
+def cmd_run_indexer(args) -> dict:
+    """`quickwit service run indexer` analog (docs/reference/cli.md:411-441):
+    the long-running indexing service — stream the index's registered
+    source (or an explicit --input path) through the checkpointed
+    micro-batch build pipeline.  Default drains whatever the source holds
+    and exits (availableNow, the `index ingest` shape but exactly-once
+    resumable via the stream checkpoint); ``--follow`` keeps tailing with
+    the reference's commit-timeout clock (--trigger-secs,
+    indexer.rs:127-133) until --duration-secs elapses.  --merge-every N is
+    the publish→merge-planner notification (publisher.rs:193-198): every
+    Nth published batch runs a merge-policy pass + GC in-line."""
+    import os
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.catalog import Catalog
+    from quickwit_spark.streaming.ingest import (
+        file_stream_source,
+        kafka_stream_source,
+        kinesis_stream_source,
+        ndjson_stream_source,
+        start_stream_build,
+    )
+
+    if not Catalog.exists(args.index_dir):
+        return {"cmd": "run-indexer", "error": f"no index at {args.index_dir!r} (create first)"}
+    spark = _get_spark("qw-indexer", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    config = IndexConfig.from_dict(Catalog(args.index_dir).config_dict)
+
+    import hashlib
+
+    # ad-hoc label is input-path-scoped: two different --input dirs must not
+    # share a stream checkpoint (offsets pin the source path) or a build-id
+    # space (resume would skip the other's batches)
+    source_label = (
+        f"adhoc-{hashlib.md5(str(args.input).encode()).hexdigest()[:8]}"
+        if args.input
+        else "adhoc"
+    )
+    stype, params = "file", {"path": args.input, "format": args.format}
+    if getattr(args, "source", None):
+        src = Catalog(args.index_dir).sources().get(args.source)
+        if src is None:
+            return {"cmd": "run-indexer", "error": f"no source {args.source!r}"}
+        source_label = args.source
+        stype, params = src["source_type"], dict(src["params"])
+    elif not args.input:
+        return {"cmd": "run-indexer", "error": "pass --source or --input"}
+
+    mft = getattr(args, "max_files_per_trigger", None)
+    if stype == "kafka":
+        stream_df = kafka_stream_source(
+            spark, params["bootstrap_servers"], params["topic"],
+            params.get("starting_offsets", "earliest"),
+        )
+    elif stype == "kinesis":
+        stream_df = kinesis_stream_source(
+            spark,
+            params["stream_name"],
+            params["region"],
+            params.get("starting_position", "TRIM_HORIZON"),
+            params.get("endpoint_url"),
+        )
+    elif stype == "ndjson" or (
+        params.get("format") == "ndjson" and config.doc_mapper_json is not None
+    ):
+        # generic schema: raw NDJSON lines, parsed/validated per micro-batch
+        # by the index's DocMapper inside the ingestor
+        stream_df = ndjson_stream_source(spark, params["path"], mft)
+    else:
+        stream_df = file_stream_source(
+            spark, params["path"], params.get("format", "parquet"), mft
+        )
+
+    ckpt = getattr(args, "checkpoint_dir", None) or os.path.join(
+        args.index_dir, "_stream_checkpoint", source_label
+    )
+    query, ingestor = start_stream_build(
+        stream_df,
+        config,
+        args.index_dir,
+        ckpt,
+        available_now=not args.follow,
+        trigger_secs=args.trigger_secs if args.follow else None,
+        splits_per_batch=getattr(args, "splits_per_batch", None),
+        merge_every_n_batches=args.merge_every,
+        # source-scoped build ids (the ingest `{source}~~` convention):
+        # two sources feeding one index must not share a build-id space,
+        # or the resume skip treats the other's batches as already done
+        build_prefix=f"{source_label}~~s",
+    )
+    if args.follow:
+        query.awaitTermination(args.duration_secs)
+        query.stop()
+        query.awaitTermination()
+    else:
+        query.awaitTermination()
+    return {
+        "cmd": "run-indexer",
+        "source": source_label,
+        "batches": len(ingestor.reports),
+        "published_splits": sum(len(r.published_splits) for r in ingestor.reports),
+        "total_docs": sum(r.total_docs for r in ingestor.reports),
+        "invalid_docs": dict(ingestor.invalid_by_reason),
+        "merge_rounds": ingestor.merge_rounds,
+        "checkpoint_dir": ckpt,
+    }
+
+
 def cmd_delete(args) -> dict:
     """Delete the whole index (quickwit-cli `index delete` analog,
     quickwit-core/src/index.rs:55-115): mark every split for deletion, GC
@@ -918,6 +1027,44 @@ def main(argv=None):
         help="list the split ids that would be removed without deleting",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    ri = sub.add_parser("run-indexer")
+    ri.add_argument("--index-dir", required=True)
+    ri.add_argument(
+        "--source", default=None,
+        help="registered source id (source-add) to stream from",
+    )
+    ri.add_argument(
+        "--input", default=None,
+        help="ad-hoc source directory (instead of --source)",
+    )
+    ri.add_argument(
+        "--format", default="parquet",
+        help="ad-hoc --input format: parquet | json | ndjson (generic mapper)",
+    )
+    ri.add_argument(
+        "--follow", action="store_true",
+        help="keep tailing the source (default: drain what exists and exit)",
+    )
+    ri.add_argument(
+        "--trigger-secs", type=float, default=5.0,
+        help="--follow micro-batch period (the commit-timeout clock)",
+    )
+    ri.add_argument(
+        "--duration-secs", type=int, default=60,
+        help="--follow run duration before a clean stop",
+    )
+    ri.add_argument(
+        "--merge-every", type=int, default=0,
+        help="run a merge-policy pass + GC every N published batches (0 = off)",
+    )
+    ri.add_argument("--splits-per-batch", type=int, default=None)
+    ri.add_argument("--max-files-per-trigger", type=int, default=None)
+    ri.add_argument(
+        "--checkpoint-dir", default=None,
+        help="stream checkpoint location (default <index-dir>/_stream_checkpoint/<source>)",
+    )
+    ri.set_defaults(fn=cmd_run_indexer)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--index-root", required=True)

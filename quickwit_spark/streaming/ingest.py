@@ -253,6 +253,7 @@ def start_stream_build(
     trigger_secs: float | None = None,
     splits_per_batch: int | None = None,
     merge_every_n_batches: int = 0,
+    build_prefix: str = "s",
 ):
     """Wire a streaming transcript source into the index-build pipeline.
 
@@ -261,10 +262,17 @@ def start_stream_build(
     end-of-source split cut, indexer.rs:280-295); with ``trigger_secs`` it
     keeps tailing with that micro-batch period (the commit-timeout clock,
     indexer.rs:127-133).
+
+    ``build_prefix`` MUST be distinct per stream checkpoint when several
+    sources feed one index: build ids are ``{prefix}{batch_id}``, and two
+    sources sharing a prefix would resume-skip each other's batches (the
+    builder treats an already-published build id as done).  The CLI scopes
+    it by source id, the same ``{source}~~`` convention as `ingest`.
     """
     ingestor = StreamIngestor(
         config,
         index_dir,
+        build_prefix=build_prefix,
         splits_per_batch=splits_per_batch,
         merge_every_n_batches=merge_every_n_batches,
     )

@@ -293,3 +293,66 @@ def test_record_projection_accepts_any_rfc3339_fraction(spark):
     assert rows[2].ts.microsecond == 123456
     # offset-carrying stamp normalizes to UTC
     assert rows[3].ts.microsecond == 123456
+
+
+def test_cli_run_indexer_drain_resume_and_source_isolation(spark, tmp_path_factory):
+    """`run-indexer` (the `service run indexer` analog): drains the source
+    through the checkpointed stream, a re-run indexes ONLY newly-arrived
+    files (exactly-once), and two sources feeding one index get disjoint
+    build-id spaces (a shared prefix would resume-skip each other's
+    batches — regression for the source-scoped build_prefix)."""
+    from quickwit_spark.cli import cmd_create, cmd_run_indexer
+
+    base = str(tmp_path_factory.mktemp("runidx"))
+    src, idx = f"{base}/src", f"{base}/idx"
+    total = _write_source_files(spark, src, n_files=2, seed0=70)
+
+    class A:
+        local_cpus = None
+        shuffle_partitions = None
+        config = None
+        split_docs = 5000
+        segment_docs = 1000
+        overwrite = False
+        metastore = None
+
+    a = A()
+    a.index_dir = idx
+    cmd_create(a)
+    a.source = None
+    a.input = src
+    a.format = "parquet"
+    a.follow = False
+    a.trigger_secs = 1.0
+    a.duration_secs = 5
+    a.merge_every = 0
+    a.splits_per_batch = None
+    a.max_files_per_trigger = None
+    a.checkpoint_dir = None
+    out = cmd_run_indexer(a)
+    assert out["total_docs"] == total and out["published_splits"] >= 1
+
+    # nothing new -> zero batches, zero docs
+    again = cmd_run_indexer(a)
+    assert again["batches"] == 0 and again["total_docs"] == 0
+
+    # a new file -> ONLY it is indexed
+    extra = _write_source_files(spark, src, n_files=1, seed0=99)
+    third = cmd_run_indexer(a)
+    assert third["total_docs"] == extra
+    assert sum(s.num_docs for s in Catalog(idx).splits()) == total + extra
+
+    # a REGISTERED source over a different dir gets its own checkpoint AND
+    # build-id space: its identical batch ids must still publish
+    src2 = f"{base}/src2"
+    extra2 = _write_source_files(spark, src2, n_files=1, seed0=123)
+    Catalog(idx).add_source("files2", "file", {"path": src2, "format": "parquet"})
+    a.source = "files2"
+    a.input = None
+    out2 = cmd_run_indexer(a)
+    assert out2["source"] == "files2"
+    assert out2["total_docs"] == extra2 and out2["published_splits"] >= 1
+    assert sum(s.num_docs for s in Catalog(idx).splits()) == total + extra + extra2
+    # searchable end-to-end across all three ingests
+    resp = search(spark, idx, SearchRequest("error OR deploy", max_hits=5))
+    assert resp.num_hits > 0
