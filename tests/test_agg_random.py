@@ -249,6 +249,54 @@ def test_random_agg_multi_matches_pandas_oracle(
 )
 @given(
     req=_requests(),
+    ckey=st.sampled_from(["conv_id", "role", "tool", "turn_idx"]),
+    k=st.integers(1, 6),
+    offset=st.integers(0, 3),
+)
+def test_random_collapse_matches_python_oracle(spark, built, req, ckey, k, offset):
+    """Field collapse vs a python oracle: per-group best BM25 (the
+    OracleIndex scorer), groups ranked by best score with the engine's
+    (score desc, split_id, doc_id) tie-break, offset/limit applied."""
+    import dataclasses
+
+    from quickwit_spark.search.executor import search_collapse
+    from quickwit_spark.search.parser import parse_query, positive_term_weights
+
+    oracle, docs, cfg = _STATE["oracle"], _STATE["docs"], _STATE["cfg"]
+    req = dataclasses.replace(req, max_hits=k, start_offset=offset)
+    got = search_collapse(spark, built, req, ckey).collect()
+
+    mdf = _matched_docs(req)
+    ast = parse_query(req.query, cfg, req.search_fields)
+    weights = positive_term_weights(ast)
+    groups: dict = {}
+    for _, row in mdf.iterrows():
+        key = (row["split_id"], int(row["doc_id"]))
+        cval = int(row[ckey]) if ckey == "turn_idx" else row[ckey]
+        # AllQuery ('*') scores constant 1.0 like the engine's scored stream
+        s = 1.0 if req.query == "*" else oracle._score(key, weights)
+        groups.setdefault(cval, []).append((s, key))
+    reps = []
+    for cval, items in groups.items():
+        s, key = sorted(items, key=lambda t: (-t[0], t[1][0], t[1][1]))[0]
+        reps.append((s, key, cval, len(items)))
+    reps.sort(key=lambda t: (-t[0], t[1][0], t[1][1]))
+    want = reps[offset : offset + k]
+
+    assert len(got) == len(want), f"req={req} ckey={ckey}"
+    for g, (s, key, cval, n) in zip(got, want):
+        assert g[ckey] == cval and g["group_hits"] == n, f"req={req} ckey={ckey}"
+        assert (g["split_id"], g["doc_id"]) == key, f"req={req} ckey={ckey}"
+        assert abs(g["score"] - s) < 1e-6 * max(1.0, abs(s)), f"req={req}"
+
+
+@settings(
+    max_examples=int(os.environ.get("QW_FUZZ_EXAMPLES", "30")) // 3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    req=_requests(),
     field=st.sampled_from(["ts", "turn_idx"]),
     edges_days=st.lists(st.integers(0, 90), min_size=1, max_size=4, unique=True),
 )
