@@ -688,7 +688,7 @@ def _wand_single_term(
 
 
 def _maxscore_union(
-    postings: _SplitPostings, gstats, keys, field_lens, n_top
+    postings: _SplitPostings, gstats, keys, field_lens, n_top, weights=None
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """MaxScore over a pure disjunction of term queries (the block-max
     family's term-at-a-time variant; reference semantics SURVEY §2.7 /
@@ -703,7 +703,13 @@ def _maxscore_union(
     stopword OR ("the OR error") is most of the union.  Strict `<` in the
     prune test keeps score-ties eligible, so tie-breaks (doc order) are
     unaffected.  Returns (docs, exact_scores, num_hits) for the scored
-    subset; every doc that can appear in the top-k is in it."""
+    subset; every doc that can appear in the top-k is in it.
+
+    ``weights`` (optional per-key boost multipliers, positive_term_weights)
+    scale a term's block upper bound AND its exact per-doc score by the
+    same factor — so boosted disjunctions (``error^2 OR warn``) prune with
+    sound bounds and score byte-identically to the full-eval path (same
+    float association: (idf·tf_norm)·w)."""
     present = []
     for k in sorted(set(keys)):
         r = postings.rows.get(k)
@@ -711,10 +717,13 @@ def _maxscore_union(
             continue
         avg = gstats["avg_len"].get(k[0], 1.0) or 1.0
         idf = bm25_idf(gstats["df"].get(k, r.doc_freq), gstats["num_docs"])
+        w = weights.get(k, 1.0) if weights else 1.0
         bmax_tf = np.asarray(r.block_max_tf, np.float64)
         bmin_len = np.maximum(np.asarray(r.block_min_len, np.int64), 1)
         ub = float((idf * tf_norm(bmax_tf, bmin_len, avg)).max()) if len(bmax_tf) else 0.0
-        present.append((ub, k, idf, avg))
+        if w != 1.0:
+            ub *= w
+        present.append((ub, k, idf, avg, w))
     if not present:
         return np.empty(0, np.int64), np.empty(0, np.float64), 0
     present.sort(key=lambda x: (-x[0], x[1]))
@@ -730,7 +739,7 @@ def _maxscore_union(
     # unscored; the exact union count still accumulates below
     threshold = -np.inf if n_top > 0 else np.inf
     num_hits = 0
-    for i, (ub, key, idf, avg) in enumerate(present):
+    for i, (ub, key, idf, avg, w) in enumerate(present):
         d_i = doclists[i][0].astype(np.int64)
         t_i = doclists[i][1]
         last = i == len(present) - 1
@@ -750,7 +759,8 @@ def _maxscore_union(
             continue  # counted, not scored: bounded strictly below k-th best
         fl = lens_list[i]
         dl = fl[new_docs] if fl is not None else np.ones(len(new_docs), np.int64)
-        sc = idf * tf_norm(new_tf.astype(np.float64), dl, avg)
+        base = idf * tf_norm(new_tf.astype(np.float64), dl, avg)
+        sc = base * w if w != 1.0 else base
         # exact totals: add every LATER term's contribution (docs new at
         # phase i contain none of the earlier terms by construction)
         for j in range(i + 1, len(present)):
@@ -765,8 +775,9 @@ def _maxscore_union(
             flj = lens_list[j]
             dv = new_docs[valid]
             dlj = flj[dv] if flj is not None else np.ones(len(dv), np.int64)
-            _, _, idf_j, avg_j = present[j]
-            sc[valid] += idf_j * tf_norm(t_j[pos[valid]].astype(np.float64), dlj, avg_j)
+            _, _, idf_j, avg_j, w_j = present[j]
+            base_j = idf_j * tf_norm(t_j[pos[valid]].astype(np.float64), dlj, avg_j)
+            sc[valid] += base_j * w_j if w_j != 1.0 else base_j
         out_docs.append(new_docs)
         out_scores.append(sc)
         merged = np.concatenate((topk, sc))
@@ -816,10 +827,15 @@ def select_strategy(ast, request: SearchRequest, mode: str = "topk") -> str:
 
     * ``match_all_scan`` — '*' (constant score, zero postings decode)
     * ``block_max_wand`` — single unfiltered term (block skipping)
-    * ``maxscore_union`` — pure unboosted term disjunction (counted-but-
-      unscored pruning; per-clause boosts fall back — the bounds assume
-      weight 1.0)
+    * ``maxscore_union`` — pure term disjunction, boosted or not
+      (counted-but-unscored pruning; per-clause boosts scale each term's
+      block upper bound and its exact score by the same multiplier, so
+      the prune test stays sound)
     * ``full_eval`` — everything else (boolean eval + BM25 over matches)
+
+    Time-filtered queries select ``full_eval`` here, but the leaf upgrades
+    them per split via ts_elidable_strategy when every segment of a split
+    lies wholly inside the requested range (see score_split).
     """
     unfiltered_topk = (
         mode == "topk"
@@ -840,10 +856,36 @@ def select_strategy(ast, request: SearchRequest, mode: str = "topk") -> str:
         and not ast.must
         and not ast.must_not
         and len(ast.should) >= 2
-        and all(isinstance(c, TermQuery) and c.boost == 1.0 for c in ast.should)
+        and all(isinstance(c, TermQuery) for c in ast.should)
     ):
         return "maxscore_union"
     return "full_eval"
+
+
+def ts_elidable_strategy(ast, request: SearchRequest, mode: str = "topk") -> str | None:
+    """The pruned strategy this query would run WITHOUT its time filter,
+    or None.  The reference drops the timestamp filter for a segment whose
+    whole ts range lies inside the request range (filters.rs:64-66,92-97);
+    lifting that skip to strategy selection means a split wholly inside
+    the range runs block-max WAND / MaxScore instead of full evaluation —
+    the filter is provably a no-op there, so scores, tie-breaks, and the
+    exact num_hits are unchanged.  Splits straddling a range boundary keep
+    full_eval (their per-doc filter needs every candidate decoded anyway)."""
+    if request.start_timestamp is None and request.end_timestamp is None:
+        return None
+    unfiltered = _dc_replace(request, start_timestamp=None, end_timestamp=None)
+    base = select_strategy(ast, unfiltered, mode)
+    return base if base in ("block_max_wand", "maxscore_union") else None
+
+
+def _split_inside_ts(ff_pdf: pd.DataFrame, lo, hi) -> bool:
+    """True iff every segment's [ts_min, ts_max] lies inside [lo, hi) —
+    the whole-split form of _ts_filter's whole-segment skip."""
+    if lo is not None and not bool((ff_pdf["ts_min"] >= lo).all()):
+        return False
+    if hi is not None and not bool((ff_pdf["ts_max"] < hi).all()):
+        return False
+    return True
 
 
 def make_split_scorer(
@@ -875,6 +917,10 @@ def make_split_scorer(
     strategy = select_strategy(ast, request, mode)
     single_term_wand = strategy == "block_max_wand"
     disjunction_maxscore = strategy == "maxscore_union"
+    # time-filtered term/disjunction queries upgrade per split: a split
+    # wholly inside [ts_lo, ts_hi) runs the pruned strategy (the filter is
+    # a no-op there); boundary-straddling splits keep full evaluation
+    elide_strategy = ts_elidable_strategy(ast, request, mode)
 
     lens_tracked = set(config.lens_tracked_fields) | {"text"}
     f_cols = fetch_cols(config)
@@ -941,7 +987,12 @@ def make_split_scorer(
 
         postings = _SplitPostings(postings_pdf, lo, hi)
 
-        if single_term_wand and postings.has((ast.field, ast.term)):
+        eff_wand, eff_maxscore = single_term_wand, disjunction_maxscore
+        if elide_strategy is not None and _split_inside_ts(ff_pdf, ts_lo, ts_hi):
+            eff_wand = elide_strategy == "block_max_wand"
+            eff_maxscore = elide_strategy == "maxscore_union"
+
+        if eff_wand and postings.has((ast.field, ast.term)):
             row = postings.rows[(ast.field, ast.term)]
             docs, scores = _wand_single_term(
                 row, gstats, ast.field, ast.term, field_lens(ast.field), n_top, lo, hi
@@ -953,13 +1004,14 @@ def make_split_scorer(
             num_hits = (
                 int(row.doc_freq) if lo is None else _term_count_in_range(row, lo, hi)
             )
-        elif disjunction_maxscore:
+        elif eff_maxscore:
             docs, scores, num_hits = _maxscore_union(
                 postings,
                 gstats,
                 [(c.field, c.term) for c in ast.should],
                 field_lens,
                 n_top,
+                pos_weights,
             )
         elif isinstance(ast, AllQuery):
             # '*': every doc in the split matches with constant score 1.0
@@ -2000,6 +2052,22 @@ def explain(spark: SparkSession, index_dir: str, request: SearchRequest) -> dict
     if strategy == "match_all_scan" and count_only and no_range:
         # the root answers this from catalog metadata before any leaf runs
         strategy = "match_all_metadata_count"
+    # per-split time-filter elision: splits wholly inside the requested
+    # range run the pruned strategy instead of full evaluation
+    elide = ts_elidable_strategy(ast, request)
+    lo_e, hi_e = request.start_timestamp, request.end_timestamp
+    splits_elided = (
+        sum(
+            1
+            for s in splits
+            if s.ts_min is not None
+            and s.ts_max is not None
+            and (lo_e is None or s.ts_min >= lo_e)
+            and (hi_e is None or s.ts_max < hi_e)
+        )
+        if elide is not None
+        else 0
+    )
     est = _est_split_rows(ast, gstats, len(splits))
     in_process = strategy == "match_all_metadata_count" or (
         len(splits) <= int(os.environ.get("QW_DRIVER_LEAF_MAX_SPLITS", "8"))
@@ -2010,6 +2078,8 @@ def explain(spark: SparkSession, index_dir: str, request: SearchRequest) -> dict
         "query": request.query,
         "ast": repr(ast),
         "strategy": strategy,
+        "ts_elided_strategy": elide,
+        "splits_ts_elided": splits_elided,
         "splits_total": len(all_splits),
         "splits_after_pruning": len(splits),
         "splits_pruned": len(all_splits) - len(splits),

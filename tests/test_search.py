@@ -54,6 +54,9 @@ QUERY_CASES = [
     SearchRequest("deploy", start_offset=5, max_hits=5),  # offset rewrite path
     SearchRequest("error", max_hits=7, start_timestamp=1767225600 + 40 * 86400),
     SearchRequest("the error OR deploy", max_hits=15),
+    # boosted disjunctions route through MaxScore (boost-scaled bounds)
+    SearchRequest("deploy^2 OR failure"),
+    SearchRequest("the^3 OR error OR deploy^0.5", max_hits=15),
 ]
 
 
@@ -249,6 +252,30 @@ def test_time_pruning_prunes_splits(spark, built):
     ast = parse_query("error", CFG)
     req = SearchRequest("error", start_timestamp=0, end_timestamp=1)  # before corpus epoch
     assert prune_splits(cat, CFG, ast, req) == []
+
+
+def test_ts_elision_upgrades_wholly_inside_splits(spark, built):
+    """A time filter that covers a split entirely is a no-op there — the
+    whole-segment skip of filters.rs:64-66 lifted to strategy selection:
+    such splits run block-max WAND / MaxScore under the filter, and
+    results (docIDs, exact scores, exact num_hits) must stay identical to
+    the filtered full evaluation the oracle performs.  Ranges cutting
+    mid-corpus exercise the mixed case (some splits upgraded, boundary
+    splits on full eval) in one query."""
+    from quickwit_spark.search.executor import explain
+
+    index_dir, oracle, docs = built
+    lo, hi = int(docs["ts_epoch"].min()), int(docs["ts_epoch"].max()) + 1
+    mid = (lo + hi) // 2
+    e = explain(spark, index_dir, SearchRequest("deploy", start_timestamp=lo, end_timestamp=hi))
+    assert e["ts_elided_strategy"] == "block_max_wand"
+    assert e["splits_ts_elided"] == e["splits_after_pruning"] > 0
+    for q in ("deploy", "deploy OR failure", "the^2 OR error"):
+        for rng in ((lo, hi), (lo, None), (None, hi), (mid, hi), (lo, mid)):
+            req = SearchRequest(
+                q, max_hits=12, start_timestamp=rng[0], end_timestamp=rng[1]
+            )
+            _assert_rank_identical(search(spark, index_dir, req), oracle.search(req))
 
 
 def test_search_stream(spark, built):

@@ -556,9 +556,18 @@ def test_explain_endpoint_and_strategies(spark, server, index_root):
     assert explain(spark, idx, SR("deploy"))["strategy"] == "block_max_wand"
     assert explain(spark, idx, SR("deploy OR error"))["strategy"] == "maxscore_union"
     assert explain(spark, idx, SR("*", max_hits=0))["strategy"] == "match_all_metadata_count"
-    assert explain(spark, idx, SR("deploy^2 OR error"))["strategy"] == "full_eval"
+    # boosted disjunctions prune too: MaxScore scales each term's bound
+    # and score by its boost
+    assert explain(spark, idx, SR("deploy^2 OR error"))["strategy"] == "maxscore_union"
     p = explain(spark, idx, SR('"deploy failure"', start_timestamp=1))
     assert p["strategy"] == "full_eval" and p["splits_after_pruning"] >= 1
+    assert p["ts_elided_strategy"] is None  # phrases never elide to a pruned path
+    # a time range covering every split: full_eval at request level, but
+    # every split upgrades to WAND (whole-split time-filter elision)
+    e = explain(spark, idx, SR("deploy", start_timestamp=0, end_timestamp=2**40))
+    assert e["strategy"] == "full_eval"
+    assert e["ts_elided_strategy"] == "block_max_wand"
+    assert e["splits_ts_elided"] == e["splits_after_pruning"] > 0
     dfq = {t["term"]: t["doc_freq"] for t in p["terms"]}
     assert dfq["deploy"] > 0 and dfq["failure"] > 0
 
