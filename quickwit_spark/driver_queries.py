@@ -219,6 +219,16 @@ def ft_boost(spark, sf_dir):
     return _ft(spark, sf_dir, "spark merge^2")
 
 
+def ft_prefix(spark, sf_dir):
+    """'merg*' — prefix query: the planner expands the prefix against the
+    index's global term dictionary into a scored disjunction (Lucene
+    scoring_boolean rewrite; executor.expand_prefixes), capped at
+    QW_PREFIX_MAX_EXPANSIONS.  The DuckDB twin expands with LIKE over the
+    same tokenized corpus, so the value hash certifies both the expansion
+    set and the summed BM25 scores."""
+    return _ft(spark, sf_dir, "merg*")
+
+
 def ft_match_all(spark, sf_dir):
     """'*' (UserInputLeaf::All → AllQuery): browse-latest — every doc
     matches at constant score, page by ts descending."""
@@ -719,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_ts": ft_sort_by_ts,
         "ft_sort_by_turn_idx": ft_sort_by_turn_idx,
         "ft_boost": ft_boost,
+        "ft_prefix": ft_prefix,
         "ft_match_all": ft_match_all,
         "ft_search_after": ft_search_after,
         "ft_count": ft_count,
@@ -838,6 +849,19 @@ ORDER BY doc_id ASC LIMIT 10""",
         "ft_boost": _bm25_topk_sql(
             ["spark", "merge"], "and", 10, weights={"merge": 2.0}
         ),
+        "ft_prefix": f"""{BM25_CTE},
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'merg%'),
+sc AS (
+  SELECT cand.doc_id, sum({_score_expr()}) AS score
+  FROM cand
+  JOIN tf ON tf.doc_id = cand.doc_id AND tf.term LIKE 'merg%'
+  JOIN dl ON dl.doc_id = cand.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN st
+  GROUP BY cand.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "ft_match_all": """
 SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 10""",
         "ft_search_after": f"""{BM25_CTE}

@@ -66,6 +66,7 @@ from .parser import (
     AllQuery,
     BoolQuery,
     PhraseQuery,
+    PrefixQuery,
     TermQuery,
     collect_terms,
     extract_tag_predicate,
@@ -268,6 +269,32 @@ def _table_scan(spark: SparkSession, index_dir: str, table: str):
     return _SCAN_DF_CACHE[key]
 
 
+def _stats_files(index_dir: str, cat: Catalog) -> list[str]:
+    """Global term-dictionary source files: the term-stats LSM deltas
+    (O(publish batches since the last merge), independent of split count)
+    or, for indexes published without deltas, every split's postings files
+    (O(splits), column/row-group-pruned).  Retries once against a fresh
+    catalog when a concurrent compaction swapped the delta list between
+    the catalog read and the file read; a SECOND miss is real corruption
+    and raises."""
+    from ..index.builder import _expand_parquet_paths
+
+    delta_files = cat.termstats_files()
+    if delta_files is not None:
+        try:
+            return _expand_parquet_paths(delta_files, strict=True)
+        except FileNotFoundError:
+            cat = Catalog(index_dir)
+            delta_files = cat.termstats_files()
+            if delta_files is not None:
+                return _expand_parquet_paths(delta_files, strict=True)
+    return [
+        f
+        for s in cat.splits()
+        for f in _split_files(index_dir, "postings", s.split_id)
+    ]
+
+
 def global_term_stats(
     spark: SparkSession,
     index_dir: str,
@@ -305,32 +332,7 @@ def global_term_stats(
         # posting-dictionary rows, O(splits) but column/row-group-pruned.
         import pyarrow.dataset as pads
 
-        from ..index.builder import _expand_parquet_paths
-
-        delta_files = cat.termstats_files()
-        if delta_files is not None:
-            try:
-                files = _expand_parquet_paths(delta_files, strict=True)
-            except FileNotFoundError:
-                # a concurrent compaction swapped the delta list between our
-                # catalog read and the file read — retry against a fresh
-                # catalog; a SECOND miss is real corruption and raises
-                cat = Catalog(index_dir)
-                delta_files = cat.termstats_files()
-                if delta_files is None:  # deltas dropped entirely → fallback
-                    files = [
-                        f
-                        for s in cat.splits()
-                        for f in _split_files(index_dir, "postings", s.split_id)
-                    ]
-                else:
-                    files = _expand_parquet_paths(delta_files, strict=True)
-        else:
-            files = [
-                f
-                for s in cat.splits()
-                for f in _split_files(index_dir, "postings", s.split_id)
-            ]
+        files = _stats_files(index_dir, cat)
         if files:
             cond = None
             for f_, t_ in terms:
@@ -359,6 +361,120 @@ def global_term_stats(
     while len(_GSTATS_CACHE) > 4096:
         _GSTATS_CACHE.pop(next(iter(_GSTATS_CACHE)))
     return {"num_docs": stats["num_docs"], "avg_len": stats["avg_len"], "df": df_map}
+
+
+def _prefix_upper(p: str) -> str | None:
+    """Smallest string > every string with prefix ``p`` (for a dictionary
+    range read [p, upper)), or None when the last char is the maximum code
+    point (then the scan is unbounded above and the startswith re-check
+    below does the filtering)."""
+    for i in range(len(p) - 1, -1, -1):
+        if ord(p[i]) < 0x10FFFF:
+            return p[:i] + chr(ord(p[i]) + 1)
+    return None
+
+
+def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
+    """Rewrite every PrefixQuery into a scored disjunction of the index's
+    matching dictionary terms — Lucene's ``scoring_boolean`` multi-term
+    rewrite (each expanded term keeps the prefix clause's boost and is
+    BM25-scored normally, so a pure prefix query runs MaxScore like any
+    other term disjunction and every downstream stage — warmup, pruning,
+    oracle comparison — sees only ordinary Term/Bool nodes).
+
+    Expansion reads the global term dictionary (the term-stats LSM deltas,
+    O(publish batches) driver-side pyarrow — the same source global doc_freq
+    comes from) with a [prefix, prefix+1) range condition, and the summed
+    doc_freq of each matched term seeds the df cache so planning costs ONE
+    stats read, not two.  More than QW_PREFIX_MAX_EXPANSIONS (default 1024)
+    distinct terms is a loud error — Lucene's too_many_clauses analog;
+    predictable failure beats silently truncated results.  A prefix that
+    matches nothing becomes a match-nothing clause."""
+    wanted: list[tuple[str, str]] = []
+
+    def find(n):
+        if isinstance(n, PrefixQuery):
+            wanted.append((n.field, n.prefix))
+        elif isinstance(n, BoolQuery):
+            for c in (*n.must, *n.should, *n.must_not):
+                find(c)
+
+    find(ast)
+    if not wanted:
+        return ast
+    import pyarrow.dataset as pads
+
+    cap = int(os.environ.get("QW_PREFIX_MAX_EXPANSIONS", "1024"))
+    state = Catalog.state_token(index_dir)
+    expansions: dict[tuple[str, str], tuple[str, ...]] = {}
+    missing: list[tuple[str, str]] = []
+    for key in sorted(set(wanted)):
+        hit = _GSTATS_CACHE.get((index_dir, state, "prefix", key))
+        if hit is not None:
+            expansions[key] = hit
+        else:
+            missing.append(key)
+    if missing:
+        files = _stats_files(index_dir, cat)
+        cond = None
+        for f_, p_ in missing:
+            c = (pads.field("field") == f_) & (pads.field("term") >= p_)
+            hi = _prefix_upper(p_)
+            if hi is not None:
+                c = c & (pads.field("term") < hi)
+            cond = c if cond is None else (cond | c)
+        if files:
+            dkey = ("gstats-dset", tuple(files))
+            dset = _GSTATS_CACHE.get(dkey)
+            if dset is None:
+                dset = storage_for(index_dir).dataset(files)
+                _GSTATS_CACHE[dkey] = dset
+            pdf = dset.to_table(
+                columns=["field", "term", "doc_freq"], filter=cond
+            ).to_pandas()
+        else:
+            pdf = pd.DataFrame(columns=["field", "term", "doc_freq"])
+        for f_, p_ in missing:
+            sub = (
+                pdf[(pdf["field"] == f_) & pdf["term"].str.startswith(p_)]
+                if len(pdf)
+                else pdf
+            )
+            if len(sub):
+                agg = sub.groupby("term")["doc_freq"].sum()
+                terms = tuple(sorted(t for t, d in agg.items() if int(d) > 0))
+            else:
+                agg, terms = {}, ()
+            if len(terms) > cap:
+                raise ValueError(
+                    f"prefix '{f_}:{p_}*' expands to {len(terms)} dictionary "
+                    f"terms (max {cap}; raise QW_PREFIX_MAX_EXPANSIONS to "
+                    "allow more)"
+                )
+            expansions[(f_, p_)] = terms
+            _GSTATS_CACHE[(index_dir, state, "prefix", (f_, p_))] = terms
+            for t in terms:  # the LSM sums ARE the global doc_freqs
+                _GSTATS_CACHE[(index_dir, state, (f_, t))] = int(agg[t])
+
+    def rw(n):
+        if isinstance(n, PrefixQuery):
+            terms = expansions[(n.field, n.prefix)]
+            if not terms:
+                return BoolQuery()  # matches no documents
+            if len(terms) == 1:
+                return TermQuery(n.field, terms[0], boost=n.boost)
+            return BoolQuery(
+                should=[TermQuery(n.field, t, boost=n.boost) for t in terms]
+            )
+        if isinstance(n, BoolQuery):
+            return BoolQuery(
+                must=[rw(c) for c in n.must],
+                should=[rw(c) for c in n.should],
+                must_not=[rw(c) for c in n.must_not],
+            )
+        return n
+
+    return rw(ast)
 
 
 # ---------------------------------------------------------------------------
@@ -1417,6 +1533,7 @@ def _plan_leaf(
     """Shared driver-side planning: parse, prune, stats, scorer."""
     cat, config = open_index(spark, index_dir)
     ast = parse_query(request.query, config, request.search_fields)
+    ast = expand_prefixes(spark, index_dir, cat, ast)
     splits = prune_splits(cat, config, ast, request)
     terms = collect_terms(ast)
     buckets = term_buckets(spark, terms, config.term_merge_buckets)
@@ -1648,6 +1765,7 @@ def multi_search(
     all_sids: dict[str, SplitMetadata] = {}
     for req in requests:
         ast = parse_query(req.query, config, req.search_fields)
+        ast = expand_prefixes(spark, index_dir, cat, ast)
         splits = prune_splits(cat, config, ast, req)
         terms = collect_terms(ast)
         all_terms |= terms
@@ -2003,13 +2121,15 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
     the total hit count (collector.rs:180-187)."""
     t0 = time.monotonic()
     page, num_hits = _search_rows(spark, index_dir, request)
-    _, config = open_index(spark, index_dir)
+    cat, config = open_index(spark, index_dir)
     out = [_hit_dict(config, r) for r in page]
     _maybe_add_source(index_dir, out, page)
     if request.snippet_fields:
         from .snippet import attach_snippets
 
         ast = parse_query(request.query, config, request.search_fields)
+        # expanded terms highlight like typed ones ("depl*" → <b>deploy</b>)
+        ast = expand_prefixes(spark, index_dir, cat, ast)
         attach_snippets(
             config,
             ast,
@@ -2041,6 +2161,7 @@ def explain(spark: SparkSession, index_dir: str, request: SearchRequest) -> dict
     cat, config = open_index(spark, index_dir)
     request = resolve_sort(request, config)
     ast = parse_query(request.query, config, request.search_fields)
+    ast = expand_prefixes(spark, index_dir, cat, ast)
     all_splits = cat.splits()
     splits = prune_splits(cat, config, ast, request)
     terms = sorted(collect_terms(ast))

@@ -20,6 +20,7 @@ from .parser import (
     AllQuery,
     BoolQuery,
     PhraseQuery,
+    PrefixQuery,
     TermQuery,
     parse_query,
     positive_term_weights,
@@ -155,8 +156,43 @@ class OracleIndex:
             s += w * self._idf(field, term) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dlen / avg))
         return s
 
+    def _expand_prefixes(self, node):
+        """Independent twin of executor.expand_prefixes: rewrite prefix
+        clauses against THIS oracle's vocabulary (identical to the engine's
+        global term dictionary — both cover exactly the indexed docs),
+        scoring_boolean semantics, same expansion cap."""
+        import os
+
+        if isinstance(node, PrefixQuery):
+            cap = int(os.environ.get("QW_PREFIX_MAX_EXPANSIONS", "1024"))
+            terms = sorted(
+                t
+                for (f, t) in self.postings
+                if f == node.field and t.startswith(node.prefix)
+            )
+            if len(terms) > cap:
+                raise ValueError(
+                    f"prefix '{node.field}:{node.prefix}*' expands to "
+                    f"{len(terms)} dictionary terms (max {cap})"
+                )
+            if not terms:
+                return BoolQuery()
+            if len(terms) == 1:
+                return TermQuery(node.field, terms[0], boost=node.boost)
+            return BoolQuery(
+                should=[TermQuery(node.field, t, boost=node.boost) for t in terms]
+            )
+        if isinstance(node, BoolQuery):
+            return BoolQuery(
+                must=[self._expand_prefixes(c) for c in node.must],
+                should=[self._expand_prefixes(c) for c in node.should],
+                must_not=[self._expand_prefixes(c) for c in node.must_not],
+            )
+        return node
+
     def search(self, request: SearchRequest) -> dict:
         ast = parse_query(request.query, self.config, request.search_fields)
+        ast = self._expand_prefixes(ast)
         matched = self._eval(ast)
         if request.start_timestamp is not None or request.end_timestamp is not None:
             lo = request.start_timestamp

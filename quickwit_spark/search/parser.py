@@ -48,6 +48,23 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class PrefixQuery:
+    """``field:pre*`` — matches every document holding a dictionary term
+    that starts with ``prefix`` (beyond-reference: the tantivy 0.15 grammar
+    has no wildcards; semantics follow Lucene's ``scoring_boolean``
+    multi-term rewrite).  The planner expands it against the index's global
+    term dictionary into a scored disjunction of TermQuery leaves, capped
+    at QW_PREFIX_MAX_EXPANSIONS distinct terms (over the cap is a loud
+    error — predictable results beat silent truncation).  Only a TRAILING
+    unescaped ``*`` is a prefix marker; ``\\*`` stays literal text and a
+    mid-term ``*`` is analyzer-stripped like any punctuation."""
+
+    field: str
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class AllQuery:
     """``*`` — match every document (tantivy UserInputLeaf::All →
     AllQuery, constant score 1.0).  Only valid as the WHOLE query here;
@@ -69,6 +86,7 @@ class _RawClause:
     text: str
     phrase: bool = False
     boost: float = 1.0
+    prefix: bool = False
 
 
 # -- lexer -------------------------------------------------------------------
@@ -313,10 +331,12 @@ class _Parser:
                 raise QueryParserError("range queries are not supported")
             _reject_comparison(text)
             text, boost = _split_boost(text)
-            return _RawClause(fieldname, _unescape(text), boost=boost)
+            text, is_prefix = _split_prefix(text)
+            return _RawClause(fieldname, _unescape(text), boost=boost, prefix=is_prefix)
         _reject_comparison(t)
         text, boost = _split_boost(t)
-        return _RawClause(bound_field, _unescape(text), boost=boost)
+        text, is_prefix = _split_prefix(text)
+        return _RawClause(bound_field, _unescape(text), boost=boost, prefix=is_prefix)
 
 
 def _parse_boost(s: str) -> float | None:
@@ -355,10 +375,20 @@ def _split_boost(text: str) -> tuple[str, float]:
     return text[:idx], b
 
 
+def _split_prefix(text: str) -> tuple[str, bool]:
+    """Split a trailing UNESCAPED ``*`` off a term token: ``depl*`` is a
+    prefix query, ``depl\\*`` stays a literal (the analyzer strips the
+    star like any punctuation).  Runs before _unescape so escaped stars
+    are still distinguishable (they carry the sentinel byte)."""
+    if text.endswith("*") and not text.endswith(_ESC + "*"):
+        return text[:-1], True
+    return text, False
+
+
 def _apply_boost(node, b: float):
     """Multiply every positive leaf's boost by ``b`` (group boosts)."""
     if isinstance(node, _RawClause):
-        return _RawClause(node.field, node.text, node.phrase, node.boost * b)
+        return _RawClause(node.field, node.text, node.phrase, node.boost * b, node.prefix)
     if isinstance(node, BoolQuery):
         return BoolQuery(
             must=[_apply_boost(c, b) for c in node.must],
@@ -388,7 +418,7 @@ def _bind_field(node, fieldname: str):
     if isinstance(node, _RawClause):
         if node.field is not None:
             return node
-        return _RawClause(fieldname, node.text, node.phrase, node.boost)
+        return _RawClause(fieldname, node.text, node.phrase, node.boost, node.prefix)
     if isinstance(node, BoolQuery):
         return BoolQuery(
             must=[_bind_field(c, fieldname) for c in node.must],
@@ -423,7 +453,7 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
             raise QueryParserError("no default search field configured")
         alts = [
             _resolve(
-                _RawClause(f, node.text, node.phrase, node.boost),
+                _RawClause(f, node.text, node.phrase, node.boost, node.prefix),
                 config,
                 default_fields,
             )
@@ -437,6 +467,32 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
         # stored/fast-only fields have no postings: fail at bind time like
         # tantivy's FieldNotIndexed instead of silently matching nothing
         raise QueryParserError(f"field is not indexed: {node.field}")
+    if node.prefix:
+        if fm.scalar_type != "text":
+            raise QueryParserError(
+                f"prefix queries require a text field (field {node.field} "
+                f"is {fm.scalar_type}: its dictionary terms are canonical "
+                "numeric encodings, not strings)"
+            )
+        if fm.tokenizer == "raw":
+            p = node.text
+        else:
+            # the prefix is matched against the dictionary AS INDEXED:
+            # lowercased for tokenized fields.  It is NOT stemmed — a
+            # stem_en dictionary holds stemmed forms and stemming a
+            # fragment would silently move the match target ("deplo*"
+            # must match "deploy…" entries, not stem("deplo")'s output).
+            toks = tokenize_text(node.text)
+            if len(toks) > 1:
+                raise QueryParserError(
+                    f"prefix must analyze to one token: {node.text!r}*"
+                )
+            p = toks[0] if toks else ""
+        if not p:
+            raise QueryParserError(
+                f"prefix query requires a non-empty prefix: {node.text!r}*"
+            )
+        return PrefixQuery(node.field, p, boost=node.boost)
     if fm.scalar_type != "text":
         # typed term query (i64/u64/f64/date/bytes): exact value match on
         # the canonical term string (same form the build task indexed)
@@ -497,6 +553,12 @@ def collect_terms(node) -> set[tuple[str, str]]:
         out.add((node.field, node.term))
     elif isinstance(node, PhraseQuery):
         out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, PrefixQuery):
+        # every planner must rewrite prefixes against the term dictionary
+        # before warmup — reaching here means an expansion step was skipped
+        raise ValueError(
+            "unexpanded PrefixQuery in plan — run expand_prefixes first"
+        )
     elif isinstance(node, BoolQuery):
         for c in node.must + node.should + node.must_not:
             out |= collect_terms(c)

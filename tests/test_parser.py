@@ -219,3 +219,37 @@ def test_phrase_slop_rejected():
     '~2' as an extra AND term would change matching, so it's a 400."""
     with pytest.raises(QueryParserError, match="slop"):
         parse_query('"a b"~2', CFG)
+
+
+def test_prefix_query_forms():
+    """Trailing unescaped '*' marks a prefix clause (beyond-reference:
+    Lucene scoring_boolean rewrite semantics, expanded at plan time)."""
+    from quickwit_spark.search.parser import PrefixQuery
+
+    assert parse_query("depl*", CFG) == PrefixQuery("text", "depl")
+    assert parse_query("DEPL*", CFG) == PrefixQuery("text", "depl")  # lowercased
+    assert parse_query("role:assi*", CFG) == PrefixQuery("role", "assi")
+    assert parse_query("depl*^2", CFG) == PrefixQuery("text", "depl", boost=2.0)
+    ast = parse_query("error AND depl*", CFG)
+    assert ast.must[1] == PrefixQuery("text", "depl")
+    # group boost distributes onto prefix leaves like any other leaf
+    ast = parse_query("(depl* error)^3", CFG)
+    assert ast.must[0] == PrefixQuery("text", "depl", boost=3.0)
+    # escaped star is literal text; the analyzer strips it like punctuation
+    assert parse_query("depl\\*", CFG) == TermQuery("text", "depl")
+    # mid-term star is not a prefix marker: analyzer splits into a phrase
+    assert parse_query("de*pl", CFG) == PhraseQuery("text", ("de", "pl"))
+
+
+def test_prefix_query_rejections():
+    from quickwit_spark.search.parser import PrefixQuery  # noqa: F401
+
+    with pytest.raises(QueryParserError, match="non-empty prefix"):
+        parse_query("text:*", CFG)
+    with pytest.raises(QueryParserError, match="one token"):
+        parse_query("text:spark-s*", CFG)
+    with pytest.raises(QueryParserError):
+        parse_query("ts:17*", CFG)  # non-text field (not indexed / typed)
+    # unexpanded prefixes must never reach warmup planning
+    with pytest.raises(ValueError, match="expand_prefixes"):
+        collect_terms(parse_query("depl*", CFG))

@@ -57,6 +57,13 @@ QUERY_CASES = [
     # boosted disjunctions route through MaxScore (boost-scaled bounds)
     SearchRequest("deploy^2 OR failure"),
     SearchRequest("the^3 OR error OR deploy^0.5", max_hits=15),
+    # prefix queries (scoring_boolean expansion vs the oracle's own rewrite)
+    SearchRequest("depl*"),
+    SearchRequest("deplo* failure"),
+    SearchRequest("role:assi* error"),
+    SearchRequest("dep*^2 OR error"),
+    SearchRequest("error NOT deplo*"),
+    SearchRequest("zzzz*"),  # matches no dictionary term
 ]
 
 
@@ -276,6 +283,38 @@ def test_ts_elision_upgrades_wholly_inside_splits(spark, built):
                 q, max_hits=12, start_timestamp=rng[0], end_timestamp=rng[1]
             )
             _assert_rank_identical(search(spark, index_dir, req), oracle.search(req))
+
+
+def test_prefix_expansion_cap_and_strategy(spark, built, monkeypatch):
+    """Prefix queries rewrite to ordinary term disjunctions at plan time:
+    a multi-term expansion runs MaxScore, a single-term expansion runs
+    block-max WAND, and an expansion larger than QW_PREFIX_MAX_EXPANSIONS
+    is a loud error (Lucene too_many_clauses analog), not a silent
+    truncation."""
+    from quickwit_spark.search.executor import explain
+
+    index_dir, oracle, _ = built
+    e = explain(spark, index_dir, SearchRequest("deplo*"))
+    # the fixture vocabulary holds exactly one 'deplo…' term → WAND
+    assert e["strategy"] == "block_max_wand"
+    assert [t["term"] for t in e["terms"]] == ["deploy"]
+    e2 = explain(spark, index_dir, SearchRequest("f*"))
+    assert e2["strategy"] == "maxscore_union" and len(e2["terms"]) >= 2
+    # per-term doc_freq surfaced by explain equals the oracle's df
+    for t in e2["terms"]:
+        assert t["doc_freq"] == len(oracle.postings[("text", t["term"])])
+    monkeypatch.setenv("QW_PREFIX_MAX_EXPANSIONS", "1")
+    # pick a first letter with >= 2 dictionary terms that no other test
+    # queried (expansions cache per (index state, field, prefix))
+    from collections import defaultdict
+
+    by_first = defaultdict(set)
+    for f, t in oracle.postings:
+        if f == "text":
+            by_first[t[0]].add(t)
+    ch = next(c for c, s in sorted(by_first.items()) if len(s) >= 2 and c not in "dfz")
+    with pytest.raises(ValueError, match="expands to"):
+        search(spark, index_dir, SearchRequest(f"{ch}*"))
 
 
 def test_search_stream(spark, built):
