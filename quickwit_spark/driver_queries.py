@@ -523,6 +523,15 @@ def tx_fingerprint(spark, sf_dir):
     return tx.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def tx_chunk_windows(spark, sf_dir):
+    """RAG-style overlapping token-window chunking (window 32, stride 24):
+    one row per (doc, window), map-only scan-side explode — the chunking
+    stage an embedding pipeline runs before sim_* indexing."""
+    return tx.chunk_windows(
+        _docs(spark, sf_dir).select("doc_id", "text"), window=32, stride=24
+    ).select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+
+
 def dd_passage_dup(spark, sf_dir):
     """Passage-level exact dedup stats over a corpus with deterministic
     injected duplicates (every 10th doc re-appended under doc_id+100000 —
@@ -764,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,
         "tx_fingerprint": tx_fingerprint,
+        "tx_chunk_windows": tx_chunk_windows,
         "tx_pii_scrub": tx_pii_scrub,
         "tx_repetition": tx_repetition,
         "tx_filter_corpus": tx_filter_corpus,
@@ -1025,6 +1035,7 @@ FROM (
             f"{q['mean_tok_ppm']} AS mean_tok_ppm, {q['quality_ppm']} AS quality_ppm FROM documents"
         ),
         "tx_fingerprint": f"SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fingerprint FROM documents",
+        "tx_chunk_windows": tx.chunk_windows_sql(window=32, stride=24),
         "tx_pii_scrub": (
             "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
             "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' "

@@ -694,3 +694,86 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs, total_tokens, max_tokens,
        {q_cols}
 FROM totals
 """
+
+
+# -- RAG-style window chunking -------------------------------------------------
+
+
+def chunk_windows(
+    df: DataFrame,
+    col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Overlapping token-window chunking for embedding / RAG pipelines:
+    each document explodes into windows of `window` tokens starting every
+    `stride` tokens (start ordinals 0..floor((n-1)/stride); the tail
+    window may be shorter).  Output adds `chunk_idx` (window ordinal),
+    `chunk_text` (space-joined window tokens) and `n_chunk_tokens`;
+    windows below `min_tokens` are dropped (with stride < window the last
+    window can be a suffix of the previous one — the conventional
+    fixed-size chunker behavior; min_tokens filters degenerate tails).
+
+    Map-only scan-side explode, zero shuffle, zero Python: the token
+    array is let-bound through a transform lambda (computed once per row
+    despite the three references — the expression-duplication discipline
+    of SURVEY §8), windows built with sequence/slice/array_join.
+    """
+    if window < 1 or stride < 1 or min_tokens < 1:
+        raise ValueError("window, stride and min_tokens must be >= 1")
+    sl = F.lit(stride)
+
+    def per_doc(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.when(
+            n > F.lit(0),
+            F.sequence(F.lit(0), F.floor((n - F.lit(1)) / sl).cast("int")),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("long").alias("chunk_idx"),
+                F.array_join(F.slice(toks, s * sl + F.lit(1), F.lit(window)), " ").alias(
+                    "chunk_text"
+                ),
+                F.size(F.slice(toks, s * sl + F.lit(1), F.lit(window)))
+                .cast("long")
+                .alias("n_chunk_tokens"),
+            ),
+        )
+
+    chunks = F.transform(F.array(tokens_col(col)), per_doc)[0]
+    out = df.withColumn("__chunk", F.explode(chunks))
+    return (
+        out.select(
+            *[c for c in df.columns if c != col],
+            F.col("__chunk.chunk_idx").alias("chunk_idx"),
+            F.col("__chunk.chunk_text").alias("chunk_text"),
+            F.col("__chunk.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+        .where(F.col("n_chunk_tokens") >= F.lit(min_tokens))
+    )
+
+
+def chunk_windows_sql(
+    table: str = "documents",
+    col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+    min_tokens: int = 1,
+    id_cols: str = "doc_id",
+) -> str:
+    """DuckDB twin of chunk_windows (1-based inclusive list slicing)."""
+    toks = duckdb_tokens(col)
+    a = f"s*{stride}+1"
+    b = f"s*{stride}+{window}"
+    return f"""
+WITH d AS (SELECT {id_cols}, {toks} AS toks FROM {table})
+SELECT {id_cols}, CAST(s AS BIGINT) AS chunk_idx,
+       array_to_string(toks[{a}:{b}], ' ') AS chunk_text,
+       CAST(len(toks[{a}:{b}]) AS BIGINT) AS n_chunk_tokens
+FROM d, UNNEST(range(0, CASE WHEN len(toks) = 0 THEN 0
+                             ELSE (len(toks)-1)//{stride} + 1 END)) AS t(s)
+WHERE len(toks[{a}:{b}]) >= {min_tokens}
+"""

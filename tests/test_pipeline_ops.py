@@ -608,3 +608,46 @@ def test_minhash_lsh_oracle_twin_including_band_misses(spark):
     # test wouldn't cover the divergence case)
     exact = dd.ngram_jaccard_pairs(df, threshold_ppm=100_000, n=3).count()
     assert len(eng) < exact
+
+
+def test_chunk_windows(spark):
+    """RAG window chunking: start ordinals 0..floor((n-1)/stride), window
+    slices space-joined, tail windows shorter, empty docs emit nothing,
+    min_tokens filters degenerate tails; DuckDB differential agrees."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 toks, w=4 s=3 -> [abcd][defg][g]
+            (2, ""),
+            (3, "one two"),
+            (4, "Hello, World! SPARK"),  # analyzer lowercases/splits
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in tx.chunk_windows(df, window=4, stride=3).collect()
+    }
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("d e f g", 4)
+    assert got[(1, 2)] == ("g", 1)
+    assert got[(3, 0)] == ("one two", 2)
+    assert got[(4, 0)] == ("hello world spark", 3)
+    assert len(got) == 5  # nothing for the empty doc
+    # min_tokens drops the 1-token tail
+    kept = tx.chunk_windows(df, window=4, stride=3, min_tokens=2).collect()
+    assert {(r["doc_id"], r["chunk_idx"]) for r in kept} == {
+        (1, 0), (1, 1), (3, 0), (4, 0),
+    }
+
+    import duckdb
+
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ora = con.sql(tx.chunk_windows_sql(window=4, stride=3)).fetchall()
+    assert {(r[0], r[1]): (r[2], r[3]) for r in ora} == got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx.chunk_windows(df, window=0)
