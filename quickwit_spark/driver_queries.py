@@ -297,6 +297,17 @@ def ft_agg_stats(spark, sf_dir):
     return search_agg_stats(spark, idx, SearchRequest("merge"), "ts")
 
 
+def ft_agg_extended_stats(spark, sf_dir):
+    """ES extended_stats: the stats row plus sum_of_squares, population
+    variance and std_deviation — exact decimal sum-of-squares, one double
+    division of two exact integers, round at the edge (search_agg_stats
+    extended=True)."""
+    from .search.executor import search_agg_stats
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_stats(spark, idx, SearchRequest("merge"), "ts", extended=True)
+
+
 def ft_agg_percentiles(spark, sf_dir):
     """Search-side EXACT percentiles aggregation (inverse-CDF closed formula
     over a two-level value histogram — no global sort, no t-digest) over the
@@ -746,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_agg_histogram": ft_agg_histogram,
         "ft_agg_terms": ft_agg_terms,
         "ft_agg_stats": ft_agg_stats,
+        "ft_agg_extended_stats": ft_agg_extended_stats,
         "ft_agg_percentiles": ft_agg_percentiles,
         "ft_agg_cardinality": ft_agg_cardinality,
         "ft_agg_terms_stats": ft_agg_terms_stats,
@@ -895,6 +907,24 @@ SELECT CAST(count(*) AS BIGINT) AS doc_count,
        CAST(sum(doc_id) AS BIGINT) AS sum,
        round(CAST(sum(doc_id) AS DOUBLE) / count(*), 4) AS avg
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')""",
+        "ft_agg_extended_stats": f"""{BM25_CTE}
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+, a AS (
+  SELECT CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(min(doc_id) AS BIGINT) AS min,
+         CAST(max(doc_id) AS BIGINT) AS max,
+         CAST(sum(doc_id) AS BIGINT) AS sum,
+         sum(CAST(doc_id AS HUGEINT) * doc_id) AS ss
+  FROM m
+)
+SELECT doc_count, min, max, sum,
+       round(CAST(sum AS DOUBLE) / doc_count, 4) AS avg,
+       CAST(ss AS DOUBLE) AS sum_of_squares,
+       round(CAST(doc_count * ss - CAST(sum AS HUGEINT) * sum AS DOUBLE)
+             / CAST(CAST(doc_count AS HUGEINT) * doc_count AS DOUBLE), 4) AS variance,
+       round(sqrt(CAST(doc_count * ss - CAST(sum AS HUGEINT) * sum AS DOUBLE)
+             / CAST(CAST(doc_count AS HUGEINT) * doc_count AS DOUBLE)), 4) AS std_deviation
+FROM a""",
         "ft_agg_percentiles": f"""{BM25_CTE}
 , matches AS (SELECT DISTINCT doc_id AS v FROM tf WHERE term = 'merge')
 , hist AS (SELECT v, count(*) AS c FROM matches GROUP BY 1)

@@ -2907,24 +2907,50 @@ def search_agg_stats(
     index_dir: str,
     request: SearchRequest,
     field: str,
+    extended: bool = False,
 ) -> DataFrame:
     """ES-style stats aggregation over every matching doc's fast i64
     ``field``: one row (count, min, max, sum, avg).  avg is computed as
-    sum/count explicitly so any engine reproduces the exact double."""
+    sum/count explicitly so any engine reproduces the exact double.
+
+    ``extended`` adds the ES extended_stats tail — sum_of_squares,
+    population variance and std_deviation — with the same determinism
+    discipline: the squared sum accumulates EXACTLY (decimal(38,0), order
+    independent, no float-summation drift), variance is the closed integer
+    form (n·Σv² − (Σv)²)/n² evaluated as one double division of two exact
+    integers, and std is sqrt of that unrounded double — so a SQL twin
+    computing CAST(exact)/CAST(exact) reproduces every bit before the one
+    final ROUND."""
     hits = search_stream(spark, index_dir, request, field)
     c = F.col(f"`{field}`")
-    return hits.agg(
+    d = c.cast("decimal(38,0)")
+    aggs = [
         F.count("*").cast("long").alias("doc_count"),
         F.min(c).cast("long").alias("min"),
         F.max(c).cast("long").alias("max"),
         F.sum(c).cast("long").alias("sum"),
-    ).select(
-        "doc_count",
-        "min",
-        "max",
-        "sum",
+    ]
+    if extended:
+        aggs.append(F.sum(d * d).cast("decimal(38,0)").alias("__ss"))
+    out = hits.agg(*aggs)
+    cols = [
+        F.col("doc_count"),
+        F.col("min"),
+        F.col("max"),
+        F.col("sum"),
         F.round(F.col("sum").cast("double") / F.col("doc_count"), 4).alias("avg"),
-    )
+    ]
+    if extended:
+        n = F.col("doc_count").cast("decimal(38,0)")
+        s = F.col("sum").cast("decimal(38,0)")
+        num = (F.col("__ss") * n - s * s).cast("double")
+        den = (n * n).cast("double")
+        cols += [
+            F.col("__ss").cast("double").alias("sum_of_squares"),
+            F.round(num / den, 4).alias("variance"),
+            F.round(F.sqrt(num / den), 4).alias("std_deviation"),
+        ]
+    return out.select(*cols)
 
 
 def _exact_percentiles(vals: DataFrame, col: str, qs: tuple) -> tuple[int, dict]:
@@ -3048,6 +3074,7 @@ def search_agg_multi(
     terms_size: int | None = 10,
     terms_metric_field: str | None = None,
     stats_field: str | None = None,
+    stats_extended: bool = False,
     percentiles_field: str | None = None,
     percentiles: tuple = (0.5, 0.9, 0.99),
     cardinality_field: str | None = None,
@@ -3165,12 +3192,16 @@ def search_agg_multi(
             ]
         if stats_field is not None:
             c = F.col(f"`{stats_field}`")
-            r = hits.agg(
+            d = c.cast("decimal(38,0)")
+            aggs = [
                 F.count("*").cast("long").alias("doc_count"),
                 F.min(c).cast("long").alias("min"),
                 F.max(c).cast("long").alias("max"),
                 F.sum(c).cast("long").alias("sum"),
-            ).collect()[0]
+            ]
+            if stats_extended:
+                aggs.append(F.sum(d * d).cast("decimal(38,0)").alias("__ss"))
+            r = hits.agg(*aggs).collect()[0]
             n = int(r["doc_count"])
             out["stats"] = {
                 "count": n,
@@ -3179,6 +3210,26 @@ def search_agg_multi(
                 "sum": None if r["sum"] is None else int(r["sum"]),
                 "avg": None if n == 0 else round(int(r["sum"]) / n, 4),
             }
+            if stats_extended:
+                import math
+
+                if n == 0:
+                    out["stats"].update(
+                        sum_of_squares=None, variance=None, std_deviation=None
+                    )
+                else:
+                    # exact integer core, ONE double division (float(num)/
+                    # float(den) == the SQL twin's CAST/CAST/divide), round
+                    # only at the edge — same discipline as the DataFrame
+                    # path in search_agg_stats
+                    ss, s = int(r["__ss"]), int(r["sum"])
+                    num, den = float(n * ss - s * s), float(n * n)
+                    var = num / den
+                    out["stats"].update(
+                        sum_of_squares=float(ss),
+                        variance=round(var, 4),
+                        std_deviation=round(math.sqrt(var), 4),
+                    )
         if percentiles_field is not None:
             n, pcts = _exact_percentiles(hits, percentiles_field, percentiles)
             out["percentiles"] = {"count": n, **pcts}

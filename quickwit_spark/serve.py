@@ -83,7 +83,8 @@ _SEARCH_PARAMS = frozenset(
         "maxHits", "startOffset", "format", "sortByField",
         "searchAfter", "snippetFields", "snippetMaxChars", "explain",
         "aggHistogramInterval", "aggTermsField", "aggTermsSize",
-        "aggTermsMetricField", "aggStatsField", "aggPercentilesField",
+        "aggTermsMetricField", "aggStatsField", "aggStatsExtended",
+        "aggPercentilesField",
         "aggCardinalityField", "aggSignificantField",
         "aggSignificantSize", "aggFilters",
         "collapseField", "collapseTieField",
@@ -404,6 +405,7 @@ class _Handler(BaseHTTPRequestHandler):
                     for p in (
                         "aggHistogramInterval", "aggTermsField",
                         "aggTermsMetricField", "aggStatsField",
+                        "aggStatsExtended",
                         "aggPercentilesField", "aggCardinalityField",
                         "aggSignificantField", "aggFilters",
                     )
@@ -437,6 +439,9 @@ class _Handler(BaseHTTPRequestHandler):
             agg_terms = qs.get("aggTermsField", [None])[0]
             agg_terms_metric = qs.get("aggTermsMetricField", [None])[0]
             agg_stats = qs.get("aggStatsField", [None])[0]
+            agg_stats_ext = qs.get("aggStatsExtended", ["false"])[0] in ("true", "1")
+            if agg_stats_ext and agg_stats is None:
+                return self._err(400, "aggStatsExtended requires aggStatsField")
             agg_pcts = qs.get("aggPercentilesField", [None])[0]
             agg_card = qs.get("aggCardinalityField", [None])[0]
             agg_sig = qs.get("aggSignificantField", [None])[0]
@@ -470,6 +475,7 @@ class _Handler(BaseHTTPRequestHandler):
                         terms_size=size,
                         terms_metric_field=agg_terms_metric,
                         stats_field=agg_stats,
+                        stats_extended=agg_stats_ext,
                         percentiles_field=agg_pcts,
                         cardinality_field=agg_card,
                         significant_field=agg_sig,

@@ -489,6 +489,25 @@ def test_search_endpoint_aggregations(spark, server, index_root):
     for b in ts_stats["buckets"]:
         assert stats["min"] <= b["min"] <= b["avg"] <= b["max"] <= stats["max"]
 
+    # extended_stats rides the same param set: variance/std/sum_of_squares
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
+        "&aggStatsField=ts&aggStatsExtended=true&format=json"
+    )
+    assert code == 200, body
+    est = json.loads(body)["aggregations"]["stats"]
+    assert est["count"] == stats["count"] and est["sum"] == stats["sum"]
+    assert est["variance"] >= 0 and est["sum_of_squares"] > 0
+    assert abs(est["std_deviation"] ** 2 - est["variance"]) < 1e-4 * max(
+        1.0, est["variance"]
+    )
+    # extended without a stats field is a parameter error, not silence
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
+        "&aggStatsExtended=true&format=json"
+    )
+    assert code == 400
+
 
 def test_search_endpoint_significant_terms(server):
     """aggSignificantField returns JLH-scored buckets desc; the query's own

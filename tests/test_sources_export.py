@@ -525,3 +525,40 @@ def test_search_agg_filters(spark, small_idx):
         search_agg_filters(spark, small_idx, SearchRequest("merge"), {})
     with pytest.raises(ValueError, match="empty query"):
         search_agg_filters(spark, small_idx, SearchRequest("merge"), {"x": " "})
+
+
+def test_search_agg_extended_stats(spark, small_idx):
+    """extended_stats: sum_of_squares / population variance / std over the
+    matches' fast field — exact decimal squared-sum core checked against a
+    first-principles integer computation over the raw stream, and the
+    fused multi path returns the same values."""
+    import math
+
+    from quickwit_spark.search.executor import (
+        search_agg_multi,
+        search_agg_stats,
+        search_stream,
+    )
+
+    req = SearchRequest("deploy")
+    vals = [
+        int(r["turn_idx"])
+        for r in search_stream(spark, small_idx, req, "turn_idx").collect()
+    ]
+    n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
+    assert n > 1
+    var = float(n * ss - s * s) / float(n * n)
+    st = search_agg_stats(spark, small_idx, req, "turn_idx", extended=True).collect()[0]
+    assert st["doc_count"] == n and st["sum"] == s
+    assert st["sum_of_squares"] == float(ss)
+    assert st["variance"] == pytest.approx(round(var, 4), abs=1e-9)
+    assert st["std_deviation"] == pytest.approx(round(math.sqrt(var), 4), abs=1e-9)
+
+    multi = search_agg_multi(
+        spark, small_idx, req, stats_field="turn_idx", stats_extended=True
+    )
+    assert multi["stats"]["sum_of_squares"] == float(ss)
+    assert multi["stats"]["variance"] == pytest.approx(st["variance"], abs=1e-9)
+    assert multi["stats"]["std_deviation"] == pytest.approx(
+        st["std_deviation"], abs=1e-9
+    )
