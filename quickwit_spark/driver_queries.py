@@ -229,6 +229,15 @@ def ft_prefix(spark, sf_dir):
     return _ft(spark, sf_dir, "merg*")
 
 
+def ft_phrase_prefix(spark, sf_dir):
+    """'"table ha*"' — ES match_phrase_prefix: the phrase's last position
+    matches any dictionary term starting with 'ha'.  The planner expands it
+    into an OR of full phrases (one per expansion), each position-verified
+    normally; scoring sums the BM25 of every positive term present in a
+    matched doc (scoring_boolean, like our other phrases)."""
+    return _ft(spark, sf_dir, '"table ha*"')
+
+
 def ft_match_all(spark, sf_dir):
     """'*' (UserInputLeaf::All → AllQuery): browse-latest — every doc
     matches at constant score, page by ts descending."""
@@ -750,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_turn_idx": ft_sort_by_turn_idx,
         "ft_boost": ft_boost,
         "ft_prefix": ft_prefix,
+        "ft_phrase_prefix": ft_phrase_prefix,
         "ft_match_all": ft_match_all,
         "ft_search_after": ft_search_after,
         "ft_count": ft_count,
@@ -877,6 +887,23 @@ sc AS (
   SELECT cand.doc_id, sum({_score_expr()}) AS score
   FROM cand
   JOIN tf ON tf.doc_id = cand.doc_id AND tf.term LIKE 'merg%'
+  JOIN dl ON dl.doc_id = cand.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN st
+  GROUP BY cand.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "ft_phrase_prefix": f"""{BM25_CTE},
+cand AS (
+  SELECT DISTINCT t1.doc_id FROM tok t1 JOIN tok t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'table' AND t2.term LIKE 'ha%'
+),
+sc AS (
+  SELECT cand.doc_id, sum({_score_expr()}) AS score
+  FROM cand
+  JOIN tf ON tf.doc_id = cand.doc_id AND (tf.term = 'table' OR tf.term LIKE 'ha%')
   JOIN dl ON dl.doc_id = cand.doc_id
   JOIN dfreq ON dfreq.term = tf.term
   CROSS JOIN st

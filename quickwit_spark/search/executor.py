@@ -65,6 +65,7 @@ from ..index.catalog import Catalog, SplitMetadata
 from .parser import (
     AllQuery,
     BoolQuery,
+    PhrasePrefixQuery,
     PhraseQuery,
     PrefixQuery,
     TermQuery,
@@ -393,7 +394,7 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
     wanted: list[tuple[str, str]] = []
 
     def find(n):
-        if isinstance(n, PrefixQuery):
+        if isinstance(n, (PrefixQuery, PhrasePrefixQuery)):
             wanted.append((n.field, n.prefix))
         elif isinstance(n, BoolQuery):
             for c in (*n.must, *n.should, *n.must_not):
@@ -466,6 +467,16 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
             return BoolQuery(
                 should=[TermQuery(n.field, t, boost=n.boost) for t in terms]
             )
+        if isinstance(n, PhrasePrefixQuery):
+            # match_phrase_prefix → OR of full phrases, one per expansion;
+            # each runs the ordinary rarest-first position verification
+            terms = expansions[(n.field, n.prefix)]
+            if not terms:
+                return BoolQuery()
+            alts = [
+                PhraseQuery(n.field, (*n.terms, t), boost=n.boost) for t in terms
+            ]
+            return alts[0] if len(alts) == 1 else BoolQuery(should=alts)
         if isinstance(n, BoolQuery):
             return BoolQuery(
                 must=[rw(c) for c in n.must],

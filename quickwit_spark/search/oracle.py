@@ -19,6 +19,7 @@ from ..functions.tokenizer import tokenize_text
 from .parser import (
     AllQuery,
     BoolQuery,
+    PhrasePrefixQuery,
     PhraseQuery,
     PrefixQuery,
     TermQuery,
@@ -163,7 +164,7 @@ class OracleIndex:
         scoring_boolean semantics, same expansion cap."""
         import os
 
-        if isinstance(node, PrefixQuery):
+        if isinstance(node, (PrefixQuery, PhrasePrefixQuery)):
             cap = int(os.environ.get("QW_PREFIX_MAX_EXPANSIONS", "1024"))
             terms = sorted(
                 t
@@ -177,6 +178,12 @@ class OracleIndex:
                 )
             if not terms:
                 return BoolQuery()
+            if isinstance(node, PhrasePrefixQuery):
+                alts = [
+                    PhraseQuery(node.field, (*node.terms, t), boost=node.boost)
+                    for t in terms
+                ]
+                return alts[0] if len(alts) == 1 else BoolQuery(should=alts)
             if len(terms) == 1:
                 return TermQuery(node.field, terms[0], boost=node.boost)
             return BoolQuery(

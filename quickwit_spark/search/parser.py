@@ -65,6 +65,23 @@ class PrefixQuery:
 
 
 @dataclass(frozen=True)
+class PhrasePrefixQuery:
+    """``"deploy fai*"`` — a phrase whose LAST position matches any
+    dictionary term starting with ``prefix`` (ES match_phrase_prefix; the
+    autocomplete-as-you-type query).  The planner expands it into a
+    disjunction of ordinary PhraseQuery nodes — one per matching dictionary
+    term, same cap and scoring discipline as PrefixQuery (each expanded
+    phrase scores its constituent terms' BM25 like any phrase).  Only a
+    TRAILING unescaped ``*`` inside the quotes is a marker; mid-token stars
+    are analyzer-stripped."""
+
+    field: str
+    terms: tuple[str, ...]  # the fixed leading terms (>= 1)
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class AllQuery:
     """``*`` — match every document (tantivy UserInputLeaf::All →
     AllQuery, constant score 1.0).  Only valid as the WHOLE query here;
@@ -314,7 +331,10 @@ class _Parser:
                 if b is None:
                     raise QueryParserError(f"invalid boost suffix on phrase: {t!r}")
                 boost = b
-            return _RawClause(bound_field, _unescape(t[1:qi]), phrase=True, boost=boost)
+            body, is_prefix = _split_prefix(t[1:qi])
+            return _RawClause(
+                bound_field, _unescape(body), phrase=True, boost=boost, prefix=is_prefix
+            )
         if t == "*" and bound_field is None:
             # bare unescaped '*' → match-all (UserInputLeaf::All); '\*' lexes
             # with the escape sentinel and stays a literal term
@@ -484,8 +504,26 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
             # must match "deploy…" entries, not stem("deplo")'s output).
             toks = tokenize_text(node.text)
             if len(toks) > 1:
-                raise QueryParserError(
-                    f"prefix must analyze to one token: {node.text!r}*"
+                if not node.phrase:
+                    raise QueryParserError(
+                        f"prefix must analyze to one token: {node.text!r}*"
+                    )
+                # '"deploy fai*"' — match_phrase_prefix: fixed leading
+                # terms + last-position prefix (stem_en stems the FIXED
+                # terms like any phrase; the prefix fragment stays literal)
+                if fm.record != "position":
+                    raise QueryParserError(
+                        f"phrase query on field {node.field} requires "
+                        "record=position (reference "
+                        "docs/reference/index-config.md:123-142)"
+                    )
+                fixed = toks[:-1]
+                if fm.tokenizer == "stem_en":
+                    from ..functions.stemmer import stem_cached
+
+                    fixed = [stem_cached(t) for t in fixed]
+                return PhrasePrefixQuery(
+                    node.field, tuple(fixed), toks[-1], boost=node.boost
                 )
             p = toks[0] if toks else ""
         if not p:
@@ -553,7 +591,7 @@ def collect_terms(node) -> set[tuple[str, str]]:
         out.add((node.field, node.term))
     elif isinstance(node, PhraseQuery):
         out.update((node.field, t) for t in node.terms)
-    elif isinstance(node, PrefixQuery):
+    elif isinstance(node, (PrefixQuery, PhrasePrefixQuery)):
         # every planner must rewrite prefixes against the term dictionary
         # before warmup — reaching here means an expansion step was skipped
         raise ValueError(

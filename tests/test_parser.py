@@ -253,3 +253,20 @@ def test_prefix_query_rejections():
     # unexpanded prefixes must never reach warmup planning
     with pytest.raises(ValueError, match="expand_prefixes"):
         collect_terms(parse_query("depl*", CFG))
+
+
+def test_phrase_prefix_query_forms():
+    """'"deploy fai*"' — ES match_phrase_prefix: fixed leading terms plus a
+    last-position prefix, expanded at plan time like PrefixQuery."""
+    from quickwit_spark.search.parser import PhrasePrefixQuery, PrefixQuery
+
+    assert parse_query('"the err*"', CFG) == PhrasePrefixQuery("text", ("the",), "err")
+    assert parse_query('"a b cd*"^2', CFG) == PhrasePrefixQuery(
+        "text", ("a", "b"), "cd", boost=2.0
+    )
+    # a one-token quoted prefix degenerates to a plain prefix query
+    assert parse_query('"fai*"', CFG) == PrefixQuery("text", "fai")
+    # escaped star inside a phrase stays literal (analyzer strips it)
+    assert parse_query('"the err\\*"', CFG) == PhraseQuery("text", ("the", "err"))
+    with pytest.raises(ValueError, match="expand_prefixes"):
+        collect_terms(parse_query('"the err*"', CFG))

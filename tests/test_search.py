@@ -64,6 +64,10 @@ QUERY_CASES = [
     SearchRequest("dep*^2 OR error"),
     SearchRequest("error NOT deplo*"),
     SearchRequest("zzzz*"),  # matches no dictionary term
+    # match_phrase_prefix: fixed leading terms + last-position prefix
+    SearchRequest('"the err*"'),
+    SearchRequest('deploy AND "the e*"'),
+    SearchRequest('"the zzzz*"'),  # phrase prefix matching nothing
 ]
 
 

@@ -84,6 +84,14 @@ def built(spark, tmp_path_factory, request):
     return index_dir, oracle
 
 
+def _phrase_prefix_of(p: str, n: int) -> str:
+    """'"the error"' → '"the err*"': cut n chars off the last word (>= 1
+    char kept) and mark it as a match_phrase_prefix."""
+    words = p[1:-1].split(" ")
+    last = words[-1][: max(1, len(words[-1]) - n)]
+    return '"' + " ".join(words[:-1] + [last]) + '*"'
+
+
 def _clauses():
     word = st.sampled_from(_STATE["vocab"])
     boost = st.sampled_from(["0.5", "2", "3.0"])
@@ -100,6 +108,9 @@ def _clauses():
         # chars hit anywhere from one term to a wide disjunction
         st.builds(lambda w, n: f"{w[:n]}*", word, st.integers(1, 4)),
         st.builds(lambda w, n, b: f"{w[:n]}*^{b}", word, st.integers(2, 4), boost),
+        # match_phrase_prefix: a real phrase with its last term cut to a
+        # prefix ('"the err*"' shape; >=1 char of the last word kept)
+        st.builds(_phrase_prefix_of, st.sampled_from(_STATE["phrases"]), st.integers(1, 3)),
         st.builds(lambda p: f"text:{p}", st.sampled_from(_STATE["phrases"])),
         # one level of explicit grouping
         st.builds(
