@@ -538,6 +538,26 @@ def cmd_source(args) -> dict:
     return {"cmd": "source-delete", "source_id": args.source_id}
 
 
+def cmd_termdict(args) -> dict:
+    """Term-dictionary range scan (FST range-scan analog): terms of an
+    indexed field with global doc_freq, optional --prefix window — the
+    autocomplete/introspection surface over the term-stats LSM (driver-
+    side pyarrow, no Spark job)."""
+    from quickwit_spark.search.executor import term_dictionary
+
+    spark = _get_spark("qw-termdict", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    terms = term_dictionary(
+        spark, args.index_dir, args.field, prefix=args.prefix, limit=args.limit
+    )
+    return {
+        "cmd": "termdict",
+        "index_dir": args.index_dir,
+        "field": args.field,
+        "terms": terms,
+    }
+
+
 def cmd_split_list(args) -> dict:
     """`quickwit split list` analog (quickwit-cli/src/split.rs:212,295-360):
     catalog rows filtered by states, [start,end) time-range overlap, and
@@ -977,6 +997,13 @@ def main(argv=None):
             sp.add_argument("--type", default="ndjson", help="ndjson | parquet | kafka")
             sp.add_argument("--params", default="{}", help='JSON, e.g. {"path": "/data/in"}')
         sp.set_defaults(fn=cmd_source, action=action)
+
+    td = sub.add_parser("termdict")
+    td.add_argument("--index-dir", required=True)
+    td.add_argument("--field", required=True)
+    td.add_argument("--prefix", default=None)
+    td.add_argument("--limit", type=int, default=100)
+    td.set_defaults(fn=cmd_termdict)
 
     sl = sub.add_parser("split-list")
     sl.add_argument("--index-dir", required=True)

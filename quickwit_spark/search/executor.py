@@ -488,6 +488,55 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
     return rw(ast)
 
 
+def term_dictionary(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    prefix: str | None = None,
+    limit: int = 100,
+) -> list[dict]:
+    """Global term-dictionary range scan — the tantivy FST range-scan /
+    termdict API analog, surfaced to users (autocomplete backends, index
+    introspection): terms of ``field``, optionally restricted to a prefix
+    range, with their GLOBAL doc_freq, ascending by term, capped at
+    ``limit``.  Driver-side pyarrow over the term-stats LSM (O(publish
+    batches) files, independent of split count) — no Spark job."""
+    cat, config = open_index(spark, index_dir)
+    fm = config.fields.get(field)
+    if fm is None:
+        raise ValueError(f"field does not exist in schema: {field}")
+    if not fm.is_indexed:
+        raise ValueError(f"field is not indexed: {field}")
+    if limit < 1:
+        raise ValueError("limit must be >= 1")
+    import pyarrow.dataset as pads
+
+    files = _stats_files(index_dir, cat)
+    if not files:
+        return []
+    cond = pads.field("field") == field
+    if prefix:
+        cond = cond & (pads.field("term") >= prefix)
+        hi = _prefix_upper(prefix)
+        if hi is not None:
+            cond = cond & (pads.field("term") < hi)
+    dkey = ("gstats-dset", tuple(files))
+    dset = _GSTATS_CACHE.get(dkey)
+    if dset is None:
+        dset = storage_for(index_dir).dataset(files)
+        _GSTATS_CACHE[dkey] = dset
+    pdf = dset.to_table(columns=["field", "term", "doc_freq"], filter=cond).to_pandas()
+    if prefix and len(pdf):
+        pdf = pdf[pdf["term"].str.startswith(prefix)]
+    if not len(pdf):
+        return []
+    agg = pdf.groupby("term")["doc_freq"].sum().sort_index()
+    out = [
+        {"term": str(t), "doc_freq": int(d)} for t, d in agg.items() if int(d) > 0
+    ]
+    return out[: int(limit)]
+
+
 # ---------------------------------------------------------------------------
 # the per-split scorer (runs inside applyInPandas — pure numpy)
 # ---------------------------------------------------------------------------

@@ -60,6 +60,9 @@ COUNTERS = {
     "batch": metrics.new_counter(
         "rest_api:search_batch:num_requests", "Number of batch search requests"
     ),
+    "termdict": metrics.new_counter(
+        "rest_api:termdict:num_requests", "Number of term-dictionary requests"
+    ),
     "errors": metrics.new_counter(
         "rest_api:errors:num_responses", "Number of 4xx/5xx REST responses"
     ),
@@ -231,8 +234,11 @@ class _Handler(BaseHTTPRequestHandler):
                 ]
             }
             return self._reply(200, json.dumps(out).encode())
-        # /api/v1/{index_id}/search[/stream]
-        if len(parts) < 4 or parts[:2] != ["api", "v1"] or parts[3] != "search":
+        # /api/v1/{index_id}/search[/stream] | /api/v1/{index_id}/termdict
+        if len(parts) < 4 or parts[:2] != ["api", "v1"] or parts[3] not in (
+            "search",
+            "termdict",
+        ):
             return self._err(404, f"no route for {url.path}")
         index_id = parts[2]
         if _bad_index_id(index_id):
@@ -240,6 +246,38 @@ class _Handler(BaseHTTPRequestHandler):
         index_dir = os.path.join(self.index_root, index_id)
         if not Catalog.exists(index_dir):
             return self._err(404, f"index {index_id!r} not found")
+        if parts[3] == "termdict":
+            # term-dictionary range scan (FST range-scan analog): terms of
+            # an indexed field + global doc_freq, optional prefix window —
+            # the autocomplete/introspection backend; driver-side LSM read
+            if len(parts) != 4:
+                return self._err(404, f"no route for {url.path}")
+            qs = parse_qs(url.query)
+            unknown = sorted(set(qs) - {"field", "prefix", "limit"})
+            if unknown:
+                return self._err(
+                    400, f"unknown query parameter(s): {', '.join(unknown)}"
+                )
+            fieldname = qs.get("field", [None])[0]
+            if not fieldname:
+                return self._err(400, "missing required param 'field'")
+            COUNTERS["termdict"].inc()
+            try:
+                limit = int(qs.get("limit", ["100"])[0])
+                from quickwit_spark.search.executor import term_dictionary
+
+                with self.lock:
+                    terms = term_dictionary(
+                        self.spark,
+                        index_dir,
+                        fieldname,
+                        prefix=qs.get("prefix", [None])[0],
+                        limit=limit,
+                    )
+            except ValueError as e:
+                return self._err(400, str(e))
+            out = {"field": fieldname, "terms": terms}
+            return self._reply(200, json.dumps(out).encode())
         qs = parse_qs(url.query)
         if "query" not in qs:
             return self._err(400, "missing required param 'query'")

@@ -640,3 +640,32 @@ def test_search_endpoint_collapse(spark, server, index_root):
         f"{server}/api/v1/conv/search?query=deploy&collapseField=nope"
     )
     assert st == 400
+
+
+def test_termdict_endpoint(spark, server, index_root):
+    """GET /termdict: term-dictionary range scan — terms ascending with
+    global doc_freq, prefix window honored, df equal to what search-time
+    global stats report; param errors 400."""
+    st, body, _ = _get(f"{server}/api/v1/conv/termdict?field=role")
+    assert st == 200
+    got = json.loads(body)
+    terms = {t["term"]: t["doc_freq"] for t in got["terms"]}
+    assert set(terms) == {"assistant", "system", "tool", "user"}
+    names = [t["term"] for t in got["terms"]]
+    assert names == sorted(names)
+    # df agrees with the search path's global stats (same LSM source)
+    from quickwit_spark.search.executor import explain
+    from quickwit_spark.search.request import SearchRequest as SR
+
+    idx = os.path.join(index_root, "conv")
+    e = explain(spark, idx, SR("role:assistant"))
+    assert terms["assistant"] == e["terms"][0]["doc_freq"]
+    # prefix + limit window
+    st, body, _ = _get(f"{server}/api/v1/conv/termdict?field=text&prefix=dep&limit=3")
+    assert st == 200
+    sub = json.loads(body)["terms"]
+    assert 1 <= len(sub) <= 3 and all(t["term"].startswith("dep") for t in sub)
+    # errors: unknown field, unknown param, missing field
+    assert _get(f"{server}/api/v1/conv/termdict?field=nope")[0] == 400
+    assert _get(f"{server}/api/v1/conv/termdict?field=text&bogus=1")[0] == 400
+    assert _get(f"{server}/api/v1/conv/termdict")[0] == 400
