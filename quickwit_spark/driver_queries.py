@@ -238,6 +238,15 @@ def ft_phrase_prefix(spark, sf_dir):
     return _ft(spark, sf_dir, '"table ha*"')
 
 
+def ft_fuzzy(spark, sf_dir):
+    """'merge~1' — fuzzy term query: the planner expands to every
+    dictionary term within classic Levenshtein distance 1 (anchored to the
+    first QW_FUZZY_PREFIX_LEN=1 chars), scoring_boolean like prefix
+    expansion.  The DuckDB twin uses its built-in levenshtein() — classic
+    edit distance on both sides, so the expansion set matches exactly."""
+    return _ft(spark, sf_dir, "merge~1")
+
+
 def ft_match_all(spark, sf_dir):
     """'*' (UserInputLeaf::All → AllQuery): browse-latest — every doc
     matches at constant score, page by ts descending."""
@@ -760,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boost": ft_boost,
         "ft_prefix": ft_prefix,
         "ft_phrase_prefix": ft_phrase_prefix,
+        "ft_fuzzy": ft_fuzzy,
         "ft_match_all": ft_match_all,
         "ft_search_after": ft_search_after,
         "ft_count": ft_count,
@@ -904,6 +914,21 @@ sc AS (
   SELECT cand.doc_id, sum({_score_expr()}) AS score
   FROM cand
   JOIN tf ON tf.doc_id = cand.doc_id AND (tf.term = 'table' OR tf.term LIKE 'ha%')
+  JOIN dl ON dl.doc_id = cand.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN st
+  GROUP BY cand.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "ft_fuzzy": f"""{BM25_CTE},
+fz AS (SELECT DISTINCT term FROM tf
+       WHERE substr(term, 1, 1) = 'm' AND levenshtein(term, 'merge') <= 1),
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (SELECT term FROM fz)),
+sc AS (
+  SELECT cand.doc_id, sum({_score_expr()}) AS score
+  FROM cand
+  JOIN tf ON tf.doc_id = cand.doc_id AND tf.term IN (SELECT term FROM fz)
   JOIN dl ON dl.doc_id = cand.doc_id
   JOIN dfreq ON dfreq.term = tf.term
   CROSS JOIN st

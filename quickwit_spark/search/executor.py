@@ -65,6 +65,7 @@ from ..index.catalog import Catalog, SplitMetadata
 from .parser import (
     AllQuery,
     BoolQuery,
+    FuzzyQuery,
     PhrasePrefixQuery,
     PhraseQuery,
     PrefixQuery,
@@ -364,6 +365,26 @@ def global_term_stats(
     return {"num_docs": stats["num_docs"], "avg_len": stats["avg_len"], "df": df_map}
 
 
+def _lev_within(a: str, b: str, d: int) -> bool:
+    """Classic Levenshtein distance(a, b) <= d, with length prefilter and
+    row-minimum early exit — runs on the (anchored) candidate term set of a
+    fuzzy expansion, never the whole corpus."""
+    if abs(len(a) - len(b)) > d:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        mn = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if cur[j] < mn:
+                mn = cur[j]
+        if mn > d:
+            return False
+        prev = cur
+    return prev[-1] <= d
+
+
 def _prefix_upper(p: str) -> str | None:
     """Smallest string > every string with prefix ``p`` (for a dictionary
     range read [p, upper)), or None when the last char is the maximum code
@@ -391,11 +412,13 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
     distinct terms is a loud error — Lucene's too_many_clauses analog;
     predictable failure beats silently truncated results.  A prefix that
     matches nothing becomes a match-nothing clause."""
-    wanted: list[tuple[str, str]] = []
+    wanted: list[tuple] = []  # ("p", field, prefix) | ("f", field, term, dist)
 
     def find(n):
         if isinstance(n, (PrefixQuery, PhrasePrefixQuery)):
-            wanted.append((n.field, n.prefix))
+            wanted.append(("p", n.field, n.prefix))
+        elif isinstance(n, FuzzyQuery):
+            wanted.append(("f", n.field, n.term, n.distance))
         elif isinstance(n, BoolQuery):
             for c in (*n.must, *n.should, *n.must_not):
                 find(c)
@@ -406,23 +429,36 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
     import pyarrow.dataset as pads
 
     cap = int(os.environ.get("QW_PREFIX_MAX_EXPANSIONS", "1024"))
+    plen = max(0, int(os.environ.get("QW_FUZZY_PREFIX_LEN", "1")))
     state = Catalog.state_token(index_dir)
-    expansions: dict[tuple[str, str], tuple[str, ...]] = {}
-    missing: list[tuple[str, str]] = []
+    expansions: dict[tuple, tuple[str, ...]] = {}
+    missing: list[tuple] = []
     for key in sorted(set(wanted)):
-        hit = _GSTATS_CACHE.get((index_dir, state, "prefix", key))
+        hit = _GSTATS_CACHE.get((index_dir, state, "expand", key))
         if hit is not None:
             expansions[key] = hit
         else:
             missing.append(key)
+
+    def _anchor(spec) -> str:
+        """Dictionary-scan range anchor: the whole prefix for 'p' specs,
+        the first QW_FUZZY_PREFIX_LEN chars for 'f' specs ('' = full
+        field-vocabulary scan)."""
+        if spec[0] == "p":
+            return spec[2]
+        return spec[2][: min(plen, len(spec[2]))]
+
     if missing:
         files = _stats_files(index_dir, cat)
         cond = None
-        for f_, p_ in missing:
-            c = (pads.field("field") == f_) & (pads.field("term") >= p_)
-            hi = _prefix_upper(p_)
-            if hi is not None:
-                c = c & (pads.field("term") < hi)
+        for spec in missing:
+            c = pads.field("field") == spec[1]
+            a = _anchor(spec)
+            if a:
+                c = c & (pads.field("term") >= a)
+                hi = _prefix_upper(a)
+                if hi is not None:
+                    c = c & (pads.field("term") < hi)
             cond = c if cond is None else (cond | c)
         if files:
             dkey = ("gstats-dset", tuple(files))
@@ -435,31 +471,45 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
             ).to_pandas()
         else:
             pdf = pd.DataFrame(columns=["field", "term", "doc_freq"])
-        for f_, p_ in missing:
-            sub = (
-                pdf[(pdf["field"] == f_) & pdf["term"].str.startswith(p_)]
-                if len(pdf)
-                else pdf
-            )
+        for spec in missing:
+            f_ = spec[1]
+            if len(pdf):
+                sub = pdf[(pdf["field"] == f_) & pdf["term"].str.startswith(_anchor(spec))]
+            else:
+                sub = pdf
+            if spec[0] == "f" and len(sub):
+                t_, d_ = spec[2], spec[3]
+                keep = sub["term"].map(lambda x: _lev_within(x, t_, d_))
+                sub = sub[keep]
             if len(sub):
                 agg = sub.groupby("term")["doc_freq"].sum()
                 terms = tuple(sorted(t for t, d in agg.items() if int(d) > 0))
             else:
                 agg, terms = {}, ()
             if len(terms) > cap:
+                what = (
+                    f"prefix '{f_}:{spec[2]}*'"
+                    if spec[0] == "p"
+                    else f"fuzzy '{f_}:{spec[2]}~{spec[3]}'"
+                )
                 raise ValueError(
-                    f"prefix '{f_}:{p_}*' expands to {len(terms)} dictionary "
+                    f"{what} expands to {len(terms)} dictionary "
                     f"terms (max {cap}; raise QW_PREFIX_MAX_EXPANSIONS to "
                     "allow more)"
                 )
-            expansions[(f_, p_)] = terms
-            _GSTATS_CACHE[(index_dir, state, "prefix", (f_, p_))] = terms
+            expansions[spec] = terms
+            _GSTATS_CACHE[(index_dir, state, "expand", spec)] = terms
             for t in terms:  # the LSM sums ARE the global doc_freqs
                 _GSTATS_CACHE[(index_dir, state, (f_, t))] = int(agg[t])
 
     def rw(n):
-        if isinstance(n, PrefixQuery):
-            terms = expansions[(n.field, n.prefix)]
+        if isinstance(n, (PrefixQuery, FuzzyQuery)):
+            key = (
+                ("p", n.field, n.prefix)
+                if isinstance(n, PrefixQuery)
+                else ("f", n.field, n.term, n.distance)
+            )
+            terms = expansions[key]
             if not terms:
                 return BoolQuery()  # matches no documents
             if len(terms) == 1:
@@ -470,7 +520,7 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
         if isinstance(n, PhrasePrefixQuery):
             # match_phrase_prefix → OR of full phrases, one per expansion;
             # each runs the ordinary rarest-first position verification
-            terms = expansions[(n.field, n.prefix)]
+            terms = expansions[("p", n.field, n.prefix)]
             if not terms:
                 return BoolQuery()
             alts = [

@@ -19,6 +19,7 @@ from ..functions.tokenizer import tokenize_text
 from .parser import (
     AllQuery,
     BoolQuery,
+    FuzzyQuery,
     PhrasePrefixQuery,
     PhraseQuery,
     PrefixQuery,
@@ -26,6 +27,18 @@ from .parser import (
     parse_query,
     positive_term_weights,
 )
+
+
+def _edit_distance(a: str, b: str) -> int:
+    """Classic Levenshtein — independent of the executor's banded check so
+    engine/oracle agreement on fuzzy expansion is a real differential."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 from .request import SearchRequest
 
 
@@ -164,16 +177,32 @@ class OracleIndex:
         scoring_boolean semantics, same expansion cap."""
         import os
 
-        if isinstance(node, (PrefixQuery, PhrasePrefixQuery)):
+        if isinstance(node, (PrefixQuery, PhrasePrefixQuery, FuzzyQuery)):
             cap = int(os.environ.get("QW_PREFIX_MAX_EXPANSIONS", "1024"))
-            terms = sorted(
-                t
-                for (f, t) in self.postings
-                if f == node.field and t.startswith(node.prefix)
-            )
+            if isinstance(node, FuzzyQuery):
+                plen = max(0, int(os.environ.get("QW_FUZZY_PREFIX_LEN", "1")))
+                anchor = node.term[: min(plen, len(node.term))]
+                terms = sorted(
+                    t
+                    for (f, t) in self.postings
+                    if f == node.field
+                    and t.startswith(anchor)
+                    and _edit_distance(t, node.term) <= node.distance
+                )
+            else:
+                terms = sorted(
+                    t
+                    for (f, t) in self.postings
+                    if f == node.field and t.startswith(node.prefix)
+                )
             if len(terms) > cap:
+                frag = (
+                    f"{node.term}~{node.distance}"
+                    if isinstance(node, FuzzyQuery)
+                    else f"{node.prefix}*"
+                )
                 raise ValueError(
-                    f"prefix '{node.field}:{node.prefix}*' expands to "
+                    f"prefix '{node.field}:{frag}' expands to "
                     f"{len(terms)} dictionary terms (max {cap})"
                 )
             if not terms:

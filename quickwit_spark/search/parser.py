@@ -65,6 +65,25 @@ class PrefixQuery:
 
 
 @dataclass(frozen=True)
+class FuzzyQuery:
+    """``term~`` / ``term~2`` — matches every document holding a dictionary
+    term within CLASSIC Levenshtein distance ``distance`` (0-2) of ``term``
+    (beyond-reference: the tantivy 0.15 grammar has no fuzzy; Lucene
+    FuzzyQuery shape, but WITHOUT transpositions — classic edit distance is
+    what every SQL engine's levenshtein() computes, so the oracle twin is
+    exact).  Expanded at plan time like PrefixQuery (scoring_boolean, same
+    cap); the dictionary scan is range-pruned to terms sharing the first
+    QW_FUZZY_PREFIX_LEN (default 1) characters — at a 10^8-term dictionary
+    an unanchored fuzzy scan is a full-vocabulary pass, so the anchored
+    default is the scale-safe behavior (set the env to 0 to disable)."""
+
+    field: str
+    term: str
+    distance: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PhrasePrefixQuery:
     """``"deploy fai*"`` — a phrase whose LAST position matches any
     dictionary term starting with ``prefix`` (ES match_phrase_prefix; the
@@ -104,6 +123,7 @@ class _RawClause:
     phrase: bool = False
     boost: float = 1.0
     prefix: bool = False
+    fuzzy: int | None = None
 
 
 # -- lexer -------------------------------------------------------------------
@@ -351,12 +371,22 @@ class _Parser:
                 raise QueryParserError("range queries are not supported")
             _reject_comparison(text)
             text, boost = _split_boost(text)
+            text, fz = _split_fuzzy(text)
             text, is_prefix = _split_prefix(text)
-            return _RawClause(fieldname, _unescape(text), boost=boost, prefix=is_prefix)
+            if fz is not None and is_prefix:
+                raise QueryParserError("cannot combine prefix '*' and fuzzy '~'")
+            return _RawClause(
+                fieldname, _unescape(text), boost=boost, prefix=is_prefix, fuzzy=fz
+            )
         _reject_comparison(t)
         text, boost = _split_boost(t)
+        text, fz = _split_fuzzy(text)
         text, is_prefix = _split_prefix(text)
-        return _RawClause(bound_field, _unescape(text), boost=boost, prefix=is_prefix)
+        if fz is not None and is_prefix:
+            raise QueryParserError("cannot combine prefix '*' and fuzzy '~'")
+        return _RawClause(
+            bound_field, _unescape(text), boost=boost, prefix=is_prefix, fuzzy=fz
+        )
 
 
 def _parse_boost(s: str) -> float | None:
@@ -395,6 +425,35 @@ def _split_boost(text: str) -> tuple[str, float]:
     return text[:idx], b
 
 
+def _split_fuzzy(text: str) -> tuple[str, int | None]:
+    """Split a trailing unescaped ``~`` / ``~N`` fuzziness marker off a
+    term token (Lucene ``term~1`` shape).  An all-digit suffix signals
+    fuzzy intent: > 2 is a loud error (Lucene's max), never a silent
+    literal.  A non-digit suffix (``a~b``) stays literal text for the
+    analyzer to split — '~' there is punctuation, not syntax."""
+    idx, j = -1, 0
+    while j < len(text):
+        if text[j] == _ESC:
+            j += 2
+            continue
+        if text[j] == "~":
+            idx = j
+        j += 1
+    if idx <= 0:
+        return text, None
+    suffix = text[idx + 1 :]
+    if suffix == "":
+        return text[:idx], 1
+    if suffix.isdigit():
+        d = int(suffix)
+        if d > 2:
+            raise QueryParserError(
+                f"fuzzy distance must be 0-2 (Lucene max): {text!r}"
+            )
+        return text[:idx], d
+    return text, None
+
+
 def _split_prefix(text: str) -> tuple[str, bool]:
     """Split a trailing UNESCAPED ``*`` off a term token: ``depl*`` is a
     prefix query, ``depl\\*`` stays a literal (the analyzer strips the
@@ -408,7 +467,7 @@ def _split_prefix(text: str) -> tuple[str, bool]:
 def _apply_boost(node, b: float):
     """Multiply every positive leaf's boost by ``b`` (group boosts)."""
     if isinstance(node, _RawClause):
-        return _RawClause(node.field, node.text, node.phrase, node.boost * b, node.prefix)
+        return _RawClause(node.field, node.text, node.phrase, node.boost * b, node.prefix, node.fuzzy)
     if isinstance(node, BoolQuery):
         return BoolQuery(
             must=[_apply_boost(c, b) for c in node.must],
@@ -438,7 +497,7 @@ def _bind_field(node, fieldname: str):
     if isinstance(node, _RawClause):
         if node.field is not None:
             return node
-        return _RawClause(fieldname, node.text, node.phrase, node.boost, node.prefix)
+        return _RawClause(fieldname, node.text, node.phrase, node.boost, node.prefix, node.fuzzy)
     if isinstance(node, BoolQuery):
         return BoolQuery(
             must=[_bind_field(c, fieldname) for c in node.must],
@@ -473,7 +532,7 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
             raise QueryParserError("no default search field configured")
         alts = [
             _resolve(
-                _RawClause(f, node.text, node.phrase, node.boost, node.prefix),
+                _RawClause(f, node.text, node.phrase, node.boost, node.prefix, node.fuzzy),
                 config,
                 default_fields,
             )
@@ -487,6 +546,30 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
         # stored/fast-only fields have no postings: fail at bind time like
         # tantivy's FieldNotIndexed instead of silently matching nothing
         raise QueryParserError(f"field is not indexed: {node.field}")
+    if node.fuzzy is not None:
+        if fm.scalar_type != "text":
+            raise QueryParserError(
+                f"fuzzy queries require a text field (field {node.field} "
+                f"is {fm.scalar_type})"
+            )
+        if fm.tokenizer == "raw":
+            t = node.text
+        else:
+            # matched against the dictionary AS INDEXED (lowercased); NOT
+            # stemmed, same reasoning as prefix fragments
+            toks = tokenize_text(node.text)
+            if len(toks) != 1:
+                raise QueryParserError(
+                    f"fuzzy term must analyze to one token: {node.text!r}~"
+                )
+            t = toks[0]
+        if not t:
+            raise QueryParserError(
+                f"fuzzy query requires a non-empty term: {node.text!r}~"
+            )
+        if node.fuzzy == 0:  # Lucene: ~0 is an exact term
+            return TermQuery(node.field, t, boost=node.boost)
+        return FuzzyQuery(node.field, t, node.fuzzy, boost=node.boost)
     if node.prefix:
         if fm.scalar_type != "text":
             raise QueryParserError(
@@ -591,7 +674,7 @@ def collect_terms(node) -> set[tuple[str, str]]:
         out.add((node.field, node.term))
     elif isinstance(node, PhraseQuery):
         out.update((node.field, t) for t in node.terms)
-    elif isinstance(node, (PrefixQuery, PhrasePrefixQuery)):
+    elif isinstance(node, (PrefixQuery, PhrasePrefixQuery, FuzzyQuery)):
         # every planner must rewrite prefixes against the term dictionary
         # before warmup — reaching here means an expansion step was skipped
         raise ValueError(

@@ -270,3 +270,24 @@ def test_phrase_prefix_query_forms():
     assert parse_query('"the err\\*"', CFG) == PhraseQuery("text", ("the", "err"))
     with pytest.raises(ValueError, match="expand_prefixes"):
         collect_terms(parse_query('"the err*"', CFG))
+
+
+def test_fuzzy_query_forms():
+    """'term~' / 'term~N' — classic-Levenshtein fuzzy term (Lucene shape,
+    no transpositions), expanded at plan time; '~0' is an exact term."""
+    from quickwit_spark.search.parser import FuzzyQuery
+
+    assert parse_query("deploy~", CFG) == FuzzyQuery("text", "deploy", 1)
+    assert parse_query("deploy~2", CFG) == FuzzyQuery("text", "deploy", 2)
+    assert parse_query("deploy~0", CFG) == TermQuery("text", "deploy")
+    assert parse_query("role:asistant~1", CFG) == FuzzyQuery("role", "asistant", 1)
+    assert parse_query("deploy~1^2", CFG) == FuzzyQuery("text", "deploy", 1, boost=2.0)
+    # non-digit suffix: '~' is punctuation, the analyzer splits it into a
+    # multi-token clause (positions recorded → phrase)
+    assert parse_query("a~b", CFG) == PhraseQuery("text", ("a", "b"))
+    with pytest.raises(QueryParserError, match="0-2"):
+        parse_query("deploy~3", CFG)
+    with pytest.raises(QueryParserError, match="combine"):
+        parse_query("dep*~1", CFG)
+    with pytest.raises(ValueError, match="expand_prefixes"):
+        collect_terms(parse_query("deploy~1", CFG))

@@ -68,6 +68,10 @@ QUERY_CASES = [
     SearchRequest('"the err*"'),
     SearchRequest('deploy AND "the e*"'),
     SearchRequest('"the zzzz*"'),  # phrase prefix matching nothing
+    # fuzzy terms (classic Levenshtein, anchored on the first char)
+    SearchRequest("deploi~1"),
+    SearchRequest("eror~2 deploy"),
+    SearchRequest("merge~1 OR failure"),
 ]
 
 

@@ -111,6 +111,11 @@ def _clauses():
         # match_phrase_prefix: a real phrase with its last term cut to a
         # prefix ('"the err*"' shape; >=1 char of the last word kept)
         st.builds(_phrase_prefix_of, st.sampled_from(_STATE["phrases"]), st.integers(1, 3)),
+        # fuzzy terms: appended char (distance-1 hit) and truncated tail
+        st.builds(lambda w: f"{w}x~1", word),
+        st.builds(
+            lambda w, d: f"{w[:-1] if len(w) > 3 else w}~{d}", word, st.integers(1, 2)
+        ),
         st.builds(lambda p: f"text:{p}", st.sampled_from(_STATE["phrases"])),
         # one level of explicit grouping
         st.builds(
