@@ -21,4 +21,8 @@ BENCH_QUERIES = {
     "q10_match_all_sort": dict(query="*", sort_by_field="ts", max_hits=10),
     # '*' total count: answered from catalog metadata, no Spark job at all
     "q11_match_all_count": dict(query="*", max_hits=0),
+    # prefix expansion (plan-time dictionary range read → MaxScore/WAND)
+    "q12_prefix": dict(query="deplo*"),
+    # fuzzy expansion ('deploy' misspelled, classic distance 2, anchored)
+    "q13_fuzzy": dict(query="deplyo~2"),
 }
