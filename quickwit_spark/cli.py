@@ -270,6 +270,11 @@ def cmd_search(args) -> dict:
             else None
         ),
         snippet_max_chars=getattr(args, "snippet_max_chars", None) or 150,
+        stored_fields=(
+            tuple(args.stored_fields.split(","))
+            if getattr(args, "stored_fields", None)
+            else None
+        ),
     )
     if getattr(args, "explain", False):
         # plan-only: which splits survive pruning, which leaf strategy
@@ -893,6 +898,11 @@ def main(argv=None):
     s.add_argument(
         "--search-fields", default=None,
         help="comma-separated default fields for unscoped clauses (overrides config)",
+    )
+    s.add_argument(
+        "--stored-fields", default=None,
+        help="comma-separated subset of stored columns to return per hit "
+        "(default: all; the page fetch column-prunes to this set)",
     )
     s.add_argument(
         "--snippet-fields", default=None,

@@ -1870,6 +1870,8 @@ def multi_search(
                     "no longer exists (replaced by a merge) — restart pagination"
                 )
     requests = [resolve_sort(r, config) for r in requests]
+    for r in requests:
+        _validate_stored_fields(config, r)
     plans = []
     all_terms: set[tuple[str, str]] = set()
     all_sids: dict[str, SplitMetadata] = {}
@@ -1947,8 +1949,8 @@ def multi_search(
         hit_rows.sort(key=_sort_key(req))
         page = hit_rows[req.start_offset : req.start_offset + req.max_hits]
         if page and "conv_id" not in page[0]:
-            _fetch_page_fields(index_dir, page)
-        hits = [_hit_dict(config, r) for r in page]
+            _fetch_page_fields(index_dir, page, req.stored_fields)
+        hits = [_hit_dict(config, r, req.stored_fields) for r in page]
         _maybe_add_source(index_dir, hits, page)
         responses.append(
             SearchResponse(num_hits, hits, int((time.monotonic() - t0) * 1e6))
@@ -2017,8 +2019,20 @@ def _json_safe(v):
     return v
 
 
-def _hit_dict(config: IndexConfig, r: dict) -> dict:
-    """One hit's JSON shape: identity + score + every stored field."""
+def _hit_dict(config: IndexConfig, r: dict, only: tuple | None = None) -> dict:
+    """One hit's JSON shape: identity + score + the stored fields —
+    every one by default, or only the request's stored_fields subset."""
+    if only is not None:
+        h = {
+            "split_id": r["split_id"],
+            "doc_id": _json_safe(r["doc_id"]),
+            "score": _json_safe(r["score"]),
+            "sort_value": _json_safe(r.get("sort_value")),
+        }
+        for c in fetch_cols(config):
+            if c != "doc_id" and c in only:
+                h[c] = _json_safe(r.get(c))
+        return h
     h = {
         "conv_id": r.get("conv_id"),
         "turn_idx": _json_safe(r.get("turn_idx")),
@@ -2031,6 +2045,27 @@ def _hit_dict(config: IndexConfig, r: dict) -> dict:
         if c not in ("doc_id", "conv_id", "turn_idx"):
             h[c] = _json_safe(r.get(c))
     return h
+
+
+def _validate_stored_fields(config: IndexConfig, request: SearchRequest) -> None:
+    """stored_fields must name stored columns; snippet fields must ride
+    along (snippets read the stored text of the final page)."""
+    if request.stored_fields is None:
+        return
+    cols = set(fetch_cols(config)) - {"doc_id"}
+    unknown = sorted(set(request.stored_fields) - cols)
+    if unknown:
+        raise ValueError(
+            f"storedFields not in the doc store: {', '.join(unknown)} "
+            f"(stored columns: {', '.join(sorted(cols))})"
+        )
+    if request.snippet_fields:
+        missing = sorted(set(request.snippet_fields) - set(request.stored_fields))
+        if missing:
+            raise ValueError(
+                "snippetFields must be included in storedFields: "
+                + ", ".join(missing)
+            )
 
 
 def _maybe_add_source(index_dir: str, hits: list[dict], page: list[dict]) -> None:
@@ -2101,6 +2136,7 @@ def _search_rows(
     for attempt in (0, 1):
         cat, config = open_index(spark, index_dir)
         req = resolve_sort(request, config)
+        _validate_stored_fields(config, req)
         if req.search_after is not None and req.search_after[1] not in {
             s.split_id for s in cat.splits()
         }:
@@ -2172,7 +2208,7 @@ def _search_rows(
             hit_rows.sort(key=_sort_key(req))
             page = hit_rows[req.start_offset : req.start_offset + req.max_hits]
             if page and "conv_id" not in page[0]:
-                _fetch_page_fields(index_dir, page)
+                _fetch_page_fields(index_dir, page, req.stored_fields)
             return page, num_hits
         except SplitVanishedError:
             # concurrent merge+GC replaced splits mid-query (possibly
@@ -2183,13 +2219,22 @@ def _search_rows(
     raise AssertionError("unreachable")
 
 
-def _fetch_page_fields(index_dir: str, page: list[dict]) -> None:
+def _fetch_page_fields(
+    index_dir: str, page: list[dict], only: tuple | None = None
+) -> None:
     """Driver-side fetch_docs (fetch_docs.rs:97-164 analog): read the
     stored fields of ONLY the final page's rows — at most (offset+k) docs
     across at most that many splits, a few row-group-pruned pyarrow reads
-    of metadata-scale size.  Mutates the page rows in place."""
+    of metadata-scale size.  Mutates the page rows in place.
+
+    ``only`` (request.stored_fields) prunes the fetched COLUMNS too — for
+    wide documents the page fetch reads just the asked-for columns.  A
+    store_source index keeps the full fetch (the reserved _source field
+    reconstructs from every stored column)."""
     _, config = open_index(None, index_dir)
     cols = fetch_cols(config)
+    if only is not None and not config.store_source:
+        cols = ["doc_id"] + [c for c in cols if c != "doc_id" and c in only]
     by_split: dict[str, list[int]] = {}
     for r in page:
         by_split.setdefault(r["split_id"], []).append(int(r["doc_id"]))
@@ -2211,6 +2256,11 @@ def search_df(spark: SparkSession, index_dir: str, request: SearchRequest) -> Da
     """Full search as a DataFrame of hits joined back to the doc store:
     the config's stored columns plus (split_id, doc_id, score), globally
     ordered and offset/limited."""
+    if request.stored_fields is not None:
+        raise ValueError(
+            "stored_fields is not supported on search_df (its DataFrame "
+            "schema is the full stored-column set) — use search()"
+        )
     _, config = open_index(spark, index_dir)
     cols, schema = _df_cols_and_schema(config)
     page, _ = _search_rows(spark, index_dir, request)
@@ -2232,7 +2282,7 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
     t0 = time.monotonic()
     page, num_hits = _search_rows(spark, index_dir, request)
     cat, config = open_index(spark, index_dir)
-    out = [_hit_dict(config, r) for r in page]
+    out = [_hit_dict(config, r, request.stored_fields) for r in page]
     _maybe_add_source(index_dir, out, page)
     if request.snippet_fields:
         from .snippet import attach_snippets

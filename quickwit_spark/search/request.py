@@ -25,6 +25,14 @@ class SearchRequest:
     # (conv_id, turn_idx) so results are split-layout independent (used for
     # the DuckDB driver oracle where the SQL knows nothing about splits)
     tiebreak: str = "reference"
+    # restrict each hit's stored fields to this subset (ES _source
+    # filtering analog): None returns every stored column (default), a
+    # tuple returns only those — and the driver-side page fetch reads ONLY
+    # those doc-store columns (column-pruned pyarrow), which matters for
+    # wide documents.  Hit identity (split_id, doc_id, score, sort_value)
+    # is always present.  snippet_fields must be a subset when both are
+    # set (snippets read the stored text).
+    stored_fields: tuple[str, ...] | None = None
     # highlighted fragments for these stored tokenized text fields, added
     # to each hit as hit["snippets"] = {field: "<b>..</b> .."} — generated
     # driver-side for the final page only (beyond-reference; snippet.py)

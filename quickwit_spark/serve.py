@@ -84,7 +84,8 @@ _SEARCH_PARAMS = frozenset(
     {
         "query", "searchField", "startTimestamp", "endTimestamp",
         "maxHits", "startOffset", "format", "sortByField",
-        "searchAfter", "snippetFields", "snippetMaxChars", "explain",
+        "searchAfter", "snippetFields", "snippetMaxChars", "storedFields",
+        "explain",
         "aggHistogramInterval", "aggTermsField", "aggTermsSize",
         "aggTermsMetricField", "aggStatsField", "aggStatsExtended",
         "aggPercentilesField",
@@ -189,6 +190,11 @@ class _Handler(BaseHTTPRequestHandler):
                         sort_by_field=sf,
                         sort_asc=s_asc,
                         search_after=_parse_search_after(q.get("searchAfter")),
+                        stored_fields=(
+                            tuple(q["storedFields"].split(","))
+                            if "storedFields" in q
+                            else None
+                        ),
                     )
                 )
             if not reqs:
@@ -315,6 +321,11 @@ class _Handler(BaseHTTPRequestHandler):
                     else None
                 ),
                 snippet_max_chars=_int_or_none(qs, "snippetMaxChars") or 150,
+                stored_fields=(
+                    tuple(qs["storedFields"][0].split(","))
+                    if "storedFields" in qs
+                    else None
+                ),
             )
             if is_stream:
                 fast_field = qs.get("fastField", [None])[0]

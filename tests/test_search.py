@@ -717,3 +717,32 @@ def test_field_collapse_matches_oracle(spark, built):
             spark, index_dir, SearchRequest("deploy"), "conv_id",
             tie_field="role",
         )
+
+
+def test_stored_fields_restriction(spark, built):
+    """stored_fields (ES _source filtering analog): hit payload and the
+    driver-side page fetch restrict to the requested stored columns; rank
+    and values are unchanged; unknown fields and snippet/df conflicts are
+    loud errors."""
+    from quickwit_spark.search.executor import search_df
+
+    index_dir, _, _ = built
+    full = search(spark, index_dir, SearchRequest("deploy", max_hits=3))
+    req = SearchRequest("deploy", max_hits=3, stored_fields=("text",))
+    sub = search(spark, index_dir, req)
+    assert [h["doc_id"] for h in sub.hits] == [h["doc_id"] for h in full.hits]
+    for h_sub, h_full in zip(sub.hits, full.hits):
+        assert set(h_sub) == {"split_id", "doc_id", "score", "sort_value", "text"}
+        assert h_sub["text"] == h_full["text"]
+    with pytest.raises(ValueError, match="storedFields"):
+        search(spark, index_dir, SearchRequest("deploy", stored_fields=("nope",)))
+    with pytest.raises(ValueError, match="snippetFields"):
+        search(
+            spark,
+            index_dir,
+            SearchRequest(
+                "deploy", stored_fields=("role",), snippet_fields=("text",)
+            ),
+        )
+    with pytest.raises(ValueError, match="search_df"):
+        search_df(spark, index_dir, req)

@@ -669,3 +669,23 @@ def test_termdict_endpoint(spark, server, index_root):
     assert _get(f"{server}/api/v1/conv/termdict?field=nope")[0] == 400
     assert _get(f"{server}/api/v1/conv/termdict?field=text&bogus=1")[0] == 400
     assert _get(f"{server}/api/v1/conv/termdict")[0] == 400
+
+
+def test_stored_fields_param(server):
+    """storedFields=a,b restricts each hit to identity + those columns;
+    an unknown column is a 400 naming the stored set."""
+    st, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=2"
+        "&storedFields=text,role&format=json"
+    )
+    assert st == 200, body
+    got = json.loads(body)
+    assert got["hits"]
+    for h in got["hits"]:
+        assert set(h) == {"split_id", "doc_id", "score", "sort_value", "text", "role"}
+    st, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&storedFields=nope"
+    )
+    if isinstance(body, bytes):
+        body = body.decode()
+    assert st == 400 and "nope" in body
