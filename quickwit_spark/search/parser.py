@@ -530,13 +530,18 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
     if node.field is None:
         if not default_fields:
             raise QueryParserError("no default search field configured")
+        # each default field may carry a per-field weight ('text^2' in
+        # searchField — the ES multi_match field^boost shape): the clause
+        # resolves once per field with its boost scaled by that weight
         alts = [
             _resolve(
-                _RawClause(f, node.text, node.phrase, node.boost, node.prefix, node.fuzzy),
+                _RawClause(
+                    f, node.text, node.phrase, node.boost * w, node.prefix, node.fuzzy
+                ),
                 config,
                 default_fields,
             )
-            for f in default_fields
+            for f, w in default_fields
         ]
         return alts[0] if len(alts) == 1 else BoolQuery(should=alts)
     fm = config.fields.get(node.field)
@@ -652,6 +657,18 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
     return TermQuery(node.field, toks[0], boost=node.boost)
 
 
+def _field_weight(f: str) -> tuple[str, float]:
+    """'text^2' → ('text', 2.0); bare names weigh 1.0 (ES multi_match
+    field^boost shape for searchField entries)."""
+    if "^" in f:
+        name, _, suf = f.rpartition("^")
+        b = _parse_boost(suf)
+        if b is None or not name:
+            raise QueryParserError(f"invalid search-field boost: {f!r}")
+        return name, b
+    return f, 1.0
+
+
 def parse_query(
     q: str, config: IndexConfig, search_fields: tuple[str, ...] | None = None
 ):
@@ -662,7 +679,8 @@ def parse_query(
     ast = _Parser(tokens).parse_query()
     if isinstance(ast, AllQuery):  # bare '*': nothing to schema-bind
         return ast
-    default_fields = tuple(search_fields) if search_fields else config.default_search_fields
+    names = tuple(search_fields) if search_fields else config.default_search_fields
+    default_fields = tuple(_field_weight(f) for f in names)
     return _resolve(ast, config, default_fields)
 
 

@@ -291,3 +291,20 @@ def test_fuzzy_query_forms():
         parse_query("dep*~1", CFG)
     with pytest.raises(ValueError, match="expand_prefixes"):
         collect_terms(parse_query("deploy~1", CFG))
+
+
+def test_search_field_weights():
+    """searchField entries may carry per-field weights ('text^2' — the ES
+    multi_match field^boost shape): unscoped clauses resolve once per field
+    with the clause boost scaled by the field weight."""
+    assert parse_query("deploy", CFG, ("text^2",)) == TermQuery("text", "deploy", 2.0)
+    ast = parse_query("deploy", CFG, ("text^2", "role"))
+    assert ast == BoolQuery(
+        should=[TermQuery("text", "deploy", 2.0), TermQuery("role", "deploy", 1.0)]
+    )
+    # clause boost composes multiplicatively with the field weight
+    assert parse_query("deploy^3", CFG, ("text^2",)) == TermQuery("text", "deploy", 6.0)
+    with pytest.raises(QueryParserError, match="boost"):
+        parse_query("deploy", CFG, ("text^0",))
+    with pytest.raises(QueryParserError, match="invalid search-field"):
+        parse_query("deploy", CFG, ("^2",))

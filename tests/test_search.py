@@ -746,3 +746,14 @@ def test_stored_fields_restriction(spark, built):
         )
     with pytest.raises(ValueError, match="search_df"):
         search_df(spark, index_dir, req)
+
+
+def test_search_field_weights_rank_identity(spark, built):
+    """Boosted multi-field search ('searchField=text^2,role'): both engine
+    and oracle resolve the field weights into leaf boosts, so rank and
+    exact scores stay identical; weighting changes the order vs unweighted
+    multi-field when a raw-field match competes with a text match."""
+    index_dir, oracle, _ = built
+    for fields in (("text^2",), ("text^2", "role"), ("role^5", "text")):
+        req = SearchRequest("assistant", max_hits=10, search_fields=fields)
+        _assert_rank_identical(search(spark, index_dir, req), oracle.search(req))
