@@ -122,10 +122,18 @@ def _fetch_doc_fields(
     dset = _cached_docs_dataset(index_dir, split_id)
     if dset is None:
         return pd.DataFrame(columns=cols)
-    table = dset.to_table(
-        columns=cols,
-        filter=pads.field("doc_id").isin([int(x) for x in doc_ids]),
-    )
+    try:
+        table = dset.to_table(
+            columns=cols,
+            filter=pads.field("doc_id").isin([int(x) for x in doc_ids]),
+        )
+    except FileNotFoundError as e:
+        # the dataset handle was built from a file listing that a
+        # concurrent merge-replace + GC has since deleted — surface the
+        # vanished-split protocol so the root re-plans (root.rs:179-188)
+        raise SplitVanishedError(
+            f"split vanished during doc fetch: {split_id}"
+        ) from e
     return table.to_pandas()
 
 
@@ -297,6 +305,32 @@ def _stats_files(index_dir: str, cat: Catalog) -> list[str]:
     ]
 
 
+def _stats_table(index_dir: str, cat: Catalog, columns: list[str], cond) -> pd.DataFrame:
+    """Filtered read over the term-dictionary stats files with ONE retry
+    against a fresh catalog: a merge round compacts the LSM deltas (the
+    file list changes and old delta files are deleted), so a read racing
+    that compaction can hit FileNotFoundError between the listing and the
+    parquet open — re-resolving the list once always lands on a committed
+    state (delta lists commit atomically with the catalog)."""
+    for attempt in (0, 1):
+        files = _stats_files(index_dir, cat)
+        if not files:
+            return pd.DataFrame(columns=columns)
+        dkey = ("gstats-dset", tuple(files))
+        dset = _GSTATS_CACHE.get(dkey)
+        if dset is None:
+            dset = storage_for(index_dir).dataset(files)
+            _GSTATS_CACHE[dkey] = dset
+        try:
+            return dset.to_table(columns=columns, filter=cond).to_pandas()
+        except FileNotFoundError:
+            _GSTATS_CACHE.pop(dkey, None)
+            if attempt:
+                raise
+            cat = Catalog(index_dir)
+    raise AssertionError("unreachable")
+
+
 def global_term_stats(
     spark: SparkSession,
     index_dir: str,
@@ -334,26 +368,14 @@ def global_term_stats(
         # posting-dictionary rows, O(splits) but column/row-group-pruned.
         import pyarrow.dataset as pads
 
-        files = _stats_files(index_dir, cat)
-        if files:
-            cond = None
-            for f_, t_ in terms:
-                c = (pads.field("field") == f_) & (pads.field("term") == t_)
-                cond = c if cond is None else (cond | c)
-            if buckets:
-                cond = pads.field("bucket").isin(buckets) & cond
-            # dataset handle cached per file set (footer parse once; delta
-            # files are immutable — compaction changes the file LIST, which
-            # changes the key)
-            dkey = ("gstats-dset", tuple(files))
-            dset = _GSTATS_CACHE.get(dkey)
-            if dset is None:
-                dset = storage_for(index_dir).dataset(files)
-                _GSTATS_CACHE[dkey] = dset
-            tbl = dset.to_table(
-                columns=["field", "term", "doc_freq"], filter=cond
-            )
-            pdf = tbl.to_pandas()
+        cond = None
+        for f_, t_ in terms:
+            c = (pads.field("field") == f_) & (pads.field("term") == t_)
+            cond = c if cond is None else (cond | c)
+        if buckets:
+            cond = pads.field("bucket").isin(buckets) & cond
+        if cond is not None:
+            pdf = _stats_table(index_dir, cat, ["field", "term", "doc_freq"], cond)
             if len(pdf):
                 for (f_, t_), df_sum in pdf.groupby(["field", "term"])["doc_freq"].sum().items():
                     if (f_, t_) in df_map:
@@ -449,7 +471,6 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
         return spec[2][: min(plen, len(spec[2]))]
 
     if missing:
-        files = _stats_files(index_dir, cat)
         cond = None
         for spec in missing:
             c = pads.field("field") == spec[1]
@@ -460,17 +481,7 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
                 if hi is not None:
                     c = c & (pads.field("term") < hi)
             cond = c if cond is None else (cond | c)
-        if files:
-            dkey = ("gstats-dset", tuple(files))
-            dset = _GSTATS_CACHE.get(dkey)
-            if dset is None:
-                dset = storage_for(index_dir).dataset(files)
-                _GSTATS_CACHE[dkey] = dset
-            pdf = dset.to_table(
-                columns=["field", "term", "doc_freq"], filter=cond
-            ).to_pandas()
-        else:
-            pdf = pd.DataFrame(columns=["field", "term", "doc_freq"])
+        pdf = _stats_table(index_dir, cat, ["field", "term", "doc_freq"], cond)
         for spec in missing:
             f_ = spec[1]
             if len(pdf):
@@ -561,21 +572,13 @@ def term_dictionary(
         raise ValueError("limit must be >= 1")
     import pyarrow.dataset as pads
 
-    files = _stats_files(index_dir, cat)
-    if not files:
-        return []
     cond = pads.field("field") == field
     if prefix:
         cond = cond & (pads.field("term") >= prefix)
         hi = _prefix_upper(prefix)
         if hi is not None:
             cond = cond & (pads.field("term") < hi)
-    dkey = ("gstats-dset", tuple(files))
-    dset = _GSTATS_CACHE.get(dkey)
-    if dset is None:
-        dset = storage_for(index_dir).dataset(files)
-        _GSTATS_CACHE[dkey] = dset
-    pdf = dset.to_table(columns=["field", "term", "doc_freq"], filter=cond).to_pandas()
+    pdf = _stats_table(index_dir, cat, ["field", "term", "doc_freq"], cond)
     if prefix and len(pdf):
         pdf = pdf[pdf["term"].str.startswith(prefix)]
     if not len(pdf):
@@ -1524,7 +1527,13 @@ def _cached_fastfields(index_dir: str, split_id: str) -> pd.DataFrame | None:
         return _WORKER_FF_CACHE[key]
     st = storage_for(index_dir)
     files = _split_files(index_dir, "fastfields", split_id)
-    pdf = st.dataset(files).to_table().to_pandas() if files else None
+    try:
+        pdf = st.dataset(files).to_table().to_pandas() if files else None
+    except FileNotFoundError:
+        # listed files deleted by a concurrent merge+GC before the read:
+        # same contract as an already-gone split (caller yields vanished);
+        # never cached — the next call sees the post-GC state
+        return None
     _lru_put(_WORKER_FF_CACHE, key, pdf, 256)
     return pdf
 
@@ -1620,7 +1629,14 @@ def _read_split_postings(
             if buckets:
                 # superset of the missing terms' buckets — pruning only
                 cond = pads.field("bucket").isin(buckets) & cond
-            pdf = dset.to_table(filter=cond).to_pandas()
+            try:
+                pdf = dset.to_table(filter=cond).to_pandas()
+            except FileNotFoundError as e:
+                # listing→read race with a concurrent merge+GC: vanished-
+                # split protocol (the leaf runner yields __vanished__)
+                raise SplitVanishedError(
+                    f"split vanished during postings read: {split_id}"
+                ) from e
         for key in missing:
             sub = pdf[(pdf["field"] == key[0]) & (pdf["term"] == key[1])] if len(pdf) else pdf
             if cap:
@@ -1700,12 +1716,18 @@ def _leaf_hit_rows(
     def run(it):
         _limit_arrow_threads()
         for sid, u_lo, u_hi in it:
-            ff_pdf = _cached_fastfields(index_dir, sid)
-            if ff_pdf is None:  # GC raced us — root re-plans (see below)
+            try:
+                ff_pdf = _cached_fastfields(index_dir, sid)
+                if ff_pdf is None:  # GC raced us — root re-plans (see below)
+                    yield {"split_id": sid, "__vanished__": True}
+                    continue
+                postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
+                out = scorer((sid,), postings_pdf, ff_pdf, u_lo, u_hi)
+            except (FileNotFoundError, SplitVanishedError):
+                # mid-read race (listed files deleted by a concurrent
+                # merge+GC): same protocol as a pre-read vanish
                 yield {"split_id": sid, "__vanished__": True}
                 continue
-            postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
-            out = scorer((sid,), postings_pdf, ff_pdf, u_lo, u_hi)
             for rec in out.to_dict("records"):
                 rec["__lo"] = u_lo or 0  # root sums hits per disjoint range
                 yield rec
@@ -1897,15 +1919,21 @@ def multi_search(
     def run(it):
         _limit_arrow_threads()
         for sid, u_lo, u_hi in it:
-            ff_pdf = _cached_fastfields(index_dir, sid)
-            if ff_pdf is None:  # GC raced us — root re-plans (SplitVanishedError)
+            try:
+                ff_pdf = _cached_fastfields(index_dir, sid)
+                if ff_pdf is None:  # GC raced us — root re-plans (SplitVanishedError)
+                    yield {"split_id": sid, "__vanished__": True}
+                    continue
+                postings_pdf = _read_split_postings(index_dir, sid, terms_sorted, buckets)
+                outs = []
+                for qi, scorer in enumerate(scorers):
+                    if sid not in wanted[qi]:
+                        continue
+                    outs.append((qi, scorer((sid,), postings_pdf, ff_pdf, u_lo, u_hi)))
+            except (FileNotFoundError, SplitVanishedError):
                 yield {"split_id": sid, "__vanished__": True}
                 continue
-            postings_pdf = _read_split_postings(index_dir, sid, terms_sorted, buckets)
-            for qi, scorer in enumerate(scorers):
-                if sid not in wanted[qi]:
-                    continue
-                out = scorer((sid,), postings_pdf, ff_pdf, u_lo, u_hi)
+            for qi, out in outs:
                 for rec in out.to_dict("records"):
                     rec["__qi"] = qi
                     rec["__lo"] = u_lo or 0
