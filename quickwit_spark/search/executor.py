@@ -200,11 +200,16 @@ def resolve_sort(request: SearchRequest, config: IndexConfig) -> SearchRequest:
         request = _dc_replace(request, sort_by_field="ts")
     # the sort contract is integer-class fast fields (reference u64,
     # collector.rs:47-64) — f64 would be silently truncated downstream
-    if request.sort_by_field in config.extra_fast_float_fields:
+    # f64 fast fields sort through the monotonic int64 key (f64_sort_keys
+    # — tantivy's f64↔u64 mapping); cursors would need the raw key on the
+    # wire, so search_after is rejected there rather than mis-compared
+    if (
+        request.sort_by_field in config.extra_fast_float_fields
+        and request.search_after is not None
+    ):
         raise ValueError(
-            f"cannot sort by f64 fast field {request.sort_by_field!r}: the "
-            "engine sorts integer-class fast fields only (reference u64 "
-            "contract); scan the index's fastfields table for f64 columns"
+            f"search_after is not supported on f64 sort field "
+            f"{request.sort_by_field!r} (cursor values are integer sort keys)"
         )
     # reject unknown names driver-side: an unvalidated field would fail
     # executor-side with an opaque Py4J traceback (and a dropped REST
@@ -213,10 +218,11 @@ def resolve_sort(request: SearchRequest, config: IndexConfig) -> SearchRequest:
         request.sort_by_field is not None
         and request.sort_by_field not in ("ts", "doc_len")
         and request.sort_by_field not in config.extra_fast_fields
+        and request.sort_by_field not in config.extra_fast_float_fields
     ):
         raise ValueError(
             f"unknown sort fast field {request.sort_by_field!r}: declared "
-            f"fast fields are {sorted(('doc_len', config.timestamp_field or 'ts') + config.extra_fast_fields)}"
+            f"fast fields are {sorted(('doc_len', config.timestamp_field or 'ts') + config.extra_fast_fields + config.extra_fast_float_fields)}"
         )
     return request
 
@@ -1404,23 +1410,44 @@ def _ts_filter(docs: np.ndarray, ff_pdf: pd.DataFrame, lo, hi) -> np.ndarray:
     return np.concatenate(keep_parts)
 
 
+def f64_sort_keys(vals: np.ndarray) -> np.ndarray:
+    """Monotonic f64 → int64 mapping — the tantivy-common f64↔u64 trick
+    recast into signed space so the existing int64 sort/merge machinery
+    (leaf heap, root merge, cursor comparisons) carries doubles unchanged:
+    non-negative doubles keep their raw bit pattern (already ascending as
+    int64), negatives map to the bit complement re-signed (ascending with
+    the double, and below every non-negative key).  NaNs are unsupported
+    (fast f64 columns are built from finite non-null values)."""
+    bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.int64)
+    u = bits.view(np.uint64)
+    u = np.where(bits >= 0, u | np.uint64(1 << 63), ~u)
+    return (u ^ np.uint64(1 << 63)).view(np.int64)
+
+
+def sort_key_to_f64(key: int) -> float:
+    """Inverse of f64_sort_keys for one key (display conversion: hits show
+    the double, the wire carries the int64 key)."""
+    if key >= 0:
+        return float(np.array(key, np.int64).view(np.float64)[()])
+    u0 = ~(np.uint64(np.int64(key)) ^ np.uint64(1 << 63))
+    return float(np.array(u0, np.uint64).view(np.float64)[()])
+
+
 def _fast_field_values(field: str, ff_pdf: pd.DataFrame, lens: np.ndarray, docs: np.ndarray) -> np.ndarray:
     if field == "doc_len":
         return lens[docs]
     if field == "ts":
         ts = np.concatenate([decode_u32_column(b) for b in ff_pdf["ts"]]).astype(np.int64)
         return ts[docs]
-    col = f"ff_{field}"  # generic fast i64/u64 columns (config.extra_fast_fields)
+    col = f"ff_{field}"  # generic fast i64/u64/f64 columns
     if col in ff_pdf.columns:
         vals_raw = [np.asarray(v) for v in ff_pdf[col]]
         if any(v.dtype.kind == "f" for v in vals_raw):
-            # the reference's sort contract is u64 fast fields
-            # (collector.rs:47-64); silently truncating floats to int64
-            # would return a wrong order — reject loudly instead
-            raise ValueError(
-                f"cannot sort by f64 fast field {field!r}: the engine sorts "
-                "integer-class fast fields only (reference u64 contract)"
-            )
+            # f64 fast fields sort via the monotonic int64 key (tantivy
+            # stores f64 fast fields as monotonic u64 the same way); the
+            # root converts keys back to doubles for display
+            vals = f64_sort_keys(np.concatenate([v.astype(np.float64) for v in vals_raw]))
+            return vals[docs]
         vals = np.concatenate([v.astype(np.int64) for v in vals_raw])
         return vals[docs]
     raise ValueError(f"unsupported sort fast field: {field}")
@@ -1979,6 +2006,9 @@ def multi_search(
         if page and "conv_id" not in page[0]:
             _fetch_page_fields(index_dir, page, req.stored_fields)
         hits = [_hit_dict(config, r, req.stored_fields) for r in page]
+        if req.sort_by_field in config.extra_fast_float_fields:
+            for h in hits:  # int64 sort keys → doubles for display
+                h["sort_value"] = sort_key_to_f64(h["sort_value"])
         _maybe_add_source(index_dir, hits, page)
         responses.append(
             SearchResponse(num_hits, hits, int((time.monotonic() - t0) * 1e6))
@@ -2290,6 +2320,11 @@ def search_df(spark: SparkSession, index_dir: str, request: SearchRequest) -> Da
             "schema is the full stored-column set) — use search()"
         )
     _, config = open_index(spark, index_dir)
+    if resolve_sort(request, config).sort_by_field in config.extra_fast_float_fields:
+        raise ValueError(
+            "f64 sort fields are not supported on search_df (its sort_value "
+            "column is int64) — use search()"
+        )
     cols, schema = _df_cols_and_schema(config)
     page, _ = _search_rows(spark, index_dir, request)
 
@@ -2311,6 +2346,9 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
     page, num_hits = _search_rows(spark, index_dir, request)
     cat, config = open_index(spark, index_dir)
     out = [_hit_dict(config, r, request.stored_fields) for r in page]
+    if resolve_sort(request, config).sort_by_field in config.extra_fast_float_fields:
+        for h in out:  # wire carries monotonic int64 keys; hits show doubles
+            h["sort_value"] = sort_key_to_f64(h["sort_value"])
     _maybe_add_source(index_dir, out, page)
     if request.snippet_fields:
         from .snippet import attach_snippets

@@ -278,6 +278,50 @@ def test_merge_preserves_generic_semantics(spark, tmp_path):
     assert after == before
 
 
-def test_f64_sort_rejected_at_query(spark, idx):
-    with pytest.raises(ValueError, match="f64 fast field"):
-        search(spark, idx, SearchRequest("needle", sort_by_field="score_f"))
+def test_f64_sort_by_fast_field(spark, idx):
+    """f64 fast fields sort via the monotonic int64 key (tantivy's
+    f64↔u64 mapping, f64_sort_keys): hits order by the double and DISPLAY
+    the double; float cursors and the int64-schema search_df reject
+    loudly instead of mis-comparing."""
+    from quickwit_spark.search.executor import search_df
+
+    r = search(
+        spark, idx, SearchRequest("needle", max_hits=5, sort_by_field="score_f")
+    )
+    vals = [h["sort_value"] for h in r.hits]
+    assert vals == sorted(vals, reverse=True) and len(vals) == 5
+    assert all(isinstance(v, float) for v in vals)
+    asc = search(
+        spark,
+        idx,
+        SearchRequest("needle", max_hits=5, sort_by_field="score_f", sort_asc=True),
+    )
+    # needle docs are i % 10 == 0 with score_f = i/10 → 0.0, 1.0, 2.0 …
+    assert [h["sort_value"] for h in asc.hits] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    with pytest.raises(ValueError, match="search_after"):
+        search(
+            spark,
+            idx,
+            SearchRequest(
+                "needle", sort_by_field="score_f", search_after=(1, "x", 0)
+            ),
+        )
+    with pytest.raises(ValueError, match="f64 sort"):
+        search_df(spark, idx, SearchRequest("needle", sort_by_field="score_f"))
+
+
+def test_f64_sort_key_monotonic_roundtrip():
+    """f64_sort_keys is a total order matching numeric order (incl.
+    negatives, zeros, infinities) and sort_key_to_f64 inverts it bit-exactly."""
+    import numpy as np
+
+    from quickwit_spark.search.executor import f64_sort_keys, sort_key_to_f64
+
+    vals = np.array(
+        [-np.inf, -1e300, -2.5, -1.0, -1e-300, -0.0, 0.0, 1e-300, 1.0, 2.5, 1e300, np.inf]
+    )
+    keys = f64_sort_keys(vals)
+    assert (np.diff(keys) > 0).all()  # strictly ascending (−0.0 sorts below 0.0)
+    for v, k in zip(vals, keys):
+        back = sort_key_to_f64(int(k))
+        assert back == v and np.signbit(back) == np.signbit(v)
