@@ -153,6 +153,7 @@ def _percentiles_oracle(vals, qs):
     terms_size=st.sampled_from([3, 10, None]),
     with_terms_metric=st.booleans(),
     stats_field=st.one_of(st.none(), st.sampled_from(["turn_idx", "ts"])),
+    stats_extended=st.booleans(),
     pct_field=st.one_of(st.none(), st.sampled_from(["turn_idx", "ts"])),
     card_field=st.one_of(st.none(), st.sampled_from(["role", "tool", "turn_idx"])),
 )
@@ -165,6 +166,7 @@ def test_random_agg_multi_matches_pandas_oracle(
     terms_size,
     with_terms_metric,
     stats_field,
+    stats_extended,
     pct_field,
     card_field,
 ):
@@ -182,6 +184,7 @@ def test_random_agg_multi_matches_pandas_oracle(
         terms_size=terms_size,
         terms_metric_field=metric,
         stats_field=stats_field,
+        stats_extended=stats_extended and stats_field is not None,
         percentiles_field=pct_field,
         cardinality_field=card_field,
     )
@@ -228,6 +231,22 @@ def test_random_agg_multi_matches_pandas_oracle(
             "sum": sum(vals) if vals else None,
             "avg": round(sum(vals) / len(vals), 4) if vals else None,
         }
+        if stats_extended:
+            # same exact-integer core the engine uses: one double division
+            import math
+
+            n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
+            if n == 0:
+                want_stats.update(
+                    sum_of_squares=None, variance=None, std_deviation=None
+                )
+            else:
+                var = float(n * ss - s * s) / float(n * n)
+                want_stats.update(
+                    sum_of_squares=float(ss),
+                    variance=round(var, 4),
+                    std_deviation=round(math.sqrt(var), 4),
+                )
         assert got["stats"] == want_stats, label
     if pct_field is not None:
         want_p = _percentiles_oracle(
