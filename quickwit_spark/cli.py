@@ -245,6 +245,7 @@ def cmd_search(args) -> dict:
     from quickwit_spark.search.executor import explain, search
     from quickwit_spark.search.request import (
         SearchRequest,
+        parse_numeric_filters,
         parse_search_after,
         parse_sort_by_dsl,
     )
@@ -274,6 +275,9 @@ def cmd_search(args) -> dict:
             tuple(args.stored_fields.split(","))
             if getattr(args, "stored_fields", None)
             else None
+        ),
+        numeric_filters=parse_numeric_filters(
+            getattr(args, "numeric_filter", None)
         ),
     )
     if getattr(args, "explain", False):
@@ -898,6 +902,11 @@ def main(argv=None):
     s.add_argument(
         "--search-fields", default=None,
         help="comma-separated default fields for unscoped clauses (overrides config)",
+    )
+    s.add_argument(
+        "--numeric-filter", action="append", default=None,
+        help="fast-field range filter 'field:lo..hi' (half-open; repeatable; "
+        "either bound may be empty)",
     )
     s.add_argument(
         "--stored-fields", default=None,

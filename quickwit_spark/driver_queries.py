@@ -247,6 +247,18 @@ def ft_fuzzy(spark, sf_dir):
     return _ft(spark, sf_dir, "merge~1")
 
 
+def ft_numeric_filter(spark, sf_dir):
+    """'merge' restricted to turn_idx ∈ [100, 300) — the request-level
+    fast-field range filter (numeric_filters; the ts-param shape
+    generalized to any fast field): per-split field_ranges stats prune,
+    survivors apply an exact per-doc mask over the ff_turn_idx column
+    (turn_idx carries doc_id in this index, so the SQL twin is a plain
+    doc_id range — same values, different engine code path than ts)."""
+    return _ft(
+        spark, sf_dir, "merge", numeric_filters=(("turn_idx", 100, 300),)
+    )
+
+
 def ft_match_all(spark, sf_dir):
     """'*' (UserInputLeaf::All → AllQuery): browse-latest — every doc
     matches at constant score, page by ts descending."""
@@ -770,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix": ft_prefix,
         "ft_phrase_prefix": ft_phrase_prefix,
         "ft_fuzzy": ft_fuzzy,
+        "ft_numeric_filter": ft_numeric_filter,
         "ft_match_all": ft_match_all,
         "ft_search_after": ft_search_after,
         "ft_count": ft_count,
@@ -891,6 +904,7 @@ ORDER BY doc_id ASC LIMIT 10""",
         "ft_boost": _bm25_topk_sql(
             ["spark", "merge"], "and", 10, weights={"merge": 2.0}
         ),
+        "ft_numeric_filter": _bm25_topk_sql(["merge"], "or", 10, ts_range=(100, 300)),
         "ft_prefix": f"""{BM25_CTE},
 cand AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'merg%'),
 sc AS (

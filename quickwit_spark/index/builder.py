@@ -1172,6 +1172,18 @@ class _SplitAccumulator:
             "ts_min": int(ts.min()) if n else None,
             "ts_max": int(ts.max()) if n else None,
             "tags": sorted(tag_list),
+            # per-split [min, max] of every extra fast field — the split-
+            # pruning statistics for request-level numeric range filters
+            # (the generalization of ts_min/ts_max; Iceberg-style column
+            # stats at split granularity)
+            "field_ranges": (
+                {
+                    **{k: [int(v.min()), int(v.max())] for k, v in extra.items()},
+                    **{k: [float(v.min()), float(v.max())] for k, v in extra_f.items()},
+                }
+                if n
+                else {}
+            ),
             "field_len_sums": field_len_sums,
             "num_terms": num_terms,
             "postings_bytes": postings_payload,
@@ -1599,6 +1611,7 @@ def build_index(
                     ts_min=s["ts_min"],
                     ts_max=s["ts_max"],
                     tags=s["tags"],
+                    field_ranges=s.get("field_ranges", {}),
                     field_len_sums=s["field_len_sums"],
                     metrics={
                         "num_terms": s["num_terms"],

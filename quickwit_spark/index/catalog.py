@@ -80,6 +80,11 @@ class SplitMetadata:
     # SplitMetadata.update_timestamp): drives the gc grace period for
     # stale Staged splits.  0.0 = legacy row (treated as infinitely old)
     update_ts: float = 0.0
+    # per-split [min, max] of each extra fast field (i64/date as int,
+    # f64 as float) — split-pruning stats for numeric range filters, the
+    # generalization of ts_min/ts_max.  {} on legacy rows (no pruning,
+    # filters still exact via the leaf mask)
+    field_ranges: dict[str, list] = field(default_factory=dict)
     # per-field sum of BM25 field lengths (exact, not the reference's lossy
     # 1-byte fieldnorms) — global avg_len = Σ len_sum / Σ num_docs
     field_len_sums: dict[str, int] = field(default_factory=dict)

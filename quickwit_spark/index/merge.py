@@ -367,6 +367,16 @@ def execute_merge_round(
         for s in inputs:
             for f_, v in s.field_len_sums.items():
                 len_sums[f_] = len_sums.get(f_, 0) + v
+        # field_ranges union: min of mins / max of maxes — only for fields
+        # every input recorded (a legacy input without stats would make a
+        # partial range claim pruning cannot trust)
+        ranges: dict[str, list] = {}
+        common = set.intersection(*(set(s.field_ranges) for s in inputs)) if inputs else set()
+        for f_ in common:
+            ranges[f_] = [
+                min(s.field_ranges[f_][0] for s in inputs),
+                max(s.field_ranges[f_][1] for s in inputs),
+            ]
         produced.append(
             SplitMetadata(
                 split_id=op.output_split_id,
@@ -375,6 +385,7 @@ def execute_merge_round(
                 ts_max=max(s.ts_max for s in inputs),
                 tags=tags,
                 num_merge_ops=max(s.num_merge_ops for s in inputs) + 1,
+                field_ranges=ranges,
                 field_len_sums=len_sums,
                 metrics={"merged_from": op.split_ids},
             )

@@ -227,17 +227,83 @@ def resolve_sort(request: SearchRequest, config: IndexConfig) -> SearchRequest:
     return request
 
 
+def _resolve_numeric_filters(config: IndexConfig, request: SearchRequest):
+    """Validate request.numeric_filters and convert them to the leaf's
+    int64-key space: i64/u64/date fast fields take integer bounds as-is;
+    f64 fast fields take numeric bounds mapped through f64_sort_keys (the
+    strictly monotonic mapping makes [key(lo), key(hi)) select exactly
+    v ∈ [lo, hi)).  Returns ((field, lo_key, hi_key), ...) or ()."""
+    if not request.numeric_filters:
+        return ()
+    out = []
+    for f_, lo, hi in request.numeric_filters:
+        if f_ == config.timestamp_field or f_ == "ts":
+            raise ValueError(
+                "filter the timestamp via startTimestamp/endTimestamp, not "
+                f"numericFilter ({f_!r})"
+            )
+        if f_ in config.extra_fast_float_fields:
+            lo_k = int(f64_sort_keys(np.array([float(lo)]))[0]) if lo is not None else None
+            hi_k = int(f64_sort_keys(np.array([float(hi)]))[0]) if hi is not None else None
+        elif f_ in config.extra_fast_fields or f_ == "doc_len":
+            for b in (lo, hi):
+                if b is not None and not isinstance(b, int):
+                    raise ValueError(
+                        f"numericFilter bounds for integer fast field {f_!r} "
+                        f"must be integers (got {b!r})"
+                    )
+            lo_k, hi_k = lo, hi
+        else:
+            raise ValueError(
+                f"numericFilter field {f_!r} is not a declared fast field "
+                f"(fast fields: {sorted(('doc_len',) + config.extra_fast_fields + config.extra_fast_float_fields)})"
+            )
+        out.append((f_, lo_k, hi_k))
+    return tuple(out)
+
+
+def _apply_numeric_filters(
+    docs: np.ndarray, ff_pdf: pd.DataFrame, lens: np.ndarray, filters
+) -> np.ndarray:
+    """Exact per-doc mask over the split's fast-field columns (the generic
+    twin of _ts_filter's per-doc path; bounds are already in key space)."""
+    for f_, lo, hi in filters:
+        if len(docs) == 0:
+            break
+        vals = _fast_field_values(f_, ff_pdf, lens, docs)
+        m = np.ones(len(docs), bool)
+        if lo is not None:
+            m &= vals >= lo
+        if hi is not None:
+            m &= vals < hi
+        docs = docs[m]
+    return docs
+
+
 def prune_splits(
     cat: Catalog, config: IndexConfig, ast, request: SearchRequest
 ) -> list[SplitMetadata]:
     """Driver-side split pruning: time-range overlap (lib.rs:100-119) + tag
-    predicate (tag_pruning.rs) over the published-split catalog."""
+    predicate (tag_pruning.rs) + numeric-filter field_ranges stats over the
+    published-split catalog."""
     splits = cat.splits()
     lo, hi = request.start_timestamp, request.end_timestamp
     if lo is not None:
         splits = [s for s in splits if s.ts_max is None or s.ts_max >= lo]
     if hi is not None:
         splits = [s for s in splits if s.ts_min is None or s.ts_min < hi]
+    for f_, f_lo, f_hi in request.numeric_filters or ():
+        # RAW-value comparison against the per-split [min, max] stats;
+        # splits without recorded stats (legacy) cannot be pruned
+        splits = [
+            s
+            for s in splits
+            if f_ not in s.field_ranges
+            or (
+                (f_lo is None or s.field_ranges[f_][1] >= f_lo)
+                and (f_hi is None or s.field_ranges[f_][0] < f_hi)
+            )
+        ]
     pred = extract_tag_predicate(ast, config.tag_fields)
     return [s for s in splits if pred(set(s.tags), bool(s.tags))]
 
@@ -1077,6 +1143,7 @@ def select_strategy(ast, request: SearchRequest, mode: str = "topk") -> str:
         and request.sort_by_field is None
         and request.start_timestamp is None
         and request.end_timestamp is None
+        and request.numeric_filters is None
         # a cursor needs the docs BELOW the pruned paths' thresholds —
         # WAND/MaxScore would re-return the already-seen top-k
         and request.search_after is None
@@ -1143,6 +1210,7 @@ def make_split_scorer(
     pruning — a downstream group-by needs every group's best score, so
     top-k shortcuts cannot apply): the field-collapse vehicle."""
     n_top = request.start_offset + request.max_hits
+    num_filters = _resolve_numeric_filters(config, request)
     pos_terms = sorted(positive_terms(ast))
     # per-term boost multipliers ('term^2'); all 1.0 for unboosted queries
     pos_weights = positive_term_weights(ast)
@@ -1258,6 +1326,8 @@ def make_split_scorer(
             )
             if len(docs) and (ts_lo is not None or ts_hi is not None):
                 docs = _ts_filter(docs, ff_pdf, ts_lo, ts_hi)
+            if len(docs) and num_filters:
+                docs = _apply_numeric_filters(docs, ff_pdf, lens, num_filters)
             num_hits = len(docs)
             if num_hits == 0:
                 return empty
@@ -1266,6 +1336,8 @@ def make_split_scorer(
             docs = _eval_node(ast, postings)
             if len(docs) and (ts_lo is not None or ts_hi is not None):
                 docs = _ts_filter(docs, ff_pdf, ts_lo, ts_hi)
+            if len(docs) and num_filters:
+                docs = _apply_numeric_filters(docs, ff_pdf, lens, num_filters)
             num_hits = len(docs)
             if num_hits == 0:
                 return empty
@@ -2210,7 +2282,7 @@ def _search_rows(
         only_split_ids: set[str] | None = None
         meta_count = 0
         cat_token = None
-        if req.max_hits == 0 and req.start_offset == 0:
+        if req.max_hits == 0 and req.start_offset == 0 and not req.numeric_filters:
             ast = parse_query(req.query, config, req.search_fields)
             if isinstance(ast, AllQuery):
                 # match-all count: every doc in a split counts, so any split

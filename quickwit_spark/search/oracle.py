@@ -239,6 +239,15 @@ class OracleIndex:
                 if (lo is None or self.by_key[k]["ts_epoch"] >= lo)
                 and (hi is None or self.by_key[k]["ts_epoch"] < hi)
             }
+        for f_, f_lo, f_hi in request.numeric_filters or ():
+            # raw stored values (the oracle's docs carry the fast fields);
+            # half-open [lo, hi) like the engine's key-space mask
+            matched = {
+                k
+                for k in matched
+                if (f_lo is None or self.by_key[k][f_] >= f_lo)
+                and (f_hi is None or self.by_key[k][f_] < f_hi)
+            }
         num_hits = len(matched)
         if request.sort_by_field is not None:
             # datetime fast fields are stored as epoch seconds (the engine's

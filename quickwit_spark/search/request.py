@@ -25,6 +25,14 @@ class SearchRequest:
     # (conv_id, turn_idx) so results are split-layout independent (used for
     # the DuckDB driver oracle where the SQL knows nothing about splits)
     tiebreak: str = "reference"
+    # request-level numeric range filters over FAST fields — the
+    # generalization of the start/end_timestamp params (the reference
+    # rejects range QUERY SYNTAX, query_builder.rs:36-39, but filters by
+    # time through request params; this extends that shape to any fast
+    # field).  Each entry is (field, lo, hi) with half-open [lo, hi);
+    # None = unbounded side.  Split pruning uses the catalog's per-split
+    # field_ranges stats; surviving splits apply an exact per-doc mask.
+    numeric_filters: tuple[tuple, ...] | None = None
     # restrict each hit's stored fields to this subset (ES _source
     # filtering analog): None returns every stored column (default), a
     # tuple returns only those — and the driver-side page fetch reads ONLY
@@ -97,3 +105,39 @@ def parse_sort_by_dsl(s: str | None) -> tuple[str | None, bool]:
     if s.startswith("-"):
         return s[1:].strip(), False
     return s.strip(), True
+
+
+def parse_numeric_filters(entries) -> tuple[tuple, ...] | None:
+    """``field:lo..hi`` filter strings (REST ``numericFilter`` repeatable /
+    CLI ``--numeric-filter``) → ((field, lo, hi), ...).  Either bound may
+    be empty (unbounded side): ``turn_idx:2..10``, ``score:0.5..``,
+    ``n:..100``.  Integer-looking bounds parse as int, others as float
+    (f64 fast fields take float bounds)."""
+    if not entries:
+        return None
+    out = []
+    for s in entries:
+        field, sep, rng = s.partition(":")
+        if not sep or not field or ".." not in rng:
+            raise ValueError(
+                f"numericFilter must be 'field:lo..hi' (either bound may be "
+                f"empty): {s!r}"
+            )
+        lo_s, _, hi_s = rng.partition("..")
+
+        def num(x: str):
+            if x == "":
+                return None
+            try:
+                return int(x)
+            except ValueError:
+                return float(x)  # raises ValueError on garbage — intended
+
+        try:
+            lo, hi = num(lo_s), num(hi_s)
+        except ValueError:
+            raise ValueError(f"numericFilter bounds must be numbers: {s!r}")
+        if lo is None and hi is None:
+            raise ValueError(f"numericFilter needs at least one bound: {s!r}")
+        out.append((field, lo, hi))
+    return tuple(out)

@@ -43,6 +43,7 @@ from urllib.parse import parse_qs, urlparse
 
 from quickwit_spark import metrics
 from quickwit_spark.index.catalog import Catalog
+from quickwit_spark.search.request import parse_numeric_filters as _parse_numeric_filters
 from quickwit_spark.search.request import parse_search_after as _parse_search_after
 from quickwit_spark.search.request import parse_sort_by_dsl as _sort_by_mini_dsl
 
@@ -85,7 +86,7 @@ _SEARCH_PARAMS = frozenset(
         "query", "searchField", "startTimestamp", "endTimestamp",
         "maxHits", "startOffset", "format", "sortByField",
         "searchAfter", "snippetFields", "snippetMaxChars", "storedFields",
-        "explain",
+        "numericFilter", "explain",
         "aggHistogramInterval", "aggTermsField", "aggTermsSize",
         "aggTermsMetricField", "aggStatsField", "aggStatsExtended",
         "aggPercentilesField",
@@ -194,6 +195,9 @@ class _Handler(BaseHTTPRequestHandler):
                             tuple(q["storedFields"].split(","))
                             if "storedFields" in q
                             else None
+                        ),
+                        numeric_filters=_parse_numeric_filters(
+                            q.get("numericFilters")
                         ),
                     )
                 )
@@ -326,6 +330,7 @@ class _Handler(BaseHTTPRequestHandler):
                     if "storedFields" in qs
                     else None
                 ),
+                numeric_filters=_parse_numeric_filters(qs.get("numericFilter")),
             )
             if is_stream:
                 fast_field = qs.get("fastField", [None])[0]

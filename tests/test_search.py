@@ -757,3 +757,42 @@ def test_search_field_weights_rank_identity(spark, built):
     for fields in (("text^2",), ("text^2", "role"), ("role^5", "text")):
         req = SearchRequest("assistant", max_hits=10, search_fields=fields)
         _assert_rank_identical(search(spark, index_dir, req), oracle.search(req))
+
+
+def test_numeric_filter_rank_identity_and_pruning(spark, built):
+    """Request-level numeric range filters (the ts-param shape generalized
+    to any fast field): exact per-doc mask vs the oracle, exact num_hits,
+    match-all no longer takes the metadata-count shortcut, and the
+    catalog's per-split field_ranges stats prune impossible splits."""
+    from quickwit_spark.index.catalog import Catalog
+    from quickwit_spark.search.executor import prune_splits
+    from quickwit_spark.search.parser import parse_query
+
+    index_dir, oracle, docs = built
+    for flt in ((("turn_idx", 2, 10),), (("turn_idx", None, 5),), (("turn_idx", 12, None),)):
+        req = SearchRequest("error", max_hits=8, numeric_filters=flt)
+        _assert_rank_identical(search(spark, index_dir, req), oracle.search(req))
+    # match-all + filter: every hit obeys the bound; count is exact
+    r = search(
+        spark,
+        index_dir,
+        SearchRequest(
+            "*", max_hits=5, sort_by_field="turn_idx",
+            numeric_filters=(("turn_idx", 3, 6),),
+        ),
+    )
+    assert r.num_hits == int(((docs["turn_idx"] >= 3) & (docs["turn_idx"] < 6)).sum())
+    assert all(3 <= h["sort_value"] < 6 for h in r.hits)
+    # split pruning via field_ranges: an impossible bound prunes everything
+    cat = Catalog(index_dir)
+    ast = parse_query("error", CFG)
+    req_none = SearchRequest("error", numeric_filters=(("turn_idx", 1000, None),))
+    assert prune_splits(cat, CFG, ast, req_none) == []
+    assert search(spark, index_dir, req_none).num_hits == 0
+    # errors: unknown field, ts via numericFilter, float bound on int field
+    with pytest.raises(ValueError, match="not a declared fast field"):
+        search(spark, index_dir, SearchRequest("error", numeric_filters=(("nope", 1, 2),)))
+    with pytest.raises(ValueError, match="startTimestamp"):
+        search(spark, index_dir, SearchRequest("error", numeric_filters=(("ts", 1, 2),)))
+    with pytest.raises(ValueError, match="must be integers"):
+        search(spark, index_dir, SearchRequest("error", numeric_filters=(("turn_idx", 1.5, None),)))

@@ -164,6 +164,11 @@ def _requests(draw):
     if draw(st.booleans()):
         kw["sort_by_field"] = "ts"
         kw["sort_asc"] = draw(st.booleans())
+    if draw(st.integers(0, 3)) == 0:  # fast-field numeric range filter
+        f_lo = draw(st.one_of(st.none(), st.integers(0, 25)))
+        f_hi = draw(st.one_of(st.none(), st.integers(0, 40)))
+        if f_lo is not None or f_hi is not None:
+            kw["numeric_filters"] = (("turn_idx", f_lo, f_hi),)
     return SearchRequest(**kw)
 
 
