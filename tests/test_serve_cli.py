@@ -689,3 +689,18 @@ def test_stored_fields_param(server):
     if isinstance(body, bytes):
         body = body.decode()
     assert st == 400 and "nope" in body
+
+
+def test_numeric_filter_param(server):
+    """numericFilter=field:lo..hi (repeatable) restricts matches to the
+    fast-field range; malformed filters and unknown fields are 400s."""
+    st, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=5"
+        "&numericFilter=turn_idx:2..5&format=json"
+    )
+    assert st == 200, body
+    got = json.loads(body)
+    assert got["numHits"] > 0
+    assert all(2 <= h["turn_idx"] < 5 for h in got["hits"])
+    assert _get(f"{server}/api/v1/conv/search?query=deploy&numericFilter=bogus")[0] == 400
+    assert _get(f"{server}/api/v1/conv/search?query=deploy&numericFilter=nope:1..2")[0] == 400
