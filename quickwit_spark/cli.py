@@ -280,6 +280,13 @@ def cmd_search(args) -> dict:
             getattr(args, "numeric_filter", None)
         ),
     )
+    if "," in args.index_dir and (
+        getattr(args, "explain", False) or getattr(args, "collapse_field", None)
+    ):
+        return {
+            "cmd": "search",
+            "error": "multi-index search does not support --explain/--collapse-field",
+        }
     if getattr(args, "explain", False):
         # plan-only: which splits survive pruning, which leaf strategy
         # runs, per-term df — no leaf execution
@@ -302,7 +309,20 @@ def cmd_search(args) -> dict:
             "collapse": {"field": args.collapse_field, "num_groups": n_groups},
             "hits": rows,
         }
-    resp = search(spark, args.index_dir, req)
+    if "," in args.index_dir:
+        # ES-style multi-index addressing: --index-dir a,b merges pages
+        # across indexes (plain search only — explain/collapse/aggs are
+        # single-index concepts and return above / are rejected below)
+        from quickwit_spark.search.executor import multi_index_search
+
+        for bad in ("agg_terms", "agg_histogram_interval", "agg_stats",
+                    "agg_percentiles", "agg_cardinality", "agg_significant",
+                    "agg_filters"):
+            if getattr(args, bad, None):
+                return {"cmd": "search", "error": f"multi-index search does not support --{bad.replace('_','-')}"}
+        resp = multi_index_search(spark, args.index_dir.split(","), req)
+    else:
+        resp = search(spark, args.index_dir, req)
     out = {
         "cmd": "search",
         "num_hits": resp.num_hits,

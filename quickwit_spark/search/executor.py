@@ -2438,6 +2438,68 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 
 
+def multi_index_search(
+    spark: SparkSession, index_dirs: list[str], request: SearchRequest
+) -> SearchResponse:
+    """One request over SEVERAL indexes (the ES ``/a,b/_search`` multi-index
+    addressing shape; beyond-reference — quickwit 0.2 is one index per
+    request): each index runs its normal root search for the page's top
+    offset+k, the driver merges the per-index pages in result order with
+    the index id as the outermost tie key (split ids are only unique
+    within one index), and num_hits sums the per-index exact counts.
+
+    BM25 scores use each index's OWN collection stats (the ES
+    query_then_fetch behavior — cross-index scores are comparable only to
+    the extent the collections are); sort-by-fast-field merges on the raw
+    values and is exact.  search_after is rejected (its cursor has no
+    index coordinate)."""
+    t0 = time.monotonic()
+    if len(set(index_dirs)) != len(index_dirs) or not index_dirs:
+        raise ValueError("index_dirs must be a non-empty list of distinct indexes")
+    if request.search_after is not None:
+        raise ValueError(
+            "search_after is not supported across multiple indexes "
+            "(the cursor has no index coordinate) — paginate per index"
+        )
+    if len(index_dirs) == 1:
+        return search(spark, index_dirs[0], request)
+    # offset rewrite (root.rs:286-301 across indexes): every index returns
+    # its top offset+k, the GLOBAL offset applies after the merge
+    inner = _dc_replace(
+        request, start_offset=0, max_hits=request.start_offset + request.max_hits
+    )
+    total = 0
+    merged: list[dict] = []
+    float_sort = False
+    for d in index_dirs:
+        resp = search(spark, d, inner)
+        total += resp.num_hits
+        _, cfg = open_index(spark, d)
+        float_sort |= (
+            resolve_sort(request, cfg).sort_by_field in cfg.extra_fast_float_fields
+        )
+        for h in resp.hits:
+            h["index_id"] = os.path.basename(d.rstrip("/"))
+            merged.append(h)
+    if request.sort_by_field is not None:
+        sgn = 1 if request.sort_asc else -1
+        key = lambda h: (sgn * h["sort_value"], h["index_id"], h["split_id"], h["doc_id"])  # noqa: E731
+        if float_sort:
+            # every index resolved the same field; mixed int/float schemas
+            # for one name across indexes would make sort_value types
+            # incomparable — fail loudly rather than sort garbage
+            if not all(isinstance(h["sort_value"], float) for h in merged):
+                raise ValueError(
+                    f"sort field {request.sort_by_field!r} is f64 in some "
+                    "indexes and integer in others — cannot merge"
+                )
+    else:
+        key = lambda h: (-h["score"], h["index_id"], h["split_id"], h["doc_id"])  # noqa: E731
+    merged.sort(key=key)
+    page = merged[request.start_offset : request.start_offset + request.max_hits]
+    return SearchResponse(total, page, int((time.monotonic() - t0) * 1e6))
+
+
 def _term_bucket_of(field: str, term: str, n_buckets: int) -> int:
     from ..functions.codec import term_bucket
 

@@ -251,11 +251,31 @@ class _Handler(BaseHTTPRequestHandler):
         ):
             return self._err(404, f"no route for {url.path}")
         index_id = parts[2]
-        if _bad_index_id(index_id):
-            return self._err(404, f"index {index_id!r} not found")
-        index_dir = os.path.join(self.index_root, index_id)
-        if not Catalog.exists(index_dir):
-            return self._err(404, f"index {index_id!r} not found")
+        # ES-style multi-index addressing: /api/v1/a,b/search fans the
+        # request over several indexes and merges pages (plain search
+        # only; stream/termdict/agg/collapse/explain stay single-index)
+        multi_ids = (
+            [i for i in index_id.split(",") if i] if "," in index_id else None
+        )
+        if multi_ids is not None:
+            if len(set(multi_ids)) != len(multi_ids) or len(multi_ids) < 2:
+                return self._err(400, f"bad multi-index list {index_id!r}")
+            for i in multi_ids:
+                if _bad_index_id(i) or not Catalog.exists(
+                    os.path.join(self.index_root, i)
+                ):
+                    return self._err(404, f"index {i!r} not found")
+            index_dir = None  # every use below must branch on multi_ids
+            if parts[3] != "search" or len(parts) != 4:
+                return self._err(
+                    400, "multi-index addressing supports only /search"
+                )
+        else:
+            if _bad_index_id(index_id):
+                return self._err(404, f"index {index_id!r} not found")
+            index_dir = os.path.join(self.index_root, index_id)
+            if not Catalog.exists(index_dir):
+                return self._err(404, f"index {index_id!r} not found")
         if parts[3] == "termdict":
             # term-dictionary range scan (FST range-scan analog): terms of
             # an indexed field + global doc_freq, optional prefix window —
@@ -447,6 +467,44 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply_chunked(bin_chunks(), "application/octet-stream")
             # field collapse (beyond-reference, ES `collapse`): one hit per
             # distinct field value; its own response shape, so it composes
+            if multi_ids is not None:
+                # multi-index: plain search only — collapse/agg/explain are
+                # single-index concepts (per-index stats and plans)
+                single_only = [
+                    p
+                    for p in (
+                        "collapseField", "explain", "aggHistogramInterval",
+                        "aggTermsField", "aggTermsMetricField",
+                        "aggStatsField", "aggStatsExtended",
+                        "aggPercentilesField", "aggCardinalityField",
+                        "aggSignificantField", "aggFilters",
+                    )
+                    if qs.get(p, [None])[0] is not None
+                ]
+                if single_only:
+                    return self._err(
+                        400,
+                        "multi-index search does not support: "
+                        + ", ".join(single_only),
+                    )
+                from quickwit_spark.search.executor import multi_index_search
+
+                with self.lock:
+                    resp = multi_index_search(
+                        self.spark,
+                        [os.path.join(self.index_root, i) for i in multi_ids],
+                        req,
+                    )
+                out = {
+                    "numHits": resp.num_hits,
+                    "hits": resp.hits,
+                    "elapsedTimeMicros": resp.elapsed_time_micros,
+                }
+                fmt = qs.get("format", ["prettyjson"])[0]
+                if fmt not in ("json", "prettyjson"):
+                    return self._err(400, f"unsupported format {fmt!r}")
+                body = json.dumps(out, indent=2 if fmt == "prettyjson" else None)
+                return self._reply(200, body.encode())
             # with neither snippets nor aggregations
             collapse_field = qs.get("collapseField", [None])[0]
             if collapse_field is not None:

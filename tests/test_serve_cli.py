@@ -704,3 +704,53 @@ def test_numeric_filter_param(server):
     assert all(2 <= h["turn_idx"] < 5 for h in got["hits"])
     assert _get(f"{server}/api/v1/conv/search?query=deploy&numericFilter=bogus")[0] == 400
     assert _get(f"{server}/api/v1/conv/search?query=deploy&numericFilter=nope:1..2")[0] == 400
+
+
+def test_multi_index_search(spark, server, index_root):
+    """ES-style multi-index addressing (/api/v1/a,b/search): pages merge in
+    result order with the index id as the outermost tie key, num_hits sums
+    exact per-index counts, offsets apply globally after the merge;
+    single-index-only features and unknown members reject loudly."""
+    from quickwit_spark.fixtures.transcripts import generate_transcripts
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.search.executor import multi_index_search
+
+    pdf = generate_transcripts(n_conversations=10, seed=99)
+    pdf["conv_id"] = pdf["conv_id"] + "-b"
+    b_dir = os.path.join(index_root, "conv2")
+    build_index(spark, spark.createDataFrame(pdf), CFG, b_dir)
+    a_dir = os.path.join(index_root, "conv")
+    ra = search(spark, a_dir, SearchRequest("deploy", max_hits=50))
+    rb = search(spark, b_dir, SearchRequest("deploy", max_hits=50))
+    m = multi_index_search(spark, [a_dir, b_dir], SearchRequest("deploy", max_hits=7))
+    assert m.num_hits == ra.num_hits + rb.num_hits
+    union = [dict(h, index_id="conv") for h in ra.hits] + [
+        dict(h, index_id="conv2") for h in rb.hits
+    ]
+    union.sort(key=lambda h: (-h["score"], h["index_id"], h["split_id"], h["doc_id"]))
+    key = lambda h: (h["index_id"], h["split_id"], h["doc_id"])  # noqa: E731
+    assert [key(h) for h in m.hits] == [key(h) for h in union[:7]]
+    # global offset = a slice of the merged order, not per-index slices
+    m2 = multi_index_search(
+        spark, [a_dir, b_dir], SearchRequest("deploy", max_hits=3, start_offset=4)
+    )
+    assert [key(h) for h in m2.hits] == [key(h) for h in m.hits[4:7]]
+    with pytest.raises(ValueError, match="search_after"):
+        multi_index_search(
+            spark, [a_dir, b_dir], SearchRequest("deploy", search_after=(1.0, "s", 0))
+        )
+
+    st, body, _ = _get(
+        f"{server}/api/v1/conv,conv2/search?query=deploy&maxHits=7&format=json"
+    )
+    assert st == 200, body
+    got = json.loads(body)
+    assert got["numHits"] == m.num_hits
+    assert [(h["index_id"], h["doc_id"]) for h in got["hits"]] == [
+        (h["index_id"], h["doc_id"]) for h in m.hits
+    ]
+    assert _get(f"{server}/api/v1/conv,conv2/search?query=x&aggStatsField=ts")[0] == 400
+    assert _get(f"{server}/api/v1/conv,conv2/search?query=x&explain=true")[0] == 400
+    assert _get(f"{server}/api/v1/conv,nosuch/search?query=x")[0] == 404
+    assert _get(f"{server}/api/v1/conv,conv2/search/stream?query=x&fastField=ts")[0] == 400
+    assert _get(f"{server}/api/v1/conv,conv/search?query=x")[0] == 400  # dupes
