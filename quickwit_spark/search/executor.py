@@ -1058,13 +1058,23 @@ def _maxscore_union(
             continue
         if len(topk) >= n_top and rem[i] < threshold:
             continue  # counted, not scored: bounded strictly below k-th best
-        fl = lens_list[i]
-        dl = fl[new_docs] if fl is not None else np.ones(len(new_docs), np.int64)
-        base = idf * tf_norm(new_tf.astype(np.float64), dl, avg)
-        sc = base * w if w != 1.0 else base
-        # exact totals: add every LATER term's contribution (docs new at
-        # phase i contain none of the earlier terms by construction)
-        for j in range(i + 1, len(present)):
+        # exact totals: phase i's own term plus every LATER term's
+        # contribution (docs new at phase i contain none of the earlier
+        # terms by construction) — added in SORTED (field, term) order,
+        # the same float-addition order as the full-eval scorer, so a
+        # search_after cursor minted from a MaxScore page compares
+        # bit-exactly against the cursor page's full-eval recomputation
+        sc = np.zeros(len(new_docs), np.float64)
+        for j in sorted(range(i, len(present)), key=lambda x: present[x][1]):
+            _, _, idf_j, avg_j, w_j = present[j]
+            flj = lens_list[j]
+            if j == i:
+                dlj = (
+                    flj[new_docs] if flj is not None else np.ones(len(new_docs), np.int64)
+                )
+                base_j = idf_j * tf_norm(new_tf.astype(np.float64), dlj, avg_j)
+                sc += base_j * w_j if w_j != 1.0 else base_j
+                continue
             d_j, t_j = doclists[j]
             if len(d_j) == 0:
                 continue
@@ -1073,10 +1083,8 @@ def _maxscore_union(
             valid = dj[np.minimum(pos, len(dj) - 1)] == new_docs
             if not valid.any():
                 continue
-            flj = lens_list[j]
             dv = new_docs[valid]
             dlj = flj[dv] if flj is not None else np.ones(len(dv), np.int64)
-            _, _, idf_j, avg_j, w_j = present[j]
             base_j = idf_j * tf_norm(t_j[pos[valid]].astype(np.float64), dlj, avg_j)
             sc[valid] += base_j * w_j if w_j != 1.0 else base_j
         out_docs.append(new_docs)
