@@ -25,4 +25,10 @@ BENCH_QUERIES = {
     "q12_prefix": dict(query="deplo*"),
     # fuzzy expansion ('deploy' misspelled, classic distance 2, anchored)
     "q13_fuzzy": dict(query="deplyo~2"),
+    # wildcard expansion ('?' one-char + trailing run; dictionary range
+    # read anchored to the literal prefix 'd')
+    "q14_wildcard": dict(query="d?plo*"),
+    # regex expansion (top-level alternation voids the range anchor →
+    # unanchored dictionary scan, then MaxScore over the 3-term disjunction)
+    "q15_regex": dict(query="/(deploy|failure|timeout)/", max_hits=20),
 }

@@ -238,6 +238,26 @@ def ft_phrase_prefix(spark, sf_dir):
     return _ft(spark, sf_dir, '"table ha*"')
 
 
+def ft_wildcard(spark, sf_dir):
+    """'s?a*' — wildcard term query ('?' one char, '*' any run; Lucene
+    WildcardQuery / ES query_string semantics, beyond-reference): the
+    planner expands the pattern against the global term dictionary —
+    range-pruned to the literal prefix 's' — into a scored disjunction
+    ({scan, small, spark} on this corpus).  The DuckDB twin expands with
+    LIKE 's_a%' over the same tokenized corpus, certifying both the
+    expansion set and the summed BM25 scores."""
+    return _ft(spark, sf_dir, "s?a*")
+
+
+def ft_regex(spark, sf_dir):
+    """'/.*ow/' — regex term query (ES query_string '/re/' form,
+    fullmatch against dictionary terms): a LEADING-wildcard pattern, so
+    the dictionary scan is UNANCHORED (full-vocabulary, bounded by the
+    expansion cap) — {row, slow, window} here.  The DuckDB twin uses
+    regexp_full_match with the same RE2-compatible pattern."""
+    return _ft(spark, sf_dir, "/.*ow/")
+
+
 def ft_fuzzy(spark, sf_dir):
     """'merge~1' — fuzzy term query: the planner expands to every
     dictionary term within classic Levenshtein distance 1 (anchored to the
@@ -780,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_turn_idx": ft_sort_by_turn_idx,
         "ft_boost": ft_boost,
         "ft_prefix": ft_prefix,
+        "ft_wildcard": ft_wildcard,
+        "ft_regex": ft_regex,
         "ft_phrase_prefix": ft_phrase_prefix,
         "ft_fuzzy": ft_fuzzy,
         "ft_numeric_filter": ft_numeric_filter,
@@ -911,6 +933,32 @@ sc AS (
   SELECT cand.doc_id, sum({_score_expr()}) AS score
   FROM cand
   JOIN tf ON tf.doc_id = cand.doc_id AND tf.term LIKE 'merg%'
+  JOIN dl ON dl.doc_id = cand.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN st
+  GROUP BY cand.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "ft_wildcard": f"""{BM25_CTE},
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 's_a%'),
+sc AS (
+  SELECT cand.doc_id, sum({_score_expr()}) AS score
+  FROM cand
+  JOIN tf ON tf.doc_id = cand.doc_id AND tf.term LIKE 's_a%'
+  JOIN dl ON dl.doc_id = cand.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN st
+  GROUP BY cand.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "ft_regex": f"""{BM25_CTE},
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE regexp_full_match(term, '.*ow')),
+sc AS (
+  SELECT cand.doc_id, sum({_score_expr()}) AS score
+  FROM cand
+  JOIN tf ON tf.doc_id = cand.doc_id AND regexp_full_match(tf.term, '.*ow')
   JOIN dl ON dl.doc_id = cand.doc_id
   JOIN dfreq ON dfreq.term = tf.term
   CROSS JOIN st

@@ -42,6 +42,7 @@ is O(splits + k).
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass, replace as _dc_replace
 
@@ -69,12 +70,17 @@ from .parser import (
     PhrasePrefixQuery,
     PhraseQuery,
     PrefixQuery,
+    RegexQuery,
     TermQuery,
+    WildcardQuery,
     collect_terms,
     extract_tag_predicate,
     parse_query,
     positive_term_weights,
     positive_terms,
+    regex_literal_prefix,
+    wildcard_literal_prefix,
+    wildcard_regex,
 )
 from .request import SearchRequest
 
@@ -506,13 +512,19 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
     distinct terms is a loud error — Lucene's too_many_clauses analog;
     predictable failure beats silently truncated results.  A prefix that
     matches nothing becomes a match-nothing clause."""
-    wanted: list[tuple] = []  # ("p", field, prefix) | ("f", field, term, dist)
+    # ("p", field, prefix) | ("f", field, term, dist)
+    # | ("w", field, pattern) | ("r", field, pattern)
+    wanted: list[tuple] = []
 
     def find(n):
         if isinstance(n, (PrefixQuery, PhrasePrefixQuery)):
             wanted.append(("p", n.field, n.prefix))
         elif isinstance(n, FuzzyQuery):
             wanted.append(("f", n.field, n.term, n.distance))
+        elif isinstance(n, WildcardQuery):
+            wanted.append(("w", n.field, n.pattern))
+        elif isinstance(n, RegexQuery):
+            wanted.append(("r", n.field, n.pattern))
         elif isinstance(n, BoolQuery):
             for c in (*n.must, *n.should, *n.must_not):
                 find(c)
@@ -536,10 +548,15 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
 
     def _anchor(spec) -> str:
         """Dictionary-scan range anchor: the whole prefix for 'p' specs,
-        the first QW_FUZZY_PREFIX_LEN chars for 'f' specs ('' = full
+        the first QW_FUZZY_PREFIX_LEN chars for 'f' specs, the pattern's
+        extractable literal prefix for 'w'/'r' specs ('' = full
         field-vocabulary scan)."""
         if spec[0] == "p":
             return spec[2]
+        if spec[0] == "w":
+            return wildcard_literal_prefix(spec[2])
+        if spec[0] == "r":
+            return regex_literal_prefix(spec[2])
         return spec[2][: min(plen, len(spec[2]))]
 
     if missing:
@@ -564,17 +581,23 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
                 t_, d_ = spec[2], spec[3]
                 keep = sub["term"].map(lambda x: _lev_within(x, t_, d_))
                 sub = sub[keep]
+            elif spec[0] == "w" and len(sub):
+                rx = wildcard_regex(spec[2])
+                sub = sub[sub["term"].map(lambda x: rx.fullmatch(x) is not None)]
+            elif spec[0] == "r" and len(sub):
+                rx = re.compile(spec[2])
+                sub = sub[sub["term"].map(lambda x: rx.fullmatch(x) is not None)]
             if len(sub):
                 agg = sub.groupby("term")["doc_freq"].sum()
                 terms = tuple(sorted(t for t, d in agg.items() if int(d) > 0))
             else:
                 agg, terms = {}, ()
             if len(terms) > cap:
-                what = (
-                    f"prefix '{f_}:{spec[2]}*'"
-                    if spec[0] == "p"
-                    else f"fuzzy '{f_}:{spec[2]}~{spec[3]}'"
-                )
+                what = {
+                    "p": f"prefix '{f_}:{spec[2]}*'",
+                    "w": f"wildcard '{f_}:{spec[2]}'",
+                    "r": f"regex '{f_}:/{spec[2]}/'",
+                }.get(spec[0], f"fuzzy '{f_}:{spec[2]}~{spec[-1]}'")
                 raise ValueError(
                     f"{what} expands to {len(terms)} dictionary "
                     f"terms (max {cap}; raise QW_PREFIX_MAX_EXPANSIONS to "
@@ -586,12 +609,15 @@ def expand_prefixes(spark: SparkSession, index_dir: str, cat: Catalog, ast):
                 _GSTATS_CACHE[(index_dir, state, (f_, t))] = int(agg[t])
 
     def rw(n):
-        if isinstance(n, (PrefixQuery, FuzzyQuery)):
-            key = (
-                ("p", n.field, n.prefix)
-                if isinstance(n, PrefixQuery)
-                else ("f", n.field, n.term, n.distance)
-            )
+        if isinstance(n, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexQuery)):
+            if isinstance(n, PrefixQuery):
+                key = ("p", n.field, n.prefix)
+            elif isinstance(n, FuzzyQuery):
+                key = ("f", n.field, n.term, n.distance)
+            elif isinstance(n, WildcardQuery):
+                key = ("w", n.field, n.pattern)
+            else:
+                key = ("r", n.field, n.pattern)
             terms = expansions[key]
             if not terms:
                 return BoolQuery()  # matches no documents

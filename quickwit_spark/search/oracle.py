@@ -23,10 +23,54 @@ from .parser import (
     PhrasePrefixQuery,
     PhraseQuery,
     PrefixQuery,
+    RegexQuery,
     TermQuery,
+    WildcardQuery,
     parse_query,
     positive_term_weights,
 )
+
+
+def _glob_match(pat: str, s: str) -> bool:
+    """Canonical wildcard pattern match ('*' any run, '?' one char, '\\X'
+    literal) — an iterative two-pointer matcher with star backtracking,
+    INDEPENDENT of the executor's regex translation so engine/oracle
+    agreement on wildcard expansion is a real differential."""
+    toks: list[tuple[str, str | None]] = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            toks.append(("lit", pat[i + 1]))
+            i += 2
+        elif c == "*":
+            toks.append(("star", None))
+            i += 1
+        elif c == "?":
+            toks.append(("one", None))
+            i += 1
+        else:
+            toks.append(("lit", c))
+            i += 1
+    ti = si = 0
+    star_ti = star_si = -1
+    while si < len(s):
+        if ti < len(toks) and (
+            toks[ti] == ("one", None) or toks[ti] == ("lit", s[si])
+        ):
+            ti += 1
+            si += 1
+        elif ti < len(toks) and toks[ti][0] == "star":
+            star_ti, star_si = ti, si
+            ti += 1
+        elif star_ti >= 0:
+            star_si += 1  # grow the last star's span and retry
+            ti, si = star_ti + 1, star_si
+        else:
+            return False
+    while ti < len(toks) and toks[ti][0] == "star":
+        ti += 1
+    return ti == len(toks)
 
 
 def _edit_distance(a: str, b: str) -> int:
@@ -177,7 +221,10 @@ class OracleIndex:
         scoring_boolean semantics, same expansion cap."""
         import os
 
-        if isinstance(node, (PrefixQuery, PhrasePrefixQuery, FuzzyQuery)):
+        if isinstance(
+            node,
+            (PrefixQuery, PhrasePrefixQuery, FuzzyQuery, WildcardQuery, RegexQuery),
+        ):
             cap = int(os.environ.get("QW_PREFIX_MAX_EXPANSIONS", "1024"))
             if isinstance(node, FuzzyQuery):
                 plen = max(0, int(os.environ.get("QW_FUZZY_PREFIX_LEN", "1")))
@@ -189,6 +236,24 @@ class OracleIndex:
                     and t.startswith(anchor)
                     and _edit_distance(t, node.term) <= node.distance
                 )
+            elif isinstance(node, WildcardQuery):
+                # UNANCHORED scan of the whole vocabulary, independent glob
+                # matcher: if the engine's literal-prefix range anchor ever
+                # wrongly excluded a matching term, the differential catches it
+                terms = sorted(
+                    t
+                    for (f, t) in self.postings
+                    if f == node.field and _glob_match(node.pattern, t)
+                )
+            elif isinstance(node, RegexQuery):
+                import re as _re
+
+                rx = _re.compile(node.pattern)
+                terms = sorted(
+                    t
+                    for (f, t) in self.postings
+                    if f == node.field and rx.fullmatch(t) is not None
+                )
             else:
                 terms = sorted(
                     t
@@ -196,11 +261,14 @@ class OracleIndex:
                     if f == node.field and t.startswith(node.prefix)
                 )
             if len(terms) > cap:
-                frag = (
-                    f"{node.term}~{node.distance}"
-                    if isinstance(node, FuzzyQuery)
-                    else f"{node.prefix}*"
-                )
+                if isinstance(node, FuzzyQuery):
+                    frag = f"{node.term}~{node.distance}"
+                elif isinstance(node, WildcardQuery):
+                    frag = node.pattern
+                elif isinstance(node, RegexQuery):
+                    frag = f"/{node.pattern}/"
+                else:
+                    frag = f"{node.prefix}*"
                 raise ValueError(
                     f"prefix '{node.field}:{frag}' expands to "
                     f"{len(terms)} dictionary terms (max {cap})"

@@ -84,6 +84,44 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class WildcardQuery:
+    """``field:d?plo*ed`` — ``*`` / ``?`` anywhere in a term form a Lucene
+    WildcardQuery (beyond-reference; ES query_string wildcard semantics):
+    ``*`` matches any run of characters, ``?`` exactly one.  Expanded at
+    plan time against the global term dictionary exactly like PrefixQuery
+    (scoring_boolean rewrite, same cap); the dictionary scan is range-pruned
+    to the pattern's literal prefix — a LEADING wildcard is a full-vocabulary
+    scan (allowed, but the cap makes an unselective pattern fail loudly).
+
+    ``pattern`` is canonical: bare ``*``/``?`` are wildcards; a backslash
+    escapes the next char to a literal (``\\*`` = a literal star, as typed
+    in the query).  A single TRAILING ``*`` with no other wildcard char
+    stays the cheaper PrefixQuery."""
+
+    field: str
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexQuery:
+    """``field:/mer(ge|ging)/`` — regex term query (beyond-reference; the
+    ES query_string ``/re/`` form).  The pattern must FULL-match a
+    dictionary term (Lucene RegexpQuery anchors both ends); syntax is
+    Python ``re`` — document oracle twins restrict themselves to the
+    RE2-compatible subset so DuckDB certifies the same expansion.  Expanded
+    at plan time like PrefixQuery; the dictionary scan is range-pruned to
+    the regex's extractable literal prefix (empty for ``.*err``-style
+    patterns — a full-vocabulary scan bounded by the expansion cap).
+    Matching is against the dictionary AS INDEXED (lowercased for
+    tokenized fields — write lowercase patterns)."""
+
+    field: str
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PhrasePrefixQuery:
     """``"deploy fai*"`` — a phrase whose LAST position matches any
     dictionary term starting with ``prefix`` (ES match_phrase_prefix; the
@@ -124,6 +162,11 @@ class _RawClause:
     boost: float = 1.0
     prefix: bool = False
     fuzzy: int | None = None
+    # canonical wildcard pattern ('*'/'?' syntax, backslash-escaped
+    # literals) when the term carries a mid-pattern wildcard char
+    wildcard: str | None = None
+    # regex body of a '/re/' clause (backslashes reconstructed)
+    regex: str | None = None
 
 
 # -- lexer -------------------------------------------------------------------
@@ -215,6 +258,12 @@ def _lex_word(q: str, i: int, tokens: list[str]) -> int:
     n = len(q)
     j = i
     out = []
+    # '/re/' regex tokens (ES query_string form) may contain '[', '{', ':'
+    # — all syntax errors or separators elsewhere.  Regex mode starts at a
+    # leading '/' (bare, or right after 'field:') and ends at the next
+    # unescaped '/'; the token still terminates at whitespace/parens/quotes
+    # (escape spaces inside a pattern as '\ ').
+    in_regex = False
     while j < n:
         c = q[j]
         if c == "\\":
@@ -225,14 +274,26 @@ def _lex_word(q: str, i: int, tokens: list[str]) -> int:
                 out.append(_ESC + "\\")  # trailing lone backslash: literal
                 j += 1
             continue
-        if c.isspace() or c in _SPECIAL:
+        if c.isspace() or (c in _SPECIAL and not in_regex):
+            # in regex mode '('/')'/'"' are pattern chars, not query syntax;
+            # whitespace still terminates (escape it as '\ ' in a pattern)
             break
-        if c == "[" or c == "{":
+        if c == "/":
+            # out holds 1-char elements (plain) or 2-char ESC pairs, so a
+            # bare ':' is distinguishable from an escaped one
+            if not out or out[-1] == ":":
+                in_regex = True  # '/re/' or 'field:/re/'
+            elif in_regex:
+                in_regex = False  # closing delimiter
+            out.append(c)
+            j += 1
+            continue
+        if (c == "[" or c == "{") and not in_regex:
             raise QueryParserError(
                 f"range queries are not supported (reference query_builder.rs:36-39): {q!r}"
             )
         # field:"phrase" — stop before the quote so it lexes separately
-        if c == ":" and j + 1 < n and q[j + 1] == '"':
+        if c == ":" and not in_regex and j + 1 < n and q[j + 1] == '"':
             out.append(c)
             j += 1
             break
@@ -359,7 +420,13 @@ class _Parser:
             # bare unescaped '*' → match-all (UserInputLeaf::All); '\*' lexes
             # with the escape sentinel and stays a literal term
             return AllQuery()
-        colon = _find_unescaped(t, ":") if bound_field is None else -1
+        # a token opening with an unescaped '/' is a regex clause: never
+        # split it at a ':' (regexes may contain colons)
+        colon = (
+            _find_unescaped(t, ":")
+            if bound_field is None and not t.startswith("/")
+            else -1
+        )
         if colon == len(t) - 1 and colon >= 0:
             fieldname = _unescape(t[:-1])
             if not fieldname:
@@ -367,21 +434,37 @@ class _Parser:
             return self.parse_clause(fieldname)
         if colon >= 0:
             fieldname, text = _unescape(t[:colon]), t[colon + 1 :]
+            rx = _split_regex(text)
+            if rx is not None:
+                return _RawClause(fieldname, "", boost=rx[1], regex=rx[0])
             if _find_unescaped(text, "[") >= 0 or _find_unescaped(text, "{") >= 0:
                 raise QueryParserError("range queries are not supported")
             _reject_comparison(text)
             text, boost = _split_boost(text)
             text, fz = _split_fuzzy(text)
             text, is_prefix = _split_prefix(text)
+            wc = _split_wildcard(text, is_prefix)
+            if wc is not None:
+                if fz is not None:
+                    raise QueryParserError("cannot combine wildcards and fuzzy '~'")
+                return _RawClause(fieldname, _unescape(text), boost=boost, wildcard=wc)
             if fz is not None and is_prefix:
                 raise QueryParserError("cannot combine prefix '*' and fuzzy '~'")
             return _RawClause(
                 fieldname, _unescape(text), boost=boost, prefix=is_prefix, fuzzy=fz
             )
+        rx = _split_regex(t)
+        if rx is not None:
+            return _RawClause(bound_field, "", boost=rx[1], regex=rx[0])
         _reject_comparison(t)
         text, boost = _split_boost(t)
         text, fz = _split_fuzzy(text)
         text, is_prefix = _split_prefix(text)
+        wc = _split_wildcard(text, is_prefix)
+        if wc is not None:
+            if fz is not None:
+                raise QueryParserError("cannot combine wildcards and fuzzy '~'")
+            return _RawClause(bound_field, _unescape(text), boost=boost, wildcard=wc)
         if fz is not None and is_prefix:
             raise QueryParserError("cannot combine prefix '*' and fuzzy '~'")
         return _RawClause(
@@ -464,10 +547,181 @@ def _split_prefix(text: str) -> tuple[str, bool]:
     return text, False
 
 
+def _split_regex(text: str) -> tuple[str, float] | None:
+    """``/re/`` / ``/re/^2`` → (pattern, boost), or None when the token is
+    not regex-shaped (doesn't start with an unescaped ``/``).  Operates on
+    sentinel-encoded text; every escaped char inside the body gets its
+    backslash back (``\\d`` reaches Python ``re`` as ``\\d``), so regex
+    escapes survive the query-language escaping layer unchanged."""
+    if not text.startswith("/"):
+        return None
+    j = 1
+    while j < len(text):
+        if text[j] == _ESC:
+            j += 2
+            continue
+        if text[j] == "/":
+            break
+        j += 1
+    if j >= len(text):
+        raise QueryParserError(f"unterminated regex (missing closing '/'): {text!r}")
+    body = text[1:j].replace(_ESC, "\\")
+    if not body:
+        raise QueryParserError("empty regex pattern: //")
+    rest = text[j + 1 :]
+    boost = 1.0
+    if rest:
+        b = _parse_boost(rest[1:]) if rest[0] == "^" else None
+        if b is None:
+            raise QueryParserError(
+                f"unexpected characters after regex close: {rest!r} "
+                "(escape literal '/' in terms as '\\/')"
+            )
+        boost = b
+    return body, boost
+
+
+def _split_wildcard(text: str, is_prefix: bool) -> str | None:
+    """Canonical wildcard pattern when ``text`` (sentinel-encoded, trailing
+    prefix star already stripped) holds an unescaped ``*`` or ``?``; else
+    None (plain term / plain prefix).  In the canonical form ``*``/``?``
+    are wildcards and ``\\X`` is a literal X."""
+    has = False
+    j = 0
+    while j < len(text):
+        if text[j] == _ESC:
+            j += 2
+            continue
+        if text[j] in "*?":
+            has = True
+            break
+        j += 1
+    if not has:
+        return None
+    out = []
+    j = 0
+    while j < len(text):
+        c = text[j]
+        if c == _ESC:
+            lit = text[j + 1] if j + 1 < len(text) else "\\"
+            out.append("\\" + lit if lit in "*?\\" else lit)
+            j += 2
+            continue
+        out.append("\\\\" if c == "\\" else c)
+        j += 1
+    if is_prefix:
+        out.append("*")
+    return "".join(out)
+
+
+def _wildcard_has_literal(pat: str) -> bool:
+    """True when the canonical wildcard pattern fixes at least one literal
+    character (an all-wildcard pattern matches the whole vocabulary —
+    that's the match-all query's job, rejected loudly here)."""
+    j = 0
+    while j < len(pat):
+        if pat[j] == "\\":
+            return True  # escaped char is a literal
+        if pat[j] not in "*?":
+            return True
+        j += 1
+    return False
+
+
+def wildcard_literal_prefix(pat: str) -> str:
+    """Literal characters before the first wildcard of a canonical pattern
+    — the dictionary range-scan anchor ('' = full-vocabulary scan, e.g. a
+    leading-wildcard pattern).  Escapes resolve to their literal chars."""
+    out = []
+    j = 0
+    while j < len(pat):
+        c = pat[j]
+        if c == "\\" and j + 1 < len(pat):
+            out.append(pat[j + 1])
+            j += 2
+            continue
+        if c in "*?":
+            break
+        out.append(c)
+        j += 1
+    return "".join(out)
+
+
+def wildcard_regex(pat: str):
+    """Compile a canonical wildcard pattern to a Python regex for
+    fullmatch: '*' → '.*', '?' → '.', everything else literal.  (?s) so
+    '*'/'?' cross newlines inside raw-field terms."""
+    import re as _re
+
+    out = ["(?s)"]
+    j = 0
+    while j < len(pat):
+        c = pat[j]
+        if c == "\\" and j + 1 < len(pat):
+            out.append(_re.escape(pat[j + 1]))
+            j += 2
+            continue
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(c))
+        j += 1
+    return _re.compile("".join(out))
+
+
+def regex_literal_prefix(pat: str) -> str:
+    """Extractable literal prefix of a regex for the dictionary range scan.
+    MUST never exclude a true fullmatch, so it is conservative: a '|' at
+    nesting depth 0 voids the whole prefix (either branch may start the
+    term), a quantifier voids the character it binds to, and extraction
+    stops at the first metacharacter.  '' = unanchored (full-vocabulary
+    scan, bounded by the expansion cap)."""
+    n = len(pat)
+    depth = 0
+    j = 0
+    while j < n:  # depth-0 alternation check over the whole pattern
+        c = pat[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "[":  # char class: ']' is literal first, escapes skip
+            j += 1
+            if j < n and pat[j] == "^":
+                j += 1
+            if j < n and pat[j] == "]":
+                j += 1
+            while j < n and pat[j] != "]":
+                if pat[j] == "\\":
+                    j += 1
+                j += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            return ""
+        j += 1
+    out = []
+    j = 1 if pat.startswith("^") else 0  # fullmatch: leading '^' is a no-op
+    while j < n:
+        c = pat[j]
+        if not (c.isalnum() or c in "_- "):
+            break
+        if j + 1 < n and pat[j + 1] in "*?+{":
+            break  # quantifier makes this char optional/repeated
+        out.append(c)
+        j += 1
+    return "".join(out)
+
+
 def _apply_boost(node, b: float):
     """Multiply every positive leaf's boost by ``b`` (group boosts)."""
     if isinstance(node, _RawClause):
-        return _RawClause(node.field, node.text, node.phrase, node.boost * b, node.prefix, node.fuzzy)
+        from dataclasses import replace
+
+        return replace(node, boost=node.boost * b)
     if isinstance(node, BoolQuery):
         return BoolQuery(
             must=[_apply_boost(c, b) for c in node.must],
@@ -497,7 +751,9 @@ def _bind_field(node, fieldname: str):
     if isinstance(node, _RawClause):
         if node.field is not None:
             return node
-        return _RawClause(fieldname, node.text, node.phrase, node.boost, node.prefix, node.fuzzy)
+        from dataclasses import replace
+
+        return replace(node, field=fieldname)
     if isinstance(node, BoolQuery):
         return BoolQuery(
             must=[_bind_field(c, fieldname) for c in node.must],
@@ -533,11 +789,11 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
         # each default field may carry a per-field weight ('text^2' in
         # searchField — the ES multi_match field^boost shape): the clause
         # resolves once per field with its boost scaled by that weight
+        from dataclasses import replace
+
         alts = [
             _resolve(
-                _RawClause(
-                    f, node.text, node.phrase, node.boost * w, node.prefix, node.fuzzy
-                ),
+                replace(node, field=f, boost=node.boost * w),
                 config,
                 default_fields,
             )
@@ -551,6 +807,36 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
         # stored/fast-only fields have no postings: fail at bind time like
         # tantivy's FieldNotIndexed instead of silently matching nothing
         raise QueryParserError(f"field is not indexed: {node.field}")
+    if node.regex is not None:
+        if fm.scalar_type != "text":
+            raise QueryParserError(
+                f"regex queries require a text field (field {node.field} "
+                f"is {fm.scalar_type})"
+            )
+        import re as _re
+
+        try:
+            _re.compile(node.regex)
+        except _re.error as e:
+            raise QueryParserError(f"invalid regex /{node.regex}/: {e}") from e
+        return RegexQuery(node.field, node.regex, boost=node.boost)
+    if node.wildcard is not None:
+        if fm.scalar_type != "text":
+            raise QueryParserError(
+                f"wildcard queries require a text field (field {node.field} "
+                f"is {fm.scalar_type})"
+            )
+        # matched against the dictionary AS INDEXED: literal chars lowercase
+        # for tokenized fields ('*'/'?'/backslash are case-stable so a plain
+        # lower() is exact); NOT analyzer-split and NOT stemmed — same
+        # reasoning as prefix fragments
+        pat = node.wildcard if fm.tokenizer == "raw" else node.wildcard.lower()
+        if not _wildcard_has_literal(pat):
+            raise QueryParserError(
+                f"wildcard pattern needs at least one literal character: "
+                f"{node.wildcard!r} (bare '*' is the match-all query)"
+            )
+        return WildcardQuery(node.field, pat, boost=node.boost)
     if node.fuzzy is not None:
         if fm.scalar_type != "text":
             raise QueryParserError(
@@ -692,7 +978,9 @@ def collect_terms(node) -> set[tuple[str, str]]:
         out.add((node.field, node.term))
     elif isinstance(node, PhraseQuery):
         out.update((node.field, t) for t in node.terms)
-    elif isinstance(node, (PrefixQuery, PhrasePrefixQuery, FuzzyQuery)):
+    elif isinstance(
+        node, (PrefixQuery, PhrasePrefixQuery, FuzzyQuery, WildcardQuery, RegexQuery)
+    ):
         # every planner must rewrite prefixes against the term dictionary
         # before warmup — reaching here means an expansion step was skipped
         raise ValueError(

@@ -237,8 +237,10 @@ def test_prefix_query_forms():
     assert ast.must[0] == PrefixQuery("text", "depl", boost=3.0)
     # escaped star is literal text; the analyzer strips it like punctuation
     assert parse_query("depl\\*", CFG) == TermQuery("text", "depl")
-    # mid-term star is not a prefix marker: analyzer splits into a phrase
-    assert parse_query("de*pl", CFG) == PhraseQuery("text", ("de", "pl"))
+    # mid-term star is a WILDCARD, not a prefix marker (Lucene semantics)
+    from quickwit_spark.search.parser import WildcardQuery
+
+    assert parse_query("de*pl", CFG) == WildcardQuery("text", "de*pl")
 
 
 def test_prefix_query_rejections():
@@ -270,6 +272,84 @@ def test_phrase_prefix_query_forms():
     assert parse_query('"the err\\*"', CFG) == PhraseQuery("text", ("the", "err"))
     with pytest.raises(ValueError, match="expand_prefixes"):
         collect_terms(parse_query('"the err*"', CFG))
+
+
+def test_wildcard_query_forms():
+    """'*'/'?' anywhere in a term form a Lucene WildcardQuery (beyond-
+    reference; ES query_string semantics), expanded at plan time against
+    the term dictionary like PrefixQuery.  A single TRAILING star stays
+    the cheaper PrefixQuery (anchored dictionary range read)."""
+    from quickwit_spark.search.parser import WildcardQuery
+
+    assert parse_query("d?plo*", CFG) == WildcardQuery("text", "d?plo*")
+    assert parse_query("D?PLO*", CFG) == WildcardQuery("text", "d?plo*")  # lowercased
+    assert parse_query("me*ge^2", CFG) == WildcardQuery("text", "me*ge", boost=2.0)
+    # raw fields keep case, mid-pattern star allowed
+    assert parse_query("role:assi*ant", CFG) == WildcardQuery("role", "assi*ant")
+    # escaped wildcard chars stay literals in the canonical pattern
+    assert parse_query("a\\*b?", CFG) == WildcardQuery("text", "a\\*b?")
+    # '?'-only positions with at least one literal are fine
+    assert parse_query("x??", CFG) == WildcardQuery("text", "x??")
+    with pytest.raises(QueryParserError, match="literal character"):
+        parse_query("??*", CFG)
+    with pytest.raises(QueryParserError, match="combine"):
+        parse_query("m?rge~1", CFG)
+    with pytest.raises(QueryParserError):
+        parse_query("ts:1?7", CFG)  # non-text field
+    with pytest.raises(ValueError, match="expand_prefixes"):
+        collect_terms(parse_query("d?plo*", CFG))
+
+
+def test_regex_query_forms():
+    """'field:/re/' — regex term query (ES query_string '/re/' form);
+    full-matches dictionary terms, expanded at plan time."""
+    from quickwit_spark.search.parser import RegexQuery
+
+    assert parse_query("text:/mer(ge|ging)/", CFG) == RegexQuery(
+        "text", "mer(ge|ging)"
+    )
+    assert parse_query("/err.r/^2", CFG) == RegexQuery("text", "err.r", boost=2.0)
+    assert parse_query("/fail[a-z]+/", CFG) == RegexQuery("text", "fail[a-z]+")
+    # regex escapes survive the query-language escaping layer
+    assert parse_query(r"/a\d+/", CFG) == RegexQuery("text", r"a\d+")
+    # escaped '/' inside the body is a literal slash
+    assert parse_query(r"role:/a\/b/", CFG) == RegexQuery("role", r"a\/b")
+    ast = parse_query("deploy /fail[a-z]+/", CFG)
+    assert ast.must[1] == RegexQuery("text", "fail[a-z]+")
+    with pytest.raises(QueryParserError, match="unterminated regex"):
+        parse_query("text:/unterminated", CFG)
+    with pytest.raises(QueryParserError, match="empty regex"):
+        parse_query("text://", CFG)
+    with pytest.raises(QueryParserError, match="invalid regex"):
+        parse_query("text:/bad(/", CFG)
+    with pytest.raises(QueryParserError, match="after regex close"):
+        parse_query("/a/b", CFG)
+    with pytest.raises(QueryParserError):
+        parse_query("ts:/5/", CFG)  # non-text field (not indexed / typed)
+    with pytest.raises(ValueError, match="expand_prefixes"):
+        collect_terms(parse_query("/err.r/", CFG))
+
+
+def test_wildcard_regex_literal_prefix_helpers():
+    """The dictionary range-scan anchors must NEVER exclude a true match:
+    alternation at depth 0 and quantified leading chars void the prefix."""
+    from quickwit_spark.search.parser import (
+        regex_literal_prefix,
+        wildcard_literal_prefix,
+    )
+
+    assert wildcard_literal_prefix("depl*") == "depl"
+    assert wildcard_literal_prefix("d?plo*") == "d"
+    assert wildcard_literal_prefix("*ploy") == ""
+    assert wildcard_literal_prefix("a\\*b*") == "a*b"
+    assert regex_literal_prefix("mer(ge|ging)") == "mer"
+    assert regex_literal_prefix("merge|split") == ""  # top-level alternation
+    assert regex_literal_prefix("me?rge") == "m"  # '?' quantifies the 'e'
+    assert regex_literal_prefix("m{2}erge") == ""
+    assert regex_literal_prefix(".*err") == ""
+    assert regex_literal_prefix("^abc.*") == "abc"
+    assert regex_literal_prefix("[ab]cd") == ""
+    assert regex_literal_prefix("a[]x]b") == "a"  # ']' literal-first class
 
 
 def test_fuzzy_query_forms():

@@ -72,6 +72,20 @@ QUERY_CASES = [
     SearchRequest("deploi~1"),
     SearchRequest("eror~2 deploy"),
     SearchRequest("merge~1 OR failure"),
+    # wildcard patterns ('*'/'?' anywhere; engine = anchored dictionary
+    # range + regex translate, oracle = unanchored independent glob matcher)
+    SearchRequest("d?ploy"),
+    SearchRequest("de*oy failure"),
+    SearchRequest("err*r OR deploy"),
+    SearchRequest("*ploy"),  # leading wildcard: unanchored dictionary scan
+    SearchRequest("f?il*^2 OR error"),
+    SearchRequest("x?zzz*"),  # matches no dictionary term
+    # regex term queries ('/re/', fullmatch against the dictionary)
+    SearchRequest("/deplo(y|yed)/"),
+    SearchRequest("/err[a-z]r/ deploy"),
+    SearchRequest("/fail.*/^2 OR error"),
+    SearchRequest("text:/time(out)?s?/"),
+    SearchRequest("/zz+top/"),  # matches no dictionary term
 ]
 
 

@@ -116,6 +116,27 @@ def _clauses():
         st.builds(
             lambda w, d: f"{w[:-1] if len(w) > 3 else w}~{d}", word, st.integers(1, 2)
         ),
+        # wildcards: '?' punched into a real word (one-char wildcard),
+        # leading-star suffix match (unanchored dictionary scan), and a
+        # mid-star pattern spanning a word's head and tail
+        st.builds(
+            lambda w, i: (
+                f"{w[: i % len(w)]}?{w[i % len(w) + 1 :]}" if len(w) >= 2 else f"{w}?"
+            ),
+            word,
+            st.integers(0, 9),
+        ),
+        st.builds(
+            lambda w: f"*{w[max(1, len(w) - 3):]}" if len(w) >= 2 else f"*{w}", word
+        ),
+        st.builds(
+            lambda w: f"{w[:2]}*{w[-2:]}" if len(w) > 4 else f"{w}*", word
+        ),
+        # regex terms: alternation of two real words (voids the range
+        # anchor), optional-tail pattern, and a char-class head
+        st.builds(lambda a, b: f"/({a}|{b})/", word, word),
+        st.builds(lambda w: f"/{w[:3]}[a-z]*/" if len(w) > 3 else f"/{w}.*/", word),
+        st.builds(lambda w: f"/{w}x?/", word),
         st.builds(lambda p: f"text:{p}", st.sampled_from(_STATE["phrases"])),
         # one level of explicit grouping
         st.builds(
