@@ -187,6 +187,16 @@ def ft_phrase(spark, sf_dir):
     return _ft(spark, sf_dir, '"table hash"', max_hits=20)
 
 
+def ft_phrase_slop(spark, sf_dir):
+    """'"table hash"~2' — ordered sloppy phrase (ES match_phrase slop with
+    documented ordered semantics): 'table' then 'hash' in order with at
+    most 2 interleaved tokens.  For a 2-term phrase the ordered-slop
+    definition reduces to a position difference in [1, slop+1], which the
+    DuckDB twin states directly (pos BETWEEN +1 AND +3) — certifying the
+    engine's greedy-chain kernel.  94 matching docs here vs 46 exact."""
+    return _ft(spark, sf_dir, '"table hash"~2', max_hits=20)
+
+
 def ft_field_scoped(spark, sf_dir):
     # role carries `lang` (adapter): raw-tokenized tag field + text term
     return _ft(spark, sf_dir, "role:en dup", max_hits=20)
@@ -794,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_offset": ft_offset,
         "ft_zero_hits": ft_zero_hits,
         "ft_phrase": ft_phrase,
+        "ft_phrase_slop": ft_phrase_slop,
         "ft_field_scoped": ft_field_scoped,
         "ft_timerange": ft_timerange,
         "ft_sort_by_ts": ft_sort_by_ts,
@@ -877,6 +888,11 @@ def oracle_sql() -> dict[str, str]:
       SELECT 1 FROM tok t1 JOIN tok t2
         ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
       WHERE t1.doc_id = cand.doc_id AND t1.term = 'table' AND t2.term = 'hash')"""
+    # 2-term ordered slop: position difference in [1, slop+1] (slop=2 → +3)
+    phrase_slop_where = """EXISTS (
+      SELECT 1 FROM tok t1 JOIN tok t2
+        ON t2.doc_id = t1.doc_id AND t2.pos BETWEEN t1.pos + 1 AND t1.pos + 3
+      WHERE t1.doc_id = cand.doc_id AND t1.term = 'table' AND t2.term = 'hash')"""
     return {
         "ft_topk_single": _bm25_topk_sql(["spark"], "or", 10),
         "ft_collapse": f"""{BM25_CTE},
@@ -912,6 +928,9 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         "ft_zero_hits": _bm25_topk_sql(["zzznotawordatall"], "or", 10),
         "ft_phrase": _bm25_topk_sql(
             ["table", "hash"], "and", 20, extra_where=phrase_where
+        ),
+        "ft_phrase_slop": _bm25_topk_sql(
+            ["table", "hash"], "and", 20, extra_where=phrase_slop_where
         ),
         "ft_field_scoped": _bm25_topk_sql(
             ["dup"], "or", 20, extra_score=role_en_score, extra_where="(SELECT lang FROM documents d WHERE d.doc_id = cand.doc_id) = 'en'"

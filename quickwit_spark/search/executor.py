@@ -835,6 +835,15 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     (doc, pos) keys (reference: tantivy phrase scorer semantics,
     record=position fields, field_mapping_entry.rs:595-623).
 
+    ``slop > 0`` (ordered sloppy phrase, '"a b"~2') switches adjacency to a
+    vectorized GREEDY CHAIN over the same packed keys: from every
+    occurrence of term 0, each later term takes its smallest same-doc
+    position strictly after the chain's current end (one searchsorted per
+    term).  Greedy minimizes the chain's end position for a given start, so
+    span(start) = p_n - p_1 is minimal and the doc matches iff any start's
+    span <= slop + n - 1 — exactly the documented ordered-slop semantics
+    (PhraseQuery docstring).
+
     Doc lists are intersected FIRST (rarest term leading), and only the
     surviving candidates' position runs are decoded
     (``decode_positions_subset``): a phrase led by a stopword ("the error")
@@ -857,8 +866,36 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         cand = cand[_sorted_member(cand, doclists[oi][0].astype(np.int64))]
         if len(cand) == 0:
             return cand
-    base: np.ndarray | None = None
     cand_u32 = cand.astype(np.uint32)
+    if node.slop:
+        start: np.ndarray | None = None
+        cur: np.ndarray | None = None
+        for i, k in enumerate(keys):
+            d, t = doclists[i]
+            idx = np.searchsorted(d, cand_u32)
+            psub = postings.positions_subset(k, idx)
+            doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
+            keys_i = (doc_rep << np.uint64(32)) | psub.astype(np.uint64)
+            if cur is None:
+                start = cur = keys_i
+                continue
+            if len(keys_i) == 0:
+                return np.empty(0, np.int64)
+            # smallest occurrence of term i with key strictly > chain end:
+            # same packed ordering (doc-major, position-minor), so the
+            # next same-doc position is the next key overall iff it shares
+            # the doc bits
+            nxt = np.searchsorted(keys_i, cur, side="right")
+            alive = nxt < len(keys_i)
+            nk = keys_i[np.minimum(nxt, len(keys_i) - 1)]
+            keep = alive & ((nk >> np.uint64(32)) == (cur >> np.uint64(32)))
+            start, cur = start[keep], nk[keep]
+            if len(cur) == 0:
+                return np.empty(0, np.int64)
+        span = (cur & np.uint64(0xFFFFFFFF)) - (start & np.uint64(0xFFFFFFFF))
+        hit = span <= np.uint64(node.slop + len(keys) - 1)
+        return np.unique((cur[hit] >> np.uint64(32)).astype(np.int64))
+    base: np.ndarray | None = None
     for i, k in enumerate(keys):
         d, t = doclists[i]
         idx = np.searchsorted(d, cand_u32)

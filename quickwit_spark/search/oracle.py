@@ -173,10 +173,28 @@ class OracleIndex:
             for d in lists[1:]:
                 candidates &= set(d)
             out = set()
+            n = len(lists)
             for key in candidates:
-                first_positions = lists[0][key]
-                for p in first_positions:
-                    if all((p + i) in lists[i][key] for i in range(1, len(lists))):
+                if node.slop:
+                    # ordered sloppy phrase: from each start, greedily take
+                    # the smallest strictly-later position of each term;
+                    # greedy minimizes the end, so minimal span is exact
+                    for p in lists[0][key]:
+                        cur, ok = p, True
+                        for i in range(1, n):
+                            nxt = min(
+                                (q for q in lists[i][key] if q > cur), default=None
+                            )
+                            if nxt is None:
+                                ok = False
+                                break
+                            cur = nxt
+                        if ok and cur - p <= node.slop + n - 1:
+                            out.add(key)
+                            break
+                    continue
+                for p in lists[0][key]:
+                    if all((p + i) in lists[i][key] for i in range(1, n)):
                         out.add(key)
                         break
             return out

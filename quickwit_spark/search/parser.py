@@ -42,9 +42,21 @@ class TermQuery:
 
 @dataclass(frozen=True)
 class PhraseQuery:
+    """Exact phrase (``slop=0``) or ordered sloppy phrase ``"a b"~2``
+    (beyond-reference; the ES match_phrase ``slop`` shape with DOCUMENTED
+    ordered semantics): the terms must appear in query order at strictly
+    increasing positions p1 < … < pn with total slack
+    (pn - p1) - (n - 1) <= slop — i.e. up to ``slop`` extra tokens
+    interleaved, no reordering.  (Lucene's sloppy scorer also permits
+    transposed terms at higher slop; the ordered definition is what a SQL
+    oracle can certify exactly, and matches Lucene for every in-order
+    match.)  Scoring is unchanged: a matched doc sums its constituent
+    terms' BM25 like any phrase."""
+
     field: str
     terms: tuple[str, ...]
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -167,6 +179,8 @@ class _RawClause:
     wildcard: str | None = None
     # regex body of a '/re/' clause (backslashes reconstructed)
     regex: str | None = None
+    # ordered phrase slop ('"a b"~2'); only meaningful with phrase=True
+    slop: int = 0
 
 
 # -- lexer -------------------------------------------------------------------
@@ -402,19 +416,38 @@ class _Parser:
         if t.startswith('"'):
             qi = t.rfind('"')
             boost = 1.0
-            if qi < len(t) - 1:  # '"body"^2' / '"body"~2' suffix from the lexer
-                if t[qi + 1] == "~":
+            slop = 0
+            # '"body"~2' / '"body"^3' / '"body"~2^3' suffixes from the lexer
+            # (Lucene order: slop first, boost last)
+            suffix = t[qi + 1 :]
+            if suffix.startswith("~"):
+                j = 1
+                while j < len(suffix) and suffix[j].isdigit():
+                    j += 1
+                if j == 1:
                     raise QueryParserError(
-                        "phrase slop/fuzzy ('~') is not supported "
-                        "(tantivy 0.15 grammar has no slop)"
+                        f"phrase slop must be a number ('\"a b\"~2'): {t!r}"
                     )
-                b = _parse_boost(t[qi + 2 :]) if t[qi + 1] == "^" else None
+                slop = int(suffix[1:j])
+                suffix = suffix[j:]
+            if suffix:
+                b = _parse_boost(suffix[1:]) if suffix[0] == "^" else None
                 if b is None:
-                    raise QueryParserError(f"invalid boost suffix on phrase: {t!r}")
+                    raise QueryParserError(f"invalid suffix on phrase: {t!r}")
                 boost = b
             body, is_prefix = _split_prefix(t[1:qi])
+            if slop and is_prefix:
+                raise QueryParserError(
+                    "phrase-prefix ('\"a b*\"') cannot carry slop "
+                    "(expansion verifies exact adjacency)"
+                )
             return _RawClause(
-                bound_field, _unescape(body), phrase=True, boost=boost, prefix=is_prefix
+                bound_field,
+                _unescape(body),
+                phrase=True,
+                boost=boost,
+                prefix=is_prefix,
+                slop=slop,
             )
         if t == "*" and bound_field is None:
             # bare unescaped '*' → match-all (UserInputLeaf::All); '\*' lexes
@@ -905,6 +938,11 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
                 f"prefix query requires a non-empty prefix: {node.text!r}*"
             )
         return PrefixQuery(node.field, p, boost=node.boost)
+    if node.slop and (fm.scalar_type != "text" or fm.tokenizer == "raw"):
+        # slop orders TOKEN positions; raw/typed fields index whole values
+        raise QueryParserError(
+            f"phrase slop requires a tokenized text field (field {node.field})"
+        )
     if fm.scalar_type != "text":
         # typed term query (i64/u64/f64/date/bytes): exact value match on
         # the canonical term string (same form the build task indexed)
@@ -939,7 +977,7 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
                 f"phrase query on field {node.field} requires record=position "
                 "(reference docs/reference/index-config.md:123-142)"
             )
-        return PhraseQuery(node.field, tuple(toks), boost=node.boost)
+        return PhraseQuery(node.field, tuple(toks), boost=node.boost, slop=node.slop)
     return TermQuery(node.field, toks[0], boost=node.boost)
 
 

@@ -214,11 +214,11 @@ def test_query_on_unindexed_field_rejected():
         parse_query("turn_idx:5", CFG)
 
 
-def test_phrase_slop_rejected():
-    """'"a b"~2' — tantivy 0.15's grammar has no slop; silently treating
-    '~2' as an extra AND term would change matching, so it's a 400."""
-    with pytest.raises(QueryParserError, match="slop"):
-        parse_query('"a b"~2', CFG)
+def test_phrase_bad_suffix_rejected():
+    """A malformed phrase suffix must be a 400, never silently treated as
+    an extra AND term (the tantivy 0.15 grammar would reject it)."""
+    with pytest.raises(QueryParserError, match="suffix"):
+        parse_query('"a b"^x', CFG)
 
 
 def test_prefix_query_forms():
@@ -272,6 +272,29 @@ def test_phrase_prefix_query_forms():
     assert parse_query('"the err\\*"', CFG) == PhraseQuery("text", ("the", "err"))
     with pytest.raises(ValueError, match="expand_prefixes"):
         collect_terms(parse_query('"the err*"', CFG))
+
+
+def test_phrase_slop_forms():
+    """'"a b"~2' — ordered sloppy phrase (ES match_phrase slop shape with
+    documented ordered semantics: in-order positions, total slack <= slop);
+    '~0' is the exact phrase; boost follows slop like Lucene ('"a b"~2^3')."""
+    assert parse_query('"deploy failure"~2', CFG) == PhraseQuery(
+        "text", ("deploy", "failure"), slop=2
+    )
+    assert parse_query('"deploy failure"~0', CFG) == PhraseQuery(
+        "text", ("deploy", "failure")
+    )
+    assert parse_query('"a b c"~1^2', CFG) == PhraseQuery(
+        "text", ("a", "b", "c"), boost=2.0, slop=1
+    )
+    with pytest.raises(QueryParserError, match="slop must be a number"):
+        parse_query('"a b"~x', CFG)
+    with pytest.raises(QueryParserError, match="cannot carry slop"):
+        parse_query('"a b*"~1', CFG)
+    with pytest.raises(QueryParserError, match="tokenized text field"):
+        parse_query('role:"a b"~1', CFG)  # raw field: whole-value terms
+    with pytest.raises(QueryParserError, match="invalid suffix"):
+        parse_query('"a b"~1~2', CFG)
 
 
 def test_wildcard_query_forms():

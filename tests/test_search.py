@@ -80,6 +80,13 @@ QUERY_CASES = [
     SearchRequest("*ploy"),  # leading wildcard: unanchored dictionary scan
     SearchRequest("f?il*^2 OR error"),
     SearchRequest("x?zzz*"),  # matches no dictionary term
+    # ordered sloppy phrases (greedy-chain kernel vs the oracle's
+    # independent per-doc greedy walk)
+    SearchRequest('"the error"~1'),
+    SearchRequest('"the error"~3', max_hits=15),
+    SearchRequest('"deploy failure"~2'),
+    SearchRequest('"the the"~2', max_hits=15),  # repeated term, strict order
+    SearchRequest('"error deploy"~4 OR timeout'),
     # regex term queries ('/re/', fullmatch against the dictionary)
     SearchRequest("/deplo(y|yed)/"),
     SearchRequest("/err[a-z]r/ deploy"),

@@ -111,6 +111,16 @@ def _clauses():
         # match_phrase_prefix: a real phrase with its last term cut to a
         # prefix ('"the err*"' shape; >=1 char of the last word kept)
         st.builds(_phrase_prefix_of, st.sampled_from(_STATE["phrases"]), st.integers(1, 3)),
+        # ordered sloppy phrases: real adjacent pairs at slop 0-3 (slop 0 ==
+        # exact) and REVERSED pairs (only sloppy in-order chains can match)
+        st.builds(
+            lambda p, s: f"{p}~{s}", st.sampled_from(_STATE["phrases"]), st.integers(0, 3)
+        ),
+        st.builds(
+            lambda p, s: '"' + " ".join(reversed(p[1:-1].split(" "))) + f'"~{s}',
+            st.sampled_from(_STATE["phrases"]),
+            st.integers(1, 4),
+        ),
         # fuzzy terms: appended char (distance-1 hit) and truncated tail
         st.builds(lambda w: f"{w}x~1", word),
         st.builds(
