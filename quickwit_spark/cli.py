@@ -279,6 +279,7 @@ def cmd_search(args) -> dict:
         numeric_filters=parse_numeric_filters(
             getattr(args, "numeric_filter", None)
         ),
+        score_explain=getattr(args, "score_explain", False),
     )
     if "," in args.index_dir and (
         getattr(args, "explain", False) or getattr(args, "collapse_field", None)
@@ -959,6 +960,12 @@ def main(argv=None):
         "--explain", action="store_true",
         help="print the query plan (split pruning, leaf strategy, per-term "
         "df, in-process vs spark-job leaf) without executing the search",
+    )
+    s.add_argument(
+        "--score-explain", action="store_true",
+        help="attach a per-hit BM25 breakdown (hit['score_detail']: each "
+        "matching term's tf/df/idf/doc_len/weight/contribution; the "
+        "contributions sum to the hit score bit-exactly)",
     )
     s.add_argument(
         "--agg-histogram-interval", type=int, default=None,

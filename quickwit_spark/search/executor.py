@@ -2047,6 +2047,10 @@ def multi_search(
     t0 = time.monotonic()
     if any(r.tiebreak == "global_key" for r in requests):
         raise ValueError("multi_search supports only the 'reference' tiebreak")
+    if any(r.score_explain for r in requests):
+        raise ValueError(
+            "score_explain is not supported in batched search — use search()"
+        )
     cat, config = open_index(spark, index_dir)
     live_sids = {s.split_id for s in cat.splits()}
     for r in requests:
@@ -2482,6 +2486,105 @@ def search_df(spark: SparkSession, index_dir: str, request: SearchRequest) -> Da
     return spark.createDataFrame(data, schema)
 
 
+def _attach_score_explain(
+    spark: SparkSession, index_dir: str, request: SearchRequest, hits: list[dict]
+) -> None:
+    """Per-hit BM25 breakdown (the ES per-hit ``explain`` analog, beyond-
+    reference): for each page hit, list every matching positive term's
+    (tf, doc_freq, idf, doc_len, avg_len, weight, contribution) and the
+    reconstructed total.
+
+    Driver-side and page-only — O(k·query_terms) postings probes against
+    the worker-style caches, never a Spark job.  The reconstruction sums
+    contributions in the SAME sorted-term order and with the SAME float
+    association ((idf·tf_norm)·w) as the leaf's full evaluation — which
+    WAND (post-scale) and MaxScore (sorted-term summation) also match — so
+    ``score_detail["score"]`` equals the hit's reported BM25 score
+    BIT-exactly regardless of which strategy produced it (the same
+    invariant exact-score search_after cursors rely on)."""
+    cat, config = open_index(spark, index_dir)
+    ast = parse_query(request.query, config, request.search_fields)
+    ast = expand_prefixes(spark, index_dir, cat, ast)
+    if isinstance(ast, AllQuery):
+        for h in hits:
+            h["score_detail"] = {"score": 1.0, "constant": True, "terms": []}
+        return
+    weights = positive_term_weights(ast)
+    terms_sorted = sorted(positive_terms(ast))
+    terms = collect_terms(ast)
+    buckets = term_buckets(spark, terms, config.term_merge_buckets)
+    gstats = global_term_stats(spark, index_dir, cat, terms, buckets)
+    by_split: dict[str, list[dict]] = {}
+    for h in hits:
+        by_split.setdefault(h["split_id"], []).append(h)
+    for sid, split_hits in by_split.items():
+        ff_pdf = _cached_fastfields(index_dir, sid)
+        if ff_pdf is None:
+            raise SplitVanishedError(f"split vanished during explain: {sid}")
+        ff_pdf = ff_pdf.sort_values("seg_id")
+        postings_pdf = _read_split_postings(index_dir, sid, sorted(terms), buckets)
+        postings = _SplitPostings(postings_pdf, None, None)
+        lens_cache: dict[str, np.ndarray | None] = {}
+
+        def field_lens(field: str, _ff=ff_pdf, _c=lens_cache) -> np.ndarray | None:
+            if field not in _c:
+                col = "doc_lens" if field == "text" else f"doc_lens_{field}"
+                _c[field] = (
+                    np.concatenate(
+                        [decode_u32_column(b) for b in _ff[col]]
+                    ).astype(np.int64)
+                    if col in _ff.columns
+                    else None
+                )
+            return _c[field]
+
+        docs = np.array(sorted({h["doc_id"] for h in split_hits}), np.int64)
+        # per (field, term): tf of each page doc (0 = term absent)
+        contribs: dict[int, list] = {int(d): [] for d in docs}
+        totals: dict[int, float] = {int(d): 0.0 for d in docs}
+        for field, term in terms_sorted:
+            d, t = postings.candidates_only((field, term), docs)
+            if len(d) == 0:
+                continue
+            d = d.astype(np.int64)
+            # candidates_only returns whole overlapping blocks — restrict
+            # to the page docs exactly like the leaf's scoring loop
+            pos = np.searchsorted(docs, d)
+            valid = docs[np.minimum(pos, len(docs) - 1)] == d
+            d, t = d[valid], t[valid]
+            if len(d) == 0:
+                continue
+            fl = field_lens(field)
+            dl = fl[d] if fl is not None else np.ones(len(d), np.int64)
+            avg = gstats["avg_len"].get(field, 1.0) or 1.0
+            df = gstats["df"].get((field, term), 0)
+            term_idf = bm25_idf(df, gstats["num_docs"])
+            w = weights.get((field, term), 1.0)
+            base = term_idf * tf_norm(t.astype(np.float64), dl, avg)
+            contrib = base * w if w != 1.0 else base
+            for j, doc in enumerate(d):
+                doc = int(doc)
+                totals[doc] += float(contrib[j])
+                contribs[doc].append(
+                    {
+                        "field": field,
+                        "term": term,
+                        "tf": int(t[j]),
+                        "doc_freq": int(df),
+                        "idf": float(term_idf),
+                        "doc_len": int(dl[j]),
+                        "avg_len": float(avg),
+                        "weight": float(w),
+                        "contribution": float(contrib[j]),
+                    }
+                )
+        for h in split_hits:
+            h["score_detail"] = {
+                "score": totals[int(h["doc_id"])],
+                "terms": contribs[int(h["doc_id"])],
+            }
+
+
 def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> SearchResponse:
     """single_node_search analog (lib.rs:153-198): returns collected hits +
     the total hit count (collector.rs:180-187)."""
@@ -2506,6 +2609,8 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
             tuple(request.snippet_fields),
             max_chars=request.snippet_max_chars,
         )
+    if request.score_explain and out:
+        _attach_score_explain(spark, index_dir, request, out)
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 
 

@@ -54,6 +54,14 @@ class SearchRequest:
     # start_offset.  Ties on the primary value break by the reference
     # (split_id, doc_id) order, so it requires tiebreak='reference'.
     search_after: tuple | None = None
+    # attach a per-hit BM25 breakdown (the ES per-hit ``explain`` analog):
+    # hit["score_detail"] = {"score", "terms": [{field, term, tf, doc_freq,
+    # idf, doc_len, avg_len, weight, contribution}, ...]} — recomputed
+    # driver-side for the final page only, summing per-term contributions
+    # in the SAME sorted-term float-addition order as the leaf, so the
+    # reported breakdown reproduces the hit score BIT-exactly across every
+    # evaluation strategy (full eval, WAND post-scale, MaxScore).
+    score_explain: bool = False
 
 
 def parse_search_after(s) -> tuple | None:

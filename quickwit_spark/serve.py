@@ -86,7 +86,7 @@ _SEARCH_PARAMS = frozenset(
         "query", "searchField", "startTimestamp", "endTimestamp",
         "maxHits", "startOffset", "format", "sortByField",
         "searchAfter", "snippetFields", "snippetMaxChars", "storedFields",
-        "numericFilter", "explain",
+        "numericFilter", "explain", "scoreExplain",
         "aggHistogramInterval", "aggTermsField", "aggTermsSize",
         "aggTermsMetricField", "aggStatsField", "aggStatsExtended",
         "aggPercentilesField",
@@ -351,6 +351,8 @@ class _Handler(BaseHTTPRequestHandler):
                     else None
                 ),
                 numeric_filters=_parse_numeric_filters(qs.get("numericFilter")),
+                score_explain=qs.get("scoreExplain", ["false"])[0].lower()
+                in ("true", "1"),
             )
             if is_stream:
                 fast_field = qs.get("fastField", [None])[0]

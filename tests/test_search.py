@@ -103,6 +103,42 @@ def test_rank_identity_vs_oracle(spark, built, req):
     _assert_rank_identical(resp, oracle.search(req))
 
 
+def test_score_explain_bit_exact(spark, built):
+    """Per-hit score breakdown (score_explain=True): the reconstruction
+    sums per-term contributions in the leaf's sorted-term order, so
+    score_detail['score'] equals the hit score BIT-exactly across every
+    strategy (full eval, WAND post-scale boost, MaxScore, expansion,
+    sloppy phrase)."""
+    index_dir, oracle, _ = built
+    for q in (
+        "deploy",  # block-max WAND
+        "deploy^2",  # WAND + post-scale boost
+        "the OR error",  # MaxScore
+        "deploy failure",  # conjunction full eval
+        "depl*",  # dictionary expansion
+        '"the error"~2',  # sloppy phrase
+        "role:assistant error",  # raw-field term (doc_len = value count)
+    ):
+        req = SearchRequest(q, max_hits=8, score_explain=True)
+        resp = search(spark, index_dir, req)
+        assert resp.hits, q
+        for h in resp.hits:
+            d = h["score_detail"]
+            assert d["score"] == h["score"], (q, h)
+            assert sum(t["contribution"] for t in d["terms"]) == h["score"], q
+            assert all(t["tf"] >= 1 and t["doc_freq"] >= 1 for t in d["terms"])
+    # match-all: constant score 1.0, no terms
+    resp = search(
+        spark,
+        index_dir,
+        SearchRequest("*", max_hits=3, sort_by_field="ts", score_explain=True),
+    )
+    assert all(
+        h["score_detail"] == {"score": 1.0, "constant": True, "terms": []}
+        for h in resp.hits
+    )
+
+
 def test_singleton_term(spark, built):
     """>=5% of turns carry a unique token (FIXTURES F1) — df=1 top-k."""
     index_dir, oracle, docs = built

@@ -102,6 +102,23 @@ def test_search_endpoint_matches_library(spark, server, index_root):
     ]
 
 
+def test_search_endpoint_score_explain(server):
+    """scoreExplain=true attaches the per-hit BM25 breakdown; each hit's
+    contributions reproduce its reported score exactly."""
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy%20OR%20error&maxHits=3"
+        "&scoreExplain=true&format=json"
+    )
+    assert code == 200
+    got = json.loads(body)
+    assert got["hits"]
+    for h in got["hits"]:
+        d = h["score_detail"]
+        assert d["score"] == h["score"]
+        assert sum(t["contribution"] for t in d["terms"]) == h["score"]
+        assert all(t["tf"] >= 1 and t["doc_freq"] >= 1 for t in d["terms"])
+
+
 def test_search_endpoint_snippets(server):
     """snippetFields returns highlighted fragments per hit; a bad field is
     a 400, not a dropped connection."""
