@@ -280,6 +280,7 @@ def cmd_search(args) -> dict:
             getattr(args, "numeric_filter", None)
         ),
         score_explain=getattr(args, "score_explain", False),
+        min_should_match=getattr(args, "min_should_match", None) or 1,
     )
     if "," in args.index_dir and (
         getattr(args, "explain", False) or getattr(args, "collapse_field", None)
@@ -960,6 +961,12 @@ def main(argv=None):
         "--explain", action="store_true",
         help="print the query plan (split pruning, leaf strategy, per-term "
         "df, in-process vs spark-job leaf) without executing the search",
+    )
+    s.add_argument(
+        "--min-should-match", type=int, default=1,
+        help="ES bool minimum_should_match over the top-level OR clauses: "
+        "a doc matches only if at least this many clauses match (scoring "
+        "still sums every matching clause)",
     )
     s.add_argument(
         "--score-explain", action="store_true",

@@ -59,7 +59,8 @@ def _bm25_topk_sql(terms: list[str], mode: str, k: int, offset: int = 0,
                    not_terms: list[str] | None = None,
                    ts_range: tuple[int | None, int | None] = (None, None),
                    extra_score: str = "0.0", extra_where: str = "TRUE",
-                   weights: dict[str, float] | None = None) -> str:
+                   weights: dict[str, float] | None = None,
+                   min_match: int | None = None) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     w_expr = "1.0"
     if weights:
@@ -67,7 +68,7 @@ def _bm25_topk_sql(terms: list[str], mode: str, k: int, offset: int = 0,
             f"WHEN tf.term = '{t}' THEN {w}" for t, w in sorted(weights.items())
         )
         w_expr = f"CASE {cases} ELSE 1.0 END"
-    need = len(terms) if mode == "and" else 1
+    need = min_match if min_match is not None else (len(terms) if mode == "and" else 1)
     nt = ""
     if not_terms:
         ntl = ", ".join(f"'{t}'" for t in not_terms)
@@ -275,6 +276,17 @@ def ft_fuzzy(spark, sf_dir):
     expansion.  The DuckDB twin uses its built-in levenshtein() — classic
     edit distance on both sides, so the expansion set matches exactly."""
     return _ft(spark, sf_dir, "merge~1")
+
+
+def ft_min_should_match(spark, sf_dir):
+    """'scan OR sort OR stream' with minShouldMatch=2 — ES bool
+    minimum_should_match over the top-level OR: a doc matches only if at
+    least 2 of the 3 clauses match, while scoring still sums EVERY
+    matching clause's BM25.  The DuckDB twin states it directly
+    (HAVING count(DISTINCT term) >= 2)."""
+    return _ft(
+        spark, sf_dir, "scan OR sort OR stream", min_should_match=2, max_hits=15
+    )
 
 
 def ft_numeric_filter(spark, sf_dir):
@@ -574,6 +586,37 @@ def tx_token_count(spark, sf_dir):
     return tx.with_token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
 
 
+def tx_bpe_pair_freqs(spark, sf_dir):
+    """Top-20 weighted adjacent character-pair counts over the corpus's
+    word-frequency table — the exact statistics BPE's first merge argmaxes
+    over (pipeline/bpe.py: ONE corpus aggregation + one small pair agg,
+    both pure JVM).  The DuckDB twin recomputes pre-tokenization, word
+    counts, char exploding, and the weighted pair agg from scratch — a
+    full value oracle for the distributed half of BPE training."""
+    from quickwit_spark.pipeline.bpe import pair_frequencies, word_frequencies
+
+    out = pair_frequencies(word_frequencies(_docs(spark, sf_dir)))
+    return (
+        out.orderBy(F.desc("freq"), "a", "b")
+        .limit(20)
+        .select("a", "b", F.col("freq").cast("long").alias("freq"))
+    )
+
+
+def tx_bpe_train(spark, sf_dir):
+    """30 learned BPE merges over the documents corpus (rows-only: the
+    merge loop is iterative — each rank's argmax depends on the previous
+    merge's rewrite, not SQL-expressible; the loop's INPUT statistics are
+    value-oracled by tx_bpe_pair_freqs, and test_bpe.py checks the loop
+    against a hand-worked corpus)."""
+    from quickwit_spark.pipeline.bpe import train_bpe_merges
+
+    merges = train_bpe_merges(_docs(spark, sf_dir), 30, max_words=100_000)
+    return spark.createDataFrame(
+        [(r, a, b) for r, a, b in merges], "rank long, left string, right string"
+    )
+
+
 def tx_bpe_token_count(spark, sf_dir):
     return tx.with_bpe_token_count(_docs(spark, sf_dir)).select(
         "doc_id", "n_ws_tokens", "n_bpe_tokens"
@@ -815,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_regex": ft_regex,
         "ft_phrase_prefix": ft_phrase_prefix,
         "ft_fuzzy": ft_fuzzy,
+        "ft_min_should_match": ft_min_should_match,
         "ft_numeric_filter": ft_numeric_filter,
         "ft_match_all": ft_match_all,
         "ft_search_after": ft_search_after,
@@ -848,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_stratified_sample": tx_stratified_sample,
         "tx_token_count": tx_token_count,
         "tx_bpe_token_count": tx_bpe_token_count,
+        "tx_bpe_pair_freqs": tx_bpe_pair_freqs,
+        "tx_bpe_train": tx_bpe_train,
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,
         "tx_fingerprint": tx_fingerprint,
@@ -946,6 +992,9 @@ ORDER BY doc_id ASC LIMIT 10""",
             ["spark", "merge"], "and", 10, weights={"merge": 2.0}
         ),
         "ft_numeric_filter": _bm25_topk_sql(["merge"], "or", 10, ts_range=(100, 300)),
+        "ft_min_should_match": _bm25_topk_sql(
+            ["scan", "sort", "stream"], "or", 15, min_match=2
+        ),
         "ft_prefix": f"""{BM25_CTE},
 cand AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'merg%'),
 sc AS (
@@ -1191,6 +1240,18 @@ FROM (
         "tx_bpe_token_count": (
             f"SELECT doc_id, {bpe['n_ws_tokens']} AS n_ws_tokens, "
             f"{bpe['n_bpe_tokens']} AS n_bpe_tokens FROM documents"
+        ),
+        "tx_bpe_pair_freqs": (
+            "WITH w AS (SELECT trim(x) AS word FROM (SELECT "
+            f"unnest(regexp_extract_all(text, '{tx.BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) AS x "
+            "FROM documents) WHERE trim(x) <> ''), "
+            "wf AS (SELECT word, count(*) AS f FROM w GROUP BY word), "
+            "syms AS (SELECT f, list_append(list_transform(range(1, length(word) + 1), "
+            "i -> substr(word, CAST(i AS INT), 1)), '</w>') AS s FROM wf), "
+            "pairs AS (SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b, f "
+            "FROM syms, unnest(range(1, len(s))) AS t(i)) "
+            "SELECT a, b, CAST(sum(f) AS BIGINT) AS freq FROM pairs GROUP BY a, b "
+            "ORDER BY freq DESC, a, b LIMIT 20"
         ),
         "tx_lang_id": f"SELECT doc_id, {lang_pred} AS lang_pred, {lang_ratio} AS stopword_ppm FROM documents",
         "tx_quality": (

@@ -828,6 +828,46 @@ def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
     return acc
 
 
+def _validate_msm(ast, request: SearchRequest) -> None:
+    """minShouldMatch > 1 only makes sense against a user-written top-level
+    disjunction — validated PRE-expansion, so a pure expanding leaf
+    ('depl*', which rewrites to an internal term disjunction) rejects
+    instead of silently counting its dictionary expansions as clauses.
+    (An expanding clause INSIDE a user OR stays one clause: expansion
+    nests it as a group.)"""
+    if request.min_should_match <= 1:
+        return
+    if not (isinstance(ast, BoolQuery) and ast.should):
+        raise ValueError(
+            "minShouldMatch > 1 requires a top-level OR query "
+            "(e.g. 'a OR b OR c' with minShouldMatch=2)"
+        )
+
+
+def _eval_root(ast, postings: _SplitPostings, msm: int = 1) -> np.ndarray:
+    """Top-level boolean evaluation with ES ``minimum_should_match``
+    semantics: with ``msm > 1`` a doc needs >= msm of the TOP-LEVEL should
+    clauses (each clause evaluated normally, membership counted via one
+    np.unique over the concatenated per-clause doc arrays — every clause
+    yields sorted-unique docs, so the count is exact); must/must_not
+    compose as usual.  msm above the clause count matches nothing
+    (Lucene).  msm <= 1 is the plain _eval_node path."""
+    if msm <= 1 or not isinstance(ast, BoolQuery) or not ast.should:
+        return _eval_node(ast, postings)
+    if msm > len(ast.should):
+        return np.empty(0, np.int64)
+    arrs = [_eval_node(c, postings) for c in ast.should]
+    vals, counts = np.unique(np.concatenate(arrs), return_counts=True)
+    acc = vals[counts >= msm].astype(np.int64)
+    if len(acc) and ast.must:
+        acc = acc[_sorted_member(acc, _eval_node(BoolQuery(must=ast.must), postings))]
+    for c in ast.must_not:
+        if len(acc) == 0:
+            break
+        acc = np.setdiff1d(acc, _eval_node(c, postings), assume_unique=True)
+    return acc
+
+
 def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     """Exact phrase match via position adjacency, no per-doc Python loop:
     an occurrence of term 0 at (doc, p) survives iff (doc, p+i) is an
@@ -1218,6 +1258,9 @@ def select_strategy(ast, request: SearchRequest, mode: str = "topk") -> str:
         # a cursor needs the docs BELOW the pruned paths' thresholds —
         # WAND/MaxScore would re-return the already-seen top-k
         and request.search_after is None
+        # minimum_should_match changes MATCHING (>= m clauses), which the
+        # counted-but-unscored MaxScore walk cannot express — full eval
+        and request.min_should_match <= 1
     )
     if isinstance(ast, AllQuery):
         return "match_all_scan"
@@ -1404,7 +1447,7 @@ def make_split_scorer(
                 return empty
             scores = np.ones(len(docs), np.float64)
         else:
-            docs = _eval_node(ast, postings)
+            docs = _eval_root(ast, postings, request.min_should_match)
             if len(docs) and (ts_lo is not None or ts_hi is not None):
                 docs = _ts_filter(docs, ff_pdf, ts_lo, ts_hi)
             if len(docs) and num_filters:
@@ -1829,6 +1872,7 @@ def _plan_leaf(
     """Shared driver-side planning: parse, prune, stats, scorer."""
     cat, config = open_index(spark, index_dir)
     ast = parse_query(request.query, config, request.search_fields)
+    _validate_msm(ast, request)
     ast = expand_prefixes(spark, index_dir, cat, ast)
     splits = prune_splits(cat, config, ast, request)
     terms = collect_terms(ast)
@@ -2073,6 +2117,7 @@ def multi_search(
     all_sids: dict[str, SplitMetadata] = {}
     for req in requests:
         ast = parse_query(req.query, config, req.search_fields)
+        _validate_msm(ast, req)
         ast = expand_prefixes(spark, index_dir, cat, ast)
         splits = prune_splits(cat, config, ast, req)
         terms = collect_terms(ast)
@@ -2359,6 +2404,9 @@ def _search_rows(
         cat_token = None
         if req.max_hits == 0 and req.start_offset == 0 and not req.numeric_filters:
             ast = parse_query(req.query, config, req.search_fields)
+            # the metadata-count shortcut must enforce the same user-input
+            # contract as the leaf path (_plan_leaf validates there)
+            _validate_msm(ast, req)
             if isinstance(ast, AllQuery):
                 # match-all count: every doc in a split counts, so any split
                 # FULLY inside the time range (or any split at all when no
@@ -2697,6 +2745,7 @@ def explain(spark: SparkSession, index_dir: str, request: SearchRequest) -> dict
     cat, config = open_index(spark, index_dir)
     request = resolve_sort(request, config)
     ast = parse_query(request.query, config, request.search_fields)
+    _validate_msm(ast, request)
     ast = expand_prefixes(spark, index_dir, cat, ast)
     all_splits = cat.splits()
     splits = prune_splits(cat, config, ast, request)

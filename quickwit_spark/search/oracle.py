@@ -314,8 +314,27 @@ class OracleIndex:
 
     def search(self, request: SearchRequest) -> dict:
         ast = parse_query(request.query, self.config, request.search_fields)
+        msm = request.min_should_match
+        if msm > 1 and not (isinstance(ast, BoolQuery) and ast.should):
+            raise ValueError("minShouldMatch > 1 requires a top-level OR query")
         ast = self._expand_prefixes(ast)
-        matched = self._eval(ast)
+        if msm > 1:
+            # independent minimum_should_match twin: per-clause sets + a
+            # plain Counter over clause membership (the engine counts via
+            # np.unique over concatenated doc arrays)
+            from collections import Counter
+
+            per_clause = [self._eval(c) for c in ast.should]
+            cnt: Counter = Counter()
+            for s in per_clause:
+                cnt.update(s)
+            matched = {k for k, c in cnt.items() if c >= msm}
+            if ast.must:
+                matched &= self._eval(BoolQuery(must=ast.must))
+            for c in ast.must_not:
+                matched -= self._eval(c)
+        else:
+            matched = self._eval(ast)
         if request.start_timestamp is not None or request.end_timestamp is not None:
             lo = request.start_timestamp
             hi = request.end_timestamp

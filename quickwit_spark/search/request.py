@@ -54,6 +54,15 @@ class SearchRequest:
     # start_offset.  Ties on the primary value break by the reference
     # (split_id, doc_id) order, so it requires tiebreak='reference'.
     search_after: tuple | None = None
+    # ES bool minimum_should_match, applied to the TOP-LEVEL disjunction:
+    # a doc matches only if >= this many of the top-level OR clauses match
+    # (nested groups are unaffected; Lucene semantics — a value above the
+    # clause count matches nothing).  >1 requires the query's top level to
+    # BE a disjunction (loud error otherwise) and disables the MaxScore
+    # pruning path (matching changes, so the leaf runs full evaluation).
+    # Scoring is unchanged: every matching clause contributes, not just
+    # the first min_should_match (the ES behavior).
+    min_should_match: int = 1
     # attach a per-hit BM25 breakdown (the ES per-hit ``explain`` analog):
     # hit["score_detail"] = {"score", "terms": [{field, term, tf, doc_freq,
     # idf, doc_len, avg_len, weight, contribution}, ...]} — recomputed

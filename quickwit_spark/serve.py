@@ -86,7 +86,7 @@ _SEARCH_PARAMS = frozenset(
         "query", "searchField", "startTimestamp", "endTimestamp",
         "maxHits", "startOffset", "format", "sortByField",
         "searchAfter", "snippetFields", "snippetMaxChars", "storedFields",
-        "numericFilter", "explain", "scoreExplain",
+        "numericFilter", "explain", "scoreExplain", "minShouldMatch",
         "aggHistogramInterval", "aggTermsField", "aggTermsSize",
         "aggTermsMetricField", "aggStatsField", "aggStatsExtended",
         "aggPercentilesField",
@@ -353,6 +353,7 @@ class _Handler(BaseHTTPRequestHandler):
                 numeric_filters=_parse_numeric_filters(qs.get("numericFilter")),
                 score_explain=qs.get("scoreExplain", ["false"])[0].lower()
                 in ("true", "1"),
+                min_should_match=_int_or_none(qs, "minShouldMatch") or 1,
             )
             if is_stream:
                 fast_field = qs.get("fastField", [None])[0]

@@ -80,6 +80,15 @@ QUERY_CASES = [
     SearchRequest("*ploy"),  # leading wildcard: unanchored dictionary scan
     SearchRequest("f?il*^2 OR error"),
     SearchRequest("x?zzz*"),  # matches no dictionary term
+    # minimum_should_match over the top-level OR (full-eval clause
+    # counting vs the oracle's Counter twin)
+    SearchRequest("deploy OR failure OR error", min_should_match=2),
+    SearchRequest("deploy OR failure OR error OR timeout", min_should_match=3, max_hits=15),
+    SearchRequest("the OR error", min_should_match=2),  # degenerates to AND
+    SearchRequest('deploy OR "the error" OR timeout', min_should_match=2),
+    # an expanding clause inside the OR counts as ONE clause (nested group)
+    SearchRequest("deploy OR fail* OR timeout", min_should_match=2),
+    SearchRequest("deploy OR error", min_should_match=5),  # > clauses: no hits
     # ordered sloppy phrases (greedy-chain kernel vs the oracle's
     # independent per-doc greedy walk)
     SearchRequest('"the error"~1'),

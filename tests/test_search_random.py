@@ -200,6 +200,11 @@ def _requests(draw):
         f_hi = draw(st.one_of(st.none(), st.integers(0, 40)))
         if f_lo is not None or f_hi is not None:
             kw["numeric_filters"] = (("turn_idx", f_lo, f_hi),)
+    if draw(st.integers(0, 5)) == 0:
+        # minimum_should_match: only valid on a top-level OR — engine and
+        # oracle must REJECT non-disjunction queries identically (checked
+        # in the test body), and agree on clause counting when valid
+        kw["min_should_match"] = draw(st.integers(2, 3))
     return SearchRequest(**kw)
 
 
@@ -219,6 +224,11 @@ def test_random_query_rank_identity(spark, built, req):
             # vocabulary): the engine and the oracle must REJECT the same
             # queries, not just rank the accepted ones identically
             with pytest.raises(ValueError, match="expands to"):
+                oracle.search(req)
+            return
+        if "top-level OR" in str(e):
+            # minShouldMatch > 1 on a non-disjunction: reject parity
+            with pytest.raises(ValueError, match="top-level OR"):
                 oracle.search(req)
             return
         raise
