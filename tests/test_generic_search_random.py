@@ -115,6 +115,18 @@ def _clauses():
             st.sampled_from([" AND ", " OR ", " "]),
             word,
         ),
+        # plan-time dictionary expansions over the GENERIC schema: prefix,
+        # '?'-wildcard, suffix regex; raw array fields take prefixes too
+        st.builds(lambda w, n: f"{w[:n]}*", word, st.integers(1, 2)),
+        st.builds(lambda w: f"{w[0]}?{w[2:]}" if len(w) >= 3 else f"{w}?", word),
+        st.builds(lambda w: f"/{w[:2]}[a-z]*/", word),
+        st.builds(lambda i: f"labels:l{i}*", st.integers(0, 6)),
+        # ordered sloppy phrase on the array<text> field (position gaps:
+        # a slop window must never cross the tantivy POSITION_GAP=2
+        # element boundary unless slop affords it — the oracle walks the
+        # same gapped positions)
+        st.builds(lambda a, b, s: f'notes:"{a} {b}"~{s}', word, word, st.integers(1, 3)),
+        st.builds(lambda a, b, s: f'"{a} {b}"~{s}', word, word, st.integers(0, 2)),
     )
 
 
