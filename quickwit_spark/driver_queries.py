@@ -804,6 +804,35 @@ def sim_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
 
 
+def sim_pca_cov(spark, sf_dir):
+    """Top-left 8x8 block of the embedding covariance matrix — certifies
+    the distributed moment pass behind PCA training (pipeline/reduce.py:
+    ONE map-only partial-moments pass, driver reduce).  The DuckDB twin
+    states population covariance E[x_i x_j] - E[x_i]E[x_j] directly over
+    the unnested list elements."""
+    from quickwit_spark.pipeline.reduce import covariance_block_df
+
+    return covariance_block_df(_embs(spark, sf_dir), dims=8)
+
+
+def sim_pca_project(spark, sf_dir):
+    """First 50 vectors projected onto the learned top-8 principal
+    components (rows-only: the eigendecomposition between the SQL-oracled
+    covariance and this projection is not SQL-expressible; test_pca.py
+    pins its invariants — orthonormality, Rayleigh quotients, variance
+    capture, parallelism determinism)."""
+    from quickwit_spark.pipeline.reduce import project_pca, train_pca
+
+    embs = _embs(spark, sf_dir)
+    model = train_pca(embs, k=8)
+    out = project_pca(embs, model)
+    return (
+        out.filter(F.col("vec_id") < 50)
+        .select("vec_id", "reduced")
+        .orderBy("vec_id")
+    )
+
+
 def sim_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): coarse-quantize the embeddings, then
     inside each cell drop every item with a higher-priority τ-near
@@ -912,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_trained_topk": sim_ivf_trained_topk,
         "sim_ivfpq_topk": sim_ivfpq_topk,
         "sim_near_dup": sim_near_dup,
+        "sim_pca_cov": sim_pca_cov,
+        "sim_pca_project": sim_pca_project,
         "sim_semdedup": sim_semdedup,
         "mm_features": mm_features,
         "mm_real_decode": mm_real_decode,
@@ -1296,6 +1327,18 @@ FROM (
             "embeddings", 5, 10, n_planes=10, seed=42, dim=64, multiprobe=1
         ),
         "sim_ivf_topk": sim.ivf_topk_oracle_sql("embeddings", 5, 10, n_cells=16, n_probe=4),
+        "sim_pca_cov": """
+WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 9) t(i)),
+m AS (
+  SELECT a.i - 1 AS i, b.i - 1 AS j,
+         sum(CAST(embedding[a.i] AS DOUBLE) * CAST(embedding[b.i] AS DOUBLE)) / count(*)
+         - (sum(CAST(embedding[a.i] AS DOUBLE)) / count(*))
+           * (sum(CAST(embedding[b.i] AS DOUBLE)) / count(*)) AS cov
+  FROM embeddings, idx a, idx b
+  GROUP BY a.i, b.i
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, round(cov, 6) AS cov
+FROM m ORDER BY i, j""",
         "sim_near_dup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(sd.d / (sqrt(sa.s) * sqrt(sb.s)), 6) AS cosine
