@@ -334,6 +334,7 @@ def cmd_search(args) -> dict:
     # search-side aggregations (agg-only runs pass --max-hits 0); every
     # requested aggregation shares ONE stream leaf (search_agg_multi)
     agg_interval = getattr(args, "agg_histogram_interval", None)
+    agg_calendar = getattr(args, "agg_calendar", None)
     agg_terms = getattr(args, "agg_terms", None)
     agg_terms_metric = getattr(args, "agg_terms_metric", None)
     agg_stats = getattr(args, "agg_stats", None)
@@ -343,8 +344,8 @@ def cmd_search(args) -> dict:
     if any(
         a is not None
         for a in (
-            agg_interval, agg_terms, agg_terms_metric, agg_stats, agg_pcts,
-            agg_card, agg_sig,
+            agg_interval, agg_calendar, agg_terms, agg_terms_metric,
+            agg_stats, agg_pcts, agg_card, agg_sig,
         )
     ):
         from quickwit_spark.search.executor import search_agg_multi
@@ -354,6 +355,7 @@ def cmd_search(args) -> dict:
             args.index_dir,
             req,
             histogram_interval=agg_interval,
+            histogram_calendar=agg_calendar,
             terms_field=agg_terms,
             terms_size=getattr(args, "agg_terms_size", 10),
             terms_metric_field=agg_terms_metric,
@@ -977,6 +979,12 @@ def main(argv=None):
     s.add_argument(
         "--agg-histogram-interval", type=int, default=None,
         help="date-histogram aggregation over every match (bucket seconds)",
+    )
+    s.add_argument(
+        "--agg-calendar", default=None,
+        help="calendar-interval date histogram (minute/hour/day/week/"
+        "month/quarter/year — ES calendar_interval; buckets are "
+        "date_trunc'd in UTC)",
     )
     s.add_argument(
         "--agg-terms", default=None,

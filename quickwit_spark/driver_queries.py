@@ -350,6 +350,21 @@ def ft_agg_histogram(spark, sf_dir):
     return search_agg_date_histogram(spark, idx, SearchRequest("merge"), 100)
 
 
+def ft_agg_calendar(spark, sf_dir):
+    """Calendar-interval date histogram (ES calendar_interval='minute'):
+    buckets are the bucket-START epoch of the enclosing minute via
+    date_trunc in UTC — calendar units (months, quarters) have no fixed
+    second width, so this is the path fixed-interval floor division
+    cannot express; 'minute' keeps the DuckDB twin a plain date_trunc
+    AND yields many buckets at every sf.  ts == doc_id in this corpus."""
+    from .search.executor import search_agg_date_histogram
+
+    idx = documents_index(spark, sf_dir)
+    return search_agg_date_histogram(
+        spark, idx, SearchRequest("merge"), calendar="minute"
+    )
+
+
 def ft_agg_terms(spark, sf_dir):
     """Search-side terms aggregation over a STORED column (role carries
     lang): matches joined to the split-pruned doc store, then one hash
@@ -894,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_count": ft_count,
         "ft_stream_export": ft_stream_export,
         "ft_agg_histogram": ft_agg_histogram,
+        "ft_agg_calendar": ft_agg_calendar,
         "ft_agg_terms": ft_agg_terms,
         "ft_agg_stats": ft_agg_stats,
         "ft_agg_extended_stats": ft_agg_extended_stats,
@@ -1110,6 +1126,11 @@ SELECT count(DISTINCT doc_id) AS num_hits FROM tf WHERE term = 'query'""",
 SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'""",
         "ft_agg_histogram": f"""{BM25_CTE}
 SELECT CAST(doc_id // 100 * 100 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+GROUP BY 1""",
+        "ft_agg_calendar": f"""{BM25_CTE}
+SELECT CAST(epoch(date_trunc('minute', to_timestamp(doc_id))) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS doc_count
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
 GROUP BY 1""",

@@ -2913,23 +2913,63 @@ def export_stream(
 # stream leaf + one aggregate exchange.
 
 
+_CALENDAR_UNITS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def _calendar_bucket_expr(spark: SparkSession, field: str, calendar: str):
+    """Bucket-start epoch seconds for an ES ``calendar_interval``: the
+    fast-field epoch is lifted to a timestamp and ``date_trunc``'d — a
+    month/quarter/year has no fixed second width, so fixed-interval floor
+    division cannot express it.  Truncation happens in the SESSION
+    timezone, which must be UTC (the ES date_histogram default; same
+    validation discipline as streaming/sessionize.py)."""
+    if calendar not in _CALENDAR_UNITS:
+        raise ValueError(
+            f"calendar must be one of {_CALENDAR_UNITS}, got {calendar!r}"
+        )
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            "calendar-interval buckets truncate in the session timezone and "
+            f"require UTC (spark.sql.session.timeZone={tz!r}) — the ES "
+            "date_histogram default"
+        )
+    return F.unix_timestamp(
+        F.date_trunc(calendar, F.timestamp_seconds(F.col(f"`{field}`")))
+    ).cast("long")
+
+
 def search_agg_date_histogram(
     spark: SparkSession,
     index_dir: str,
     request: SearchRequest,
-    interval_s: int,
+    interval_s: int | None = None,
     ts_field: str | None = None,
+    calendar: str | None = None,
 ) -> DataFrame:
     """ES-style date-histogram over EVERY matching doc: bucket = epoch
-    floored to ``interval_s``, value = doc count.  The timestamp comes off
-    the fast-field store in the stream leaf — the doc store is never
+    floored to ``interval_s`` (fixed_interval), or — with ``calendar`` —
+    the bucket-START epoch of the enclosing minute/hour/day/week/month/
+    quarter/year (calendar_interval; months have no fixed width, so this
+    is date_trunc, not floor division).  The timestamp comes off the
+    fast-field store in the stream leaf — the doc store is never
     touched."""
-    if interval_s <= 0:
-        raise ValueError(f"interval_s must be positive, got {interval_s}")
     _, config = open_index(spark, index_dir)
     field = ts_field or config.timestamp_field
     if field is None:
         raise ValueError("index has no timestamp field; pass ts_field")
+    if calendar is not None:
+        if interval_s is not None:
+            raise ValueError("pass either interval_s or calendar, not both")
+        bucket = _calendar_bucket_expr(spark, field, calendar)
+        hits = search_stream(spark, index_dir, request, field)
+        return (
+            hits.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy("bucket")
+        )
+    if interval_s is None or interval_s <= 0:
+        raise ValueError(f"interval_s must be positive, got {interval_s}")
     return search_agg_histogram(spark, index_dir, request, field, interval_s)
 
 
@@ -3655,6 +3695,7 @@ def search_agg_multi(
     index_dir: str,
     request: SearchRequest,
     histogram_interval: int | None = None,
+    histogram_calendar: str | None = None,
     terms_field: str | None = None,
     terms_size: int | None = 10,
     terms_metric_field: str | None = None,
@@ -3678,12 +3719,16 @@ def search_agg_multi(
     _, config = open_index(spark, index_dir)
     fast_fields: list[str] = []
     ts_field = None
-    if histogram_interval is not None:
-        if histogram_interval <= 0:
+    if histogram_interval is not None and histogram_calendar is not None:
+        raise ValueError("pass either histogram_interval or histogram_calendar")
+    if histogram_interval is not None or histogram_calendar is not None:
+        if histogram_interval is not None and histogram_interval <= 0:
             raise ValueError(f"interval must be positive, got {histogram_interval}")
         ts_field = config.timestamp_field
         if ts_field is None:
             raise ValueError("index has no timestamp field for the histogram")
+        if histogram_calendar is not None:  # validate unit + UTC up front
+            _calendar_bucket_expr(spark, ts_field, histogram_calendar)
         fast_fields.append(ts_field)
     def _classify(field: str) -> bool:
         """True → fast (ride the stream leaf); False → stored (doc-store
@@ -3730,9 +3775,12 @@ def search_agg_multi(
 
     try:
         out: dict = {}
-        if histogram_interval is not None:
-            iv = int(histogram_interval)
-            bucket = (F.floor(F.col(f"`{ts_field}`") / F.lit(iv)) * iv).cast("long")
+        if histogram_interval is not None or histogram_calendar is not None:
+            if histogram_calendar is not None:
+                bucket = _calendar_bucket_expr(spark, ts_field, histogram_calendar)
+            else:
+                iv = int(histogram_interval)
+                bucket = (F.floor(F.col(f"`{ts_field}`") / F.lit(iv)) * iv).cast("long")
             rows = (
                 hits.groupBy(bucket.alias("bucket"))
                 .agg(F.count("*").cast("long").alias("doc_count"))

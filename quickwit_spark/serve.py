@@ -87,7 +87,7 @@ _SEARCH_PARAMS = frozenset(
         "maxHits", "startOffset", "format", "sortByField",
         "searchAfter", "snippetFields", "snippetMaxChars", "storedFields",
         "numericFilter", "explain", "scoreExplain", "minShouldMatch",
-        "aggHistogramInterval", "aggTermsField", "aggTermsSize",
+        "aggHistogramInterval", "aggHistogramCalendar", "aggTermsField", "aggTermsSize",
         "aggTermsMetricField", "aggStatsField", "aggStatsExtended",
         "aggPercentilesField",
         "aggCardinalityField", "aggSignificantField",
@@ -477,6 +477,7 @@ class _Handler(BaseHTTPRequestHandler):
                     p
                     for p in (
                         "collapseField", "explain", "aggHistogramInterval",
+                        "aggHistogramCalendar",
                         "aggTermsField", "aggTermsMetricField",
                         "aggStatsField", "aggStatsExtended",
                         "aggPercentilesField", "aggCardinalityField",
@@ -518,7 +519,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if any(
                     qs.get(p, [None])[0] is not None
                     for p in (
-                        "aggHistogramInterval", "aggTermsField",
+                        "aggHistogramInterval", "aggHistogramCalendar",
+                        "aggTermsField",
                         "aggTermsMetricField", "aggStatsField",
                         "aggStatsExtended",
                         "aggPercentilesField", "aggCardinalityField",
@@ -551,6 +553,7 @@ class _Handler(BaseHTTPRequestHandler):
             # search-side aggregations (beyond-reference; agg-only clients
             # pass maxHits=0, which takes the count-only fast path)
             agg_interval = _int_or_none(qs, "aggHistogramInterval")
+            agg_calendar = qs.get("aggHistogramCalendar", [None])[0]
             agg_terms = qs.get("aggTermsField", [None])[0]
             agg_terms_metric = qs.get("aggTermsMetricField", [None])[0]
             agg_stats = qs.get("aggStatsField", [None])[0]
@@ -572,7 +575,7 @@ class _Handler(BaseHTTPRequestHandler):
                 if any(
                     a is not None
                     for a in (
-                        agg_interval, agg_terms, agg_terms_metric,
+                        agg_interval, agg_calendar, agg_terms, agg_terms_metric,
                         agg_stats, agg_pcts, agg_card, agg_sig,
                     )
                 ):
@@ -586,6 +589,7 @@ class _Handler(BaseHTTPRequestHandler):
                         index_dir,
                         req,
                         histogram_interval=agg_interval,
+                        histogram_calendar=agg_calendar,
                         terms_field=agg_terms,
                         terms_size=size,
                         terms_metric_field=agg_terms_metric,

@@ -467,6 +467,31 @@ def test_slow_stream_client_does_not_block_other_queries(server):
         s.close()
 
 
+def test_search_endpoint_calendar_histogram(spark, server, index_root):
+    """aggHistogramCalendar buckets date_trunc in UTC (here 'day': keys on
+    86400 boundaries since the corpus epochs are UTC-aligned); combining
+    with aggHistogramInterval is a 400."""
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
+        "&aggHistogramCalendar=day&format=json"
+    )
+    assert code == 200, body
+    got = json.loads(body)
+    buckets = got["aggregations"]["histogram"]["buckets"]
+    assert sum(b["docCount"] for b in buckets) == got["numHits"]
+    assert all(b["key"] % 86400 == 0 for b in buckets)
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
+        "&aggHistogramCalendar=day&aggHistogramInterval=100"
+    )
+    assert code == 400
+    code, body, _ = _get(
+        f"{server}/api/v1/conv/search?query=deploy&maxHits=0"
+        "&aggHistogramCalendar=fortnight"
+    )
+    assert code == 400
+
+
 def test_search_endpoint_aggregations(spark, server, index_root):
     """aggTermsField / aggHistogramInterval return ES-shaped buckets whose
     counts sum to numHits (every match lands in exactly one bucket)."""

@@ -199,7 +199,63 @@ def test_search_agg_histogram_and_terms(spark, small_idx):
     assert any("PartitionFilters: [" in ln and "split_id" in ln for ln in scan_lines), plan
     assert any("role" in ln and "text" not in ln for ln in scan_lines), scan_lines
 
-    with pytest.raises(ValueError, match="neither fast nor stored"):
+
+def test_search_agg_calendar_histogram(spark, small_idx):
+    """Calendar-interval date histogram (ES calendar_interval): buckets =
+    date_trunc'd UTC bucket starts — checked against brute-force datetime
+    truncation of the same matches' timestamps; week starts land on
+    Mondays; unknown units and interval+calendar together reject."""
+    import collections
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from quickwit_spark.search.executor import (
+        search_agg_date_histogram,
+        search_agg_multi,
+    )
+
+    req = SearchRequest("deploy")
+    ts_vals = [
+        r["ts"] for r in search_stream(spark, small_idx, req, "ts").collect()
+    ]
+
+    def trunc(epoch: int, unit: str) -> int:
+        d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc)
+        if unit == "day":
+            d = d.replace(hour=0, minute=0, second=0, microsecond=0)
+        elif unit == "week":  # ISO week: Monday 00:00
+            d = d.replace(hour=0, minute=0, second=0, microsecond=0)
+            d -= dt.timedelta(days=d.weekday())
+        elif unit == "month":
+            d = d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        return int(d.timestamp())
+
+    for unit in ("day", "week", "month"):
+        got = {
+            r["bucket"]: r["doc_count"]
+            for r in search_agg_date_histogram(
+                spark, small_idx, req, calendar=unit
+            ).collect()
+        }
+        assert got == dict(collections.Counter(trunc(t, unit) for t in ts_vals)), unit
+    # the fused multi path produces the same buckets
+    multi = search_agg_multi(spark, small_idx, req, histogram_calendar="month")
+    assert dict(multi["histogram"]) == dict(
+        collections.Counter(trunc(t, "month") for t in ts_vals)
+    )
+    with _pytest.raises(ValueError, match="calendar must be one of"):
+        search_agg_date_histogram(spark, small_idx, req, calendar="fortnight")
+    with _pytest.raises(ValueError, match="not both"):
+        search_agg_date_histogram(spark, small_idx, req, 100, calendar="day")
+    with _pytest.raises(ValueError, match="either"):
+        search_agg_multi(
+            spark, small_idx, req, histogram_interval=100, histogram_calendar="day"
+        )
+
+    from quickwit_spark.search.executor import search_agg_terms
+
+    with _pytest.raises(ValueError, match="neither fast nor stored"):
         search_agg_terms(spark, small_idx, req, "nosuchcol")
 
 
