@@ -278,6 +278,15 @@ def ft_fuzzy(spark, sf_dir):
     return _ft(spark, sf_dir, "merge~1")
 
 
+def ft_exists(spark, sf_dir):
+    """'dup OR tool:*^2' — the ES exists query composed with BM25: every
+    doc holds a tool (source) value, so exists adds a constant 2.0 to ALL
+    docs while 'dup' matchers add their BM25 on top — the hash certifies
+    the additive constant-score composition (engine: exists answers from
+    the fieldnorm store with zero postings work)."""
+    return _ft(spark, sf_dir, "dup OR tool:*^2")
+
+
 def ft_min_should_match(spark, sf_dir):
     """'scan OR sort OR stream' with minShouldMatch=2 — ES bool
     minimum_should_match over the top-level OR: a doc matches only if at
@@ -902,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_regex": ft_regex,
         "ft_phrase_prefix": ft_phrase_prefix,
         "ft_fuzzy": ft_fuzzy,
+        "ft_exists": ft_exists,
         "ft_min_should_match": ft_min_should_match,
         "ft_numeric_filter": ft_numeric_filter,
         "ft_match_all": ft_match_all,
@@ -1039,6 +1049,20 @@ ORDER BY doc_id ASC LIMIT 10""",
             ["spark", "merge"], "and", 10, weights={"merge": 2.0}
         ),
         "ft_numeric_filter": _bm25_topk_sql(["merge"], "or", 10, ts_range=(100, 300)),
+        "ft_exists": f"""{BM25_CTE},
+bm AS (
+  SELECT tf.doc_id, sum({_score_expr()}) AS score
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term CROSS JOIN st
+  WHERE tf.term = 'dup'
+  GROUP BY tf.doc_id
+),
+sc AS (
+  SELECT d.doc_id, COALESCE(bm.score, 0) + 2.0 AS score
+  FROM documents d LEFT JOIN bm ON bm.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "ft_min_should_match": _bm25_topk_sql(
             ["scan", "sort", "stream"], "or", 15, min_match=2
         ),

@@ -66,6 +66,7 @@ from ..index.catalog import Catalog, SplitMetadata
 from .parser import (
     AllQuery,
     BoolQuery,
+    ExistsQuery,
     FuzzyQuery,
     PhrasePrefixQuery,
     PhraseQuery,
@@ -76,6 +77,7 @@ from .parser import (
     collect_terms,
     extract_tag_predicate,
     parse_query,
+    positive_exists_weights,
     positive_term_weights,
     positive_terms,
     regex_literal_prefix,
@@ -784,12 +786,27 @@ def _intersect_with_tfs(base: np.ndarray, postings: _SplitPostings, key) -> np.n
     return base[_sorted_member(base, d.astype(np.int64))]
 
 
-def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
-    """Boolean evaluation → sorted unique doc_id array."""
+def _eval_node(node, postings: _SplitPostings, lens_fn=None) -> np.ndarray:
+    """Boolean evaluation → sorted unique doc_id array.  ``lens_fn``
+    (field → per-doc length array) backs ExistsQuery — the fieldnorm
+    store IS the exists bitmap (length > 0), zero postings work."""
     if isinstance(node, TermQuery):
         return postings.full((node.field, node.term))[0].astype(np.int64)
     if isinstance(node, PhraseQuery):
         return _eval_phrase(node, postings)
+    if isinstance(node, ExistsQuery):
+        if lens_fn is None:
+            raise ValueError("exists query reached an evaluator without field lengths")
+        fl = lens_fn(node.field)
+        if fl is None:
+            raise ValueError(
+                f"exists query needs the per-field length blob for "
+                f"{node.field!r} (index predates doc_lens_<field> columns)"
+            )
+        docs = np.flatnonzero(fl > 0).astype(np.int64)
+        if postings.lo is not None:
+            docs = docs[(docs >= postings.lo) & (docs < postings.hi)]
+        return docs
     assert isinstance(node, BoolQuery)
     acc: np.ndarray | None = None
     if node.must:
@@ -801,7 +818,7 @@ def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
 
         for c in sorted(node.must, key=est):
             if acc is None:
-                acc = _eval_node(c, postings)
+                acc = _eval_node(c, postings, lens_fn)
             elif len(acc) == 0:
                 return acc
             elif isinstance(c, TermQuery):
@@ -809,9 +826,13 @@ def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
                 d, _ = postings.candidates_only((c.field, c.term), acc)
                 acc = acc[_sorted_member(acc, d.astype(np.int64))]
             else:
-                acc = np.intersect1d(acc, _eval_node(c, postings), assume_unique=True)
+                acc = np.intersect1d(
+                    acc, _eval_node(c, postings, lens_fn), assume_unique=True
+                )
     if node.should:
-        u = np.unique(np.concatenate([_eval_node(c, postings) for c in node.should]))
+        u = np.unique(
+            np.concatenate([_eval_node(c, postings, lens_fn) for c in node.should])
+        )
         acc = u if acc is None else np.intersect1d(acc, u, assume_unique=True)
     if acc is None:
         acc = np.empty(0, np.int64)
@@ -824,7 +845,7 @@ def _eval_node(node, postings: _SplitPostings) -> np.ndarray:
             d, _ = postings.candidates_only((c.field, c.term), acc)
             acc = acc[~_sorted_member(acc, d.astype(np.int64))]
         else:
-            acc = np.setdiff1d(acc, _eval_node(c, postings), assume_unique=True)
+            acc = np.setdiff1d(acc, _eval_node(c, postings, lens_fn), assume_unique=True)
     return acc
 
 
@@ -844,7 +865,7 @@ def _validate_msm(ast, request: SearchRequest) -> None:
         )
 
 
-def _eval_root(ast, postings: _SplitPostings, msm: int = 1) -> np.ndarray:
+def _eval_root(ast, postings: _SplitPostings, msm: int = 1, lens_fn=None) -> np.ndarray:
     """Top-level boolean evaluation with ES ``minimum_should_match``
     semantics: with ``msm > 1`` a doc needs >= msm of the TOP-LEVEL should
     clauses (each clause evaluated normally, membership counted via one
@@ -853,18 +874,20 @@ def _eval_root(ast, postings: _SplitPostings, msm: int = 1) -> np.ndarray:
     compose as usual.  msm above the clause count matches nothing
     (Lucene).  msm <= 1 is the plain _eval_node path."""
     if msm <= 1 or not isinstance(ast, BoolQuery) or not ast.should:
-        return _eval_node(ast, postings)
+        return _eval_node(ast, postings, lens_fn)
     if msm > len(ast.should):
         return np.empty(0, np.int64)
-    arrs = [_eval_node(c, postings) for c in ast.should]
+    arrs = [_eval_node(c, postings, lens_fn) for c in ast.should]
     vals, counts = np.unique(np.concatenate(arrs), return_counts=True)
     acc = vals[counts >= msm].astype(np.int64)
     if len(acc) and ast.must:
-        acc = acc[_sorted_member(acc, _eval_node(BoolQuery(must=ast.must), postings))]
+        acc = acc[
+            _sorted_member(acc, _eval_node(BoolQuery(must=ast.must), postings, lens_fn))
+        ]
     for c in ast.must_not:
         if len(acc) == 0:
             break
-        acc = np.setdiff1d(acc, _eval_node(c, postings), assume_unique=True)
+        acc = np.setdiff1d(acc, _eval_node(c, postings, lens_fn), assume_unique=True)
     return acc
 
 
@@ -1328,6 +1351,8 @@ def make_split_scorer(
     pos_terms = sorted(positive_terms(ast))
     # per-term boost multipliers ('term^2'); all 1.0 for unboosted queries
     pos_weights = positive_term_weights(ast)
+    # positive exists clauses: constant boost per matching doc (field → w)
+    pos_exists = positive_exists_weights(ast)
     ts_lo, ts_hi = request.start_timestamp, request.end_timestamp
     sort_field = request.sort_by_field
     fetch = mode == "topk" and index_dir is not None
@@ -1447,7 +1472,7 @@ def make_split_scorer(
                 return empty
             scores = np.ones(len(docs), np.float64)
         else:
-            docs = _eval_root(ast, postings, request.min_should_match)
+            docs = _eval_root(ast, postings, request.min_should_match, field_lens)
             if len(docs) and (ts_lo is not None or ts_hi is not None):
                 docs = _ts_filter(docs, ff_pdf, ts_lo, ts_hi)
             if len(docs) and num_filters:
@@ -1486,6 +1511,13 @@ def make_split_scorer(
                 # strategies and exact-score search_after cursors break
                 base = term_idf * tf_norm(tf, dl, avg)
                 scores[pv] += base * w if w != 1.0 else base
+            # exists clauses score a constant boost per matching doc (ES
+            # query-context exists), ADDED AFTER the term sums — the same
+            # order score_explain reconstructs
+            for fname in sorted(pos_exists) if score_stream else []:
+                flx = field_lens(fname)
+                if flx is not None:
+                    scores[flx[docs] > 0] += pos_exists[fname]
 
         if len(docs) == 0:
             if num_hits > 0:
@@ -1981,8 +2013,8 @@ def _est_split_rows(asts, gstats, n_splits: int) -> float:
         elif isinstance(node, PhraseQuery):
             for t in node.terms:
                 total += 3.0 * df_map.get((node.field, t), 0)
-        elif isinstance(node, AllQuery):
-            total += gstats["num_docs"]  # every doc matches, zero decode
+        elif isinstance(node, (AllQuery, ExistsQuery)):
+            total += gstats["num_docs"]  # matches many docs, zero decode
         else:
             for c in (*node.must, *node.should, *node.must_not):
                 walk(c)
@@ -2558,6 +2590,7 @@ def _attach_score_explain(
             h["score_detail"] = {"score": 1.0, "constant": True, "terms": []}
         return
     weights = positive_term_weights(ast)
+    exists_w = positive_exists_weights(ast)
     terms_sorted = sorted(positive_terms(ast))
     terms = collect_terms(ast)
     buckets = term_buckets(spark, terms, config.term_merge_buckets)
@@ -2626,6 +2659,21 @@ def _attach_score_explain(
                         "contribution": float(contrib[j]),
                     }
                 )
+        for fname in sorted(exists_w):
+            flx = field_lens(fname)
+            if flx is None:
+                continue
+            for doc in (int(d) for d in docs):
+                if flx[doc] > 0:
+                    totals[doc] += exists_w[fname]
+                    contribs[doc].append(
+                        {
+                            "field": fname,
+                            "exists": True,
+                            "weight": float(exists_w[fname]),
+                            "contribution": float(exists_w[fname]),
+                        }
+                    )
         for h in split_hits:
             h["score_detail"] = {
                 "score": totals[int(h["doc_id"])],

@@ -19,6 +19,7 @@ from ..functions.tokenizer import tokenize_text
 from .parser import (
     AllQuery,
     BoolQuery,
+    ExistsQuery,
     FuzzyQuery,
     PhrasePrefixQuery,
     PhraseQuery,
@@ -27,6 +28,7 @@ from .parser import (
     TermQuery,
     WildcardQuery,
     parse_query,
+    positive_exists_weights,
     positive_term_weights,
 )
 
@@ -163,6 +165,9 @@ class OracleIndex:
     def _eval(self, node) -> set[tuple[str, int]]:
         if isinstance(node, AllQuery):
             return set(self.by_key)
+        if isinstance(node, ExistsQuery):
+            lens = self.doc_lens.get(node.field, {})
+            return {k for k in self.by_key if lens.get(k, 0) > 0}
         if isinstance(node, TermQuery):
             return set(self.postings.get((node.field, node.term), {}))
         if isinstance(node, PhraseQuery):
@@ -373,7 +378,16 @@ class OracleIndex:
                 scored = [(1.0, k) for k in matched]
             else:
                 weights = positive_term_weights(ast)
-                scored = [(self._score(k, weights), k) for k in matched]
+                exists_w = positive_exists_weights(ast)
+
+                def _full_score(k):
+                    s = self._score(k, weights)
+                    for f_, w in exists_w.items():
+                        if self.doc_lens.get(f_, {}).get(k, 0) > 0:
+                            s += w
+                    return s
+
+                scored = [(_full_score(k), k) for k in matched]
             if request.tiebreak == "global_key":
                 ordered = sorted(
                     scored,

@@ -151,6 +151,21 @@ class PhrasePrefixQuery:
 
 
 @dataclass(frozen=True)
+class ExistsQuery:
+    """``field:*`` on a SCOPED field — the ES ``exists`` query (beyond-
+    reference): matches every document whose field holds at least one
+    indexed value (token for tokenized text, non-empty value for raw,
+    non-null for typed fields — exactly what the fieldnorm store counts,
+    so the leaf answers from the per-field doc-length blob with ZERO
+    postings work).  Scores a constant 1.0 × boost per match (the ES
+    query-context exists behavior; composes additively with BM25 terms).
+    Bare unscoped ``*`` stays the match-all query."""
+
+    field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class AllQuery:
     """``*`` — match every document (tantivy UserInputLeaf::All →
     AllQuery, constant score 1.0).  Only valid as the WHOLE query here;
@@ -840,6 +855,11 @@ def _resolve(node, config: IndexConfig, default_fields: tuple[str, ...]):
         # stored/fast-only fields have no postings: fail at bind time like
         # tantivy's FieldNotIndexed instead of silently matching nothing
         raise QueryParserError(f"field is not indexed: {node.field}")
+    if node.prefix and node.text == "" and node.wildcard is None:
+        # 'field:*' — the ES exists query (any indexed value present);
+        # valid for EVERY indexed field type, answered from the fieldnorm
+        # store (doc_lens_<field> > 0), never the postings
+        return ExistsQuery(node.field, boost=node.boost)
     if node.regex is not None:
         if fm.scalar_type != "text":
             raise QueryParserError(
@@ -1010,8 +1030,12 @@ def parse_query(
 
 def collect_terms(node) -> set[tuple[str, str]]:
     """All (field, term) pairs referenced by the query (warmup analog —
-    exactly the posting lists the leaf search needs, leaf.rs:173-193)."""
+    exactly the posting lists the leaf search needs, leaf.rs:173-193).
+    ExistsQuery reads no postings (it answers from the fieldnorm store),
+    so it contributes none."""
     out: set[tuple[str, str]] = set()
+    if isinstance(node, (ExistsQuery, AllQuery)):
+        return out
     if isinstance(node, TermQuery):
         out.add((node.field, node.term))
     elif isinstance(node, PhraseQuery):
@@ -1060,6 +1084,23 @@ def positive_term_weights(node) -> dict[tuple[str, str], float]:
             for t in n.terms:
                 k = (n.field, t)
                 out[k] = max(out.get(k, 0.0), n.boost)
+        elif isinstance(n, BoolQuery):
+            for c in n.must + n.should:
+                walk(c)
+
+    walk(node)
+    return out
+
+
+def positive_exists_weights(node) -> dict[str, float]:
+    """Per-field constant-score multiplier of positive ExistsQuery clauses
+    (max over repeats, same discipline as positive_term_weights): each
+    matching doc adds this once per field."""
+    out: dict[str, float] = {}
+
+    def walk(n):
+        if isinstance(n, ExistsQuery):
+            out[n.field] = max(out.get(n.field, 0.0), n.boost)
         elif isinstance(n, BoolQuery):
             for c in n.must + n.should:
                 walk(c)

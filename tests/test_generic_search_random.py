@@ -115,6 +115,9 @@ def _clauses():
             st.sampled_from([" AND ", " OR ", " "]),
             word,
         ),
+        # exists over OPTIONAL generic fields (notes/labels/attributes are
+        # present on only a fraction of docs; severity is always set)
+        st.sampled_from(["notes:*", "labels:*", "attributes.region:*", "severity:*"]),
         # plan-time dictionary expansions over the GENERIC schema: prefix,
         # '?'-wildcard, suffix regex; raw array fields take prefixes too
         st.builds(lambda w, n: f"{w[:n]}*", word, st.integers(1, 2)),

@@ -246,8 +246,15 @@ def test_prefix_query_forms():
 def test_prefix_query_rejections():
     from quickwit_spark.search.parser import PrefixQuery  # noqa: F401
 
-    with pytest.raises(QueryParserError, match="non-empty prefix"):
-        parse_query("text:*", CFG)
+    # 'field:*' is now the ES exists query, not an empty prefix
+    from quickwit_spark.search.parser import ExistsQuery
+
+    assert parse_query("text:*", CFG) == ExistsQuery("text")
+    assert parse_query("tool:*^2", CFG) == ExistsQuery("tool", boost=2.0)
+    with pytest.raises(QueryParserError):
+        parse_query("nosuch:*", CFG)  # unknown field
+    with pytest.raises(QueryParserError, match="expansion|literal|prefix"):
+        parse_query("text:**", CFG)  # double star: all-wildcard pattern
     with pytest.raises(QueryParserError, match="one token"):
         parse_query("text:spark-s*", CFG)
     with pytest.raises(QueryParserError):

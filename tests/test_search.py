@@ -80,6 +80,13 @@ QUERY_CASES = [
     SearchRequest("*ploy"),  # leading wildcard: unanchored dictionary scan
     SearchRequest("f?il*^2 OR error"),
     SearchRequest("x?zzz*"),  # matches no dictionary term
+    # exists queries ('field:*' — ES exists; answered from the fieldnorm
+    # store, constant 1.0×boost score; 'tool' is empty on most fixture rows)
+    SearchRequest("tool:*", max_hits=15),
+    SearchRequest("tool:* error"),
+    SearchRequest("error OR tool:*^2", max_hits=15),
+    SearchRequest("error NOT tool:*"),
+    SearchRequest("text:* AND tool:*", max_hits=15),
     # minimum_should_match over the top-level OR (full-eval clause
     # counting vs the oracle's Counter twin)
     SearchRequest("deploy OR failure OR error", min_should_match=2),
@@ -127,6 +134,7 @@ def test_score_explain_bit_exact(spark, built):
         "depl*",  # dictionary expansion
         '"the error"~2',  # sloppy phrase
         "role:assistant error",  # raw-field term (doc_len = value count)
+        "error OR tool:*^2",  # BM25 terms + boosted constant exists clause
     ):
         req = SearchRequest(q, max_hits=8, score_explain=True)
         resp = search(spark, index_dir, req)
@@ -135,7 +143,10 @@ def test_score_explain_bit_exact(spark, built):
             d = h["score_detail"]
             assert d["score"] == h["score"], (q, h)
             assert sum(t["contribution"] for t in d["terms"]) == h["score"], q
-            assert all(t["tf"] >= 1 and t["doc_freq"] >= 1 for t in d["terms"])
+            assert all(
+                t.get("exists") or (t["tf"] >= 1 and t["doc_freq"] >= 1)
+                for t in d["terms"]
+            )
     # match-all: constant score 1.0, no terms
     resp = search(
         spark,

@@ -103,6 +103,10 @@ def _clauses():
         st.builds(lambda p, b: f"{p}^{b}", st.sampled_from(_STATE["phrases"]), boost),
         st.builds(lambda w, b: f"text:{w}^{b}", word, boost),
         st.builds(lambda r: f"role:{r}", st.sampled_from(_STATE["roles"])),
+        # exists clauses ('field:*' — ES exists; tool is empty on most
+        # fixture rows, so these are selective, not match-all)
+        st.just("tool:*"),
+        st.builds(lambda b: f"tool:*^{b}", st.sampled_from(["0.5", "2"])),
         st.builds(lambda w: f"text:{w}", word),
         # prefix clauses (scoring_boolean expansion): word stems of 1-4
         # chars hit anywhere from one term to a wide disjunction
