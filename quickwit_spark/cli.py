@@ -571,6 +571,24 @@ def cmd_source(args) -> dict:
     return {"cmd": "source-delete", "source_id": args.source_id}
 
 
+def cmd_doc(args) -> dict:
+    """Single-document GET by (split_id, doc_id) address — the ES
+    GET /index/_doc analog; one row-group-pruned doc-store read, no
+    Spark job."""
+    from quickwit_spark.search.executor import fetch_doc
+
+    spark = _get_spark("qw-doc", args.local_cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    doc = fetch_doc(spark, args.index_dir, args.split, args.doc)
+    if doc is None:
+        return {
+            "cmd": "doc",
+            "error": f"doc {args.split}/{args.doc} not found "
+            "(split gone or id absent)",
+        }
+    return {"cmd": "doc", "doc": doc}
+
+
 def cmd_termdict(args) -> dict:
     """Term-dictionary range scan (FST range-scan analog): terms of an
     indexed field with global doc_freq, optional --prefix window — the
@@ -1058,6 +1076,12 @@ def main(argv=None):
             sp.add_argument("--type", default="ndjson", help="ndjson | parquet | kafka")
             sp.add_argument("--params", default="{}", help='JSON, e.g. {"path": "/data/in"}')
         sp.set_defaults(fn=cmd_source, action=action)
+
+    dg = sub.add_parser("doc")
+    dg.add_argument("--index-dir", required=True)
+    dg.add_argument("--split", required=True)
+    dg.add_argument("--doc", type=int, required=True)
+    dg.set_defaults(fn=cmd_doc)
 
     td = sub.add_parser("termdict")
     td.add_argument("--index-dir", required=True)

@@ -2537,6 +2537,36 @@ def _fetch_page_fields(
                     r[c] = row[i] if row is not None else None
 
 
+def fetch_doc(
+    spark: SparkSession | None, index_dir: str, split_id: str, doc_id: int
+) -> dict | None:
+    """Single-document GET by address (the ES ``GET /index/_doc/{id}``
+    analog over our (split_id, doc_id) address space — every hit carries
+    both, so clients can re-fetch any result later).  ONE row-group-pruned
+    pyarrow read of that split's doc store, no Spark job; returns the
+    stored fields (+ reconstructed ``_source`` on store_source indexes) or
+    None when the split is not live (merged away / GC'd — addresses are
+    valid for a split's lifetime, like ES point-in-time hits) or the
+    doc_id is absent."""
+    cat, config = open_index(spark, index_dir)
+    if split_id not in {s.split_id for s in cat.splits()}:
+        return None
+    cols = fetch_cols(config)
+    try:
+        pdf = _fetch_doc_fields(index_dir, split_id, [int(doc_id)], cols)
+    except (FileNotFoundError, SplitVanishedError):
+        return None
+    if not len(pdf):
+        return None
+    row = dict(zip(cols, next(pdf.itertuples(index=False, name=None))))
+    out: dict = {"split_id": split_id, "doc_id": int(doc_id)}
+    for c in cols:
+        if c != "doc_id":
+            out[c] = _json_safe(row[c])
+    _maybe_add_source(index_dir, [out], [dict(out)])
+    return out
+
+
 def search_df(spark: SparkSession, index_dir: str, request: SearchRequest) -> DataFrame:
     """Full search as a DataFrame of hits joined back to the doc store:
     the config's stored columns plus (split_id, doc_id, score), globally

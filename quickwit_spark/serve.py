@@ -64,6 +64,9 @@ COUNTERS = {
     "termdict": metrics.new_counter(
         "rest_api:termdict:num_requests", "Number of term-dictionary requests"
     ),
+    "doc": metrics.new_counter(
+        "rest_api:doc:num_requests", "Number of single-document GET requests"
+    ),
     "errors": metrics.new_counter(
         "rest_api:errors:num_responses", "Number of 4xx/5xx REST responses"
     ),
@@ -245,9 +248,11 @@ class _Handler(BaseHTTPRequestHandler):
             }
             return self._reply(200, json.dumps(out).encode())
         # /api/v1/{index_id}/search[/stream] | /api/v1/{index_id}/termdict
+        # | /api/v1/{index_id}/doc/{split_id}/{doc_id}
         if len(parts) < 4 or parts[:2] != ["api", "v1"] or parts[3] not in (
             "search",
             "termdict",
+            "doc",
         ):
             return self._err(404, f"no route for {url.path}")
         index_id = parts[2]
@@ -276,6 +281,27 @@ class _Handler(BaseHTTPRequestHandler):
             index_dir = os.path.join(self.index_root, index_id)
             if not Catalog.exists(index_dir):
                 return self._err(404, f"index {index_id!r} not found")
+        if parts[3] == "doc":
+            # single-document GET by (split_id, doc_id) address (the ES
+            # GET /index/_doc analog): one row-group-pruned doc-store read
+            if len(parts) != 6:
+                return self._err(404, f"no route for {url.path}")
+            if url.query:
+                return self._err(400, "doc route takes no query parameters")
+            try:
+                did = int(parts[5])
+            except ValueError:
+                return self._err(400, f"doc_id must be an integer: {parts[5]!r}")
+            from quickwit_spark.search.executor import fetch_doc
+
+            COUNTERS["doc"].inc()
+            with self.lock:
+                doc = fetch_doc(self.spark, index_dir, parts[4], did)
+            if doc is None:
+                return self._err(
+                    404, f"doc {parts[4]}/{did} not found (split gone or id absent)"
+                )
+            return self._reply(200, json.dumps(doc, indent=2).encode())
         if parts[3] == "termdict":
             # term-dictionary range scan (FST range-scan analog): terms of
             # an indexed field + global doc_freq, optional prefix window —

@@ -102,6 +102,26 @@ def test_search_endpoint_matches_library(spark, server, index_root):
     ]
 
 
+def test_doc_endpoint(server):
+    """GET /api/v1/{index}/doc/{split}/{doc} returns the stored fields of
+    one search hit's address; bad addresses 404, non-int doc_id 400s."""
+    code, body, _ = _get(f"{server}/api/v1/conv/search?query=deploy&maxHits=1&format=json")
+    hit = json.loads(body)["hits"][0]
+    code, body, _ = _get(f"{server}/api/v1/conv/doc/{hit['split_id']}/{hit['doc_id']}")
+    assert code == 200, body
+    doc = json.loads(body)
+    assert doc["split_id"] == hit["split_id"] and doc["doc_id"] == hit["doc_id"]
+    assert doc["text"] == hit["text"] and doc["conv_id"] == hit["conv_id"]
+    code, _, _ = _get(f"{server}/api/v1/conv/doc/no-such-split/0")
+    assert code == 404
+    code, _, _ = _get(f"{server}/api/v1/conv/doc/{hit['split_id']}/99999999")
+    assert code == 404
+    code, _, _ = _get(f"{server}/api/v1/conv/doc/{hit['split_id']}/abc")
+    assert code == 400
+    code, _, _ = _get(f"{server}/api/v1/conv/doc/{hit['split_id']}")
+    assert code == 404
+
+
 def test_search_endpoint_score_explain(server):
     """scoreExplain=true attaches the per-hit BM25 breakdown; each hit's
     contributions reproduce its reported score exactly."""
