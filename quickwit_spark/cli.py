@@ -577,9 +577,9 @@ def cmd_doc(args) -> dict:
     Spark job."""
     from quickwit_spark.search.executor import fetch_doc
 
-    spark = _get_spark("qw-doc", args.local_cpus, args.shuffle_partitions)
-    spark.sparkContext.setLogLevel("ERROR")
-    doc = fetch_doc(spark, args.index_dir, args.split, args.doc)
+    # no Spark session at all: fetch_doc is a driver-side pyarrow read
+    # (open_index accepts spark=None), so the CLI GET is near-instant
+    doc = fetch_doc(None, args.index_dir, args.split, args.doc)
     if doc is None:
         return {
             "cmd": "doc",

@@ -1508,7 +1508,8 @@ def make_split_scorer(
                 # (idf·tf_norm)·w, NOT w·idf·tf_norm: float association
                 # must match the WAND path's post-scale exactly, or a
                 # boosted term's score differs in the last ulp between
-                # strategies and exact-score search_after cursors break
+                # strategies and exact-score search_after cursors break.
+                # _attach_score_explain mirrors this body — change both
                 base = term_idf * tf_norm(tf, dl, avg)
                 scores[pv] += base * w if w != 1.0 else base
             # exists clauses score a constant boost per matching doc (ES
@@ -2611,7 +2612,13 @@ def _attach_score_explain(
     WAND (post-scale) and MaxScore (sorted-term summation) also match — so
     ``score_detail["score"]`` equals the hit's reported BM25 score
     BIT-exactly regardless of which strategy produced it (the same
-    invariant exact-score search_after cursors rely on)."""
+    invariant exact-score search_after cursors rely on).
+
+    NOTE this deliberately mirrors score_split's field_lens decode and
+    per-term scoring body (make_split_scorer): any change to the leaf's
+    scoring math MUST be replicated here in the same float-op order —
+    test_score_explain_bit_exact pins the equality across strategies and
+    fails on drift."""
     cat, config = open_index(spark, index_dir)
     ast = parse_query(request.query, config, request.search_fields)
     ast = expand_prefixes(spark, index_dir, cat, ast)
@@ -2711,7 +2718,9 @@ def _attach_score_explain(
             }
 
 
-def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> SearchResponse:
+def search(
+    spark: SparkSession, index_dir: str, request: SearchRequest, _retry: bool = False
+) -> SearchResponse:
     """single_node_search analog (lib.rs:153-198): returns collected hits +
     the total hit count (collector.rs:180-187)."""
     t0 = time.monotonic()
@@ -2736,7 +2745,16 @@ def search(spark: SparkSession, index_dir: str, request: SearchRequest) -> Searc
             max_chars=request.snippet_max_chars,
         )
     if request.score_explain and out:
-        _attach_score_explain(spark, index_dir, request, out)
+        try:
+            _attach_score_explain(spark, index_dir, request, out)
+        except SplitVanishedError:
+            # a merge+GC landed between the page read and the explain
+            # attach: the page's split addresses are stale, so re-run the
+            # WHOLE search once against the fresh catalog (the same
+            # retry/search.rs protocol _search_rows applies internally)
+            if _retry:
+                raise
+            return search(spark, index_dir, request, _retry=True)
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 
 

@@ -796,6 +796,12 @@ def _bind_field(node, fieldname: str):
     """Fill in the group's field on clauses that don't carry their own.
     An explicitly scoped inner clause wins (tantivy's set_default_field
     only supplies missing fields, it never overrides one)."""
+    if isinstance(node, AllQuery):
+        # 'field:(*)' — the parenthesized form of the exists syntax: the
+        # inner bare '*' lexed as match-all before the field bind, but a
+        # FIELD-scoped star means exists, never match-everything (silently
+        # widening to the whole index would be a correctness trap)
+        return _RawClause(fieldname, "", prefix=True)
     if isinstance(node, _RawClause):
         if node.field is not None:
             return node

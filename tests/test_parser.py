@@ -251,6 +251,10 @@ def test_prefix_query_rejections():
 
     assert parse_query("text:*", CFG) == ExistsQuery("text")
     assert parse_query("tool:*^2", CFG) == ExistsQuery("tool", boost=2.0)
+    # the parenthesized form binds the field onto the inner star: exists,
+    # NEVER match-all (a silently index-wide result would be a trap)
+    assert parse_query("tool:(*)", CFG) == ExistsQuery("tool")
+    assert parse_query("error OR tool:(*)", CFG).should[1] == ExistsQuery("tool")
     with pytest.raises(QueryParserError):
         parse_query("nosuch:*", CFG)  # unknown field
     with pytest.raises(QueryParserError, match="expansion|literal|prefix"):
