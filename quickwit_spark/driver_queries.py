@@ -670,6 +670,19 @@ def tx_chunk_windows(spark, sf_dir):
     ).select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
 
 
+def dd_remove_passages(spark, sf_dir):
+    """Passage-level dedup REMOVAL (keep-first winner) over the same
+    injected-duplicate corpus as dd_passage_dup: the injected copies lose
+    their duplicated windows (the originals keep theirs — lowest doc_id
+    wins), clean_text is the token-space reconstruction of the kept
+    windows in order."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dd.remove_dup_passages(d.unionByName(dup), window=16)
+
+
 def dd_passage_dup(spark, sf_dir):
     """Passage-level exact dedup stats over a corpus with deterministic
     injected duplicates (every 10th doc re-appended under doc_id+100000 —
@@ -943,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dedup_corpus": dd_dedup_corpus,
         "dd_decontaminate": dd_decontaminate,
         "dd_passage_dup": dd_passage_dup,
+        "dd_remove_passages": dd_remove_passages,
         "tx_sample": tx_sample,
         "tx_stratified_sample": tx_stratified_sample,
         "tx_token_count": tx_token_count,
@@ -1295,6 +1309,12 @@ FROM (
         ),
         "dd_decontaminate": dd.decontaminate_oracle_sql(
             "documents", TOKS, "doc_id % 50 = 0", 5
+        ),
+        "dd_remove_passages": dd.remove_dup_passages_sql(
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+            TOKS,
+            16,
         ),
         "dd_passage_dup": dd.passage_dup_oracle_sql(
             "(SELECT doc_id, text FROM documents UNION ALL "

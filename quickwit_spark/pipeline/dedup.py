@@ -248,6 +248,120 @@ def passage_dup_stats(
     )
 
 
+def remove_dup_passages(
+    df: DataFrame, window: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Passage-level dedup REMOVAL (the C4/RefinedWeb-style cleanup the
+    stats op above only measures): chop each doc into non-overlapping
+    ``window``-token passages, and KEEP-FIRST — a passage instance
+    survives iff its fingerprint is unique across docs OR this doc is the
+    lowest-id holder (Lee et al. 2022 keep one copy; dropping all copies
+    deletes information).  Returns (doc_id, clean_text, n_passages,
+    n_kept_passages) for every doc with tokens; ``clean_text`` is the
+    TOKEN-SPACE reconstruction (kept windows' tokens joined by single
+    spaces, in order) — training pipelines operate on token streams, and
+    exact byte-offset surgery would need per-token spans the tokenizer
+    deliberately does not keep.
+
+    100-TB plan: posexplode passages → one hash agg on the uniform md5
+    fingerprint space (min doc + distinct-doc count, map-side combined,
+    skew-free keys) → join back → per-doc sorted kept-window list → ONE
+    slice-and-flatten reconstruction against the let-bound token array.
+    The corpus text rides the plan twice (passage pass + reconstruction)
+    but is never collected."""
+    toks = tokens_col(text_col)
+
+    def passages_of(t):
+        n_pass = F.ceil(F.size(t) / F.lit(window)).cast("int")
+        return F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_pass - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(t, i * window + 1, window))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pass_arr = F.element_at(F.transform(F.array(toks), passages_of), 1)
+    passages = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(pass_arr).alias("idx", "fp")
+    )
+    freq = passages.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_fp"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    kept = (
+        passages.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        (F.col("n_docs_with_fp") == 1)
+                        | (F.col("doc_id") == F.col("first_doc")),
+                        F.col("idx"),
+                    )
+                )
+            ).alias("kept_idx"),
+        )
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__txt"))
+    rebuilt = src.join(kept, "doc_id").select(
+        F.col("doc_id"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.element_at(
+                    F.transform(
+                        F.array(tokens_col("__txt")),
+                        lambda t: F.transform(
+                            F.col("kept_idx"),
+                            lambda i: F.slice(t, i * window + 1, window),
+                        ),
+                    ),
+                    1,
+                )
+            ),
+        ).alias("clean_text"),
+        F.col("n_passages").cast("long").alias("n_passages"),
+        F.size("kept_idx").cast("long").alias("n_kept_passages"),
+    )
+    return rebuilt
+
+
+def remove_dup_passages_sql(table: str, toks_sql: str, window: int) -> str:
+    """DuckDB twin of remove_dup_passages (same keep-first rule, same
+    token-space reconstruction)."""
+    w = window
+    return f"""
+WITH toks AS (SELECT doc_id, {toks_sql} AS t FROM {table}),
+pass AS (
+  SELECT doc_id, CAST(i AS INT) AS idx,
+         md5(array_to_string(t[(CAST(i AS INT) * {w} + 1):(CAST(i AS INT) * {w} + {w})], ' ')) AS fp
+  FROM toks, unnest(range(0, CAST(ceil(len(t) / {w}.0) AS BIGINT))) AS u(i)
+  WHERE len(t) > 0
+),
+freq AS (SELECT fp, count(DISTINCT doc_id) AS n, min(doc_id) AS first_doc FROM pass GROUP BY fp),
+kept AS (
+  SELECT p.doc_id, p.idx FROM pass p JOIN freq USING (fp)
+  WHERE freq.n = 1 OR p.doc_id = freq.first_doc
+),
+agg AS (
+  SELECT p.doc_id, count(*) AS n_passages FROM pass p GROUP BY p.doc_id
+),
+rec AS (
+  SELECT k.doc_id,
+         string_agg(array_to_string(t[(k.idx * {w} + 1):(k.idx * {w} + {w})], ' '), ' ' ORDER BY k.idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept k JOIN toks USING (doc_id) GROUP BY k.doc_id
+)
+SELECT a.doc_id, COALESCE(rec.clean_text, '') AS clean_text,
+       CAST(a.n_passages AS BIGINT) AS n_passages,
+       CAST(COALESCE(rec.n_kept, 0) AS BIGINT) AS n_kept_passages
+FROM agg a LEFT JOIN rec ON rec.doc_id = a.doc_id
+"""
+
+
 def passage_dup_oracle_sql(table: str, toks_sql: str, window: int) -> str:
     """DuckDB twin of passage_dup_stats."""
     return f"""

@@ -133,6 +133,44 @@ def test_passage_dup_stats(spark):
     assert ora == out
 
 
+def test_remove_dup_passages(spark):
+    """Keep-first passage removal: the LOWEST doc_id holding a duplicated
+    window keeps it, every later holder drops it; unique and within-doc-
+    repeated windows survive everywhere; reconstruction preserves window
+    order; DuckDB differential agrees on the rebuilt text."""
+    w = 3
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),  # [a b c][d e f] — first holder of [a b c]
+            (1, "a b c x y z"),  # drops [a b c], keeps [x y z]
+            (2, "p q r p q r"),  # within-doc repeat only: keeps both
+            (3, "x y z a b c"),  # drops BOTH (doc 1 holds [x y z], doc 0 [a b c])
+            (4, ""),  # token-less → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_passages"], r["n_kept_passages"])
+        for r in dd.remove_dup_passages(corpus, window=w).collect()
+    }
+    assert out[0] == ("a b c d e f", 2, 2)
+    assert out[1] == ("x y z", 2, 1)
+    assert out[2] == ("p q r p q r", 2, 2)
+    assert out[3] == ("", 2, 0)
+    assert 4 not in out
+
+    import duckdb
+
+    corpus_pdf = corpus.toPandas()  # noqa: F841 — referenced by DuckDB SQL
+    ora = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(
+            dd.remove_dup_passages_sql("corpus_pdf", tx.duckdb_tokens("text"), w)
+        ).fetchall()
+    }
+    assert ora == out
+
+
 def test_decontaminate(spark):
     """GPT-3-style benchmark decontamination: docs sharing an n-gram with
     the benchmark set are flagged with exact distinct-gram counts; clean
