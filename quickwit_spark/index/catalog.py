@@ -10,12 +10,13 @@ The catalog's STATE MACHINE (this module) is backend-independent; the
 persistence + transaction layer is pluggable (metastore.py), mirroring the
 reference's Metastore trait with its two shipped implementations:
 
-* json (default) — the whole state as one JSON object PUT through the
-  storage abstraction (file-backed metastore analog); mutations are locked
-  read-modify-writes under an exclusive flock on `<index>/.catalog.lock`
-  on local filesystems.  On object stores there is no lock primitive; the
-  engine assumes ONE metastore-writer process there (exactly the
-  reference's metastore-service deployment shape).
+* json (local default) — the whole state as one JSON object PUT through
+  the storage abstraction (file-backed metastore analog); mutations are
+  locked read-modify-writes under an exclusive flock on
+  `<index>/.catalog.lock` on local filesystems.
+* cas (object-store default) — a generation-numbered commit log advanced
+  by conditional PUT (S3 If-None-Match class), giving lock-free
+  multi-writer safety on object stores (metastore.CasObjectBackend).
 * sqlite — normalized split rows + BEGIN IMMEDIATE transactions (the
   PostgreSQL-metastore analog; see metastore.SqliteBackend).
 

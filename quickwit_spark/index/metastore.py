@@ -10,8 +10,12 @@ the *persistence + transaction* layer is swapped underneath it:
 
 * ``JsonFileBackend`` — the whole catalog state as one JSON object PUT
   through the storage abstraction; mutations serialize via an exclusive
-  flock on local filesystems (object stores run single-metastore-writer,
-  the reference's metastore-service deployment shape).
+  flock on local filesystems.
+* ``CasObjectBackend`` — the object-store MULTI-WRITER backend: a
+  generation-numbered commit log (``catalog_log/gen-<N>.json``) advanced
+  by conditional PUT, so concurrent writer processes on S3-class storage
+  serialize through the store's own compare-and-swap instead of a lock
+  (default for non-local index dirs).
 * ``SqliteBackend`` — the SQL-metastore analog (stdlib ``sqlite3``; the
   sandbox's PostgreSQL stand-in).  Split metadata is NORMALIZED into rows
   (one row per split, exactly like postgresql_metastore.rs's ``splits``
@@ -38,6 +42,135 @@ from typing import Callable
 
 JSON_FILENAME = "catalog.json"
 SQLITE_FILENAME = "catalog.sqlite"
+CAS_LOG_DIRNAME = "catalog_log"
+
+
+class CasObjectBackend:
+    """Object-store-safe MULTI-WRITER metastore: a generation-numbered
+    commit log driven by conditional PUT (``Storage.put_if_absent``).
+
+    The round-2 restriction this removes: the JSON backend has no lock
+    primitive on object stores, so those deployments were documented
+    single-metastore-writer.  Real object stores *do* ship the needed
+    primitive — conditional PUT (S3 ``If-None-Match``, GCS
+    ``if-generation-match``) — and the standard commit protocol built on
+    it is the Delta-Lake-style log: each commit is an immutable object
+    ``catalog_log/gen-<N>.json`` created with put-if-absent, and whoever
+    creates generation N+1 first wins; losers reload and retry.  (The
+    reference reaches the same guarantee differently — a PostgreSQL
+    metastore, quickwit-metastore/src/postgresql_metastore.rs — because
+    tantivy-era S3 had no conditional writes; today the store itself can
+    arbitrate.)
+
+    Each generation object holds the FULL catalog state, like the
+    file-backed metastore; readers LIST the log prefix and GET the
+    highest generation.  Old generations are pruned at commit time,
+    keeping a safety window so a reader that just LISTed never GETs a
+    vanished object (and if it somehow does, it re-LISTs).  At 10^4
+    splits a commit re-PUTs the whole state — the same O(catalog) cost
+    the reference's file-backed metastore pays; deployments hot enough to
+    feel that graduate to the SQL backend, exactly as in the reference.
+    """
+
+    kind = "cas"
+    KEEP_GENERATIONS = 16
+    MAX_COMMIT_ATTEMPTS = 256
+
+    def __init__(self, index_dir: str, storage):
+        self.index_dir = index_dir
+        self.storage = storage
+        self.log_dir = os.path.join(index_dir, CAS_LOG_DIRNAME)
+        self.path = self.log_dir
+
+    def _gen_path(self, gen: int) -> str:
+        return os.path.join(self.log_dir, f"gen-{gen:012d}.json")
+
+    def _list_gens(self) -> list[int]:
+        gens = []
+        for p in self.storage.list_files(self.log_dir, suffix=".json"):
+            name = p.rsplit("/", 1)[-1]
+            if name.startswith("gen-"):
+                try:
+                    gens.append(int(name[4:-5]))
+                except ValueError:
+                    pass
+        gens.sort()
+        return gens
+
+    def exists(self) -> bool:
+        return bool(self._list_gens())
+
+    def _latest(self) -> tuple[int, dict | None]:
+        """(generation, state) of the newest commit; (0, None) on a fresh
+        log.  A GET that loses a prune race (possible only for a reader
+        stalled past the KEEP_GENERATIONS window) re-LISTs."""
+        for _ in range(8):
+            gens = self._list_gens()
+            if not gens:
+                return 0, None
+            g = gens[-1]
+            try:
+                return g, json.loads(self.storage.read_bytes(self._gen_path(g)))
+            except (FileNotFoundError, OSError):
+                continue
+        raise RuntimeError(
+            f"catalog log at {self.log_dir} kept vanishing under reads"
+        )
+
+    def load(self) -> dict | None:
+        return self._latest()[1]
+
+    def _commit(self, make_state: Callable[[dict | None], dict]) -> dict:
+        """CAS loop: read latest gen G, build the next state, put-if-absent
+        gen G+1.  Lost race → reload and retry with fresh state, so racing
+        writers serialize without locks and nobody's update is lost."""
+        import random
+        import time
+
+        for attempt in range(self.MAX_COMMIT_ATTEMPTS):
+            gen, persisted = self._latest()
+            state = make_state(persisted)
+            data = json.dumps(state).encode("utf-8")
+            if self.storage.put_if_absent(self._gen_path(gen + 1), data):
+                self._prune(gen + 1)
+                return state
+            # exponential backoff with jitter so N racing committers fan out
+            time.sleep(
+                min(0.1, 0.002 * (2 ** min(attempt, 5))) * (0.5 + random.random())
+            )
+        raise RuntimeError(
+            f"catalog CAS commit lost {self.MAX_COMMIT_ATTEMPTS} consecutive "
+            f"races at {self.log_dir}"
+        )
+
+    def rmw(self, fn: Callable[[dict], None], initial: dict) -> dict:
+        import copy
+
+        def make(persisted: dict | None) -> dict:
+            state = persisted if persisted is not None else copy.deepcopy(initial)
+            fn(state)
+            return state
+
+        return self._commit(make)
+
+    def put(self, state: dict) -> None:
+        # wholesale overwrite (single-writer _save flows) — still claims a
+        # unique generation so it cannot tear a concurrent rmw's commit
+        self._commit(lambda _persisted: state)
+
+    def _prune(self, latest: int) -> None:
+        """Best-effort delete of generations older than the safety window;
+        every committer prunes, so the log stays O(KEEP_GENERATIONS)."""
+        cutoff = latest - self.KEEP_GENERATIONS
+        if cutoff <= 0:
+            return
+        for g in self._list_gens():
+            if g < cutoff:
+                self.storage.delete_file(self._gen_path(g))
+
+    def state_token(self) -> tuple | None:
+        gens = self._list_gens()
+        return ("cas", gens[-1]) if gens else None
 
 
 class JsonFileBackend:
@@ -280,28 +413,48 @@ class SqliteBackend:
 
 
 def resolve_backend(index_dir: str, storage, metastore: str | None = None):
-    """Pick the backend for ``index_dir``.  An existing catalog file wins
-    (you can't change an index's metastore by env var); otherwise the
-    explicit ``metastore`` argument, then ``$QW_METASTORE``, then json."""
+    """Pick the backend for ``index_dir``.  An existing catalog wins (you
+    can't change an index's metastore by env var); otherwise the explicit
+    ``metastore`` argument, then ``$QW_METASTORE``, then the default for
+    the storage class: json on local filesystems (flock'd single file),
+    cas on object stores (multi-writer conditional-put log)."""
     json_b = JsonFileBackend(index_dir, storage)
+    cas_b = CasObjectBackend(index_dir, storage)
     sqlite_path = (
         os.path.join(storage.fs_path(index_dir), SQLITE_FILENAME)
         if storage.is_local
         else None
     )
     sqlite_exists = sqlite_path is not None and os.path.exists(sqlite_path)
-    if json_b.exists():
-        if sqlite_exists:
-            raise ValueError(
-                f"{index_dir} has BOTH {JSON_FILENAME} and {SQLITE_FILENAME}; "
-                "delete one"
-            )
-        return json_b
-    if sqlite_exists:
-        return SqliteBackend(index_dir, storage)
-    kind = (metastore or os.environ.get("QW_METASTORE") or "json").lower()
+    present = [
+        b
+        for b, here in (
+            (json_b, json_b.exists()),
+            ("sqlite", sqlite_exists),
+            (cas_b, cas_b.exists()),
+        )
+        if here
+    ]
+    if len(present) > 1:
+        raise ValueError(
+            f"{index_dir} has more than one catalog "
+            f"({JSON_FILENAME}/{SQLITE_FILENAME}/{CAS_LOG_DIRNAME}); delete "
+            "all but one"
+        )
+    if present:
+        b = present[0]
+        return SqliteBackend(index_dir, storage) if b == "sqlite" else b
+    kind = (
+        metastore
+        or os.environ.get("QW_METASTORE")
+        or ("json" if storage.is_local else "cas")
+    ).lower()
     if kind == "json":
         return json_b
     if kind == "sqlite":
         return SqliteBackend(index_dir, storage)
-    raise ValueError(f"unknown metastore kind {kind!r} (expected json|sqlite)")
+    if kind == "cas":
+        return cas_b
+    raise ValueError(
+        f"unknown metastore kind {kind!r} (expected json|sqlite|cas)"
+    )

@@ -256,6 +256,60 @@ class Storage:
         writer = pq.ParquetWriter(fsp, schema, compression="snappy", filesystem=self.fs)
         return writer, lambda: None
 
+    # -- conditional writes -------------------------------------------------
+    def put_if_absent(self, logical: str, data: bytes) -> bool:
+        """Conditional whole-object PUT: create the object with ``data``
+        only if it does not already exist, ATOMICALLY across processes —
+        the compare-and-swap primitive the CAS metastore's generation log
+        commits through (metastore.CasObjectBackend).
+
+        This is S3's ``If-None-Match: *`` conditional write (a standard
+        S3 feature since late 2024), GCS's ``x-goog-if-generation-match:
+        0``, and Azure's ``If-None-Match: *`` — every major object store
+        has it.  pyarrow.fs cannot express the precondition header, so:
+
+        * local-backed schemes (plain paths, file://, qwsim://) implement
+          it exactly: the content is staged to a temp name, then
+          hard-linked into place — ``link(2)`` is an atomic
+          create-exclusive that fails with EEXIST if the key is taken, so
+          the winner's object appears whole (never torn) and the loser
+          learns it lost, precisely the conditional-PUT contract.  The
+          qwsim:// object-store simulator thus ENFORCES the semantics the
+          engine relies on (no rename anywhere: link creates a new name,
+          it never moves or replaces one).
+        * real remote filesystems raise until wired to their store's
+          conditional-put API — committing without the precondition would
+          silently lose racing catalog updates, the exact bug this
+          primitive exists to prevent.
+
+        Returns True iff this call created the object.
+        """
+        if self.scheme not in ("", "file", "qwsim"):
+            raise NotImplementedError(
+                f"put_if_absent on scheme {self.scheme!r}: pyarrow.fs cannot "
+                "send conditional-put preconditions (S3 If-None-Match / GCS "
+                "if-generation-match); wire the store's native API here "
+                "before running a multi-writer metastore on it"
+            )
+        fsp = self.fs_path(logical)
+        d = os.path.dirname(fsp)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = f"{fsp}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+            try:
+                os.link(tmp, fsp)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
     # -- deletes -------------------------------------------------------------
     def delete_dir(self, logical: str) -> None:
         try:

@@ -30,12 +30,18 @@ from quickwit_spark.index.catalog import (
 )
 
 
-@pytest.fixture(params=["json", "sqlite"])
+@pytest.fixture(params=["json", "sqlite", "cas", "cas-qwsim"])
 def cat(tmp_path, request):
-    """The whole suite runs against BOTH metastore backends — the
+    """The whole suite runs against ALL metastore backends — the
     reference's shared contract suite exercises its file-backed AND
     PostgreSQL metastores through one trait (tests.rs + the
-    metastore_for_test matrix); sqlite is the SQL-metastore analog here."""
+    metastore_for_test matrix); sqlite is the SQL-metastore analog here,
+    and cas is the object-store conditional-put log, exercised both on a
+    plain local path and through the qwsim:// object-store simulator."""
+    if request.param == "cas-qwsim":
+        return Catalog.create(
+            f"qwsim://{tmp_path}/idx", {"index_id": "contract"}, metastore="cas"
+        )
     return Catalog.create(
         str(tmp_path / "idx"), {"index_id": "contract"}, metastore=request.param
     )
@@ -271,17 +277,25 @@ def _race_gc(index_dir: str, stop_flag) -> None:
         garbage_collect(index_dir, deletion_grace_secs=0.0)
 
 
-@pytest.mark.parametrize("metastore", ["json", "sqlite"])
+@pytest.mark.parametrize("metastore", ["json", "sqlite", "cas", "cas-qwsim"])
 def test_processes_racing_publish_merge_gc(tmp_path, metastore):
-    """Two+ OS processes racing stage/publish/replace/mark while a janitor
-    process garbage-collects concurrently: every checkpoint partition ends
-    at its writer's last position (no lost publish), replace never
-    double-spends an input, and GC's staged grace never eats an in-flight
-    staged split — the reference metastore's concurrent-writers contract
-    (tests.rs) plus garbage_collector.rs running alongside."""
+    """Three OS writer processes racing stage/publish/replace/mark while a
+    janitor process garbage-collects concurrently: every checkpoint
+    partition ends at its writer's last position (no lost publish),
+    replace never double-spends an input, and GC's staged grace never eats
+    an in-flight staged split — the reference metastore's
+    concurrent-writers contract (tests.rs) plus garbage_collector.rs
+    running alongside.  The cas-qwsim variant runs the same race through
+    the qwsim:// object-store simulator, where the only commit primitive
+    is conditional PUT — no flock, no rename — proving the multi-writer
+    metastore contract holds on object storage."""
     import multiprocessing as mp
 
-    index_dir = str(tmp_path / "race_lifecycle")
+    if metastore == "cas-qwsim":
+        index_dir = f"qwsim://{tmp_path}/race_lifecycle"
+        metastore = "cas"
+    else:
+        index_dir = str(tmp_path / "race_lifecycle")
     Catalog.create(index_dir, {"index_id": "race"}, metastore=metastore)
     rounds = 24
     stop = mp.Event()

@@ -110,15 +110,20 @@ def test_object_store_gc_deletes_marked_splits(spark, twin_indexes):
     assert on_disk == live
 
 
-@pytest.mark.parametrize("metastore", ["json", "sqlite"])
+@pytest.mark.parametrize("metastore", ["json", "sqlite", "cas-qwsim"])
 def test_catalog_concurrent_writers(tmp_path, metastore):
     """Processes racing catalog mutations must serialize — flock'd
-    read-modify-write (json) or BEGIN IMMEDIATE transactions (sqlite) —
-    and never lose updates: the metastore contract analog
-    (quickwit-metastore/src/tests.rs) run against BOTH backends."""
+    read-modify-write (json), BEGIN IMMEDIATE transactions (sqlite), or
+    conditional-put CAS on the object-store simulator (cas-qwsim) — and
+    never lose updates: the metastore contract analog
+    (quickwit-metastore/src/tests.rs) run against ALL backends."""
     import multiprocessing as mp
 
-    index_dir = str(tmp_path / "race_idx")
+    if metastore == "cas-qwsim":
+        index_dir = f"qwsim://{tmp_path}/race_idx"
+        metastore = "cas"
+    else:
+        index_dir = str(tmp_path / "race_idx")
     Catalog.create(index_dir, {"index_id": "race"}, metastore=metastore)
 
     def stage_many(start: int):
