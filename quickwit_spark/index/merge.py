@@ -355,6 +355,22 @@ def execute_merge_round(
         )
     _mark("fastfields")
 
+    # --- hotcache sidecars for the new splits (single-read cold open) -------
+    # written BEFORE the failpoint/stage so a crash leaves the sidecar as
+    # invisible garbage with the rest of the unpublished split dirs; a
+    # small thread pool amortizes the per-part tail GETs
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .hotcache import write_split_hotcache
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(
+            pool.map(
+                lambda op: write_split_hotcache(paths, op.output_split_id), ops
+            )
+        )
+    _mark("hotcache")
+
     # --- metadata + atomic replaces ------------------------------------------
     if failpoint is not None:  # 'before-merge-publish' injection point
         failpoint("before-publish")  # (merge_executor.rs:287,294 analog)

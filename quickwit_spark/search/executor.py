@@ -127,6 +127,9 @@ def _fetch_doc_fields(
     handful of groups.  Dataset handles are cached per split (immutable)."""
     import pyarrow.dataset as pads
 
+    hc = _cached_hotcache(index_dir, split_id)
+    if hc is not None:
+        return _hotcache_fetch_docs(hc, storage_for(index_dir), doc_ids, cols)
     dset = _cached_docs_dataset(index_dir, split_id)
     if dset is None:
         return pd.DataFrame(columns=cols)
@@ -143,6 +146,42 @@ def _fetch_doc_fields(
             f"split vanished during doc fetch: {split_id}"
         ) from e
     return table.to_pandas()
+
+
+def _hotcache_fetch_docs(hc, st, doc_ids, cols: list[str]) -> pd.DataFrame:
+    """Doc-store fetch through the hotcache's cached footers: doc_id
+    row-group stats prune (files are doc_id-sorted in 8k-row groups), the
+    selected groups are ranged-read with column projection — zero LISTs
+    and zero footer GETs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = sorted({int(x) for x in doc_ids})
+    read_cols = cols if "doc_id" in cols else [*cols, "doc_id"]
+    parts = []
+    for name, _size in hc.files("docs"):
+        try:
+            pf = hc.parquet_file(st, "docs", name)
+            md = pf.metadata
+            idx = {md.schema.column(j).name: j for j in range(md.num_columns)}
+            groups = []
+            for g in range(md.num_row_groups):
+                mm = _stat_minmax(md.row_group(g).column(idx["doc_id"]).statistics)
+                if mm is not None and not any(mm[0] <= i <= mm[1] for i in ids):
+                    continue
+                groups.append(g)
+            if not groups:
+                continue
+            tbl = pf.read_row_groups(groups, columns=read_cols)
+        except (FileNotFoundError, OSError) as e:
+            raise SplitVanishedError(
+                f"split vanished during doc fetch: {hc.split_id}"
+            ) from e
+        tbl = tbl.filter(pc.is_in(tbl.column("doc_id"), value_set=pa.array(ids)))
+        parts.append(tbl.select(cols).to_pandas())
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
 
 @dataclass
@@ -1720,6 +1759,7 @@ def _leaf_hits_df(
 
 def _split_files(index_dir: str, table: str, split_id: str) -> list[str]:
     d = os.path.join(index_dir, table, f"split_id={split_id}")
+    _count_read("list")
     return storage_for(index_dir).list_files(d)
 
 
@@ -1745,6 +1785,96 @@ def _limit_arrow_threads():
 _WORKER_FF_CACHE: dict = {}
 _WORKER_DSET_CACHE: dict = {}
 
+# -- split-open storage-read accounting --------------------------------------
+# Counts the storage round trips a split open performs BEFORE the first
+# postings data byte (HEAD/GET/LIST/parquet-footer reads).  The hotcache
+# path costs exactly 2 per cold split (1 HEAD epoch probe + 1 hotcache
+# GET); the legacy listing path costs 2 LISTs + a footer GET per postings
+# part.  Tests and the BASELINE.md cold-open evidence read these.
+_OPEN_READS = {"head": 0, "get": 0, "list": 0, "footer": 0}
+
+
+def _count_read(kind: str, n: int = 1) -> None:
+    _OPEN_READS[kind] = _OPEN_READS.get(kind, 0) + n
+
+
+def split_open_read_counts(reset: bool = False) -> dict:
+    out = dict(_OPEN_READS)
+    if reset:
+        for k in _OPEN_READS:
+            _OPEN_READS[k] = 0
+    return out
+
+
+def _hotcache_enabled(st) -> bool:
+    """Hotcache serves the read path on object stores (where round trips
+    dominate a cold open); local filesystems keep mmap'd pyarrow datasets.
+    QW_FORCE_HOTCACHE=1 forces it on local paths (tests / A-B timing)."""
+    return (not st.is_local) or os.environ.get("QW_FORCE_HOTCACHE") == "1"
+
+
+_WORKER_HOTCACHE_CACHE: dict = {}
+_HOTCACHE_CACHE_BYTES = [0]
+# (index_dir, split_id) → (probe_deadline, hc_or_None): within the TTL the
+# epoch HEAD is skipped entirely, so the fastfields and postings opens of
+# ONE query share a single probe (and a split with no sidecar — pre-
+# hotcache build — doesn't pay a HEAD per table).  2 s bounds staleness:
+# published splits are immutable, so only a delete-and-rebuild at the same
+# path could change the object, and the driver re-plans from the catalog
+# token on that event anyway.
+_HOTCACHE_PROBE_MEMO: dict = {}
+_HOTCACHE_PROBE_TTL = 2.0
+
+
+def _cached_hotcache(index_dir: str, split_id: str):
+    """The split's parsed hotcache sidecar, or None (local storage, or a
+    split written before hotcache existed → caller falls back to the
+    listing path).  Cold cost: ONE HEAD (the epoch token — rebuilds at the
+    same path must invalidate worker caches) + ONE GET."""
+    import time as _time
+
+    import pyarrow.fs as pafs
+
+    from ..index.hotcache import Hotcache, hotcache_path
+
+    st = storage_for(index_dir)
+    if not _hotcache_enabled(st):
+        return None
+    memo_key = (index_dir, split_id)
+    memo = _HOTCACHE_PROBE_MEMO.get(memo_key)
+    now = _time.monotonic()
+    if memo is not None and now < memo[0]:
+        return memo[1]
+    path = hotcache_path(index_dir, split_id)
+    _count_read("head")
+    info = st.info(path)
+    if info.type != pafs.FileType.File:
+        _lru_put(_HOTCACHE_PROBE_MEMO, memo_key, (now + _HOTCACHE_PROBE_TTL, None), 4096)
+        return None
+    token = (info.mtime_ns, info.size)
+    key = (index_dir, split_id, token)
+    hc = _WORKER_HOTCACHE_CACHE.get(key)
+    if hc is not None:
+        _lru_put(_HOTCACHE_PROBE_MEMO, memo_key, (now + _HOTCACHE_PROBE_TTL, hc), 4096)
+        return hc
+    _count_read("get")
+    try:
+        hc = Hotcache(index_dir, split_id, st.read_bytes(path), token)
+    except (FileNotFoundError, OSError, ValueError):
+        return None  # vanished/foreign-version sidecar → listing fallback
+    cap = int(os.environ.get("QW_HOTCACHE_CACHE_MB", "512")) << 20
+    if hc.nbytes <= cap:
+        old = _WORKER_HOTCACHE_CACHE.pop(key, None)
+        if old is not None:
+            _HOTCACHE_CACHE_BYTES[0] -= old.nbytes
+        _WORKER_HOTCACHE_CACHE[key] = hc
+        _HOTCACHE_CACHE_BYTES[0] += hc.nbytes
+        while _HOTCACHE_CACHE_BYTES[0] > cap and _WORKER_HOTCACHE_CACHE:
+            oldest = next(iter(_WORKER_HOTCACHE_CACHE))
+            _HOTCACHE_CACHE_BYTES[0] -= _WORKER_HOTCACHE_CACHE.pop(oldest).nbytes
+    _lru_put(_HOTCACHE_PROBE_MEMO, memo_key, (now + _HOTCACHE_PROBE_TTL, hc), 4096)
+    return hc
+
 
 def _lru_put(cache: dict, key, value, cap: int):
     cache[key] = value
@@ -1763,11 +1893,17 @@ def _split_epoch(index_dir: str, table: str, split_id: str) -> float:
     st = storage_for(index_dir)
     path = os.path.join(index_dir, table, f"split_id={split_id}")
     if st.is_local:
+        _count_read("head")
         return st.mtime(path)
+    _count_read("list")
     return st.listing_fingerprint(path)
 
 
 def _cached_fastfields(index_dir: str, split_id: str) -> pd.DataFrame | None:
+    hc = _cached_hotcache(index_dir, split_id)
+    if hc is not None:
+        # embedded in the hotcache sidecar: zero further storage reads
+        return hc.fastfields_pdf()
     key = (index_dir, split_id, _split_epoch(index_dir, "fastfields", split_id))
     if key in _WORKER_FF_CACHE:
         return _WORKER_FF_CACHE[key]
@@ -1803,9 +1939,71 @@ def _cached_postings_dataset(index_dir: str, split_id: str):
         return _WORKER_DSET_CACHE[key]
     st = storage_for(index_dir)
     files = _split_files(index_dir, "postings", split_id)
+    _count_read("footer", len(files))  # dataset open parses each part's footer
     dset = st.dataset(files) if files else None
     _lru_put(_WORKER_DSET_CACHE, key, dset, 256)
     return dset
+
+
+def _stat_minmax(col_stats):
+    if col_stats is None or not col_stats.has_min_max:
+        return None
+    return col_stats.min, col_stats.max
+
+
+def _hotcache_read_postings(
+    hc, st, buckets: list[int], terms: list[tuple[str, str]]
+) -> pd.DataFrame:
+    """Postings rows for ``terms`` via the hotcache: row groups are pruned
+    with the FOOTER-CACHED statistics (bucket ∧ field ∧ term min/max — the
+    same superset the dataset filter path prunes with), selected groups are
+    fetched as coalesced ranged reads, and rows are filtered exactly.
+    Zero LISTs, zero footer GETs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    want_fields = sorted({f_ for f_, _ in terms})
+    want_terms = sorted({t_ for _, t_ in terms})
+    bucket_set = set(buckets or [])
+    parts: list[pd.DataFrame] = []
+    for name, _size in hc.files("postings"):
+        try:
+            pf = hc.parquet_file(st, "postings", name)
+            md = pf.metadata
+            idx = {md.schema.column(j).name: j for j in range(md.num_columns)}
+            groups = []
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                bk = _stat_minmax(rg.column(idx["bucket"]).statistics)
+                if bucket_set and bk is not None and not any(
+                    bk[0] <= b <= bk[1] for b in bucket_set
+                ):
+                    continue
+                fd = _stat_minmax(rg.column(idx["field"]).statistics)
+                if fd is not None and not any(fd[0] <= f_ <= fd[1] for f_ in want_fields):
+                    continue
+                tm = _stat_minmax(rg.column(idx["term"]).statistics)
+                if tm is not None and not any(tm[0] <= t_ <= tm[1] for t_ in want_terms):
+                    continue
+                groups.append(g)
+            if not groups:
+                continue
+            tbl = pf.read_row_groups(groups)
+        except (FileNotFoundError, OSError) as e:
+            raise SplitVanishedError(
+                f"split vanished during postings read: {hc.split_id}"
+            ) from e
+        mask = None
+        for f_, t_ in terms:
+            c = pc.and_(
+                pc.equal(tbl.column("field"), pa.scalar(f_)),
+                pc.equal(tbl.column("term"), pa.scalar(t_)),
+            )
+            mask = c if mask is None else pc.or_(mask, c)
+        parts.append(tbl.filter(mask).to_pandas())
+    if not parts:
+        return pd.DataFrame(columns=["field", "term"])
+    return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
 
 # Posting-row cache: (index_dir, split_id, field, term) → 0..n-row pdf.
@@ -1854,7 +2052,14 @@ def _read_split_postings(
     import pyarrow.dataset as pads
 
     cap = _postings_cache_cap()
-    epoch = _split_epoch(index_dir, "postings", split_id) if cap else 0.0
+    hc = _cached_hotcache(index_dir, split_id)
+    if cap:
+        epoch = (
+            hc.token if hc is not None
+            else _split_epoch(index_dir, "postings", split_id)
+        )
+    else:
+        epoch = 0.0
     parts: list[pd.DataFrame] = []
     missing: list[tuple[str, str]] = []
     for key in terms:
@@ -1864,25 +2069,30 @@ def _read_split_postings(
         else:
             missing.append(key)
     if missing:
-        dset = _cached_postings_dataset(index_dir, split_id)
-        cond = None
-        for f_, t_ in missing:
-            c = (pads.field("field") == f_) & (pads.field("term") == t_)
-            cond = c if cond is None else (cond | c)
-        if dset is None:
-            pdf = pd.DataFrame(columns=["field", "term"])
+        if hc is not None:
+            pdf = _hotcache_read_postings(
+                hc, storage_for(index_dir), buckets, missing
+            )
         else:
-            if buckets:
-                # superset of the missing terms' buckets — pruning only
-                cond = pads.field("bucket").isin(buckets) & cond
-            try:
-                pdf = dset.to_table(filter=cond).to_pandas()
-            except FileNotFoundError as e:
-                # listing→read race with a concurrent merge+GC: vanished-
-                # split protocol (the leaf runner yields __vanished__)
-                raise SplitVanishedError(
-                    f"split vanished during postings read: {split_id}"
-                ) from e
+            dset = _cached_postings_dataset(index_dir, split_id)
+            cond = None
+            for f_, t_ in missing:
+                c = (pads.field("field") == f_) & (pads.field("term") == t_)
+                cond = c if cond is None else (cond | c)
+            if dset is None:
+                pdf = pd.DataFrame(columns=["field", "term"])
+            else:
+                if buckets:
+                    # superset of the missing terms' buckets — pruning only
+                    cond = pads.field("bucket").isin(buckets) & cond
+                try:
+                    pdf = dset.to_table(filter=cond).to_pandas()
+                except FileNotFoundError as e:
+                    # listing→read race with a concurrent merge+GC: vanished-
+                    # split protocol (the leaf runner yields __vanished__)
+                    raise SplitVanishedError(
+                        f"split vanished during postings read: {split_id}"
+                    ) from e
         for key in missing:
             sub = pdf[(pdf["field"] == key[0]) & (pdf["term"] == key[1])] if len(pdf) else pdf
             if cap:
@@ -2525,7 +2735,12 @@ def _fetch_page_fields(
     for r in page:
         by_split.setdefault(r["split_id"], []).append(int(r["doc_id"]))
     for sid, ids in by_split.items():
-        if _cached_docs_dataset(index_dir, sid) is None:  # GC raced us
+        # hotcache presence doubles as the GC-race liveness probe (its own
+        # reads raise SplitVanishedError); only the listing path needs the
+        # explicit dataset check
+        if _cached_hotcache(index_dir, sid) is None and (
+            _cached_docs_dataset(index_dir, sid) is None
+        ):  # GC raced us
             raise SplitVanishedError(f"split vanished during fetch: {sid}")
         pdf = _fetch_doc_fields(index_dir, sid, ids, cols)
         fields = {int(row[cols.index("doc_id")]): row for row in pdf.itertuples(index=False, name=None)}
