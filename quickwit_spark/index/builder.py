@@ -155,6 +155,10 @@ def _paths(index_dir: str) -> dict[str, str]:
         # material for the index-level term-stats deltas (see
         # _write_termstats_delta); GC'd with the split like any table
         "termstats": os.path.join(index_dir, "termstats"),
+        # single-read cold-open sidecar (file listing + parquet footer
+        # tails + full fastfields payload; hotcache.py); GC'd with the
+        # split like any table
+        "hotcache": os.path.join(index_dir, "hotcache"),
     }
 
 
@@ -619,7 +623,13 @@ def _termstats_schema():
             ("field", pa.string()),
             ("term", pa.string()),
             ("doc_freq", pa.int64()),
-        ]
+        ],
+        # format-version stamp (split_metadata_version.rs analog for the
+        # LSM deltas): readers key on column names/types — which parquet
+        # evolves safely — so absence (rounds 1-2) reads fine; the stamp
+        # lets a future breaking change detect old files instead of
+        # misreading them
+        metadata={b"qw_termstats_version": b"1"},
     )
 
 
@@ -1192,6 +1202,11 @@ class _SplitAccumulator:
                 {"seg_id": r[0], "num_docs": r[2]} for r in ff_rows
             ],
         }
+        # single-read cold-open sidecar, written while this task still
+        # holds the split (split.rs:103-180 bundle-finalize analog)
+        from .hotcache import write_split_hotcache
+
+        write_split_hotcache(self.paths, self.split_id)
         return self.split_id, json.dumps(meta)
 
 

@@ -47,6 +47,22 @@ STAGED = "Staged"
 PUBLISHED = "Published"
 MARKED_FOR_DELETION = "MarkedForDeletion"
 
+# Serialized-metadata versioning (split_metadata_version.rs + the
+# backward_compatibility_tests/ fixture suite analog).  The catalog state
+# carries "version"; rounds 1-2 wrote none (= version 0) and every state
+# they persisted still loads — tests/golden/compat_r2_index pins a frozen
+# round-2 index end-to-end.  Opening a FUTURE version fails loudly: newer
+# engines may rely on invariants this one cannot check.  Mutating an old
+# catalog upgrades it on write (the reference's upgrade-on-deserialize).
+CATALOG_VERSION = 3
+# version stamped on each split's metadata row at stage time; 0 = row
+# written before versioning existed (fully readable)
+SPLIT_FORMAT_VERSION = 1
+
+
+class CatalogFromFutureError(Exception):
+    """Catalog written by a newer engine version than this one."""
+
 
 class IncompatibleCheckpointDelta(Exception):
     """Overlapping / regressing checkpoint delta (reference checkpoint.rs:299-353)."""
@@ -72,6 +88,9 @@ class SplitMetadata:
     ts_max: int | None = None
     tags: list[str] = field(default_factory=list)
     num_merge_ops: int = 0
+    # metadata-row format version (SPLIT_FORMAT_VERSION at stage time;
+    # 0 = pre-versioning row)
+    format_version: int = 0
     # demux lineage (reference SplitMetadata.demux_num_ops): a demuxed
     # split is MATURE for merge no matter how small — re-merging it would
     # undo the tenant clustering (merge_policy.rs:247-249)
@@ -99,6 +118,7 @@ class SplitMetadata:
 
 def _fresh_state() -> dict:
     return {
+        "version": CATALOG_VERSION,
         "config": None,
         "splits": {},  # split_id -> SplitMetadata dict
         "checkpoint": {},  # partition_id -> position (lexicographic order = natural)
@@ -114,6 +134,16 @@ def _fresh_state() -> dict:
     }
 
 
+def _check_version(state: dict, index_dir: str) -> None:
+    v = state.get("version", 0)
+    if isinstance(v, int) and v > CATALOG_VERSION:
+        raise CatalogFromFutureError(
+            f"catalog at {index_dir} is version {v}, written by a newer "
+            f"engine (this one reads <= {CATALOG_VERSION}); upgrade before "
+            "opening it"
+        )
+
+
 class Catalog:
     def __init__(self, index_dir: str, metastore: str | None = None):
         self.index_dir = index_dir
@@ -125,6 +155,7 @@ class Catalog:
     def _load(self) -> dict | None:
         state = self.backend.load()
         if state is not None:
+            _check_version(state, self.index_dir)
             # catalogs written before termstats existed: mark incomplete
             state.setdefault("termstats", {"deltas": [], "complete": False})
         return state
@@ -137,8 +168,11 @@ class Catalog:
         updates."""
 
         def norm_fn(state):
+            _check_version(state, self.index_dir)
             # catalogs written before termstats existed: mark incomplete
             state.setdefault("termstats", {"deltas": [], "complete": False})
+            # upgrade-on-write: any mutation stamps the current version
+            state["version"] = CATALOG_VERSION
             fn(state)
 
         self._state = self.backend.rmw(norm_fn, self._state)
@@ -212,6 +246,7 @@ class Catalog:
         for meta in metas:
             meta.state = STAGED
             meta.update_ts = now
+            meta.format_version = SPLIT_FORMAT_VERSION
 
         def apply(state):
             for meta in metas:
