@@ -40,7 +40,7 @@ CACHE_ROOT = "/tmp/qwspark_index_cache"
 # fastfields table gained ff_turn_idx.
 # v3: single-job in-task build, crc32 term buckets (was xxhash64 — stale
 # caches would silently mis-prune the postings scan)
-CONFIG_VERSION = "v7"
+CONFIG_VERSION = "v8"  # v8: postings carry block_tf_cum positions skip data
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

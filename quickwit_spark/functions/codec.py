@@ -431,7 +431,7 @@ def merge_posting_groups(
     shared by the split-merge executor and the builder's in-task chunk
     merge.  Returns one row tail per group:
     (doc_freq, total_tf, blob, positions, lens, block_last_doc,
-    block_max_tf, block_min_len).
+    block_max_tf, block_min_len, block_tf_cum).
     """
     n = len(blobs)
     gaps, tfs, counts = decode_gaps_tfs_many(blobs)
@@ -488,6 +488,7 @@ def merge_posting_groups(
                 last_doc.astype(np.int64).tolist(),
                 max_tf.astype(np.int64).tolist(),
                 min_len.astype(np.int64).tolist(),
+                block_tf_cum(g_tfs).tolist(),
             )
         )
     return out
@@ -631,6 +632,22 @@ def decode_blocks(
 # ---------------------------------------------------------------------------
 
 
+def block_tf_cum(tfs: np.ndarray) -> np.ndarray:
+    """Positions-side skip data: exclusive cumulative total-tf at each
+    128-doc posting block START.  Block b's first position value sits at
+    flat index block_tf_cum[b] of the term's position stream, so a
+    doc-range leaf unit can locate its candidates' position runs after
+    decoding ONLY its own blocks — without it, run offsets require the
+    whole tf array (tantivy stores the equivalent offsets in its
+    positions skip info; quickwit-doc positions/skip reader analog)."""
+    tfs = np.asarray(tfs, np.int64)
+    sums = np.add.reduceat(tfs, np.arange(0, len(tfs), BLOCK))
+    out = np.empty(len(sums), np.int64)
+    out[0] = 0
+    np.cumsum(sums[:-1], out=out[1:])
+    return out
+
+
 def encode_positions(positions: np.ndarray, tfs: np.ndarray) -> bytes:
     """Encode the flat position array of a posting list.
 
@@ -684,18 +701,27 @@ def decode_positions_subset(blob: bytes, tfs: np.ndarray, doc_idx: np.ndarray) -
     the packed bytes are gathered into an (m, nb) matrix, unpacked, and the
     per-row bit window selected with fancy indexing — no per-doc Python.
     """
-    total = int(np.frombuffer(blob, dtype="<u4", count=1)[0])
+    tfs = np.asarray(tfs, dtype=np.int64)
     doc_idx = np.asarray(doc_idx, dtype=np.int64)
-    if total == 0 or len(doc_idx) == 0:
+    vstarts = np.concatenate(([0], np.cumsum(tfs)[:-1]))[doc_idx]
+    return decode_positions_at(blob, vstarts, tfs[doc_idx])
+
+
+def decode_positions_at(blob: bytes, vstarts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Decode the position runs at explicit flat value offsets — the
+    skip-data entry point: a doc-range leaf unit computes ``vstarts`` from
+    block_tf_cum + its own decoded blocks' tfs, never touching the rest of
+    the row (see :func:`block_tf_cum`).  Returns the runs' flat absolute
+    positions concatenated in input order."""
+    total = int(np.frombuffer(blob, dtype="<u4", count=1)[0])
+    if total == 0 or len(vstarts) == 0:
         return np.empty(0, np.uint32)
     w = int(blob[4])
-    tfs = np.asarray(tfs, dtype=np.int64)
-    counts = tfs[doc_idx]
+    vstarts = np.asarray(vstarts, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
     m = int(counts.sum())
     if m == 0:
         return np.empty(0, np.uint32)
-    # flat value indices of every needed occurrence
-    vstarts = np.concatenate(([0], np.cumsum(tfs)[:-1]))[doc_idx]
     run_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
     vidx = np.repeat(vstarts - run_off, counts) + np.arange(m, dtype=np.int64)
     # gather each value's 4-byte window and shift its bit span out (same

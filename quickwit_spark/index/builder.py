@@ -80,6 +80,7 @@ from ..config import IndexConfig
 from ..storage import storage_for
 from ..functions.codec import (
     BLOCK,
+    block_tf_cum,
     encode_positions,
     encode_postings,
     encode_u32_column,
@@ -96,7 +97,8 @@ from .catalog import PUBLISHED, Catalog, SplitMetadata
 POSTINGS_SCHEMA = (
     "split_id string, bucket int, field string, term string, doc_freq long, "
     "total_tf long, blob binary, positions binary, lens binary, "
-    "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
+    "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>, "
+    "block_tf_cum array<long>"
 )
 
 # legacy constant (the transcript shape); the build path derives columns
@@ -498,7 +500,7 @@ def _encode_flat_postings(
         )
         yield term, n, int(total_tf_t[ti]), blob, positions, lens_blob, [
             int(last_doc_s[ti])
-        ], [int(max_tf_t[ti])], [int(min_len_t[ti])]
+        ], [int(max_tf_t[ti])], [int(min_len_t[ti])], [0]
         k += 1
 
 
@@ -507,8 +509,10 @@ def _encode_term(d: np.ndarray, t: np.ndarray, p: np.ndarray | None, plens: np.n
     blob, last_doc, max_tf = encode_postings(d, t)
     if len(d) <= BLOCK:  # single block — the overwhelmingly common case
         min_len = plens.min(keepdims=True)
+        tf_cum = [0]
     else:
         min_len = np.minimum.reduceat(plens, np.arange(0, len(d), BLOCK))
+        tf_cum = block_tf_cum(t).tolist()
     return (
         int(len(d)),
         int(t.sum()),
@@ -518,12 +522,14 @@ def _encode_term(d: np.ndarray, t: np.ndarray, p: np.ndarray | None, plens: np.n
         last_doc.astype(np.int64).tolist(),
         max_tf.astype(np.int64).tolist(),
         min_len.astype(np.int64).tolist(),
+        tf_cum,
     )
 
 
 POSTINGS_COLUMNS = [
     "bucket", "field", "term", "doc_freq", "total_tf", "blob",
     "positions", "lens", "block_last_doc", "block_max_tf", "block_min_len",
+    "block_tf_cum",
 ]
 
 # the build task's only Spark output: one tiny metadata row per split (the
@@ -583,6 +589,7 @@ def _pa_schemas(config: IndexConfig):
             ("block_last_doc", pa.list_(pa.int64())),
             ("block_max_tf", pa.list_(pa.int64())),
             ("block_min_len", pa.list_(pa.int64())),
+            ("block_tf_cum", pa.list_(pa.int64())),
         ]
     )
     fastfields = pa.schema(

@@ -167,6 +167,7 @@ def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
         columns=[
             "split_id", "bucket", "field", "term", "doc_freq", "total_tf", "blob",
             "positions", "lens", "block_last_doc", "block_max_tf", "block_min_len",
+            "block_tf_cum",
         ],
     )
 

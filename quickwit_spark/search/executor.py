@@ -58,6 +58,7 @@ from ..functions.bm25 import tf_norm
 from ..functions.codec import (
     BLOCK,
     decode_blocks,
+    decode_positions_at,
     decode_positions_subset,
     decode_postings,
     decode_u32_column,
@@ -810,6 +811,60 @@ class _SplitPostings:
         # rebase to whole-row run indices
         return decode_positions_subset(r.positions, tfs, idx + self._off.get(key, 0))
 
+    def phrase_view(self, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, tfs, position-run starts) of the docs visible to this
+        view — the phrase path's input.  With a [lo, hi) doc range AND the
+        row's ``block_tf_cum`` skip data, ONLY the range's blocks decode:
+        run starts come from the block's stored position offset plus an
+        intra-block tf cumsum, so a doc-range leaf unit of a 10M-doc
+        merged split touches O(range) work instead of O(df) per unit
+        (tantivy's positions skip info analog).  Rows written before the
+        skip data existed fall back to the whole-row decode."""
+        r = self.rows.get(key)
+        if r is None:
+            z = np.empty(0, np.uint32)
+            return z, z, np.empty(0, np.int64)
+        tfc = getattr(r, "block_tf_cum", None)
+        if tfc is None or isinstance(tfc, float):  # absent column → NaN row
+            tfc = None
+        if self.lo is None or tfc is None:
+            d, t = self.full(key)
+            _, t_all = self._raw(key)
+            t64 = t_all.astype(np.int64)
+            starts_all = np.cumsum(t64) - t64
+            s = self._off.get(key, 0)
+            return d, t, starts_all[s : s + len(d)]
+        last_doc = np.asarray(r.block_last_doc, np.int64)
+        b0 = int(np.searchsorted(last_doc, self.lo))
+        b1 = min(int(np.searchsorted(last_doc, self.hi - 1)) + 1, len(last_doc))
+        if b0 >= b1:
+            z = np.empty(0, np.uint32)
+            return z, z, np.empty(0, np.int64)
+        blocks = np.arange(b0, b1)
+        d, t = decode_blocks(r.blob, last_doc.astype(np.uint32), blocks)
+        nblk, df = len(last_doc), int(r.doc_freq)
+        sizes = np.full(len(blocks), BLOCK, np.int64)
+        if b1 == nblk:
+            sizes[-1] = df - BLOCK * (nblk - 1)
+        t64 = t.astype(np.int64)
+        ex = np.cumsum(t64) - t64  # exclusive cumsum within the slice
+        bstart = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        vstarts = (
+            ex
+            - np.repeat(ex[bstart], sizes)
+            + np.repeat(np.asarray(tfc, np.int64)[blocks], sizes)
+        )
+        mask = (d.astype(np.int64) >= self.lo) & (d.astype(np.int64) < self.hi)
+        return d[mask], t[mask], vstarts[mask]
+
+    def positions_at(self, key, vstarts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Positions of the runs at explicit flat value offsets (from
+        phrase_view) — never touches the row's tf array."""
+        r = self.rows.get(key)
+        if r is None or r.positions is None:
+            return np.empty(0, np.uint32)
+        return decode_positions_at(r.positions, vstarts, counts)
+
 
 def _sorted_member(a: np.ndarray, d: np.ndarray) -> np.ndarray:
     """Mask of which elements of sorted-unique ``a`` appear in sorted ``d``:
@@ -947,18 +1002,21 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     (PhraseQuery docstring).
 
     Doc lists are intersected FIRST (rarest term leading), and only the
-    surviving candidates' position runs are decoded
-    (``decode_positions_subset``): a phrase led by a stopword ("the error")
-    would otherwise unpack the stopword's entire position payload to verify
-    a candidate set the rare term already shrank."""
+    surviving candidates' position runs are decoded (``positions_at``): a
+    phrase led by a stopword ("the error") would otherwise unpack the
+    stopword's entire position payload to verify a candidate set the rare
+    term already shrank.  On a doc-range leaf unit the doc lists
+    themselves are block-sliced via the block_tf_cum skip data
+    (``phrase_view``), so a unit of a 10M-doc merged split does O(range)
+    decode work, not O(df)."""
     keys = [(node.field, t) for t in node.terms]
     if any(
         postings.rows.get(k) is None or postings.rows[k].positions is None
         for k in keys
     ):
         return np.empty(0, np.int64)
-    doclists = [postings.full(k) for k in keys]
-    if any(len(d) == 0 for d, _ in doclists):
+    doclists = [postings.phrase_view(k) for k in keys]
+    if any(len(d) == 0 for d, _, _ in doclists):
         return np.empty(0, np.int64)
     order = sorted(range(len(keys)), key=lambda i: len(doclists[i][0]))
     cand = doclists[order[0]][0].astype(np.int64)
@@ -973,9 +1031,9 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         start: np.ndarray | None = None
         cur: np.ndarray | None = None
         for i, k in enumerate(keys):
-            d, t = doclists[i]
+            d, t, vs = doclists[i]
             idx = np.searchsorted(d, cand_u32)
-            psub = postings.positions_subset(k, idx)
+            psub = postings.positions_at(k, vs[idx], t[idx])
             doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
             keys_i = (doc_rep << np.uint64(32)) | psub.astype(np.uint64)
             if cur is None:
@@ -999,9 +1057,9 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         return np.unique((cur[hit] >> np.uint64(32)).astype(np.int64))
     base: np.ndarray | None = None
     for i, k in enumerate(keys):
-        d, t = doclists[i]
+        d, t, vs = doclists[i]
         idx = np.searchsorted(d, cand_u32)
-        psub = postings.positions_subset(k, idx)
+        psub = postings.positions_at(k, vs[idx], t[idx])
         doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
         keys_i = (doc_rep << np.uint64(32)) | psub.astype(np.uint64)
         if base is None:
@@ -2290,10 +2348,26 @@ def _leaf_bins(
     heavy_rows = float(os.environ.get("QW_LEAF_HEAVY_ROWS", "100000"))
     range_docs = int(os.environ.get("QW_LEAF_RANGE_DOCS", "262144"))
     heavy = est_rows_per_split > heavy_rows
+    # Adaptive carving: a doc-range unit pays the split's posting-ROW fetch
+    # again (a hot phrase term's positions cell is MBs — every unit of the
+    # split re-reads it), so carving only pays when it fills otherwise-IDLE
+    # cores.  Spread the big splits' docs over the idle slots and never
+    # carve finer than range_docs; with splits >= cores, don't carve at all
+    # (measured on the 10M-turn soak's 29x390k merged layout: unconditional
+    # 262k carving p50 2.9 s vs whole-split tasks 1.3 s — the carves only
+    # duplicated 5 MB positions reads).
+    eff_range = None
+    if heavy and ranged_ok and range_docs > 0:
+        big = [s for s in splits if s.num_docs > range_docs * 3 // 2]
+        slots = default_parallelism - (len(splits) - len(big))
+        if big and len(big) < slots:
+            eff_range = max(
+                range_docs, -(-sum(s.num_docs for s in big) // slots)
+            )
     units: list[tuple[str, int | None, int | None, int]] = []
     for s in splits:
-        if heavy and ranged_ok and range_docs > 0 and s.num_docs > range_docs * 3 // 2:
-            n_ranges = -(-s.num_docs // range_docs)
+        if eff_range is not None and s.num_docs > eff_range * 3 // 2:
+            n_ranges = -(-s.num_docs // eff_range)
             step = -(-s.num_docs // n_ranges)
             for r in range(n_ranges):
                 u_lo, u_hi = r * step, min((r + 1) * step, s.num_docs)

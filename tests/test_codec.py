@@ -153,6 +153,90 @@ def test_positions_subset_property(doclists, data):
     np.testing.assert_array_equal(got, expect)
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(1, 9), min_size=1, max_size=600),
+    st.data(),
+)
+def test_block_tf_cum_and_positions_at(tfs_list, data):
+    """block_tf_cum + an intra-block tf cumsum locate EXACTLY the same
+    position runs as the whole-row tf cumsum, for any doc-range slice of
+    any multi-block list — the phrase doc-range skip path
+    (executor._SplitPostings.phrase_view)."""
+    from quickwit_spark.functions.codec import (
+        BLOCK,
+        block_tf_cum,
+        decode_positions_at,
+        decode_positions_subset,
+    )
+
+    tfs = np.array(tfs_list, np.int64)
+    n = len(tfs)
+    # synthetic increasing positions per doc
+    flat = np.concatenate([np.arange(t, dtype=np.uint32) * 3 + 1 for t in tfs])
+    blob = encode_positions(flat, tfs)
+    tfc = block_tf_cum(tfs)
+    # the skip data equals the whole-row exclusive cumsum at block starts
+    full_ex = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    np.testing.assert_array_equal(tfc, full_ex[np.arange(0, n, BLOCK)])
+    # any contiguous block slice: vstarts reconstructed from skip data
+    nblk = len(tfc)
+    b0 = data.draw(st.integers(0, nblk - 1))
+    b1 = data.draw(st.integers(b0 + 1, nblk))
+    lo_i, hi_i = b0 * BLOCK, min(b1 * BLOCK, n)
+    t_slice = tfs[lo_i:hi_i]
+    ex = np.cumsum(t_slice) - t_slice
+    sizes = np.minimum(
+        np.arange(b0, b1) * BLOCK + BLOCK, n
+    ) - np.arange(b0, b1) * BLOCK
+    bstart = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    vstarts = ex - np.repeat(ex[bstart], sizes) + np.repeat(tfc[b0:b1], sizes)
+    np.testing.assert_array_equal(vstarts, full_ex[lo_i:hi_i])
+    # and decode_positions_at on those offsets == subset decode
+    idx = np.arange(lo_i, hi_i, dtype=np.int64)
+    np.testing.assert_array_equal(
+        decode_positions_at(blob, vstarts, t_slice),
+        decode_positions_subset(blob, tfs, idx),
+    )
+
+
+def test_phrase_view_fallback_matches_skip_path():
+    """_SplitPostings.phrase_view: the block-sliced skip path and the
+    whole-row fallback (row without block_tf_cum — a round-2 split) return
+    identical (docs, tfs, vstarts) for the same doc range."""
+    import pandas as pd
+
+    from quickwit_spark.functions.codec import block_tf_cum, encode_postings
+    from quickwit_spark.search.executor import _SplitPostings
+
+    rng = np.random.default_rng(7)
+    docs = np.sort(rng.choice(5000, size=900, replace=False)).astype(np.uint32)
+    tfs = rng.integers(1, 6, size=900).astype(np.uint32)
+    flat = np.concatenate([np.arange(t, dtype=np.uint32) for t in tfs])
+    blob, last_doc, max_tf = encode_postings(docs, tfs)
+    row = {
+        "field": "text", "term": "x", "doc_freq": 900,
+        "blob": blob, "positions": encode_positions(flat, tfs),
+        "block_last_doc": last_doc.astype(np.int64).tolist(),
+        "block_max_tf": max_tf.astype(np.int64).tolist(),
+        "block_tf_cum": block_tf_cum(tfs).tolist(),
+    }
+    for lo, hi in [(0, 5000), (1000, 2000), (4900, 5000), (0, 1), (2500, 2501)]:
+        with_skip = _SplitPostings(pd.DataFrame([row]), lo, hi)
+        legacy = _SplitPostings(
+            pd.DataFrame([{k: v for k, v in row.items() if k != "block_tf_cum"}]),
+            lo, hi,
+        )
+        a = with_skip.phrase_view(("text", "x"))
+        b = legacy.phrase_view(("text", "x"))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        np.testing.assert_array_equal(
+            with_skip.positions_at(("text", "x"), a[2], a[1]),
+            legacy.positions_at(("text", "x"), b[2], b[1]),
+        )
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(
