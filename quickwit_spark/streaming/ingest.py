@@ -33,7 +33,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -82,6 +84,41 @@ def ndjson_stream_source(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.text(path)
+
+
+# the exact row shape readStream.format("kafka").load() yields (the
+# spark-sql-kafka connector's fixed source schema)
+KAFKA_RECORD_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+
+def kafka_record_log_source(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Broker-free harness for the KAFKA-SHAPED pipeline: tail a directory
+    of parquet files whose rows carry ``KAFKA_RECORD_SCHEMA`` — the exact
+    shape ``readStream.format("kafka").load()`` yields.  Everything
+    downstream of ``load()`` — the ``parse_kafka_records`` projection,
+    StreamIngestor's idempotent per-batch publish, and source-offset
+    checkpoint/restart — is the IDENTICAL code path
+    ``kafka_stream_source`` drives; only the DataSource materializing the
+    records differs (the connector jar needs a broker + classpath this
+    sandbox lacks).  The reference tests its Kafka source the analogous
+    way, against a spun-up test cluster (kafka_source.rs:656-1034); here
+    the 'cluster' is an append-only record log on disk."""
+    reader = spark.readStream.schema(KAFKA_RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_kafka_records(reader.parquet(path))
 
 
 def parse_kafka_records(records: DataFrame) -> DataFrame:
