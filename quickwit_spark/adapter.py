@@ -79,6 +79,39 @@ def documents_index(spark: SparkSession, sf_dir: str) -> str:
     return final
 
 
+def documents_split_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """TWO disjoint half-corpus indexes (doc_id parity) — the multi-index
+    aggregation gate's fixture: their union is exactly documents_index's
+    corpus, so the single-corpus SQL twins remain valid oracles for
+    queries that aggregate across both indexes."""
+    dirs = []
+    src = documents_as_transcripts(spark, sf_dir)
+    for parity in (0, 1):
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{CONFIG_VERSION}:half{parity}".encode()
+        ).hexdigest()[:12]
+        final = os.path.join(CACHE_ROOT, f"docs-{key}")
+        if not Catalog.exists(final):
+            os.makedirs(CACHE_ROOT, exist_ok=True)
+            tmp = final + f".build-{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            build_index(
+                spark,
+                src.filter(F.col("turn_idx") % 2 == parity),
+                documents_config(),
+                tmp,
+            )
+            if Catalog.exists(final):  # lost a race
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                try:
+                    os.replace(tmp, final)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+        dirs.append(final)
+    return dirs[0], dirs[1]
+
+
 # the general-DocMapper gate index: documents re-serialized as NDJSON with a
 # NESTED object field, parsed/validated by the mapper, typed i64 term index
 GENERIC_MAPPER_DICT = {

@@ -4147,142 +4147,330 @@ def search_agg_multi(
         columns when the field lives in the doc store)."""
         if fast:
             return hits
-        splits = [
-            r["split_id"] for r in hits.select("split_id").distinct().collect()
-        ]
-        docs = (
-            _table_scan(spark, index_dir, "docs")
-            .filter(F.col("split_id").isin(splits))
-            .select("split_id", "doc_id", f"`{field}`")
+        return _doc_store_vals(spark, index_dir, hits, field, keep)
+
+    def _significant(vals_df: DataFrame, n_hits: int) -> DataFrame:
+        cat, _ = open_index(spark, index_dir)
+        return _significant_terms_df(
+            spark, index_dir, cat, vals_df, n_hits,
+            significant_field, significant_size, significant_min_doc_count,
         )
-        lhs = hits.select("split_id", "doc_id", *[F.col(f"`{c}`") for c in keep])
-        return lhs.join(docs, ["split_id", "doc_id"])
 
     try:
-        out: dict = {}
-        if histogram_interval is not None or histogram_calendar is not None:
-            if histogram_calendar is not None:
-                bucket = _calendar_bucket_expr(spark, ts_field, histogram_calendar)
-            else:
-                iv = int(histogram_interval)
-                bucket = (F.floor(F.col(f"`{ts_field}`") / F.lit(iv)) * iv).cast("long")
-            rows = (
-                hits.groupBy(bucket.alias("bucket"))
-                .agg(F.count("*").cast("long").alias("doc_count"))
-                .collect()
-            )
-            out["histogram"] = sorted((int(r["bucket"]), int(r["doc_count"])) for r in rows)
-        if terms_field is not None:
-            tdf = (
-                _vals(terms_field, terms_fast)
-                .groupBy(F.col(f"`{terms_field}`").alias("value"))
-                .agg(F.count("*").cast("long").alias("doc_count"))
-                .orderBy(F.col("doc_count").desc(), F.col("value").asc())
-            )
-            if terms_size is not None:
-                tdf = tdf.limit(int(terms_size))
-            out["terms"] = [(r["value"], int(r["doc_count"])) for r in tdf.collect()]
-        if terms_metric_field is not None:
-            m = F.col(f"`{terms_metric_field}`")
-            sdf = (
-                _vals(terms_field, terms_fast, keep=(terms_metric_field,))
-                .groupBy(F.col(f"`{terms_field}`").alias("value"))
-                .agg(
-                    F.count("*").cast("long").alias("doc_count"),
-                    F.min(m).cast("long").alias("min"),
-                    F.max(m).cast("long").alias("max"),
-                    F.sum(m).cast("long").alias("sum"),
-                )
-                .orderBy(F.col("doc_count").desc(), F.col("value").asc())
-            )
-            if terms_size is not None:
-                sdf = sdf.limit(int(terms_size))
-            out["terms_stats"] = [
-                {
-                    "value": r["value"],
-                    "doc_count": int(r["doc_count"]),
-                    "min": int(r["min"]),
-                    "max": int(r["max"]),
-                    "sum": int(r["sum"]),
-                    "avg": round(int(r["sum"]) / int(r["doc_count"]), 4),
-                }
-                for r in sdf.collect()
-            ]
-        if stats_field is not None:
-            c = F.col(f"`{stats_field}`")
-            d = c.cast("decimal(38,0)")
-            aggs = [
-                F.count("*").cast("long").alias("doc_count"),
-                F.min(c).cast("long").alias("min"),
-                F.max(c).cast("long").alias("max"),
-                F.sum(c).cast("long").alias("sum"),
-            ]
-            if stats_extended:
-                aggs.append(F.sum(d * d).cast("decimal(38,0)").alias("__ss"))
-            r = hits.agg(*aggs).collect()[0]
-            n = int(r["doc_count"])
-            out["stats"] = {
-                "count": n,
-                "min": None if r["min"] is None else int(r["min"]),
-                "max": None if r["max"] is None else int(r["max"]),
-                "sum": None if r["sum"] is None else int(r["sum"]),
-                "avg": None if n == 0 else round(int(r["sum"]) / n, 4),
-            }
-            if stats_extended:
-                import math
-
-                if n == 0:
-                    out["stats"].update(
-                        sum_of_squares=None, variance=None, std_deviation=None
-                    )
-                else:
-                    # exact integer core, ONE double division (float(num)/
-                    # float(den) == the SQL twin's CAST/CAST/divide), round
-                    # only at the edge — same discipline as the DataFrame
-                    # path in search_agg_stats
-                    ss, s = int(r["__ss"]), int(r["sum"])
-                    num, den = float(n * ss - s * s), float(n * n)
-                    var = num / den
-                    out["stats"].update(
-                        sum_of_squares=float(ss),
-                        variance=round(var, 4),
-                        std_deviation=round(math.sqrt(var), 4),
-                    )
-        if percentiles_field is not None:
-            n, pcts = _exact_percentiles(hits, percentiles_field, percentiles)
-            out["percentiles"] = {"count": n, **pcts}
-        if cardinality_field is not None:
-            r = _vals(cardinality_field, card_fast).agg(
-                F.count("*").cast("long").alias("doc_count"),
-                F.countDistinct(F.col(f"`{cardinality_field}`"))
-                .cast("long")
-                .alias("cardinality"),
-            ).collect()[0]
-            out["cardinality"] = {
-                "count": int(r["doc_count"]),
-                "cardinality": int(r["cardinality"]),
-            }
-        if significant_field is not None:
-            cat, _ = open_index(spark, index_dir)
-            sig = _significant_terms_df(
-                spark,
-                index_dir,
-                cat,
-                _vals(significant_field, False),
-                hits.count(),
-                significant_field,
-                significant_size,
-                significant_min_doc_count,
-            )
-            out["significant_terms"] = [
-                {
-                    "term": r["term"],
-                    "fg_count": int(r["fg_count"]),
-                    "bg_count": int(r["bg_count"]),
-                    "score": float(r["score"]),
-                }
-                for r in sig.collect()
-            ]
-        return out
+        return _agg_reduce(
+            hits, _vals,
+            ts_field=ts_field,
+            histogram_interval=histogram_interval,
+            histogram_calendar=histogram_calendar,
+            terms_field=terms_field, terms_fast=terms_fast,
+            terms_size=terms_size, terms_metric_field=terms_metric_field,
+            stats_field=stats_field, stats_extended=stats_extended,
+            percentiles_field=percentiles_field, percentiles=percentiles,
+            cardinality_field=cardinality_field, card_fast=card_fast,
+            significant_field=significant_field, significant=_significant,
+        )
     finally:
         hits.unpersist()
+
+
+def multi_index_agg(
+    spark: SparkSession,
+    index_dirs: list[str],
+    request: SearchRequest,
+    histogram_interval: int | None = None,
+    histogram_calendar: str | None = None,
+    terms_field: str | None = None,
+    terms_size: int | None = 10,
+    terms_metric_field: str | None = None,
+    stats_field: str | None = None,
+    stats_extended: bool = False,
+    percentiles_field: str | None = None,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    cardinality_field: str | None = None,
+) -> dict:
+    """Aggregations over SEVERAL indexes (the ES ``/a,b/_search`` agg
+    shape; round-2 rejected multi-index for aggs).  Each index runs its
+    own stream leaf for the match set with the requested fast fields
+    materialized, the per-index hit streams UNION into one DataFrame, and
+    the shared reduce core (_agg_reduce) folds them in ONE Spark job — so
+    bucket counts sum exactly, percentiles merge exactly (the reduce sees
+    every value, not per-index sketches), and cardinality is the true
+    distinct count across indexes, never a merged approximation.  At
+    cluster scale this is the same plan a single index of the combined
+    size would run: no per-index driver materialization, no second pass.
+
+    Doc-store (non-fast) group fields join each index's OWN doc store and
+    union the results — split ids are only unique within one index, so a
+    cross-index join keyed on (split_id, doc_id) alone would collide.
+
+    ``significant_terms`` is per-index by construction (its background
+    frequencies come from one index's term-stats LSM) and is rejected
+    here, matching the serve layer's documented surface."""
+    if len(set(index_dirs)) != len(index_dirs) or not index_dirs:
+        raise ValueError("index_dirs must be a non-empty list of distinct indexes")
+    if histogram_interval is not None and histogram_calendar is not None:
+        raise ValueError("pass either histogram_interval or histogram_calendar")
+    if histogram_interval is not None and histogram_interval <= 0:
+        raise ValueError(f"interval must be positive, got {histogram_interval}")
+    if terms_metric_field is not None and terms_field is None:
+        raise ValueError("terms_metric_field requires terms_field")
+
+    # Per-index field classification must AGREE: a field fast in one index
+    # and doc-store in another would silently change reduce semantics.
+    fast_fields: list[str] = []
+    ts_field = None
+    terms_fast = card_fast = None
+    for d in index_dirs:
+        _, config = open_index(spark, d)
+        if histogram_interval is not None or histogram_calendar is not None:
+            tsf = config.timestamp_field
+            if tsf is None:
+                raise ValueError(f"index {d} has no timestamp field for the histogram")
+            if ts_field is not None and tsf != ts_field:
+                raise ValueError(
+                    f"timestamp field differs across indexes: {ts_field!r} vs {tsf!r}"
+                )
+            ts_field = tsf
+            if histogram_calendar is not None:
+                _calendar_bucket_expr(spark, ts_field, histogram_calendar)
+
+        def _classify(field: str) -> bool:
+            fast = (
+                field == config.timestamp_field or field in config.extra_fast_fields
+            )
+            if not fast and field not in config.doc_cols():
+                raise ValueError(
+                    f"field {field!r} is neither fast nor stored in {d}"
+                )
+            return fast
+
+        for fname, prev, setter in (
+            (terms_field, terms_fast, "terms_fast"),
+            (cardinality_field, card_fast, "card_fast"),
+        ):
+            if fname is None:
+                continue
+            fast = _classify(fname)
+            if prev is not None and prev != fast:
+                raise ValueError(
+                    f"field {fname!r} is fast in some indexes and stored in "
+                    "others — cannot aggregate across"
+                )
+            if setter == "terms_fast":
+                terms_fast = fast
+            else:
+                card_fast = fast
+        for fname in (terms_metric_field, stats_field, percentiles_field):
+            if fname is not None and not _classify(fname):
+                raise ValueError(f"field {fname!r} must be a fast field in {d}")
+    if ts_field is not None:
+        fast_fields.append(ts_field)
+    if terms_field is not None and terms_fast:
+        fast_fields.append(terms_field)
+    if cardinality_field is not None and card_fast:
+        fast_fields.append(cardinality_field)
+    for fname in (terms_metric_field, stats_field, percentiles_field):
+        if fname is not None:
+            fast_fields.append(fname)
+
+    inner = _dc_replace(request, start_offset=0, sort_by_field=None)
+    per_index = [
+        search_stream_multi(spark, d, inner, fast_fields).withColumn(
+            "__qw_idx", F.lit(i)
+        )
+        for i, d in enumerate(index_dirs)
+    ]
+    hits = per_index[0]
+    for h in per_index[1:]:
+        hits = hits.unionByName(h)
+    hits = hits.persist()
+
+    def _vals(field: str, fast: bool, keep: tuple = ()) -> DataFrame:
+        if fast:
+            return hits
+        parts = [
+            _doc_store_vals(
+                spark, d, hits.filter(F.col("__qw_idx") == i), field, keep
+            )
+            for i, d in enumerate(index_dirs)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    try:
+        return _agg_reduce(
+            hits, _vals,
+            ts_field=ts_field,
+            histogram_interval=histogram_interval,
+            histogram_calendar=histogram_calendar,
+            terms_field=terms_field, terms_fast=terms_fast,
+            terms_size=terms_size, terms_metric_field=terms_metric_field,
+            stats_field=stats_field, stats_extended=stats_extended,
+            percentiles_field=percentiles_field, percentiles=percentiles,
+            cardinality_field=cardinality_field, card_fast=card_fast,
+        )
+    finally:
+        hits.unpersist()
+
+
+def _doc_store_vals(
+    spark: SparkSession, index_dir: str, hits: DataFrame, field: str, keep: tuple = ()
+) -> DataFrame:
+    """Join the hit stream back to ONE index's doc store for a stored
+    field's values (split-partition-pruned scan)."""
+    splits = [
+        r["split_id"] for r in hits.select("split_id").distinct().collect()
+    ]
+    docs = (
+        _table_scan(spark, index_dir, "docs")
+        .filter(F.col("split_id").isin(splits))
+        .select("split_id", "doc_id", f"`{field}`")
+    )
+    lhs = hits.select("split_id", "doc_id", *[F.col(f"`{c}`") for c in keep])
+    return lhs.join(docs, ["split_id", "doc_id"])
+
+
+def _agg_reduce(
+    hits: DataFrame,
+    _vals,
+    *,
+    ts_field,
+    histogram_interval,
+    histogram_calendar,
+    terms_field,
+    terms_fast,
+    terms_size,
+    terms_metric_field,
+    stats_field,
+    stats_extended,
+    percentiles_field,
+    percentiles,
+    cardinality_field,
+    card_fast,
+    significant_field=None,
+    significant=None,
+) -> dict:
+    """The aggregation reduce core over a persisted hit stream.  Shared by
+    the single-index path (search_agg_multi) and multi-index aggregation
+    (multi_index_agg): the multi-index case feeds the UNION of the
+    per-index hit streams, so every reduce — bucket counts, exact
+    percentiles, distinct cardinality — merges across indexes inside ONE
+    Spark job instead of approximating from per-index partials."""
+    spark = hits.sparkSession
+    out: dict = {}
+    if histogram_interval is not None or histogram_calendar is not None:
+        if histogram_calendar is not None:
+            bucket = _calendar_bucket_expr(spark, ts_field, histogram_calendar)
+        else:
+            iv = int(histogram_interval)
+            bucket = (F.floor(F.col(f"`{ts_field}`") / F.lit(iv)) * iv).cast("long")
+        rows = (
+            hits.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .collect()
+        )
+        out["histogram"] = sorted((int(r["bucket"]), int(r["doc_count"])) for r in rows)
+    if terms_field is not None:
+        tdf = (
+            _vals(terms_field, terms_fast)
+            .groupBy(F.col(f"`{terms_field}`").alias("value"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+        )
+        if terms_size is not None:
+            tdf = tdf.limit(int(terms_size))
+        out["terms"] = [(r["value"], int(r["doc_count"])) for r in tdf.collect()]
+    if terms_metric_field is not None:
+        m = F.col(f"`{terms_metric_field}`")
+        sdf = (
+            _vals(terms_field, terms_fast, keep=(terms_metric_field,))
+            .groupBy(F.col(f"`{terms_field}`").alias("value"))
+            .agg(
+                F.count("*").cast("long").alias("doc_count"),
+                F.min(m).cast("long").alias("min"),
+                F.max(m).cast("long").alias("max"),
+                F.sum(m).cast("long").alias("sum"),
+            )
+            .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+        )
+        if terms_size is not None:
+            sdf = sdf.limit(int(terms_size))
+        out["terms_stats"] = [
+            {
+                "value": r["value"],
+                "doc_count": int(r["doc_count"]),
+                "min": int(r["min"]),
+                "max": int(r["max"]),
+                "sum": int(r["sum"]),
+                "avg": round(int(r["sum"]) / int(r["doc_count"]), 4),
+            }
+            for r in sdf.collect()
+        ]
+    if stats_field is not None:
+        c = F.col(f"`{stats_field}`")
+        d = c.cast("decimal(38,0)")
+        aggs = [
+            F.count("*").cast("long").alias("doc_count"),
+            F.min(c).cast("long").alias("min"),
+            F.max(c).cast("long").alias("max"),
+            F.sum(c).cast("long").alias("sum"),
+        ]
+        if stats_extended:
+            aggs.append(F.sum(d * d).cast("decimal(38,0)").alias("__ss"))
+        r = hits.agg(*aggs).collect()[0]
+        n = int(r["doc_count"])
+        out["stats"] = {
+            "count": n,
+            "min": None if r["min"] is None else int(r["min"]),
+            "max": None if r["max"] is None else int(r["max"]),
+            "sum": None if r["sum"] is None else int(r["sum"]),
+            "avg": None if n == 0 else round(int(r["sum"]) / n, 4),
+        }
+        if stats_extended:
+            import math
+
+            if n == 0:
+                out["stats"].update(
+                    sum_of_squares=None, variance=None, std_deviation=None
+                )
+            else:
+                # exact integer core, ONE double division (float(num)/
+                # float(den) == the SQL twin's CAST/CAST/divide), round
+                # only at the edge — same discipline as the DataFrame
+                # path in search_agg_stats
+                ss, s = int(r["__ss"]), int(r["sum"])
+                num, den = float(n * ss - s * s), float(n * n)
+                var = num / den
+                out["stats"].update(
+                    sum_of_squares=float(ss),
+                    variance=round(var, 4),
+                    std_deviation=round(math.sqrt(var), 4),
+                )
+    if percentiles_field is not None:
+        n, pcts = _exact_percentiles(hits, percentiles_field, percentiles)
+        out["percentiles"] = {"count": n, **pcts}
+    if cardinality_field is not None:
+        r = _vals(cardinality_field, card_fast).agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.countDistinct(F.col(f"`{cardinality_field}`"))
+            .cast("long")
+            .alias("cardinality"),
+        ).collect()[0]
+        out["cardinality"] = {
+            "count": int(r["doc_count"]),
+            "cardinality": int(r["cardinality"]),
+        }
+    if significant_field is not None:
+        sig = significant(_vals(significant_field, False), hits.count())
+        out["significant_terms"] = [
+            {
+                "term": r["term"],
+                "fg_count": int(r["fg_count"]),
+                "bg_count": int(r["bg_count"]),
+                "score": float(r["score"]),
+            }
+            for r in sig.collect()
+        ]
+    return out

@@ -497,16 +497,14 @@ class _Handler(BaseHTTPRequestHandler):
             # field collapse (beyond-reference, ES `collapse`): one hit per
             # distinct field value; its own response shape, so it composes
             if multi_ids is not None:
-                # multi-index: plain search only — collapse/agg/explain are
-                # single-index concepts (per-index stats and plans)
+                # multi-index: search + aggregations (exact union-reduce
+                # merge, executor.multi_index_agg).  Still single-index
+                # only: collapse/explain (per-index plans), significant
+                # terms (per-index background stats), filters.
                 single_only = [
                     p
                     for p in (
-                        "collapseField", "explain", "aggHistogramInterval",
-                        "aggHistogramCalendar",
-                        "aggTermsField", "aggTermsMetricField",
-                        "aggStatsField", "aggStatsExtended",
-                        "aggPercentilesField", "aggCardinalityField",
+                        "collapseField", "explain",
                         "aggSignificantField", "aggFilters",
                     )
                     if qs.get(p, [None])[0] is not None
@@ -517,19 +515,58 @@ class _Handler(BaseHTTPRequestHandler):
                         "multi-index search does not support: "
                         + ", ".join(single_only),
                     )
-                from quickwit_spark.search.executor import multi_index_search
+                from quickwit_spark.search.executor import (
+                    multi_index_agg,
+                    multi_index_search,
+                )
 
+                agg_interval = _int_or_none(qs, "aggHistogramInterval")
+                agg_calendar = qs.get("aggHistogramCalendar", [None])[0]
+                agg_terms = qs.get("aggTermsField", [None])[0]
+                agg_terms_metric = qs.get("aggTermsMetricField", [None])[0]
+                agg_stats = qs.get("aggStatsField", [None])[0]
+                agg_stats_ext = qs.get("aggStatsExtended", ["false"])[0] in ("true", "1")
+                if agg_stats_ext and agg_stats is None:
+                    return self._err(400, "aggStatsExtended requires aggStatsField")
+                agg_pcts = qs.get("aggPercentilesField", [None])[0]
+                agg_card = qs.get("aggCardinalityField", [None])[0]
+                dirs = [os.path.join(self.index_root, i) for i in multi_ids]
+                aggs = {}
                 with self.lock:
-                    resp = multi_index_search(
-                        self.spark,
-                        [os.path.join(self.index_root, i) for i in multi_ids],
-                        req,
-                    )
+                    resp = multi_index_search(self.spark, dirs, req)
+                    if any(
+                        a is not None
+                        for a in (
+                            agg_interval, agg_calendar, agg_terms,
+                            agg_terms_metric, agg_stats, agg_pcts, agg_card,
+                        )
+                    ):
+                        size = _int_or_none(qs, "aggTermsSize") or 10
+                        multi = multi_index_agg(
+                            self.spark,
+                            dirs,
+                            req,
+                            histogram_interval=agg_interval,
+                            histogram_calendar=agg_calendar,
+                            terms_field=agg_terms,
+                            terms_size=size,
+                            terms_metric_field=agg_terms_metric,
+                            stats_field=agg_stats,
+                            stats_extended=agg_stats_ext,
+                            percentiles_field=agg_pcts,
+                            cardinality_field=agg_card,
+                        )
+                        aggs = _format_aggs(
+                            multi, agg_interval, agg_terms, agg_terms_metric,
+                            agg_stats, agg_pcts, agg_card, None,
+                        )
                 out = {
                     "numHits": resp.num_hits,
                     "hits": resp.hits,
                     "elapsedTimeMicros": resp.elapsed_time_micros,
                 }
+                if aggs:
+                    out["aggregations"] = aggs
                 fmt = qs.get("format", ["prettyjson"])[0]
                 if fmt not in ("json", "prettyjson"):
                     return self._err(400, f"unsupported format {fmt!r}")
@@ -628,44 +665,12 @@ class _Handler(BaseHTTPRequestHandler):
                             _int_or_none(qs, "aggSignificantSize") or 10
                         ),
                     )
-                    if "histogram" in multi:
-                        aggs["histogram"] = {
-                            "interval": agg_interval,
-                            "buckets": [
-                                {"key": b, "docCount": n}
-                                for b, n in multi["histogram"]
-                            ],
-                        }
-                    if "terms" in multi:
-                        aggs["terms"] = {
-                            "field": agg_terms,
-                            "buckets": [
-                                {"key": v, "docCount": n} for v, n in multi["terms"]
-                            ],
-                        }
-                    if "terms_stats" in multi:
-                        aggs["termsStats"] = {
-                            "field": agg_terms,
-                            "metricField": agg_terms_metric,
-                            "buckets": multi["terms_stats"],
-                        }
-                    if "stats" in multi:
-                        aggs["stats"] = {"field": agg_stats, **multi["stats"]}
-                    if "percentiles" in multi:
-                        aggs["percentiles"] = {
-                            "field": agg_pcts,
-                            **multi["percentiles"],
-                        }
-                    if "cardinality" in multi:
-                        aggs["cardinality"] = {
-                            "field": agg_card,
-                            **multi["cardinality"],
-                        }
-                    if "significant_terms" in multi:
-                        aggs["significantTerms"] = {
-                            "field": agg_sig,
-                            "buckets": multi["significant_terms"],
-                        }
+                    aggs.update(
+                        _format_aggs(
+                            multi, agg_interval, agg_terms, agg_terms_metric,
+                            agg_stats, agg_pcts, agg_card, agg_sig,
+                        )
+                    )
                 agg_filters = qs.get("aggFilters", [None])[0]
                 if agg_filters is not None:
                     from quickwit_spark.search.executor import search_agg_filters
@@ -702,6 +707,47 @@ class _Handler(BaseHTTPRequestHandler):
             return self._err(400, f"unsupported format {fmt!r}")
         body = json.dumps(out, indent=2 if fmt == "prettyjson" else None)
         return self._reply(200, body.encode())
+
+
+def _format_aggs(
+    multi: dict, agg_interval, agg_terms, agg_terms_metric,
+    agg_stats, agg_pcts, agg_card, agg_sig,
+) -> dict:
+    """Engine agg result dict → REST response shape (shared by the
+    single-index and multi-index search endpoints)."""
+    aggs: dict = {}
+    if "histogram" in multi:
+        aggs["histogram"] = {
+            "interval": agg_interval,
+            "buckets": [
+                {"key": b, "docCount": n} for b, n in multi["histogram"]
+            ],
+        }
+    if "terms" in multi:
+        aggs["terms"] = {
+            "field": agg_terms,
+            "buckets": [
+                {"key": v, "docCount": n} for v, n in multi["terms"]
+            ],
+        }
+    if "terms_stats" in multi:
+        aggs["termsStats"] = {
+            "field": agg_terms,
+            "metricField": agg_terms_metric,
+            "buckets": multi["terms_stats"],
+        }
+    if "stats" in multi:
+        aggs["stats"] = {"field": agg_stats, **multi["stats"]}
+    if "percentiles" in multi:
+        aggs["percentiles"] = {"field": agg_pcts, **multi["percentiles"]}
+    if "cardinality" in multi:
+        aggs["cardinality"] = {"field": agg_card, **multi["cardinality"]}
+    if "significant_terms" in multi:
+        aggs["significantTerms"] = {
+            "field": agg_sig,
+            "buckets": multi["significant_terms"],
+        }
+    return aggs
 
 
 def make_server(spark, index_root: str, port: int = 0) -> ThreadingHTTPServer:

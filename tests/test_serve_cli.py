@@ -811,7 +811,27 @@ def test_multi_index_search(spark, server, index_root):
     assert [(h["index_id"], h["doc_id"]) for h in got["hits"]] == [
         (h["index_id"], h["doc_id"]) for h in m.hits
     ]
-    assert _get(f"{server}/api/v1/conv,conv2/search?query=x&aggStatsField=ts")[0] == 400
+    # aggregations merge EXACTLY across indexes (executor.multi_index_agg
+    # unions the per-index hit streams into one reduce)
+    from quickwit_spark.search.executor import multi_index_agg
+
+    st, body, _ = _get(
+        f"{server}/api/v1/conv,conv2/search?query=deploy&maxHits=0"
+        "&aggTermsField=role&aggTermsSize=10&aggStatsField=turn_idx&format=json"
+    )
+    assert st == 200, body
+    got = json.loads(body)
+    want = multi_index_agg(
+        spark, [a_dir, b_dir], SearchRequest("deploy"),
+        terms_field="role", terms_size=10, stats_field="turn_idx",
+    )
+    assert got["aggregations"]["terms"]["buckets"] == [
+        {"key": v, "docCount": n} for v, n in want["terms"]
+    ]
+    assert got["aggregations"]["stats"]["count"] == want["stats"]["count"]
+    # still single-index only: per-index plans / background stats
+    assert _get(f"{server}/api/v1/conv,conv2/search?query=x&aggSignificantField=text")[0] == 400
+    assert _get(f"{server}/api/v1/conv,conv2/search?query=x&collapseField=conv_id")[0] == 400
     assert _get(f"{server}/api/v1/conv,conv2/search?query=x&explain=true")[0] == 400
     assert _get(f"{server}/api/v1/conv,nosuch/search?query=x")[0] == 404
     assert _get(f"{server}/api/v1/conv,conv2/search/stream?query=x&fastField=ts")[0] == 400
