@@ -634,6 +634,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
@@ -650,9 +651,12 @@ def embedding_near_dup_pairs(
     literally 1.0 but the band parameters make a miss astronomically rare
     (see _near_dup_lsh_verified).  Pass ``exact=True`` to force the
     quadratic all-pairs join regardless of size (the reference-exact
-    escape hatch)."""
+    escape hatch).  Pass ``n_rows`` when the caller already knows the
+    count — the strategy gate otherwise costs one count job per call."""
     gemm_max = int(__import__("os").environ.get("QW_NEARDUP_GEMM_MAX", "300000"))
-    n = df.count()
+    if exact is False:
+        return _near_dup_lsh_verified(df, threshold, id_col, vec_col)
+    n = n_rows if n_rows is not None else df.count()
     if exact is None:
         exact = n <= gemm_max
     if exact:

@@ -3743,6 +3743,33 @@ def search_collapse(
 def _collapse_reps(spark, index_dir, request, collapse_field, tie_field):
     """Shared collapse core: the per-group representative rows (__ckey,
     group_hits, score, split_id, doc_id[, __tie]) plus the order columns."""
+    vals, config = _collapse_vals(
+        spark, index_dir, request, collapse_field, tie_field
+    )
+    from pyspark.sql.window import Window
+
+    order = (
+        [F.col("score").desc(), F.col("__tie")]
+        if tie_field is not None
+        else [F.col("score").desc(), F.col("split_id"), F.col("doc_id")]
+    )
+    w = Window.partitionBy("__ckey").orderBy(*order)
+    reps = (
+        vals.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "group_hits",
+            F.count("*").over(Window.partitionBy("__ckey")).cast("long"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return reps, order, config
+
+
+def _collapse_vals(spark, index_dir, request, collapse_field, tie_field):
+    """One index's scored match stream with the collapse key attached:
+    (split_id, doc_id, score, __ckey[, __tie]).  The pre-window half of
+    collapse, shared by the single-index path and the multi-index union."""
     if request.sort_by_field is not None:
         raise ValueError("collapse ranks by BM25; sort_by_field is not supported")
     if request.search_after is not None:
@@ -3782,24 +3809,7 @@ def _collapse_reps(spark, index_dir, request, collapse_field, tie_field):
             )
         )
         vals = vals.join(keys, ["split_id", "doc_id"])
-    from pyspark.sql.window import Window
-
-    order = (
-        [F.col("score").desc(), F.col("__tie")]
-        if tie_field is not None
-        else [F.col("score").desc(), F.col("split_id"), F.col("doc_id")]
-    )
-    w = Window.partitionBy("__ckey").orderBy(*order)
-    reps = (
-        vals.withColumn("__rn", F.row_number().over(w))
-        .withColumn(
-            "group_hits",
-            F.count("*").over(Window.partitionBy("__ckey")).cast("long"),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    return reps, order, config
+    return vals, config
 
 
 def _collapse_page(
@@ -3856,6 +3866,110 @@ def search_collapse_rows(
             {k: _json_safe(v) for k, v in r.asDict().items()}
             for r in page.collect()
         ]
+        return rows, int(tot["groups"]), int(tot["docs"])
+    finally:
+        reps.unpersist()
+
+
+def multi_index_collapse_rows(
+    spark: SparkSession,
+    index_dirs: list[str],
+    request: SearchRequest,
+    collapse_field: str,
+    tie_field: str | None = None,
+) -> tuple[list[dict], int, int]:
+    """Field collapse across SEVERAL indexes, EXACT: every index's scored
+    match stream (with the collapse key attached) unions into one
+    DataFrame and a SINGLE window picks each group's representative over
+    the union — so a group spanning indexes has one winner and its
+    group_hits counts every member, unlike a merge of per-index collapse
+    pages (a group ranked low in one index would lose members silently).
+    BM25 scores use each index's own collection stats (the same ES
+    query_then_fetch contract as multi_index_search), with the index
+    ordinal in the deterministic tie chain.  Returns (rows with
+    ``index_id``, total groups, total matching docs)."""
+    if len(set(index_dirs)) != len(index_dirs) or not index_dirs:
+        raise ValueError("index_dirs must be a non-empty list of distinct indexes")
+    if len(index_dirs) == 1:
+        return search_collapse_rows(
+            spark, index_dirs[0], request, collapse_field, tie_field
+        )
+    from pyspark.sql.window import Window
+
+    parts, configs = [], []
+    for i, d in enumerate(index_dirs):
+        vals, config = _collapse_vals(
+            spark, d, request, collapse_field, tie_field
+        )
+        parts.append(vals.withColumn("__qw_idx", F.lit(i)))
+        configs.append(config)
+    f_cols = [c for c in fetch_cols(configs[0]) if c != "doc_id"]
+    for d, cfg in zip(index_dirs[1:], configs[1:]):
+        if [c for c in fetch_cols(cfg) if c != "doc_id"] != f_cols:
+            raise ValueError(
+                f"stored-field sets differ across indexes (at {d}) — "
+                "cannot collapse across"
+            )
+    vals = parts[0]
+    for p in parts[1:]:
+        vals = vals.unionByName(p)
+    order = [F.col("score").desc()]
+    if tie_field is not None:
+        order.append(F.col("__tie"))
+    order += [F.col("__qw_idx"), F.col("split_id"), F.col("doc_id")]
+    w = Window.partitionBy("__ckey").orderBy(*order)
+    reps = (
+        vals.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "group_hits",
+            F.count("*").over(Window.partitionBy("__ckey")).cast("long"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
+    try:
+        tot = reps.agg(
+            F.count("*").cast("long").alias("groups"),
+            F.coalesce(F.sum("group_hits"), F.lit(0)).cast("long").alias("docs"),
+        ).collect()[0]
+        page = (
+            reps.orderBy(*order)
+            .offset(int(request.start_offset))
+            .limit(int(request.max_hits))
+        ).persist()
+        try:
+            pages = []
+            for i, d in enumerate(index_dirs):
+                docs_tbl = _table_scan(spark, d, "docs").select(
+                    "split_id", "doc_id", *[F.col(f"`{c}`") for c in f_cols]
+                )
+                pages.append(
+                    page.filter(F.col("__qw_idx") == i)
+                    .join(docs_tbl, ["split_id", "doc_id"], "left")
+                    .withColumn(
+                        "index_id",
+                        F.lit(os.path.basename(d.rstrip("/"))),
+                    )
+                )
+            joined = pages[0]
+            for p in pages[1:]:
+                joined = joined.unionByName(p)
+            out = joined.select(
+                F.col("__ckey").alias(collapse_field),
+                "group_hits",
+                "score",
+                "index_id",
+                "split_id",
+                "doc_id",
+                *[F.col(f"`{c}`") for c in f_cols if c != collapse_field],
+            ).orderBy(*order)
+            rows = [
+                {k: _json_safe(v) for k, v in r.asDict().items()}
+                for r in out.collect()
+            ]
+        finally:
+            page.unpersist()
         return rows, int(tot["groups"]), int(tot["docs"])
     finally:
         reps.unpersist()

@@ -504,7 +504,7 @@ class _Handler(BaseHTTPRequestHandler):
                 single_only = [
                     p
                     for p in (
-                        "collapseField", "explain",
+                        "explain",
                         "aggSignificantField", "aggFilters",
                     )
                     if qs.get(p, [None])[0] is not None
@@ -517,8 +517,43 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 from quickwit_spark.search.executor import (
                     multi_index_agg,
+                    multi_index_collapse_rows,
                     multi_index_search,
                 )
+
+                dirs_mi = [os.path.join(self.index_root, i) for i in multi_ids]
+                collapse_field = qs.get("collapseField", [None])[0]
+                if collapse_field is not None:
+                    if any(
+                        qs.get(p, [None])[0] is not None
+                        for p in (
+                            "aggHistogramInterval", "aggHistogramCalendar",
+                            "aggTermsField", "aggTermsMetricField",
+                            "aggStatsField", "aggPercentilesField",
+                            "aggCardinalityField",
+                        )
+                    ):
+                        return self._err(
+                            400, "collapseField cannot combine with agg* params"
+                        )
+                    with self.lock:
+                        rows, n_groups, n_docs = multi_index_collapse_rows(
+                            self.spark,
+                            dirs_mi,
+                            req,
+                            collapse_field,
+                            qs.get("collapseTieField", [None])[0],
+                        )
+                    out = {
+                        "numHits": n_docs,
+                        "collapse": {"field": collapse_field, "numGroups": n_groups},
+                        "hits": rows,
+                    }
+                    fmt = qs.get("format", ["prettyjson"])[0]
+                    if fmt not in ("json", "prettyjson"):
+                        return self._err(400, f"unsupported format {fmt!r}")
+                    body = json.dumps(out, indent=2 if fmt == "prettyjson" else None)
+                    return self._reply(200, body.encode())
 
                 agg_interval = _int_or_none(qs, "aggHistogramInterval")
                 agg_calendar = qs.get("aggHistogramCalendar", [None])[0]
@@ -530,7 +565,7 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._err(400, "aggStatsExtended requires aggStatsField")
                 agg_pcts = qs.get("aggPercentilesField", [None])[0]
                 agg_card = qs.get("aggCardinalityField", [None])[0]
-                dirs = [os.path.join(self.index_root, i) for i in multi_ids]
+                dirs = dirs_mi
                 aggs = {}
                 with self.lock:
                     resp = multi_index_search(self.spark, dirs, req)

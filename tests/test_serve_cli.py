@@ -829,10 +829,40 @@ def test_multi_index_search(spark, server, index_root):
         {"key": v, "docCount": n} for v, n in want["terms"]
     ]
     assert got["aggregations"]["stats"]["count"] == want["stats"]["count"]
+    # field collapse across indexes: ONE window over the unioned scored
+    # streams picks each group's winner; group_hits counts every member
+    # from every index (a merge of per-index collapse pages could not)
+    st, body, _ = _get(
+        f"{server}/api/v1/conv,conv2/search?query=deploy&maxHits=5"
+        "&collapseField=conv_id&format=json"
+    )
+    assert st == 200, body
+    got = json.loads(body)
+    ra_all = search(spark, a_dir, SearchRequest("deploy", max_hits=100000))
+    rb_all = search(spark, b_dir, SearchRequest("deploy", max_hits=100000))
+    union2 = [dict(h, _i=0, index_id="conv") for h in ra_all.hits] + [
+        dict(h, _i=1, index_id="conv2") for h in rb_all.hits
+    ]
+    okey = lambda h: (-h["score"], h["_i"], h["split_id"], h["doc_id"])  # noqa: E731
+    best, counts = {}, {}
+    for h in sorted(union2, key=okey):
+        counts[h["conv_id"]] = counts.get(h["conv_id"], 0) + 1
+        best.setdefault(h["conv_id"], h)
+    want_page = sorted(best.values(), key=okey)[:5]
+    assert got["collapse"]["numGroups"] == len(best)
+    assert got["numHits"] == len(union2)
+    assert [
+        (h["conv_id"], h["index_id"], h["doc_id"], h["group_hits"]) for h in got["hits"]
+    ] == [
+        (h["conv_id"], h["index_id"], h["doc_id"], counts[h["conv_id"]])
+        for h in want_page
+    ]
     # still single-index only: per-index plans / background stats
     assert _get(f"{server}/api/v1/conv,conv2/search?query=x&aggSignificantField=text")[0] == 400
-    assert _get(f"{server}/api/v1/conv,conv2/search?query=x&collapseField=conv_id")[0] == 400
     assert _get(f"{server}/api/v1/conv,conv2/search?query=x&explain=true")[0] == 400
+    assert _get(
+        f"{server}/api/v1/conv,conv2/search?query=x&collapseField=conv_id&aggTermsField=role"
+    )[0] == 400
     assert _get(f"{server}/api/v1/conv,nosuch/search?query=x")[0] == 404
     assert _get(f"{server}/api/v1/conv,conv2/search/stream?query=x&fastField=ts")[0] == 400
     assert _get(f"{server}/api/v1/conv,conv/search?query=x")[0] == 400  # dupes
