@@ -40,7 +40,8 @@ CACHE_ROOT = "/tmp/qwspark_index_cache"
 # fastfields table gained ff_turn_idx.
 # v3: single-job in-task build, crc32 term buckets (was xxhash64 — stale
 # caches would silently mis-prune the postings scan)
-CONFIG_VERSION = "v8"  # v8: postings carry block_tf_cum positions skip data
+# v8: postings carry block_tf_cum positions skip data
+CONFIG_VERSION = "v9"  # v9: big positions payloads chunked into fetchable rows
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -536,7 +536,12 @@ def ft_postings_roundtrip(spark, sf_dir):
     idx = documents_index(spark, sf_dir)
     rows = (
         spark.read.parquet(f"{idx}/postings")
-        .filter((F.col("field") == "text") & (F.col("term") == "dup"))
+        # blob is null only on positions-CHUNK rows (chunk_ord >= 1)
+        .filter(
+            (F.col("field") == "text")
+            & (F.col("term") == "dup")
+            & F.col("blob").isNotNull()
+        )
         .select("split_id", "blob")
     )
 

@@ -759,6 +759,59 @@ def decode_positions_at(blob: bytes, vstarts: np.ndarray, counts: np.ndarray) ->
     return (csum - base).astype(np.uint32)
 
 
+def chunk_positions(
+    blob: bytes, tf_cum: np.ndarray, target_bytes: int
+) -> list[tuple[int, bytes]] | None:
+    """Split a big positions payload into independently fetchable chunks,
+    cut at posting-BLOCK boundaries (so no doc's run ever straddles a
+    chunk).  Returns [(first_block, chunk_blob), ...] — each chunk_blob a
+    standalone positions stream in the standard [n u32][width u8][packed]
+    layout at the parent's width — or None when the payload fits in
+    ``target_bytes`` (stay inline).
+
+    Why: a posting row is one parquet cell, read whole; a hot phrase
+    term's positions at a 10M-doc split are ~50-120 MB, and every
+    doc-range leaf unit re-read all of it to use a slice.  Chunk rows
+    live in their own (small) row groups, so a unit fetches only the
+    chunks its blocks map to (tantivy stores positions in a separately
+    addressed file for the same reason)."""
+    total = int(np.frombuffer(blob, dtype="<u4", count=1)[0])
+    if len(blob) <= target_bytes or total == 0:
+        return None
+    w = int(blob[4])
+    tf_cum = np.asarray(tf_cum, np.int64)
+    if len(tf_cum) <= 1:
+        return None  # single block — nothing to split on
+    deltas = _unpack(np.frombuffer(blob, dtype=np.uint8, offset=5), total, w)
+    bounds = np.append(tf_cum, total)  # value offset of each block start
+    vals_per_chunk = max((target_bytes * 8) // max(w, 1), 1)
+    chunks: list[tuple[int, bytes]] = []
+    b = 0
+    while b < len(tf_cum):
+        e = b + 1
+        while e < len(tf_cum) and bounds[e + 1] - bounds[b] <= vals_per_chunk:
+            e += 1
+        sub = deltas[bounds[b] : bounds[e]]
+        chunks.append(
+            (
+                b,
+                np.array([len(sub)], dtype="<u4").tobytes()
+                + bytes([w])
+                + _pack(sub, w),
+            )
+        )
+        b = e
+    return chunks
+
+
+def reassemble_position_chunks(chunk_blobs: list[bytes]) -> bytes:
+    """Inverse of :func:`chunk_positions`: concatenate chunk streams back
+    into one standalone positions blob (deltas are block-anchored, so the
+    concat is exact; widths may differ after merges — repack at the max)."""
+    deltas_flat, counts, widths = position_deltas_many(chunk_blobs)
+    return encode_positions_from_deltas(deltas_flat, int(widths.max()))
+
+
 def term_bucket(field: str, term: str, n_buckets: int) -> int:
     """Stored term-hash bucket of a posting row (crc32, python-side so the
     build task can compute it without a JVM round trip).  Build and query

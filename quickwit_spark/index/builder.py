@@ -98,8 +98,16 @@ POSTINGS_SCHEMA = (
     "split_id string, bucket int, field string, term string, doc_freq long, "
     "total_tf long, blob binary, positions binary, lens binary, "
     "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>, "
-    "block_tf_cum array<long>"
+    "block_tf_cum array<long>, chunk_ord int, pos_chunk_blocks array<long>"
 )
+
+# positions payloads above this many bytes are split into chunk ROWS
+# (chunk_ord >= 1, cut at posting-block boundaries; codec.chunk_positions)
+# so doc-range leaf units fetch only the chunks their blocks map to —
+# a hot phrase term's positions at a 10M-doc split is ~50-120 MB in ONE
+# parquet cell otherwise, re-read whole by every unit
+def _pos_chunk_bytes() -> int:
+    return int(os.environ.get("QW_POS_CHUNK_BYTES", str(1 << 20)))
 
 # legacy constant (the transcript shape); the build path derives columns
 # from the config via IndexConfig.doc_cols() so generic mapper-built
@@ -532,6 +540,61 @@ POSTINGS_COLUMNS = [
     "block_tf_cum",
 ]
 
+def _split_chunked_positions(
+    pdf: pd.DataFrame, target: int | None = None
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Write-time positions chunking: rows whose positions payload exceeds
+    QW_POS_CHUNK_BYTES become (primary row with positions=None +
+    pos_chunk_blocks) plus chunk ROWS (chunk_ord >= 1, positions = one
+    standalone chunk stream; codec.chunk_positions cuts at posting-block
+    boundaries).  Chunk rows carry (bucket, field, term[, split_id]) so
+    they prune by the same row-group statistics, and every other column
+    null so both row kinds share one parquet schema.  Returns
+    (primary_pdf, chunks_pdf) — chunk rows are written into their OWN
+    small row groups (a separate file in the builder, byte-bounded row
+    groups in the Spark merge writer) so a term lookup never drags chunk
+    bytes along and a doc-range unit fetches only its chunks."""
+    from ..functions.codec import chunk_positions
+
+    if target is None:
+        # driver-side callers capture the env value themselves (Spark
+        # worker processes inherit the JVM's start-time env, not the
+        # driver's current one) — this default serves in-driver paths
+        target = _pos_chunk_bytes()
+    pdf = pdf.copy()
+    if "chunk_ord" not in pdf.columns:
+        pdf["chunk_ord"] = 0
+        pdf["pos_chunk_blocks"] = None
+    cols = list(pdf.columns)
+    chunk_rows: list[dict] = []
+    if target > 0 and len(pdf):
+        pos = pdf["positions"]
+        pi = pdf.columns.get_loc("positions")
+        bi = pdf.columns.get_loc("pos_chunk_blocks")
+        for i in range(len(pdf)):
+            p = pos.iat[i]
+            if p is None or len(p) <= target:
+                continue
+            r = pdf.iloc[i]
+            chunks = chunk_positions(
+                p, np.asarray(r["block_tf_cum"], np.int64), target
+            )
+            if chunks is None:
+                continue
+            pdf.iat[i, pi] = None
+            pdf.iat[i, bi] = [int(b) for b, _ in chunks]
+            for ord_, (_first_block, blob) in enumerate(chunks, start=1):
+                row = {c: None for c in cols}
+                for c in ("split_id", "bucket", "field", "term"):
+                    if c in row:
+                        row[c] = r[c]
+                row["chunk_ord"] = ord_
+                row["positions"] = blob
+                chunk_rows.append(row)
+    cpdf = pd.DataFrame(chunk_rows, columns=cols)
+    return pdf, cpdf
+
+
 # the build task's only Spark output: one tiny metadata row per split (the
 # split data itself — docs, postings, fastfields parquet — is written
 # in-task with pyarrow, the Uploader-actor analog: the node that built the
@@ -590,6 +653,8 @@ def _pa_schemas(config: IndexConfig):
             ("block_max_tf", pa.list_(pa.int64())),
             ("block_min_len", pa.list_(pa.int64())),
             ("block_tf_cum", pa.list_(pa.int64())),
+            ("chunk_ord", pa.int32()),
+            ("pos_chunk_blocks", pa.list_(pa.int64())),
         ]
     )
     fastfields = pa.schema(
@@ -661,10 +726,20 @@ class _SplitAccumulator:
     common case; bench splits are 5-20k docs) take a single whole-split pass
     where every term is single-entry — zero merge work."""
 
-    def __init__(self, split_id: str, config: IndexConfig, paths: dict, chunk_docs: int):
+    def __init__(
+        self,
+        split_id: str,
+        config: IndexConfig,
+        paths: dict,
+        chunk_docs: int,
+        pos_chunk_bytes: int | None = None,
+    ):
         self.split_id = split_id
         self.config = config
         self.paths = paths
+        self.pos_chunk_bytes = (
+            pos_chunk_bytes if pos_chunk_bytes is not None else _pos_chunk_bytes()
+        )
         self.doc_cols = config.doc_cols()
         self.text_fields = [
             (m.name, m.record == "position", m.tokenizer, m.is_array)
@@ -788,6 +863,10 @@ class _SplitAccumulator:
         if self._spill_dir is None:
             self._spill_dir = tempfile.mkdtemp(prefix=f"qw-spill-{self.split_id}-")
         pdf = self._acc_run_pdf()
+        # runs keep positions inline (bounded by the spill threshold);
+        # chunking happens once, on the final merged rows (flush_out)
+        pdf["chunk_ord"] = 0
+        pdf["pos_chunk_blocks"] = None
         _, postings_schema, _ = _pa_schemas(self.config)
         path = os.path.join(self._spill_dir, f"run-{len(self._spills):05d}.parquet")
         pq.write_table(
@@ -826,8 +905,19 @@ class _SplitAccumulator:
 
         _, postings_schema, _ = _pa_schemas(self.config)
         pdf = self._acc_run_pdf()
+        pdf, cpdf = _split_chunked_positions(pdf, self.pos_chunk_bytes)
         table = pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False)
         _atomic_write_table(table, self._split_file("postings"), row_group_size=4096)
+        if len(cpdf):
+            # chunk rows in their OWN file with tiny row groups: each chunk
+            # is ~QW_POS_CHUNK_BYTES, so rg=2 keeps a fetch to ~2 chunks
+            _atomic_write_table(
+                pa.Table.from_pandas(cpdf, schema=postings_schema, preserve_index=False),
+                os.path.join(
+                    os.path.dirname(self._split_file("postings")), "chunks-0.parquet"
+                ),
+                row_group_size=2,
+            )
         # termstats sidecar: the term dictionary minus the payloads — raw
         # material for the publish-time global-df delta (a few KB; the rows
         # are already in memory, so this costs one tiny parquet write)
@@ -888,15 +978,33 @@ class _SplitAccumulator:
         num_terms = total_tokens = postings_payload = 0
         out: list[tuple] = []
 
+        cw = cfin = None  # lazy chunk-row writer (chunks-0.parquet)
+
         def flush_out():
-            nonlocal out
+            nonlocal out, cw, cfin
             if not out:
                 return
             opdf = pd.DataFrame(out, columns=POSTINGS_COLUMNS)
+            opdf, cpdf = _split_chunked_positions(opdf, self.pos_chunk_bytes)
             pw.write_table(
                 pa.Table.from_pandas(opdf, schema=postings_schema, preserve_index=False),
                 row_group_size=4096,
             )
+            if len(cpdf):
+                if cw is None:
+                    cw, cfin = storage_for(self.paths["postings"]).parquet_writer(
+                        os.path.join(
+                            os.path.dirname(self._split_file("postings")),
+                            "chunks-0.parquet",
+                        ),
+                        postings_schema,
+                    )
+                cw.write_table(
+                    pa.Table.from_pandas(
+                        cpdf, schema=postings_schema, preserve_index=False
+                    ),
+                    row_group_size=2,
+                )
             tw.write_table(
                 pa.Table.from_pandas(
                     opdf[["bucket", "field", "term", "doc_freq"]],
@@ -970,6 +1078,9 @@ class _SplitAccumulator:
         flush_out()
         pw.close()
         pfin()
+        if cw is not None:
+            cw.close()
+            cfin()
         tw.close()
         tfin()
         if self._spill_dir is not None:
@@ -1238,6 +1349,10 @@ def make_split_builder(
     extra_required = tuple(config.extra_fast_fields) + tuple(
         config.extra_fast_float_fields
     )
+    # captured DRIVER-side: Spark python workers inherit the JVM's
+    # start-time env, so reading QW_POS_CHUNK_BYTES in-task would ignore
+    # the driver's setting
+    pos_chunk_bytes = _pos_chunk_bytes()
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
@@ -1286,7 +1401,10 @@ def make_split_builder(
                     yield pd.DataFrame([cur.finish()], columns=["split_id", "meta"])
                     cur = None
                 if cur is None:
-                    cur = _SplitAccumulator(sid, config, paths, chunk_docs)
+                    cur = _SplitAccumulator(
+                        sid, config, paths, chunk_docs,
+                        pos_chunk_bytes=pos_chunk_bytes,
+                    )
                 cur.add(pdf.iloc[s:e])
         if cur is not None:
             yield pd.DataFrame([cur.finish()], columns=["split_id", "meta"])

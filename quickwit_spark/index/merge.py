@@ -25,6 +25,7 @@ MergeExecutor + GarbageCollector analog (SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import functools
 import os
 import uuid
 from contextlib import contextmanager
@@ -39,7 +40,7 @@ from pyspark.sql import functions as F
 from ..config import IndexConfig
 from ..functions.codec import BLOCK, merge_posting_groups
 from ..storage import storage_for
-from .builder import POSTINGS_SCHEMA, _paths
+from .builder import POSTINGS_SCHEMA, _paths, _pos_chunk_bytes
 from .catalog import MARKED_FOR_DELETION, PUBLISHED, STAGED, Catalog, SplitMetadata
 
 # scaled default of the reference's min_level_num_docs (merge_policy.rs:169)
@@ -116,7 +117,9 @@ def build_merge_operations(
     return ops
 
 
-def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_bucket_group(
+    pdf: pd.DataFrame, pos_chunk_bytes: int | None = None
+) -> pd.DataFrame:
     """One term-hash bucket → merged rows for ALL its (field, term)s.
 
     The k-way merge runs in GAP SPACE, never materializing absolute doc
@@ -128,6 +131,7 @@ def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
     All decoding is batched across the bucket's rows via the segment
     decoders (codec._decode_segments): per-blob numpy calls were measured
     overhead-dominated at ~70 µs each on the typical df<=128 blob."""
+    pdf = _reassemble_chunked_positions(pdf)
     pdf = pdf.sort_values(["field", "term", "ord"], kind="mergesort")
     out_split = pdf["out_split"].iloc[0]
     bucket = int(pdf["bucket"].iloc[0])
@@ -162,7 +166,7 @@ def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
         (out_split, bucket, fields[s], terms[s]) + tail
         for s, tail in zip(g_starts, tails)
     ]
-    return pd.DataFrame(
+    out_pdf = pd.DataFrame(
         rows,
         columns=[
             "split_id", "bucket", "field", "term", "doc_freq", "total_tf", "blob",
@@ -170,6 +174,51 @@ def _merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "block_tf_cum",
         ],
     )
+    # merged payloads are where positions get BIG — re-chunk on the way out
+    # (the Spark writer's byte-bounded row groups then isolate chunk rows)
+    from .builder import _split_chunked_positions
+
+    primary, chunks = _split_chunked_positions(out_pdf, pos_chunk_bytes)
+    return primary if not len(chunks) else pd.concat(
+        [primary, chunks], ignore_index=True
+    )
+
+
+def _reassemble_chunked_positions(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge-input normalization: fold positions-CHUNK rows back into
+    their primary row's inline payload (codec.reassemble_position_chunks)
+    and drop them, so the gap-space merge kernel sees one row per
+    (term, input split) exactly as before chunking existed."""
+    if "chunk_ord" not in pdf.columns:
+        return pdf
+    co = pdf["chunk_ord"].fillna(0)
+    if not (co > 0).any():
+        return pdf
+    from ..functions.codec import reassemble_position_chunks
+
+    primary = pdf[co == 0].copy()
+    chunks = pdf[co > 0]
+    grouped: dict = {}
+    for r in chunks.itertuples(index=False):
+        grouped.setdefault((r.field, r.term, r.ord), []).append(
+            (int(r.chunk_ord), r.positions)
+        )
+    pi = primary.columns.get_loc("positions")
+    bi = primary.columns.get_loc("pos_chunk_blocks")
+    for i in range(len(primary)):
+        r = primary.iloc[i]
+        cb = r["pos_chunk_blocks"]
+        if cb is None or isinstance(cb, float):
+            continue
+        parts = sorted(grouped.get((r["field"], r["term"], r["ord"]), []))
+        if len(parts) != len(cb):
+            raise ValueError(
+                f"positions chunks missing for {r['field']}:{r['term']} "
+                f"(have {len(parts)}, expect {len(cb)})"
+            )
+        primary.iat[i, pi] = reassemble_position_chunks([b for _, b in parts])
+        primary.iat[i, bi] = None
+    return primary
 
 
 def _merge_tags(inputs: list[SplitMetadata], max_values: int) -> list[str]:
@@ -233,7 +282,18 @@ def execute_merge_round(
             storage.spark_url(os.path.join(paths[table], f"split_id={sid}"))
             for sid in in_sids
         ]
-        return spark.read.option("basePath", storage.spark_url(paths[table])).parquet(*dirs)
+        reader = spark.read.option("basePath", storage.spark_url(paths[table]))
+        if table == "postings":
+            # mixed input vintages: mergeSchema guarantees the positions-
+            # chunk columns surface if ANY input file carries them (a
+            # first-file-only schema would read chunk rows as broken
+            # primary rows); absent entirely → add them as nulls
+            df = reader.option("mergeSchema", "true").parquet(*dirs)
+            for c, t in (("chunk_ord", "int"), ("pos_chunk_blocks", "array<long>")):
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(t))
+            return df
+        return reader.parquet(*dirs)
 
     # Bounded row groups for the rewritten files: Spark's default writer
     # makes ONE giant row group per split file, which silences the min/max
@@ -333,9 +393,16 @@ def execute_merge_round(
     merged = (
         postings.repartitionByRange(n_out * _fanout, "out_split", "bucket")
         .groupBy("out_split", "bucket")
-        .applyInPandas(_merge_bucket_group, POSTINGS_SCHEMA)
+        .applyInPandas(
+            # chunk threshold captured DRIVER-side (worker env is frozen
+            # at JVM start; see builder._pos_chunk_bytes)
+            functools.partial(
+                _merge_bucket_group, pos_chunk_bytes=_pos_chunk_bytes()
+            ),
+            POSTINGS_SCHEMA,
+        )
     )
-    write_moved(merged, "postings", ["bucket", "field", "term"])
+    write_moved(merged, "postings", ["bucket", "field", "term", "chunk_ord"])
     _mark("postings")
 
     # --- fastfields: re-base segments (no repack needed) ---------------------

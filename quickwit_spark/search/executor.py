@@ -441,8 +441,16 @@ def _stats_table(index_dir: str, cat: Catalog, columns: list[str], cond) -> pd.D
         if dset is None:
             dset = storage_for(index_dir).dataset(files)
             _GSTATS_CACHE[dkey] = dset
+        use_cond = cond
+        if "chunk_ord" in dset.schema.names:
+            # postings-file fallback: positions-chunk rows are not
+            # dictionary entries
+            import pyarrow.dataset as pads
+
+            cc = (pads.field("chunk_ord") == 0) | pads.field("chunk_ord").is_null()
+            use_cond = cc if cond is None else (cond & cc)
         try:
-            return dset.to_table(columns=columns, filter=cond).to_pandas()
+            return dset.to_table(columns=columns, filter=use_cond).to_pandas()
         except FileNotFoundError:
             _GSTATS_CACHE.pop(dkey, None)
             if attempt:
@@ -745,14 +753,39 @@ class _SplitPostings:
     Decodes stay whole-row (vectorized, cheap); the SCORING work above
     this layer — BM25, top-k, phrase positions — sees only the slice."""
 
-    def __init__(self, pdf: pd.DataFrame, lo: int | None = None, hi: int | None = None):
+    def __init__(
+        self,
+        pdf: pd.DataFrame,
+        lo: int | None = None,
+        hi: int | None = None,
+        source: tuple[str, str] | None = None,
+    ):
         self.rows = {}
         for r in pdf.itertuples(index=False):
             self.rows[(r.field, r.term)] = r
         self.lo, self.hi = lo, hi
+        # (index_dir, split_id) — lets positions_at lazily fetch CHUNKED
+        # position payloads (big terms store positions as separate chunk
+        # rows; see builder._split_chunked_positions)
+        self.source = source
         self._raw_cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         self._cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         self._off: dict[tuple[str, str], int] = {}
+
+    @staticmethod
+    def _chunk_blocks(r) -> list | None:
+        """The row's positions-chunk start blocks, or None (inline/absent).
+        Guards the pandas NaN an absent column reads as."""
+        cb = getattr(r, "pos_chunk_blocks", None)
+        if cb is None or isinstance(cb, float):
+            return None
+        return list(cb)
+
+    def has_positions(self, key) -> bool:
+        r = self.rows.get(key)
+        if r is None:
+            return False
+        return r.positions is not None or self._chunk_blocks(r) is not None
 
     def has(self, key) -> bool:
         return key in self.rows
@@ -804,12 +837,15 @@ class _SplitPostings:
         candidates cover half the list still runs ~15% faster than a full
         decode + extract)."""
         r = self.rows.get(key)
-        if r is None or r.positions is None:
+        if r is None or not self.has_positions(key):
             return np.empty(0, np.uint32)
         _, tfs = self._raw(key)
+        t64 = tfs.astype(np.int64)
+        starts = np.cumsum(t64) - t64
         # callers index into the (possibly range-sliced) full() view —
         # rebase to whole-row run indices
-        return decode_positions_subset(r.positions, tfs, idx + self._off.get(key, 0))
+        idx = np.asarray(idx, np.int64) + self._off.get(key, 0)
+        return self.positions_at(key, starts[idx], t64[idx])
 
     def phrase_view(self, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docs, tfs, position-run starts) of the docs visible to this
@@ -822,6 +858,9 @@ class _SplitPostings:
         skip data existed fall back to the whole-row decode."""
         r = self.rows.get(key)
         if r is None:
+            z = np.empty(0, np.uint32)
+            return z, z, np.empty(0, np.int64)
+        if not self.has_positions(key):
             z = np.empty(0, np.uint32)
             return z, z, np.empty(0, np.int64)
         tfc = getattr(r, "block_tf_cum", None)
@@ -859,11 +898,43 @@ class _SplitPostings:
 
     def positions_at(self, key, vstarts: np.ndarray, counts: np.ndarray) -> np.ndarray:
         """Positions of the runs at explicit flat value offsets (from
-        phrase_view) — never touches the row's tf array."""
+        phrase_view) — never touches the row's tf array.  Rows whose
+        payload was CHUNKED at write time fetch only the chunks the
+        requested runs fall in (one pruned read per cold chunk; chunks
+        are cut at block boundaries so no run straddles)."""
         r = self.rows.get(key)
-        if r is None or r.positions is None:
+        if r is None:
             return np.empty(0, np.uint32)
-        return decode_positions_at(r.positions, vstarts, counts)
+        if r.positions is not None:
+            return decode_positions_at(r.positions, vstarts, counts)
+        cb = self._chunk_blocks(r)
+        if cb is None:
+            return np.empty(0, np.uint32)
+        if len(vstarts) == 0:
+            return np.empty(0, np.uint32)
+        if self.source is None:
+            raise RuntimeError(
+                f"posting row {key} has chunked positions but this view has "
+                "no (index_dir, split_id) source to fetch them from"
+            )
+        vstarts = np.asarray(vstarts, np.int64)
+        counts = np.asarray(counts, np.int64)
+        tfc = np.asarray(r.block_tf_cum, np.int64)
+        chunk_vidx = tfc[np.asarray(cb, np.int64)]  # first value idx per chunk
+        # runs arrive vstart-sorted, so per-chunk selections are contiguous
+        owner = np.searchsorted(chunk_vidx, vstarts, side="right") - 1
+        need = np.unique(owner)
+        blobs = _read_split_postings_chunks(
+            self.source[0], self.source[1], key[0], key[1],
+            [int(c) + 1 for c in need],  # chunk_ord is 1-based
+        )
+        parts = []
+        for c, blob in zip(need, blobs):
+            m = owner == c
+            parts.append(
+                decode_positions_at(blob, vstarts[m] - chunk_vidx[c], counts[m])
+            )
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
 def _sorted_member(a: np.ndarray, d: np.ndarray) -> np.ndarray:
@@ -1010,10 +1081,7 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     (``phrase_view``), so a unit of a 10M-doc merged split does O(range)
     decode work, not O(df)."""
     keys = [(node.field, t) for t in node.terms]
-    if any(
-        postings.rows.get(k) is None or postings.rows[k].positions is None
-        for k in keys
-    ):
+    if any(not postings.has_positions(k) for k in keys):
         return np.empty(0, np.int64)
     doclists = [postings.phrase_view(k) for k in keys]
     if any(len(d) == 0 for d, _, _ in doclists):
@@ -1433,6 +1501,7 @@ def make_split_scorer(
     index_dir: str | None = None,
     stream_fields: tuple[str, ...] | None = None,
     stream_scored: bool = False,
+    source_dir: str | None = None,
 ):
     """Build the cogrouped scorer function.  mode: 'topk' (per-split top
     offset+max_hits, winners' stored fields fetched in-task) or 'stream'
@@ -1524,7 +1593,11 @@ def make_split_scorer(
                 )
             return lens_cache[field]
 
-        postings = _SplitPostings(postings_pdf, lo, hi)
+        src = source_dir or index_dir
+        postings = _SplitPostings(
+            postings_pdf, lo, hi,
+            source=(src, split_id) if src is not None else None,
+        )
 
         eff_wand, eff_maxscore = single_term_wand, disjunction_maxscore
         if elide_strategy is not None and _split_inside_ts(ff_pdf, ts_lo, ts_hi):
@@ -2009,8 +2082,72 @@ def _stat_minmax(col_stats):
     return col_stats.min, col_stats.max
 
 
+def _read_split_postings_chunks(
+    index_dir: str, split_id: str, field: str, term: str, ords: list[int]
+) -> list[bytes]:
+    """Fetch specific positions-CHUNK rows of one term (chunk_ord >= 1),
+    worker-cached like posting rows; row-group pruning on
+    (bucket, field, term, chunk_ord) keeps the read to the asked chunks."""
+    import pyarrow.dataset as pads
+
+    from ..functions.codec import term_bucket
+
+    cap = _postings_cache_cap()
+    hc = _cached_hotcache(index_dir, split_id)
+    epoch = (
+        hc.token if hc is not None
+        else (_split_epoch(index_dir, "postings", split_id) if cap else 0.0)
+    )
+    out: dict[int, bytes] = {}
+    missing = []
+    for o in ords:
+        ck = (index_dir, split_id, epoch, field, term, "__pchunk__", o)
+        hit = _WORKER_POSTINGS_CACHE.get(ck) if cap else None
+        if hit is not None:
+            out[o] = hit["positions"].iloc[0]
+        else:
+            missing.append(o)
+    if missing:
+        cat, config = open_index(None, index_dir)
+        bkt = term_bucket(field, term, config.term_merge_buckets)
+        if hc is not None:
+            pdf = _hotcache_read_postings(
+                hc, storage_for(index_dir), [bkt], [(field, term)],
+                chunk_ords=missing,
+            )
+        else:
+            dset = _cached_postings_dataset(index_dir, split_id)
+            cond = (
+                (pads.field("field") == field)
+                & (pads.field("term") == term)
+                & pads.field("chunk_ord").isin(missing)
+                & pads.field("bucket").isin([bkt])
+            )
+            try:
+                pdf = dset.to_table(filter=cond).to_pandas()
+            except FileNotFoundError as e:
+                raise SplitVanishedError(
+                    f"split vanished during positions-chunk read: {split_id}"
+                ) from e
+        for o in missing:
+            sub = pdf[pdf["chunk_ord"] == o]
+            if len(sub) != 1:
+                raise SplitVanishedError(
+                    f"positions chunk {field}:{term}#{o} missing in {split_id}"
+                )
+            out[o] = sub["positions"].iloc[0]
+            if cap:
+                _postings_cache_put(
+                    (index_dir, split_id, epoch, field, term, "__pchunk__", o),
+                    sub[["positions", "chunk_ord"]],
+                    cap,
+                )
+    return [out[o] for o in ords]
+
+
 def _hotcache_read_postings(
-    hc, st, buckets: list[int], terms: list[tuple[str, str]]
+    hc, st, buckets: list[int], terms: list[tuple[str, str]],
+    chunk_ords: list[int] | None = None,
 ) -> pd.DataFrame:
     """Postings rows for ``terms`` via the hotcache: row groups are pruned
     with the FOOTER-CACHED statistics (bucket ∧ field ∧ term min/max — the
@@ -2029,6 +2166,9 @@ def _hotcache_read_postings(
             pf = hc.parquet_file(st, "postings", name)
             md = pf.metadata
             idx = {md.schema.column(j).name: j for j in range(md.num_columns)}
+            has_chunk_col = "chunk_ord" in idx
+            if chunk_ords and not has_chunk_col:
+                continue  # pre-chunking file: no chunk rows to find
             groups = []
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
@@ -2043,6 +2183,14 @@ def _hotcache_read_postings(
                 tm = _stat_minmax(rg.column(idx["term"]).statistics)
                 if tm is not None and not any(tm[0] <= t_ <= tm[1] for t_ in want_terms):
                     continue
+                if has_chunk_col:
+                    co = _stat_minmax(rg.column(idx["chunk_ord"]).statistics)
+                    if co is not None:
+                        if chunk_ords is None:
+                            if co[0] > 0:  # pure chunk-row group
+                                continue
+                        elif co[1] < min(chunk_ords) or co[0] > max(chunk_ords):
+                            continue
                 groups.append(g)
             if not groups:
                 continue
@@ -2058,6 +2206,19 @@ def _hotcache_read_postings(
                 pc.equal(tbl.column("term"), pa.scalar(t_)),
             )
             mask = c if mask is None else pc.or_(mask, c)
+        if has_chunk_col:
+            co_col = tbl.column("chunk_ord")
+            if chunk_ords is None:
+                cm = pc.or_kleene(
+                    pc.equal(co_col, pa.scalar(0, co_col.type)), pc.is_null(co_col)
+                )
+                cm = pc.fill_null(cm, True)
+            else:
+                cm = pc.fill_null(
+                    pc.is_in(co_col, value_set=pa.array(chunk_ords, co_col.type)),
+                    False,
+                )
+            mask = pc.and_(mask, cm)
         parts.append(tbl.filter(mask).to_pandas())
     if not parts:
         return pd.DataFrame(columns=["field", "term"])
@@ -2143,6 +2304,13 @@ def _read_split_postings(
                 if buckets:
                     # superset of the missing terms' buckets — pruning only
                     cond = pads.field("bucket").isin(buckets) & cond
+                if "chunk_ord" in dset.schema.names:
+                    # positions-CHUNK rows are fetched separately on demand
+                    # (_read_split_postings_chunks), never in the term scan
+                    cond = cond & (
+                        (pads.field("chunk_ord") == 0)
+                        | pads.field("chunk_ord").is_null()
+                    )
                 try:
                     pdf = dset.to_table(filter=cond).to_pandas()
                 except FileNotFoundError as e:
@@ -2188,6 +2356,7 @@ def _plan_leaf(
         index_dir if fetch_in_leaf else None,
         stream_fields=stream_fields,
         stream_scored=stream_scored,
+        source_dir=index_dir,  # chunked position payloads resolve their split
     )
     return cat, config, ast, splits, sorted(terms), buckets, scorer, gstats
 
@@ -2260,7 +2429,7 @@ def _leaf_hit_rows(
         rows = list(run([(s, None, None) for s in sids]))
     else:
         sc = spark.sparkContext
-        bins = _leaf_bins(splits, sc.defaultParallelism, est, _contains_phrase(ast))
+        bins = _leaf_bins(splits, sc.defaultParallelism, est, _ranged_ok(ast, request))
         rows = sc.parallelize(bins, len(bins)).flatMap(run).collect()
     gone = [r["split_id"] for r in rows if r.get("__vanished__")]
     if gone:
@@ -2291,6 +2460,27 @@ def _est_split_rows(asts, gstats, n_splits: int) -> float:
     for ast in asts if isinstance(asts, list) else [asts]:
         walk(ast)
     return total / max(n_splits, 1)
+
+
+def _ranged_ok(asts, reqs) -> bool:
+    """May the planner carve doc-range units for this batch?  Yes for
+    position-verifying queries (phrase work parallelizes; positions are
+    chunk-fetched per unit) and for batches whose every query runs a
+    BLOCK-SLICED strategy (WAND / MaxScore decode only their range's
+    blocks, so a unit re-reads just the small doc blob) — full-eval
+    queries would duplicate an O(df) whole-row decode per unit instead
+    (measured: AND 1.2 s -> 1.7 s when carved at 1M-doc splits).  The
+    adaptive rule in _leaf_bins still carves ONLY to fill idle cores, so
+    this matters exactly at the few-huge-splits shape (e.g. 2x5M docs on
+    32 cores: single-term p50 2.75 s uncarved)."""
+    reqs = reqs if isinstance(reqs, list) else [reqs]
+    asts_l = asts if isinstance(asts, list) else [asts]
+    if _contains_phrase(asts_l):
+        return True
+    return all(
+        select_strategy(a, r) in ("block_max_wand", "maxscore_union")
+        for a, r in zip(asts_l, reqs)
+    )
 
 
 def _contains_phrase(asts) -> bool:
@@ -2445,7 +2635,10 @@ def multi_search(
     buckets = term_buckets(spark, all_terms, config.term_merge_buckets)
     gstats = global_term_stats(spark, index_dir, cat, all_terms, buckets)
     scorers = [
-        make_split_scorer(config, gstats, ast, req, "topk", None)
+        # index_dir=None keeps the in-task stored-field fetch OFF (the
+        # batched leaf returns ids only); source_dir still lets chunked
+        # position payloads resolve their split
+        make_split_scorer(config, gstats, ast, req, "topk", None, source_dir=index_dir)
         for req, ast, _ in plans
     ]
     wanted = [sid_set for _, _, sid_set in plans]
@@ -2489,7 +2682,7 @@ def multi_search(
             list(all_sids.values()),
             sc.defaultParallelism,
             est,
-            _contains_phrase([ast for _, ast, _ in plans]),
+            _ranged_ok([ast for _, ast, _ in plans], [req for req, _, _ in plans]),
         )
         rows = sc.parallelize(bins, len(bins)).flatMap(run).collect()
     if any(r.get("__vanished__") for r in rows):
@@ -2930,7 +3123,7 @@ def _attach_score_explain(
             raise SplitVanishedError(f"split vanished during explain: {sid}")
         ff_pdf = ff_pdf.sort_values("seg_id")
         postings_pdf = _read_split_postings(index_dir, sid, sorted(terms), buckets)
-        postings = _SplitPostings(postings_pdf, None, None)
+        postings = _SplitPostings(postings_pdf, None, None, source=(index_dir, sid))
         lens_cache: dict[str, np.ndarray | None] = {}
 
         def field_lens(field: str, _ff=ff_pdf, _c=lens_cache) -> np.ndarray | None:
