@@ -191,7 +191,7 @@ def _reassemble_chunked_positions(pdf: pd.DataFrame) -> pd.DataFrame:
     (term, input split) exactly as before chunking existed."""
     if "chunk_ord" not in pdf.columns:
         return pdf
-    co = pdf["chunk_ord"].fillna(0)
+    co = pd.to_numeric(pdf["chunk_ord"], errors="coerce").fillna(0)
     if not (co > 0).any():
         return pdf
     from ..functions.codec import reassemble_position_chunks

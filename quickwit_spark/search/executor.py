@@ -927,6 +927,7 @@ class _SplitPostings:
         blobs = _read_split_postings_chunks(
             self.source[0], self.source[1], key[0], key[1],
             [int(c) + 1 for c in need],  # chunk_ord is 1-based
+            bucket=int(r.bucket) if hasattr(r, "bucket") else None,
         )
         parts = []
         for c, blob in zip(need, blobs):
@@ -2083,14 +2084,15 @@ def _stat_minmax(col_stats):
 
 
 def _read_split_postings_chunks(
-    index_dir: str, split_id: str, field: str, term: str, ords: list[int]
+    index_dir: str, split_id: str, field: str, term: str, ords: list[int],
+    bucket: int | None = None,
 ) -> list[bytes]:
     """Fetch specific positions-CHUNK rows of one term (chunk_ord >= 1),
     worker-cached like posting rows; row-group pruning on
-    (bucket, field, term, chunk_ord) keeps the read to the asked chunks."""
+    (bucket, field, term, chunk_ord) keeps the read to the asked chunks.
+    ``bucket`` is the primary row's stored bucket value (saves the
+    config/catalog round trip a recompute would cost in a worker)."""
     import pyarrow.dataset as pads
-
-    from ..functions.codec import term_bucket
 
     cap = _postings_cache_cap()
     hc = _cached_hotcache(index_dir, split_id)
@@ -2108,8 +2110,13 @@ def _read_split_postings_chunks(
         else:
             missing.append(o)
     if missing:
-        cat, config = open_index(None, index_dir)
-        bkt = term_bucket(field, term, config.term_merge_buckets)
+        if bucket is not None:
+            bkt = int(bucket)
+        else:
+            from ..functions.codec import term_bucket
+
+            _, config = open_index(None, index_dir)
+            bkt = term_bucket(field, term, config.term_merge_buckets)
         if hc is not None:
             pdf = _hotcache_read_postings(
                 hc, storage_for(index_dir), [bkt], [(field, term)],
