@@ -25,7 +25,6 @@ MergeExecutor + GarbageCollector analog (SURVEY.md §2.4).
 
 from __future__ import annotations
 
-import functools
 import os
 import uuid
 from contextlib import contextmanager
@@ -115,6 +114,13 @@ def build_merge_operations(
                 )
             )
     return ops
+
+
+def _make_merge_bucket_group(pos_chunk_bytes: int | None):
+    def merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_bucket_group(pdf, pos_chunk_bytes)
+
+    return merge_bucket_group
 
 
 def _merge_bucket_group(
@@ -395,10 +401,10 @@ def execute_merge_round(
         .groupBy("out_split", "bucket")
         .applyInPandas(
             # chunk threshold captured DRIVER-side (worker env is frozen
-            # at JVM start; see builder._pos_chunk_bytes)
-            functools.partial(
-                _merge_bucket_group, pos_chunk_bytes=_pos_chunk_bytes()
-            ),
+            # at JVM start; see builder._pos_chunk_bytes).  A named
+            # closure rather than functools.partial: pyspark's eval-type
+            # inference warns on partial objects
+            _make_merge_bucket_group(_pos_chunk_bytes()),
             POSTINGS_SCHEMA,
         )
     )

@@ -149,6 +149,36 @@ def _project_json_docs(records: DataFrame, payload_col: str) -> DataFrame:
     ).select("doc.*")
 
 
+# the record shape the structured-streaming Kinesis connectors yield
+# (kinesis-sql dialect)
+KINESIS_RECORD_SCHEMA = StructType(
+    [
+        StructField("data", BinaryType()),
+        StructField("streamName", StringType()),
+        StructField("partitionKey", StringType()),
+        StructField("sequenceNumber", StringType()),
+        StructField("approximateArrivalTimestamp", TimestampType()),
+    ]
+)
+
+
+def kinesis_record_log_source(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Endpoint-free harness for the KINESIS-SHAPED pipeline: tail a
+    directory of parquet files carrying ``KINESIS_RECORD_SCHEMA``.
+    Everything downstream of the connector's ``load()`` — the
+    ``parse_kinesis_records`` projection, StreamIngestor, and
+    sequence-number checkpoint/restart — is the identical code path
+    ``kinesis_stream_source`` drives (see ``kafka_record_log_source`` for
+    the rationale; the reference's kinesis tests spin a localstack
+    endpoint the same way)."""
+    reader = spark.readStream.schema(KINESIS_RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_kinesis_records(reader.parquet(path))
+
+
 def parse_kinesis_records(records: DataFrame) -> DataFrame:
     """Kinesis record batch → transcript rows (KinesisSource's doc-processing
     half, source/kinesis/mod.rs + shard_consumer.rs:52-153: one JSON document

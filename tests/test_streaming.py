@@ -178,6 +178,67 @@ def test_kafka_shaped_stream_restart_is_exactly_once(spark, tmp_path_factory):
     assert search(spark, idx, SearchRequest("the", max_hits=3)).num_hits > 0
 
 
+def test_kinesis_shaped_stream_drain_and_resume(spark, tmp_path_factory):
+    """End-to-end exactly-once through the KINESIS-SHAPED path:
+    kinesis_record_log_source drives the identical downstream code as
+    kinesis_stream_source (data-blob projection, StreamIngestor,
+    sequence-number offset log).  Drain, idle restart (nothing
+    re-published), late records picked up exactly once."""
+    import datetime
+    import json
+
+    from quickwit_spark.streaming.ingest import (
+        KINESIS_RECORD_SCHEMA,
+        kinesis_record_log_source,
+    )
+
+    base = str(tmp_path_factory.mktemp("kinesis_stream"))
+    src, idx, ckpt = f"{base}/records", f"{base}/idx", f"{base}/ckpt"
+
+    def write_records(n_convs, seed, seq0):
+        pdf = generate_transcripts(n_conversations=n_convs, seed=seed)
+        pdf["conv_id"] = pdf["conv_id"] + f"-s{seed}"
+        rows = [
+            (
+                json.dumps(
+                    {
+                        "conv_id": r.conv_id, "turn_idx": int(r.turn_idx),
+                        "role": r.role, "text": r.text, "tool": r.tool,
+                        "ts": r.ts.isoformat(),
+                    }
+                ).encode(),
+                "transcripts", f"shard-{j % 2}", f"{seq0 + j:012d}",
+                datetime.datetime(2026, 1, 2),
+            )
+            for j, r in enumerate(pdf.itertuples(index=False))
+        ]
+        spark.createDataFrame(rows, KINESIS_RECORD_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        return len(rows)
+
+    total = write_records(8, 31, 0)
+    q, _ = start_stream_build(
+        kinesis_record_log_source(spark, src), CFG, idx, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    assert sum(s.num_docs for s in Catalog(idx).splits()) == total
+    # idle restart: nothing re-indexed
+    q2, _ = start_stream_build(
+        kinesis_record_log_source(spark, src), CFG, idx, ckpt, available_now=True
+    )
+    q2.awaitTermination(300)
+    assert sum(s.num_docs for s in Catalog(idx).splits()) == total
+    # late records -> exactly the new ones
+    extra = write_records(3, 77, total)
+    q3, _ = start_stream_build(
+        kinesis_record_log_source(spark, src), CFG, idx, ckpt, available_now=True
+    )
+    q3.awaitTermination(300)
+    assert sum(s.num_docs for s in Catalog(idx).splits()) == total + extra
+    assert search(spark, idx, SearchRequest("the", max_hits=2)).num_hits > 0
+
+
 def test_kafka_record_projection_and_build(spark, tmp_path_factory):
     """The KafkaSource doc-processing half, broker-free: Kafka-shaped
     records (binary JSON values, topic/partition/offset metadata) project
