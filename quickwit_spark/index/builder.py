@@ -733,6 +733,7 @@ class _SplitAccumulator:
         paths: dict,
         chunk_docs: int,
         pos_chunk_bytes: int | None = None,
+        write_hotcache: bool = True,
     ):
         self.split_id = split_id
         self.config = config
@@ -740,6 +741,7 @@ class _SplitAccumulator:
         self.pos_chunk_bytes = (
             pos_chunk_bytes if pos_chunk_bytes is not None else _pos_chunk_bytes()
         )
+        self.write_hotcache = write_hotcache
         self.doc_cols = config.doc_cols()
         self.text_fields = [
             (m.name, m.record == "position", m.tokenizer, m.is_array)
@@ -1322,9 +1324,10 @@ class _SplitAccumulator:
         }
         # single-read cold-open sidecar, written while this task still
         # holds the split (split.rs:103-180 bundle-finalize analog)
-        from .hotcache import write_split_hotcache
+        if self.write_hotcache:
+            from .hotcache import write_split_hotcache
 
-        write_split_hotcache(self.paths, self.split_id)
+            write_split_hotcache(self.paths, self.split_id)
         return self.split_id, json.dumps(meta)
 
 
@@ -1353,6 +1356,15 @@ def make_split_builder(
     # start-time env, so reading QW_POS_CHUNK_BYTES in-task would ignore
     # the driver's setting
     pos_chunk_bytes = _pos_chunk_bytes()
+    # hotcache sidecars serve the OBJECT-STORE read path only (local reads
+    # keep mmap'd datasets; executor._hotcache_enabled) — don't pay the
+    # per-split fastfields+footer re-read and duplicate bytes on local
+    # filesystems unless the forced-read flag is on (captured driver-side,
+    # same env-freeze reason as above)
+    write_hotcache = (
+        not storage_for(paths["hotcache"]).is_local
+        or os.environ.get("QW_FORCE_HOTCACHE") == "1"
+    )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
@@ -1404,6 +1416,7 @@ def make_split_builder(
                     cur = _SplitAccumulator(
                         sid, config, paths, chunk_docs,
                         pos_chunk_bytes=pos_chunk_bytes,
+                        write_hotcache=write_hotcache,
                     )
                 cur.add(pdf.iloc[s:e])
         if cur is not None:

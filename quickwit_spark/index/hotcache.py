@@ -176,6 +176,17 @@ class Hotcache:
             )
         return self._ff_pdf
 
+    def close(self) -> None:
+        """Release parsed state and remote file handles (worker-cache
+        eviction calls this so evicted entries don't pin fds/memory)."""
+        for pf in self._pq_files.values():
+            try:
+                pf.close()
+            except Exception:
+                pass
+        self._pq_files.clear()
+        self._ff_pdf = None
+
     def parquet_file(self, storage, table: str, name: str):
         """Worker-cached pyarrow ParquetFile over one part, with the footer
         served from the embedded tail — opening it costs ZERO storage

@@ -432,18 +432,21 @@ def execute_merge_round(
     # --- hotcache sidecars for the new splits (single-read cold open) -------
     # written BEFORE the failpoint/stage so a crash leaves the sidecar as
     # invisible garbage with the rest of the unpublished split dirs; a
-    # small thread pool amortizes the per-part tail GETs
-    from concurrent.futures import ThreadPoolExecutor
+    # small thread pool amortizes the per-part tail GETs.  Skipped on
+    # local filesystems (the read path is object-store-only; see
+    # builder.make_split_builder's write_hotcache capture)
+    if not storage.is_local or os.environ.get("QW_FORCE_HOTCACHE") == "1":
+        from concurrent.futures import ThreadPoolExecutor
 
-    from .hotcache import write_split_hotcache
+        from .hotcache import write_split_hotcache
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(
-            pool.map(
-                lambda op: write_split_hotcache(paths, op.output_split_id), ops
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(
+                pool.map(
+                    lambda op: write_split_hotcache(paths, op.output_split_id), ops
+                )
             )
-        )
-    _mark("hotcache")
+        _mark("hotcache")
 
     # --- metadata + atomic replaces ------------------------------------------
     if failpoint is not None:  # 'before-merge-publish' injection point

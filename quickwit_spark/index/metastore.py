@@ -419,31 +419,30 @@ def resolve_backend(index_dir: str, storage, metastore: str | None = None):
     the storage class: json on local filesystems (flock'd single file),
     cas on object stores (multi-writer conditional-put log)."""
     json_b = JsonFileBackend(index_dir, storage)
-    cas_b = CasObjectBackend(index_dir, storage)
     sqlite_path = (
         os.path.join(storage.fs_path(index_dir), SQLITE_FILENAME)
         if storage.is_local
         else None
     )
     sqlite_exists = sqlite_path is not None and os.path.exists(sqlite_path)
-    present = [
-        b
-        for b, here in (
-            (json_b, json_b.exists()),
-            ("sqlite", sqlite_exists),
-            (cas_b, cas_b.exists()),
-        )
-        if here
-    ]
-    if len(present) > 1:
-        raise ValueError(
-            f"{index_dir} has more than one catalog "
-            f"({JSON_FILENAME}/{SQLITE_FILENAME}/{CAS_LOG_DIRNAME}); delete "
-            "all but one"
-        )
-    if present:
-        b = present[0]
-        return SqliteBackend(index_dir, storage) if b == "sqlite" else b
+    # cheap probes first, and return WITHOUT the CAS-log LIST when a file
+    # catalog exists: resolution runs on every Catalog()/state_token()
+    # call, and an extra object-store LIST per call is real money.  A
+    # stray catalog_log next to a catalog.json is therefore ignored
+    # (deterministically: the file catalog wins), not an error — only the
+    # two stat-cheap backends conflict-check against each other.
+    if json_b.exists():
+        if sqlite_exists:
+            raise ValueError(
+                f"{index_dir} has BOTH {JSON_FILENAME} and {SQLITE_FILENAME}; "
+                "delete one"
+            )
+        return json_b
+    if sqlite_exists:
+        return SqliteBackend(index_dir, storage)
+    cas_b = CasObjectBackend(index_dir, storage)
+    if cas_b.exists():
+        return cas_b
     kind = (
         metastore
         or os.environ.get("QW_METASTORE")

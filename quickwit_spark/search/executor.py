@@ -59,7 +59,6 @@ from ..functions.codec import (
     BLOCK,
     decode_blocks,
     decode_positions_at,
-    decode_positions_subset,
     decode_postings,
     decode_u32_column,
 )
@@ -827,25 +826,6 @@ class _SplitPostings:
         if len(blocks) * 2 >= len(last_doc):
             return self.full(key)
         return decode_blocks(r.blob, last_doc.astype(np.uint32), blocks)
-
-    def positions_subset(self, key, idx: np.ndarray) -> np.ndarray:
-        """Flat positions of the posting runs at (sorted) list indices
-        ``idx`` — the phrase-verification skip path.  Always decodes only
-        the candidate docs' runs: with the gather-and-shift kernel the
-        subset decode matches the full unpack's per-value rate, so it wins
-        at every candidate ratio (measured: a hot-stopword phrase whose
-        candidates cover half the list still runs ~15% faster than a full
-        decode + extract)."""
-        r = self.rows.get(key)
-        if r is None or not self.has_positions(key):
-            return np.empty(0, np.uint32)
-        _, tfs = self._raw(key)
-        t64 = tfs.astype(np.int64)
-        starts = np.cumsum(t64) - t64
-        # callers index into the (possibly range-sliced) full() view —
-        # rebase to whole-row run indices
-        idx = np.asarray(idx, np.int64) + self._off.get(key, 0)
-        return self.positions_at(key, starts[idx], t64[idx])
 
     def phrase_view(self, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docs, tfs, position-run starts) of the docs visible to this
@@ -1995,15 +1975,23 @@ def _cached_hotcache(index_dir: str, split_id: str):
     except (FileNotFoundError, OSError, ValueError):
         return None  # vanished/foreign-version sidecar → listing fallback
     cap = int(os.environ.get("QW_HOTCACHE_CACHE_MB", "512")) << 20
-    if hc.nbytes <= cap:
+    # charge 3x the raw sidecar bytes: a cached entry also pins the
+    # lazily-parsed fastfields DataFrame (typically 2-4x the snappy bytes)
+    # and per-part ParquetFile handles — raw-size accounting let real
+    # worker memory exceed the knob severalfold
+    charge = 3 * hc.nbytes
+    if charge <= cap:
         old = _WORKER_HOTCACHE_CACHE.pop(key, None)
         if old is not None:
-            _HOTCACHE_CACHE_BYTES[0] -= old.nbytes
+            _HOTCACHE_CACHE_BYTES[0] -= 3 * old.nbytes
+            old.close()
         _WORKER_HOTCACHE_CACHE[key] = hc
-        _HOTCACHE_CACHE_BYTES[0] += hc.nbytes
+        _HOTCACHE_CACHE_BYTES[0] += charge
         while _HOTCACHE_CACHE_BYTES[0] > cap and _WORKER_HOTCACHE_CACHE:
             oldest = next(iter(_WORKER_HOTCACHE_CACHE))
-            _HOTCACHE_CACHE_BYTES[0] -= _WORKER_HOTCACHE_CACHE.pop(oldest).nbytes
+            gone = _WORKER_HOTCACHE_CACHE.pop(oldest)
+            _HOTCACHE_CACHE_BYTES[0] -= 3 * gone.nbytes
+            gone.close()  # release fds + parsed fastfields
     _lru_put(_HOTCACHE_PROBE_MEMO, memo_key, (now + _HOTCACHE_PROBE_TTL, hc), 4096)
     return hc
 

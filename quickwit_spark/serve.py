@@ -524,12 +524,19 @@ class _Handler(BaseHTTPRequestHandler):
                 dirs_mi = [os.path.join(self.index_root, i) for i in multi_ids]
                 collapse_field = qs.get("collapseField", [None])[0]
                 if collapse_field is not None:
+                    # same conflict contract as the single-index collapse
+                    # branch below
+                    if req.snippet_fields is not None:
+                        return self._err(
+                            400, "collapseField cannot combine with snippetFields"
+                        )
                     if any(
                         qs.get(p, [None])[0] is not None
                         for p in (
                             "aggHistogramInterval", "aggHistogramCalendar",
                             "aggTermsField", "aggTermsMetricField",
-                            "aggStatsField", "aggPercentilesField",
+                            "aggStatsField", "aggStatsExtended",
+                            "aggPercentilesField",
                             "aggCardinalityField",
                         )
                     ):

@@ -73,21 +73,25 @@ def twin_indexes(spark, tmp_path_factory):
 
 
 def test_every_published_split_has_hotcache(twin_indexes):
-    """Builder- AND merge-written splits all carry the sidecar, on both
-    storage classes; GC removed the replaced splits' sidecars."""
-    for d in twin_indexes:
-        st = storage_for(d)
-        cat = Catalog(d)
-        live = {s.split_id for s in cat.splits([PUBLISHED])}
-        assert live
-        for sid in live:
-            assert st.exists(hotcache_path(d, sid)), (d, sid)
-        hc_root = os.path.join(d, "hotcache")
-        on_disk = {
-            os.path.basename(p).split("=", 1)[1]
-            for p in _list_dirs(st, hc_root)
-        }
-        assert on_disk == live  # GC swept the merged-away splits' sidecars
+    """Builder- AND merge-written splits all carry the sidecar on OBJECT
+    storage; GC removed the replaced splits' sidecars.  Local builds skip
+    the sidecar entirely (the read path is object-store-only), so they
+    pay neither the finalize re-read nor the duplicate bytes."""
+    local_dir, sim_dir = twin_indexes
+    st = storage_for(sim_dir)
+    cat = Catalog(sim_dir)
+    live = {s.split_id for s in cat.splits([PUBLISHED])}
+    assert live
+    for sid in live:
+        assert st.exists(hotcache_path(sim_dir, sid)), sid
+    on_disk = {
+        os.path.basename(p).split("=", 1)[1]
+        for p in _list_dirs(st, os.path.join(sim_dir, "hotcache"))
+    }
+    assert on_disk == live  # GC swept the merged-away splits' sidecars
+    # local twin: no sidecars written at all
+    st_l = storage_for(local_dir)
+    assert _list_dirs(st_l, os.path.join(local_dir, "hotcache")) == []
 
 
 def _list_dirs(st, logical_dir):
@@ -155,11 +159,17 @@ def test_missing_hotcache_falls_back_to_listing(spark, twin_indexes, monkeypatch
 
 
 def test_forced_hotcache_on_local(spark, tmp_path, monkeypatch):
-    """QW_FORCE_HOTCACHE=1 drives the hotcache read path on a plain local
-    index; results match the default path."""
+    """QW_FORCE_HOTCACHE=1 writes AND reads the sidecar on a plain local
+    index (the A/B switch); results match the default mmap path."""
     idx = str(tmp_path / "idx")
     pdf = generate_transcripts(n_conversations=15, seed=3)
+    monkeypatch.setenv("QW_FORCE_HOTCACHE", "1")  # build writes sidecars
     build_index(spark, spark.createDataFrame(pdf), CFG, idx, build_id="b0")
+    assert storage_for(idx).exists(
+        hotcache_path(idx, Catalog(idx).splits()[0].split_id)
+    )
+    monkeypatch.delenv("QW_FORCE_HOTCACHE")
+    _clear_worker_caches()
     baseline = {req.query: _hits_key(search(spark, idx, req)) for req in QUERIES}
     monkeypatch.setenv("QW_FORCE_HOTCACHE", "1")
     _clear_worker_caches()
