@@ -121,7 +121,13 @@ def main() -> None:
     for req in queries.values():  # re-warm: new split dirs, new workers
         search(spark, index_dir, req)
     mtimes: dict[str, list] = {k: [] for k in queries}
+    # per-round host probe for the MERGED phase too: both round-3 soak
+    # runs landed this phase in a paging window and the unprobed medians
+    # read as engine regressions (2.07 s and 7.0 s phrase p50s whose
+    # quiet-host re-measurements were 1.38 and 1.54)
+    merged_round_gbps: list[float] = []
     for _ in range(args.repeats):
+        merged_round_gbps.append(probe_page_fault_gbps(32))
         for name, req in queries.items():
             t0 = time.monotonic()
             search(spark, index_dir, req)
@@ -141,6 +147,7 @@ def main() -> None:
         "merge_turns_per_sec": round(n_turns / merge_secs, 0),
         "queries_merged_p50": {k: round(statistics.median(v), 3) for k, v in mtimes.items()},
         "queries_merged_min": {k: round(min(v), 3) for k, v in mtimes.items()},
+        "merged_round_gbps": [round(g, 2) for g in merged_round_gbps],
         "cpus": args.cpus,
     }
     print(json.dumps(out), flush=True)
