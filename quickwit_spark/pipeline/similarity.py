@@ -652,11 +652,14 @@ def embedding_near_dup_pairs(
     (see _near_dup_lsh_verified).  Pass ``exact=True`` to force the
     quadratic all-pairs join regardless of size (the reference-exact
     escape hatch).  Pass ``n_rows`` when the caller already knows the
-    count — the strategy gate otherwise costs one count job per call."""
+    count — the strategy gate otherwise costs one BOUNDED count job per
+    call (``limit(gemm_max+1).count()``: the scan short-circuits once the
+    gate is decided instead of counting the whole corpus; below the gate
+    the limited count IS the exact count the GEMM path needs)."""
     gemm_max = int(__import__("os").environ.get("QW_NEARDUP_GEMM_MAX", "300000"))
     if exact is False:
         return _near_dup_lsh_verified(df, threshold, id_col, vec_col)
-    n = n_rows if n_rows is not None else df.count()
+    n = n_rows if n_rows is not None else df.limit(gemm_max + 1).count()
     if exact is None:
         exact = n <= gemm_max
     if exact:

@@ -2602,6 +2602,11 @@ def multi_search(
     for r in requests:
         # same user-input contract as the single-query path (_search_rows)
         if r.search_after is not None:
+            if len(r.search_after) == 4:
+                raise ValueError(
+                    "index-qualified search_after cursors are for "
+                    "multi_index_search, not batched single-index search"
+                )
             if r.start_offset:
                 raise ValueError(
                     "search_after and start_offset are mutually exclusive"
@@ -2881,6 +2886,12 @@ def _search_rows(
     per query total); the driver merge (merge_fruits analog, root.rs:170-232)
     then just sorts <= splits*(offset+k) fully-materialized rows and pages."""
     if request.search_after is not None:
+        if len(request.search_after) == 4:
+            raise ValueError(
+                "index-qualified search_after cursors (value, index_id, "
+                "split_id, doc_id) are for multi-index addressing — use "
+                "multi_index_search, or drop the index coordinate"
+            )
         if request.start_offset:
             raise ValueError("search_after and start_offset are mutually exclusive")
         if request.tiebreak != "reference":
@@ -2892,9 +2903,11 @@ def _search_rows(
         cat, config = open_index(spark, index_dir)
         req = resolve_sort(request, config)
         _validate_stored_fields(config, req)
-        if req.search_after is not None and req.search_after[1] not in {
-            s.split_id for s in cat.splits()
-        }:
+        if (
+            req.search_after is not None
+            and req.search_after[1] not in (CURSOR_SPLIT_MIN, CURSOR_SPLIT_MAX)
+            and req.search_after[1] not in {s.split_id for s in cat.splits()}
+        ):
             # a merge/demux replaced the cursor's split: its tie key is
             # meaningless against the new split ids — comparing anyway
             # would silently duplicate the boundary doc or skip tie-group
@@ -3235,6 +3248,17 @@ def search(
     return SearchResponse(num_hits, out, int((time.monotonic() - t0) * 1e6))
 
 
+# Synthetic split-id cursor bounds: "" sorts before every real split id and
+# "￿" after every real one (split ids are ASCII hex/uuid strings), so a
+# cursor carrying one expresses "all ties of this sort value" / "no tie of
+# this sort value" without naming a live split.  multi_index_search mints
+# them to project an index-qualified 4-tuple cursor onto the per-index
+# 3-tuple leaf comparison; _search_rows skips the cursor-split liveness
+# check for them (they never address a real split).
+CURSOR_SPLIT_MIN = ""
+CURSOR_SPLIT_MAX = "￿"
+
+
 def multi_index_search(
     spark: SparkSession, index_dirs: list[str], request: SearchRequest
 ) -> SearchResponse:
@@ -3248,18 +3272,48 @@ def multi_index_search(
     BM25 scores use each index's OWN collection stats (the ES
     query_then_fetch behavior — cross-index scores are comparable only to
     the extent the collections are); sort-by-fast-field merges on the raw
-    values and is exact.  search_after is rejected (its cursor has no
-    index coordinate)."""
+    values and is exact.  score_explain flows through per index (each
+    hit's explanation uses its own index's collection stats — ES parity).
+
+    search_after takes an INDEX-QUALIFIED 4-tuple cursor
+    ``(value, index_id, split_id, doc_id)`` — the previous page's last
+    hit's sort value (or score) plus its (index, split, doc) identity.
+    The merge order is (value, index_id, split_id, doc_id), so the cursor
+    projects onto each index as a plain 3-tuple leaf cursor: the cursor's
+    own index resumes at (value, split, doc); an index ordered BEFORE the
+    cursor's needs strictly-after-value rows only; one ordered AFTER
+    needs at-or-after-value rows including every tie.  The two synthetic
+    split bounds express those without a per-index re-sort."""
     t0 = time.monotonic()
     if len(set(index_dirs)) != len(index_dirs) or not index_dirs:
         raise ValueError("index_dirs must be a non-empty list of distinct indexes")
-    if request.search_after is not None:
-        raise ValueError(
-            "search_after is not supported across multiple indexes "
-            "(the cursor has no index coordinate) — paginate per index"
-        )
+    cursor = request.search_after
+    if cursor is not None:
+        if len(cursor) == 3 and len(index_dirs) > 1:
+            raise ValueError(
+                "multi-index search_after needs an index-qualified cursor "
+                "[value, index_id, split_id, doc_id] — the 3-tuple form has "
+                "no index coordinate"
+            )
+        if request.start_offset:
+            raise ValueError("search_after and start_offset are mutually exclusive")
     if len(index_dirs) == 1:
+        if cursor is not None and len(cursor) == 4:
+            # tolerate the qualified form on a 1-index list (ES does)
+            c_v, c_idx, c_split, c_doc = cursor
+            if c_idx != os.path.basename(index_dirs[0].rstrip("/")):
+                raise ValueError(
+                    f"search_after cursor index {c_idx!r} is not in the "
+                    "addressed index list"
+                )
+            request = _dc_replace(request, search_after=(c_v, c_split, int(c_doc)))
         return search(spark, index_dirs[0], request)
+    ids = [os.path.basename(d.rstrip("/")) for d in index_dirs]
+    if cursor is not None and cursor[1] not in ids:
+        raise ValueError(
+            f"search_after cursor index {cursor[1]!r} is not in the "
+            "addressed index list"
+        )
     # offset rewrite (root.rs:286-301 across indexes): every index returns
     # its top offset+k, the GLOBAL offset applies after the merge
     inner = _dc_replace(
@@ -3268,15 +3322,28 @@ def multi_index_search(
     total = 0
     merged: list[dict] = []
     float_sort = False
-    for d in index_dirs:
-        resp = search(spark, d, inner)
+    for d, iid in zip(index_dirs, ids):
+        req_d = inner
+        if cursor is not None:
+            c_v, c_idx, c_split, c_doc = cursor
+            if iid == c_idx:
+                after = (c_v, c_split, int(c_doc))
+            elif iid < c_idx:
+                # merge-ordered before the cursor's index: only rows whose
+                # value is STRICTLY after the cursor value qualify
+                after = (c_v, CURSOR_SPLIT_MAX, 0)
+            else:
+                # ordered after: rows at the cursor value still qualify
+                after = (c_v, CURSOR_SPLIT_MIN, -1)
+            req_d = _dc_replace(inner, search_after=after)
+        resp = search(spark, d, req_d)
         total += resp.num_hits
         _, cfg = open_index(spark, d)
         float_sort |= (
             resolve_sort(request, cfg).sort_by_field in cfg.extra_fast_float_fields
         )
         for h in resp.hits:
-            h["index_id"] = os.path.basename(d.rstrip("/"))
+            h["index_id"] = iid
             merged.append(h)
     if request.sort_by_field is not None:
         sgn = 1 if request.sort_asc else -1
@@ -3434,6 +3501,20 @@ def export_stream(
       fast-field path); without partition_by, a single payload row.
     The partition column is fetched through the doc store (fetch_docs
     semantics), so any stored column can partition the export."""
+    hits = _export_hits(spark, index_dir, request, fast_field, partition_by)
+    return _format_export(hits, fast_field, output_format, partition_by)
+
+
+def _export_hits(
+    spark: SparkSession,
+    index_dir: str,
+    request: SearchRequest,
+    fast_field: str,
+    partition_by: str | None,
+) -> DataFrame:
+    """One index's export stream as (split_id, doc_id, <fast_field>
+    [, <partition_by>]) — the leaf pass + optional partition-column join
+    shared by the single- and multi-index export surfaces."""
     out_name = fast_field
     fast_field = _resolve_fast_field(spark, index_dir, fast_field)
     req = _dc_replace(request, start_offset=0, sort_by_field=fast_field)
@@ -3450,9 +3531,26 @@ def export_stream(
             .select("split_id", "doc_id", F.col(f"`{partition_by}`"))
         )
         hits = hits.join(docs, ["split_id", "doc_id"])
+    return hits
+
+
+def _format_export(
+    hits: DataFrame,
+    out_name: str,
+    output_format: str,
+    partition_by: str | None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shape an export hits frame for the wire: ``csv`` keeps one row per
+    value; ``rowbinary`` packs sorted little-endian i64 payloads per
+    partition key (one payload row without partition_by)."""
     if output_format == "csv":
         # backticks: generic-schema column names may be dotted leaves
-        cols = ([f"`{partition_by}`"] if partition_by else []) + [f"`{out_name}`"]
+        cols = (
+            [f"`{c}`" for c in extra_cols]
+            + ([f"`{partition_by}`"] if partition_by else [])
+            + [f"`{out_name}`"]
+        )
         return hits.select(*[F.col(c) for c in cols])
     if output_format != "rowbinary":
         raise ValueError(f"unknown output format {output_format!r}")
@@ -3475,6 +3573,50 @@ def export_stream(
     key_type = grouped.schema[key].dataType.simpleString()
     return grouped.groupBy(key).applyInPandas(
         pack, f"`{key}` {key_type}, n long, payload binary"
+    )
+
+
+def multi_index_export_stream(
+    spark: SparkSession,
+    index_dirs: list[str],
+    request: SearchRequest,
+    fast_field: str,
+    output_format: str = "csv",
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Search-stream export over SEVERAL indexes (the union-merge pattern
+    of multi_index_agg extended to /search/stream): each index runs its
+    own leaf pass with its own plan/pruning, the per-index hit streams
+    union, and formatting applies to the UNION —
+
+    * ``csv``: one row per matching doc, with an ``index_id`` column
+      prepended (split/doc ids are only unique within one index);
+    * ``rowbinary``: partition keys MERGE across indexes — a partition
+      value present in two indexes packs ONE payload containing both
+      indexes' values (exact union-reduce, same contract as the
+      multi-index aggregations).
+
+    The union is lazy DataFrame composition — no driver materialization;
+    each branch keeps its split-pruned scan."""
+    if len(set(index_dirs)) != len(index_dirs) or not index_dirs:
+        raise ValueError("index_dirs must be a non-empty list of distinct indexes")
+    parts = []
+    for d in index_dirs:
+        h = _export_hits(spark, d, request, fast_field, partition_by)
+        parts.append(
+            h.select(
+                F.lit(os.path.basename(d.rstrip("/"))).alias("index_id"), "*"
+            )
+        )
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+    return _format_export(
+        hits,
+        fast_field,
+        output_format,
+        partition_by,
+        extra_cols=("index_id",) if output_format == "csv" else (),
     )
 
 
@@ -3690,8 +3832,10 @@ def search_agg_significant_terms(
         out = _significant_terms_df(
             spark, index_dir, cat, vals, fg_total, field, size, min_doc_count
         )
-        # the page is tiny (<= size terms); materialize before unpersist
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        # the page is tiny (<= size terms) but must materialize before the
+        # unpersist below; one Arrow round trip (toPandas -> createDataFrame
+        # with the computed schema), not a row-by-row collect
+        return spark.createDataFrame(out.toPandas(), schema=out.schema)
     finally:
         vals.unpersist()
 

@@ -77,34 +77,50 @@ def parse_search_after(s) -> tuple | None:
     """``searchAfter=<value>,<split_id>,<doc_id>`` (REST query-string/CLI
     form) or the ES-style JSON array ``[value, split_id, doc_id]`` (batch
     body): the previous page's last hit's sort value (or BM25 score,
-    float) plus its reference tie key.  Integral float values normalize
-    to int — sort-field cursors compare against int64 arrays, and a
-    float64 cursor would collapse distinct values above 2^53 (the same
-    discipline _fast_field_values enforces)."""
+    float) plus its reference tie key.  The INDEX-QUALIFIED 4-element form
+    ``<value>,<index_id>,<split_id>,<doc_id>`` addresses multi-index
+    pagination (executor.multi_index_search — split ids are unique only
+    within one index, so the cursor needs the index coordinate).
+    Integral float values normalize to int — sort-field cursors compare
+    against int64 arrays, and a float64 cursor would collapse distinct
+    values above 2^53 (the same discipline _fast_field_values enforces)."""
     if s is None:
         return None
+    index_id = None
     if isinstance(s, (list, tuple)):
-        if len(s) != 3:
+        if len(s) not in (3, 4):
             raise ValueError(
-                f"searchAfter must be [value, split_id, doc_id] (got {s!r})"
+                "searchAfter must be [value, split_id, doc_id] or "
+                f"[value, index_id, split_id, doc_id] (got {s!r})"
             )
-        value, split_id, doc_id = s
+        if len(s) == 3:
+            value, split_id, doc_id = s
+        else:
+            value, index_id, split_id, doc_id = s
         if not isinstance(value, (int, float)):
             raise ValueError(f"searchAfter value must be numeric (got {value!r})")
     elif isinstance(s, str):
         parts = s.split(",")
-        if len(parts) != 3:
+        if len(parts) not in (3, 4):
             raise ValueError(
                 "searchAfter must be '<sortValueOrScore>,<split_id>,<doc_id>' "
+                "or '<sortValueOrScore>,<index_id>,<split_id>,<doc_id>' "
                 f"(got {s!r})"
             )
         raw = parts[0]
         value = float(raw) if ("." in raw or "e" in raw.lower()) else int(raw)
-        split_id, doc_id = parts[1], parts[2]
+        if len(parts) == 3:
+            split_id, doc_id = parts[1], parts[2]
+        else:
+            index_id, split_id, doc_id = parts[1], parts[2], parts[3]
     else:
-        raise ValueError(f"searchAfter must be a string or 3-element array (got {s!r})")
+        raise ValueError(
+            f"searchAfter must be a string or 3/4-element array (got {s!r})"
+        )
     if isinstance(value, float) and value.is_integer():
         value = int(value)
+    if index_id is not None:
+        return (value, str(index_id), str(split_id), int(doc_id))
     return (value, str(split_id), int(doc_id))
 
 

@@ -271,9 +271,13 @@ class _Handler(BaseHTTPRequestHandler):
                 ):
                     return self._err(404, f"index {i!r} not found")
             index_dir = None  # every use below must branch on multi_ids
-            if parts[3] != "search" or len(parts) != 4:
+            if parts[3] != "search" or len(parts) not in (4, 5) or (
+                len(parts) == 5 and parts[4] != "stream"
+            ):
                 return self._err(
-                    400, "multi-index addressing supports only /search"
+                    400,
+                    "multi-index addressing supports only /search and "
+                    "/search/stream",
                 )
         else:
             if _bad_index_id(index_id):
@@ -412,14 +416,28 @@ class _Handler(BaseHTTPRequestHandler):
                     import struct
                     from itertools import islice
 
-                    from quickwit_spark.search.executor import export_stream
+                    from quickwit_spark.search.executor import (
+                        export_stream,
+                        multi_index_export_stream,
+                    )
 
                     with self.lock:
-                        df = export_stream(
-                            self.spark, index_dir, req, fast_field,
-                            output_format="rowbinary",
-                            partition_by=partition_by,
-                        )
+                        if multi_ids is not None:
+                            # partition keys merge across indexes (exact
+                            # union-reduce — multi_index_agg contract)
+                            df = multi_index_export_stream(
+                                self.spark,
+                                [os.path.join(self.index_root, i) for i in multi_ids],
+                                req, fast_field,
+                                output_format="rowbinary",
+                                partition_by=partition_by,
+                            )
+                        else:
+                            df = export_stream(
+                                self.spark, index_dir, req, fast_field,
+                                output_format="rowbinary",
+                                partition_by=partition_by,
+                            )
                         # reference contract (leaf.rs:346-357): the
                         # partition field must be numeric — reject BEFORE
                         # the chunked reply starts (a mid-stream error
@@ -468,9 +486,25 @@ class _Handler(BaseHTTPRequestHandler):
                 import numpy as np
 
                 with self.lock:
-                    it = search_stream(
-                        self.spark, index_dir, req, fast_field
-                    ).toLocalIterator(prefetchPartitions=True)
+                    if multi_ids is not None:
+                        from quickwit_spark.search.executor import (
+                            multi_index_export_stream,
+                        )
+
+                        # union of the per-index streams; the wire format
+                        # stays one value per line/8 bytes (reference
+                        # parity) — index identity is a DataFrame-API
+                        # concern, not a wire one
+                        stream_df = multi_index_export_stream(
+                            self.spark,
+                            [os.path.join(self.index_root, i) for i in multi_ids],
+                            req, fast_field, output_format="csv",
+                        )
+                    else:
+                        stream_df = search_stream(
+                            self.spark, index_dir, req, fast_field
+                        )
+                    it = stream_df.toLocalIterator(prefetchPartitions=True)
 
                 def batches(size=8192):
                     while True:

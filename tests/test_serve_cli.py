@@ -864,5 +864,36 @@ def test_multi_index_search(spark, server, index_root):
         f"{server}/api/v1/conv,conv2/search?query=x&collapseField=conv_id&aggTermsField=role"
     )[0] == 400
     assert _get(f"{server}/api/v1/conv,nosuch/search?query=x")[0] == 404
-    assert _get(f"{server}/api/v1/conv,conv2/search/stream?query=x&fastField=ts")[0] == 400
     assert _get(f"{server}/api/v1/conv,conv/search?query=x")[0] == 400  # dupes
+
+    # multi-index /search/stream (round-3 ask #4): the csv body is the
+    # UNION of the per-index exports, one value per line (wire parity)
+    from quickwit_spark.search.executor import search_stream
+
+    st, body, ctype = _get(
+        f"{server}/api/v1/conv,conv2/search/stream?query=deploy&fastField=ts"
+    )
+    assert st == 200 and ctype.startswith("text/csv")
+    got_vals = sorted(int(x) for x in body.decode().split())
+    want_vals = sorted(
+        [r["ts"] for r in search_stream(spark, a_dir, SearchRequest("deploy"), "ts").collect()]
+        + [r["ts"] for r in search_stream(spark, b_dir, SearchRequest("deploy"), "ts").collect()]
+    )
+    assert got_vals == want_vals
+
+    # multi-index search_after through the REST layer: the 4-part
+    # index-qualified cursor resumes exactly where page 1 ended
+    last = m.hits[-1]
+    cursor = f"{last['score']},{last['index_id']},{last['split_id']},{last['doc_id']}"
+    st, body, _ = _get(
+        f"{server}/api/v1/conv,conv2/search?query=deploy&maxHits=7"
+        f"&searchAfter={cursor}&format=json"
+    )
+    assert st == 200, body
+    got_p2 = json.loads(body)
+    flat = multi_index_search(
+        spark, [a_dir, b_dir], SearchRequest("deploy", max_hits=14)
+    )
+    assert [(h["index_id"], h["doc_id"]) for h in got_p2["hits"]] == [
+        (h["index_id"], h["doc_id"]) for h in flat.hits[7:14]
+    ]
