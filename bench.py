@@ -246,6 +246,37 @@ def bench_stream(spark, index_dir: str) -> float:
     return round(best, 4)
 
 
+def bench_rare_term(spark, index_dir: str, repeats: int = 5) -> dict:
+    """Selective-query class (per-split term-presence pruning): the
+    corpus's unique-token turns tokenize their ``tok_<seed>_<n>`` marker
+    into a zero-padded numeric singleton (df=1 → exactly ONE split holds
+    it), so the query must schedule O(matching splits) leaf work, not
+    O(splits).  Records the explain() pruning counters next to the latency
+    so the JSON shows the task-count collapse, not just the wall time."""
+    from quickwit_spark.search.executor import explain, search, term_dictionary
+    from quickwit_spark.search.request import SearchRequest
+
+    cands = term_dictionary(spark, index_dir, "text", prefix="000", limit=50)
+    if not cands:
+        return {}
+    term = min(cands, key=lambda c: c["doc_freq"])["term"]
+    ex = explain(spark, index_dir, SearchRequest(term))
+    times = []
+    search(spark, index_dir, SearchRequest(term))  # warm
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        resp = search(spark, index_dir, SearchRequest(term))
+        times.append(time.monotonic() - t0)
+    return {
+        "q16_rare_term": round(statistics.median(times), 4),
+        "q16_rare_term_min": round(min(times), 4),
+        "rare_term_num_hits": resp.num_hits,
+        "rare_term_splits_total": ex["splits_total"],
+        "rare_term_splits_pruned_terms": ex["splits_pruned_terms"],
+        "rare_term_splits_scheduled": ex["splits_after_pruning"],
+    }
+
+
 def bench_pipeline(spark, sf_dir: str) -> dict:
     """Training-data pipeline ops at sf scale (dedup / ANN / text quality) —
     timed once each; these are throughput jobs, not latency paths."""
@@ -296,6 +327,7 @@ def main():
         spark, build["index_dir"]
     )
     queries["q9_stream_export"] = bench_stream(spark, build["index_dir"])
+    rare = bench_rare_term(spark, build["index_dir"])
     batched_qps = bench_multi(spark, build["index_dir"])
     merged = bench_merged(spark, build["index_dirs"])
     docs = bench_documents(spark, sf_dir)
@@ -325,6 +357,7 @@ def main():
         "build_turns_per_sec": build["turns_per_sec"],
         "cpus": int(cpus),
         "batched_queries_per_sec": batched_qps,
+        **rare,
         **merged,
         "pipeline_secs": pipeline,
         **docs,

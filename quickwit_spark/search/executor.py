@@ -2324,6 +2324,133 @@ def _read_split_postings(
     return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
 
+# -- per-split term-presence pruning (termbloom.py sidecars) -----------------
+# The reference pays ~one FST probe per split to learn a term is absent;
+# our per-split miss is a whole Spark task, so the root drops splits that
+# provably lack a required term BEFORE the leaf job is scheduled.  Blooms
+# are loaded once per split (immutable; byte-capped LRU keyed on the
+# split's update_ts) and probed in memory — a rare-term query over 10^4
+# splits schedules O(matching splits) tasks, not O(splits).
+
+_TERMBLOOM_CACHE: dict = {}
+_TERMBLOOM_CACHE_BYTES = [0]
+
+
+def _ast_may_match(node, probe) -> bool:
+    """Conservative may-match: False ONLY when the probe proves no doc of
+    the split can satisfy the node.  probe((field, term)) answers 'may the
+    split contain this term'.  must_not is ignored (it only shrinks);
+    minimum_should_match is relaxed to 1 (ties the predicate to what a
+    presence probe can actually prove)."""
+    if isinstance(node, TermQuery):
+        return probe((node.field, node.term))
+    if isinstance(node, PhraseQuery):
+        return all(probe((node.field, t)) for t in node.terms)
+    if isinstance(node, BoolQuery):
+        if not all(_ast_may_match(c, probe) for c in node.must):
+            return False
+        if not node.must and node.should:
+            return any(_ast_may_match(c, probe) for c in node.should)
+        return True
+    return True  # Exists / All: probe-less, never prunable by terms
+
+
+def _term_prunable(node, df_map, nd: int, frac: float) -> bool:
+    """Is bloom probing worth the loads?  Only when some REQUIRED atom is
+    rare (df <= frac*num_docs) — a must term / any phrase term — or the
+    query is a pure disjunction of rare atoms (then 'lacks them all'
+    prunes).  Hot-term queries match almost every split; probing them
+    would load blooms for nothing."""
+    if isinstance(node, TermQuery):
+        return df_map.get((node.field, node.term), 0) <= frac * nd
+    if isinstance(node, PhraseQuery):
+        return any(df_map.get((node.field, t), 0) <= frac * nd for t in node.terms)
+    if isinstance(node, BoolQuery):
+        if node.must:
+            return any(_term_prunable(c, df_map, nd, frac) for c in node.must)
+        if node.should:
+            return all(_term_prunable(c, df_map, nd, frac) for c in node.should)
+    return False
+
+
+def _load_termblooms(index_dir: str, splits: list[SplitMetadata]) -> dict:
+    """split_id → TermBloom (or None: sidecar absent / unreadable).  Cold
+    loads fan out over a small thread pool (one small GET each); hits are
+    in-memory.  Missing sidecars negative-cache so pre-bloom indexes pay
+    one exists() per split per process, not per query."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..index.termbloom import TermBloom, bloom_path
+
+    st = storage_for(index_dir)
+    cap = int(os.environ.get("QW_TERMBLOOM_CACHE_MB", "256")) << 20
+    out: dict = {}
+    missing = []
+    for s in splits:
+        key = (index_dir, s.split_id, s.update_ts)
+        if key in _TERMBLOOM_CACHE:
+            _TERMBLOOM_CACHE[key] = _TERMBLOOM_CACHE.pop(key)  # LRU touch
+            out[s.split_id] = _TERMBLOOM_CACHE[key]
+        else:
+            missing.append(s)
+
+    def load(s):
+        try:
+            return s, TermBloom(st.read_bytes(bloom_path(index_dir, s.split_id)))
+        except (FileNotFoundError, OSError, ValueError):
+            return s, None
+
+    if missing:
+        if len(missing) > 1:
+            with ThreadPoolExecutor(max_workers=min(32, len(missing))) as pool:
+                loaded = list(pool.map(load, missing))
+        else:
+            loaded = [load(missing[0])]
+        for s, tb in loaded:
+            out[s.split_id] = tb
+            _TERMBLOOM_CACHE[(index_dir, s.split_id, s.update_ts)] = tb
+            _TERMBLOOM_CACHE_BYTES[0] += tb.nbytes if tb is not None else 64
+        while _TERMBLOOM_CACHE_BYTES[0] > cap and _TERMBLOOM_CACHE:
+            gone = _TERMBLOOM_CACHE.pop(next(iter(_TERMBLOOM_CACHE)))
+            _TERMBLOOM_CACHE_BYTES[0] -= gone.nbytes if gone is not None else 64
+    return out
+
+
+def prune_splits_by_terms(
+    index_dir: str, splits: list[SplitMetadata], ast, gstats
+) -> tuple[list[SplitMetadata], int]:
+    """Drop splits that provably lack a required term.  Returns (kept,
+    n_pruned).  Three gates before any sidecar read: the kill switch, a
+    global-df zero check (a required term absent from the WHOLE index
+    answers the query with no splits at all), and the min-splits /
+    selectivity gates (below a handful of splits the leaf is in-process
+    and pruning can't pay; hot-term queries match everywhere)."""
+    if not splits or os.environ.get("QW_TERMPRUNE", "1") != "1":
+        return splits, 0
+    df_map = gstats["df"]
+    if not _ast_may_match(ast, lambda key: df_map.get(key, 0) > 0):
+        return [], len(splits)
+    if len(splits) < int(os.environ.get("QW_TERMPRUNE_MIN_SPLITS", "9")):
+        return splits, 0
+    nd = max(int(gstats["num_docs"]), 1)
+    frac = float(os.environ.get("QW_TERMPRUNE_MAX_DF_FRAC", "0.05"))
+    if not _term_prunable(ast, df_map, nd, frac):
+        return splits, 0
+    blooms = _load_termblooms(index_dir, splits)
+    kept = []
+    for s in splits:
+        tb = blooms.get(s.split_id)
+        if tb is None:
+            kept.append(s)  # probe-less split: never pruned
+            continue
+        probe = lambda key, _tb=tb: (  # noqa: E731
+            df_map.get(key, 0) > 0 and _tb.may_contain(*key)
+        )
+        if _ast_may_match(ast, probe):
+            kept.append(s)
+    return kept, len(splits) - len(kept)
+
+
 def _plan_leaf(
     spark: SparkSession,
     index_dir: str,
@@ -2342,6 +2469,8 @@ def _plan_leaf(
     terms = collect_terms(ast)
     buckets = term_buckets(spark, terms, config.term_merge_buckets)
     gstats = global_term_stats(spark, index_dir, cat, terms, buckets)
+    splits, n_term_pruned = prune_splits_by_terms(index_dir, splits, ast, gstats)
+    gstats["splits_pruned_terms"] = n_term_pruned
     scorer = make_split_scorer(
         config,
         gstats,
@@ -2620,6 +2749,7 @@ def multi_search(
     for r in requests:
         _validate_stored_fields(config, r)
     plans = []
+    pre_plans = []
     all_terms: set[tuple[str, str]] = set()
     all_sids: dict[str, SplitMetadata] = {}
     for req in requests:
@@ -2627,13 +2757,17 @@ def multi_search(
         _validate_msm(ast, req)
         ast = expand_prefixes(spark, index_dir, cat, ast)
         splits = prune_splits(cat, config, ast, req)
-        terms = collect_terms(ast)
-        all_terms |= terms
+        all_terms |= collect_terms(ast)
+        pre_plans.append((req, ast, splits))
+    buckets = term_buckets(spark, all_terms, config.term_merge_buckets)
+    gstats = global_term_stats(spark, index_dir, cat, all_terms, buckets)
+    for req, ast, splits in pre_plans:
+        # per-query term-presence pruning — one query's rare term must not
+        # drag every split of the batch into its scorer
+        splits, _ = prune_splits_by_terms(index_dir, splits, ast, gstats)
         for s in splits:
             all_sids.setdefault(s.split_id, s)
         plans.append((req, ast, {s.split_id for s in splits}))
-    buckets = term_buckets(spark, all_terms, config.term_merge_buckets)
-    gstats = global_term_stats(spark, index_dir, cat, all_terms, buckets)
     scorers = [
         # index_dir=None keeps the in-task stored-field fetch OFF (the
         # batched leaf returns ids only); source_dir still lets chunked
@@ -3392,6 +3526,8 @@ def explain(spark: SparkSession, index_dir: str, request: SearchRequest) -> dict
     terms = sorted(collect_terms(ast))
     buckets = term_buckets(spark, set(terms), config.term_merge_buckets)
     gstats = global_term_stats(spark, index_dir, cat, set(terms), buckets)
+    n_meta_pruned = len(all_splits) - len(splits)
+    splits, n_term_pruned = prune_splits_by_terms(index_dir, splits, ast, gstats)
     count_only = request.max_hits == 0 and request.start_offset == 0
     no_range = request.start_timestamp is None and request.end_timestamp is None
     strategy = select_strategy(ast, request)
@@ -3429,6 +3565,11 @@ def explain(spark: SparkSession, index_dir: str, request: SearchRequest) -> dict
         "splits_total": len(all_splits),
         "splits_after_pruning": len(splits),
         "splits_pruned": len(all_splits) - len(splits),
+        # metadata pruning (time/tags/numeric) vs term-presence pruning
+        # (per-split Bloom probes) broken out — the observability hook for
+        # 'a rare-term query schedules O(matching splits) tasks'
+        "splits_pruned_meta": n_meta_pruned,
+        "splits_pruned_terms": n_term_pruned,
         "terms": [
             {
                 "field": f,

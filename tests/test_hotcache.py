@@ -175,3 +175,65 @@ def test_forced_hotcache_on_local(spark, tmp_path, monkeypatch):
     _clear_worker_caches()
     for req in QUERIES:
         assert _hits_key(search(spark, idx, req)) == baseline[req.query], req.query
+
+
+def test_big_sidecar_externalizes_fastfields(spark, tmp_path, monkeypatch):
+    """Sidecar economics at merge scale (round-3 ask #5): above the embed
+    threshold the fastfields payload moves to the sibling hotcache-ff.bin.
+    The footer part a cold open always pays stays hotcache-sized (1 HEAD +
+    1 GET per split), scoring adds exactly ONE further GET per split, and
+    results stay bit-identical to the embedded layout."""
+    from quickwit_spark.index.hotcache import hotcache_ff_path
+
+    base = str(tmp_path)
+    sim_dir = f"qwsim://{base}/sim_ext"
+    pdf = generate_transcripts(n_conversations=30, seed=7)
+    monkeypatch.setenv("QW_HOTCACHE_EMBED_FF_BYTES", "1")  # force ext
+    build_index(spark, spark.createDataFrame(pdf), CFG, sim_dir, build_id="b0")
+    monkeypatch.delenv("QW_HOTCACHE_EMBED_FF_BYTES")
+    monkeypatch.setenv("QW_DRIVER_LEAF_MAX_SPLITS", "64")
+    st = storage_for(sim_dir)
+    cat = Catalog(sim_dir)
+    splits = cat.splits([PUBLISHED])
+    n_splits = len(splits)
+    import pyarrow.fs as pafs
+
+    # embedded twin (default threshold) on the same corpus: the ext
+    # layout's footer part must be exactly the embedded sidecar minus the
+    # payload bytes it externalized
+    emb_dir = f"qwsim://{base}/sim_emb"
+    build_index(spark, spark.createDataFrame(pdf), CFG, emb_dir, build_id="b0")
+    ff_total = 0
+    for s in splits:
+        main = st.info(hotcache_path(sim_dir, s.split_id))
+        sib = st.info(hotcache_ff_path(sim_dir, s.split_id))
+        assert main.type == pafs.FileType.File and sib.type == pafs.FileType.File
+        emb = st.info(hotcache_path(emb_dir, s.split_id))
+        assert main.size < emb.size, (main.size, emb.size)
+        assert abs((main.size + sib.size) - emb.size) < 4096, (
+            main.size, sib.size, emb.size,
+        )
+        ff_total += sib.size
+    assert ff_total > 0
+    # cold scored open: 1 HEAD + 1 GET (footer part) + 1 GET (payload)
+    search(spark, sim_dir, SearchRequest("the deploy"))  # catalog/plan warm
+    _clear_worker_caches()
+    split_open_read_counts(reset=True)
+    resp = search(spark, sim_dir, SearchRequest("the deploy"))
+    assert resp.num_hits > 0
+    counts = split_open_read_counts()
+    assert counts["list"] == 0 and counts["footer"] == 0, counts
+    assert counts["head"] <= n_splits, counts
+    assert counts["get"] <= 2 * n_splits, counts
+    # warm: zero further reads (payload cached with the sidecar)
+    split_open_read_counts(reset=True)
+    search(spark, sim_dir, SearchRequest("the deploy"))
+    counts = split_open_read_counts()
+    assert sum(counts.values()) == 0, counts
+    # identical results vs a local (mmap) twin of the same corpus
+    local_dir = str(tmp_path / "local_twin")
+    build_index(spark, spark.createDataFrame(pdf), CFG, local_dir, build_id="b0")
+    for req in QUERIES:
+        assert _hits_key(search(spark, sim_dir, req)) == _hits_key(
+            search(spark, local_dir, req)
+        ), req.query
