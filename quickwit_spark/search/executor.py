@@ -2675,8 +2675,19 @@ def _leaf_bins(
         big = [s for s in splits if s.num_docs > range_docs * 3 // 2]
         slots = default_parallelism - (len(splits) - len(big))
         if big and len(big) < slots:
+            # carve FINER than one unit per idle core: with exactly
+            # slots units any straggler (worker cold caches, CPU steal)
+            # doubles the query's wall time, while the marginal cost of
+            # extra units is now small — chunked positions made the
+            # per-unit payload fetch candidate-gated, and the primary
+            # posting rows are worker-cached.  Measured on the 2x5.1M
+            # layout: factor sweep 1/2/3/4 → phrase min 4.16/3.32/3.15/
+            # 2.90 s (best-of-5 each) — finer units keep winning until
+            # the range_docs floor stops them
             eff_range = max(
-                range_docs, -(-sum(s.num_docs for s in big) // slots)
+                range_docs,
+                -(-sum(s.num_docs for s in big)
+                  // (slots * max(1, int(os.environ.get("QW_LEAF_CARVE_FACTOR", "4"))))),
             )
     units: list[tuple[str, int | None, int | None, int]] = []
     for s in splits:
@@ -2827,7 +2838,11 @@ def multi_search(
             raise SplitVanishedError(f"splits vanished during query: {gone}")
         return multi_search(spark, index_dir, requests, _retry=True)
 
-    responses = []
+    # page + count per query first, then ONE grouped stored-field fetch
+    # for the whole batch: queries share splits (and under load, hot
+    # docs), so a per-query fetch re-decompresses the same row groups Q
+    # times — the measured dominant serial driver cost of a batch
+    pages: list[tuple[list[dict], int]] = []
     for qi, (req, _, _) in enumerate(plans):
         hit_rows = [r for r in rows if r["__qi"] == qi]
         per_unit_hits = {
@@ -2838,9 +2853,17 @@ def multi_search(
         # cursor a split can contribute its count but no page rows
         hit_rows = [r for r in hit_rows if r["doc_id"] >= 0]
         hit_rows.sort(key=_sort_key(req))
-        page = hit_rows[req.start_offset : req.start_offset + req.max_hits]
+        pages.append(
+            (hit_rows[req.start_offset : req.start_offset + req.max_hits], num_hits)
+        )
+    by_fields: dict[tuple | None, list[dict]] = {}
+    for (req, _, _), (page, _n) in zip(plans, pages):
         if page and "conv_id" not in page[0]:
-            _fetch_page_fields(index_dir, page, req.stored_fields)
+            by_fields.setdefault(req.stored_fields, []).extend(page)
+    for only, union_page in by_fields.items():
+        _fetch_page_fields(index_dir, union_page, only)
+    responses = []
+    for (req, _, _), (page, num_hits) in zip(plans, pages):
         hits = [_hit_dict(config, r, req.stored_fields) for r in page]
         if req.sort_by_field in config.extra_fast_float_fields:
             for h in hits:  # int64 sort keys → doubles for display
@@ -3124,6 +3147,40 @@ def _search_rows(
     raise AssertionError("unreachable")
 
 
+# Driver-side stored-doc row cache (the reference's fetch-docs/doc-store
+# cache, quickwit-storage/src/cache + fetch_docs.rs): under load the same
+# hot page docs are re-fetched query after query, and each point fetch
+# decompresses whole 8k-row groups to extract a handful of rows — the
+# dominant serial driver cost of a batch (measured ~50% of a warm
+# multi_search batch).  Keyed on a TTL'd split epoch so a delete-and-
+# rebuild at the same path (the only way a published split's bytes can
+# change) invalidates within the TTL, like the worker-side caches.
+_DOC_ROW_CACHE: dict = {}
+_DOC_ROW_CACHE_BYTES = [0]
+_DOC_EPOCH_MEMO: dict = {}
+
+
+def _doc_cache_cap() -> int:
+    return int(os.environ.get("QW_DOC_CACHE_MB", "64")) << 20
+
+
+def _doc_epoch(index_dir: str, split_id: str):
+    """Change-detection token for the doc-row cache: the hotcache token
+    when one exists (object stores), else the docs dir mtime — memoized
+    for the same 2 s the hotcache probe uses."""
+    import time as _time
+
+    key = (index_dir, split_id)
+    memo = _DOC_EPOCH_MEMO.get(key)
+    now = _time.monotonic()
+    if memo is not None and now < memo[0]:
+        return memo[1]
+    hc = _cached_hotcache(index_dir, split_id)
+    epoch = hc.token if hc is not None else _split_epoch(index_dir, "docs", split_id)
+    _lru_put(_DOC_EPOCH_MEMO, key, (now + _HOTCACHE_PROBE_TTL, epoch), 4096)
+    return epoch
+
+
 def _fetch_page_fields(
     index_dir: str, page: list[dict], only: tuple | None = None
 ) -> None:
@@ -3135,15 +3192,38 @@ def _fetch_page_fields(
     ``only`` (request.stored_fields) prunes the fetched COLUMNS too — for
     wide documents the page fetch reads just the asked-for columns.  A
     store_source index keeps the full fetch (the reserved _source field
-    reconstructs from every stored column)."""
+    reconstructs from every stored column).
+
+    Hot rows come from the driver doc-row cache; misses are grouped per
+    split and fetched CONCURRENTLY (pyarrow releases the GIL, so under
+    concurrent clients one query's page fetch overlaps another's driver
+    work instead of serializing behind it)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     _, config = open_index(None, index_dir)
     cols = fetch_cols(config)
     if only is not None and not config.store_source:
         cols = ["doc_id"] + [c for c in cols if c != "doc_id" and c in only]
-    by_split: dict[str, list[int]] = {}
+    colkey = tuple(cols)
+    cap = _doc_cache_cap()
+    fills: dict[tuple[str, int], tuple] = {}
+    by_split: dict[str, set[int]] = {}
+    epochs: dict[str, object] = {}
     for r in page:
-        by_split.setdefault(r["split_id"], []).append(int(r["doc_id"]))
-    for sid, ids in by_split.items():
+        sid, did = r["split_id"], int(r["doc_id"])
+        if (sid, did) in fills:
+            continue
+        if cap:
+            if sid not in epochs:
+                epochs[sid] = _doc_epoch(index_dir, sid)
+            hit = _DOC_ROW_CACHE.get((index_dir, sid, epochs[sid], did, colkey))
+            if hit is not None:
+                fills[(sid, did)] = hit
+                continue
+        by_split.setdefault(sid, set()).add(did)
+
+    def fetch_one(item):
+        sid, ids = item
         # hotcache presence doubles as the GC-race liveness probe (its own
         # reads raise SplitVanishedError); only the listing path needs the
         # explicit dataset check
@@ -3151,15 +3231,35 @@ def _fetch_page_fields(
             _cached_docs_dataset(index_dir, sid) is None
         ):  # GC raced us
             raise SplitVanishedError(f"split vanished during fetch: {sid}")
-        pdf = _fetch_doc_fields(index_dir, sid, ids, cols)
-        fields = {int(row[cols.index("doc_id")]): row for row in pdf.itertuples(index=False, name=None)}
-        for r in page:
-            if r["split_id"] != sid:
-                continue
-            row = fields.get(int(r["doc_id"]))
-            for i, c in enumerate(cols):
-                if c != "doc_id":
-                    r[c] = row[i] if row is not None else None
+        return sid, _fetch_doc_fields(index_dir, sid, sorted(ids), cols)
+
+    items = list(by_split.items())
+    if len(items) > 1:
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+            fetched = list(pool.map(fetch_one, items))
+    else:
+        fetched = [fetch_one(i) for i in items]
+    did_i = cols.index("doc_id")
+    for sid, pdf in fetched:
+        for row in pdf.itertuples(index=False, name=None):
+            did = int(row[did_i])
+            fills[(sid, did)] = row
+            if cap:
+                nb = 128 + sum(
+                    len(v) if isinstance(v, (str, bytes)) else 16 for v in row
+                )
+                _DOC_ROW_CACHE[(index_dir, sid, epochs.get(sid), did, colkey)] = row
+                _DOC_ROW_CACHE_BYTES[0] += nb
+        while _DOC_ROW_CACHE_BYTES[0] > cap and _DOC_ROW_CACHE:
+            gone = _DOC_ROW_CACHE.pop(next(iter(_DOC_ROW_CACHE)))
+            _DOC_ROW_CACHE_BYTES[0] -= 128 + sum(
+                len(v) if isinstance(v, (str, bytes)) else 16 for v in gone
+            )
+    for r in page:
+        row = fills.get((r["split_id"], int(r["doc_id"])))
+        for i, c in enumerate(cols):
+            if c != "doc_id":
+                r[c] = row[i] if row is not None else None
 
 
 def fetch_doc(
