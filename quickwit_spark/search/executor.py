@@ -2388,10 +2388,11 @@ def _load_termblooms(index_dir: str, splits: list[SplitMetadata]) -> dict:
     missing = []
     for s in splits:
         key = (index_dir, s.split_id, s.update_ts)
-        if key in _TERMBLOOM_CACHE:
-            _TERMBLOOM_CACHE[key] = _TERMBLOOM_CACHE.pop(key)  # LRU touch
-            out[s.split_id] = _TERMBLOOM_CACHE[key]
-        else:
+        try:
+            hit = _TERMBLOOM_CACHE.pop(key)  # pop+reinsert = LRU touch
+            _TERMBLOOM_CACHE[key] = hit
+            out[s.split_id] = hit
+        except KeyError:  # absent, or a racing client evicted it
             missing.append(s)
 
     def load(s):
@@ -2411,7 +2412,10 @@ def _load_termblooms(index_dir: str, splits: list[SplitMetadata]) -> dict:
             _TERMBLOOM_CACHE[(index_dir, s.split_id, s.update_ts)] = tb
             _TERMBLOOM_CACHE_BYTES[0] += tb.nbytes if tb is not None else 64
         while _TERMBLOOM_CACHE_BYTES[0] > cap and _TERMBLOOM_CACHE:
-            gone = _TERMBLOOM_CACHE.pop(next(iter(_TERMBLOOM_CACHE)))
+            try:  # concurrent clients share this cache; a racing pop is fine
+                gone = _TERMBLOOM_CACHE.pop(next(iter(_TERMBLOOM_CACHE)))
+            except (KeyError, StopIteration, RuntimeError):
+                continue
             _TERMBLOOM_CACHE_BYTES[0] -= gone.nbytes if gone is not None else 64
     return out
 
@@ -3251,7 +3255,10 @@ def _fetch_page_fields(
                 _DOC_ROW_CACHE[(index_dir, sid, epochs.get(sid), did, colkey)] = row
                 _DOC_ROW_CACHE_BYTES[0] += nb
         while _DOC_ROW_CACHE_BYTES[0] > cap and _DOC_ROW_CACHE:
-            gone = _DOC_ROW_CACHE.pop(next(iter(_DOC_ROW_CACHE)))
+            try:  # concurrent clients share this cache; a racing pop is fine
+                gone = _DOC_ROW_CACHE.pop(next(iter(_DOC_ROW_CACHE)))
+            except (KeyError, StopIteration, RuntimeError):
+                continue
             _DOC_ROW_CACHE_BYTES[0] -= 128 + sum(
                 len(v) if isinstance(v, (str, bytes)) else 16 for v in gone
             )
