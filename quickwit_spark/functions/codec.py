@@ -724,6 +724,9 @@ def decode_positions_at(blob: bytes, vstarts: np.ndarray, counts: np.ndarray) ->
         return np.empty(0, np.uint32)
     run_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
     vidx = np.repeat(vstarts - run_off, counts) + np.arange(m, dtype=np.int64)
+    # (a bulk-_unpack-then-gather variant for dense requests was measured
+    # SLOWER than this per-value window gather even at 50% density —
+    # 31 vs 17 ms on a 1.4M-value chunk — so there is no density split)
     # gather each value's 4-byte window and shift its bit span out (same
     # kernel as _unpack's fast path, at arbitrary rather than regular
     # offsets); widths > 25 can't fit a shifted 32-bit window

@@ -1104,27 +1104,64 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         span = (cur & np.uint64(0xFFFFFFFF)) - (start & np.uint64(0xFFFFFFFF))
         hit = span <= np.uint64(node.slop + len(keys) - 1)
         return np.unique((cur[hit] >> np.uint64(32)).astype(np.int64))
-    base: np.ndarray | None = None
-    for i, k in enumerate(keys):
-        d, t, vs = doclists[i]
-        idx = np.searchsorted(d, cand_u32)
-        psub = postings.positions_at(k, vs[idx], t[idx])
-        doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
-        keys_i = (doc_rep << np.uint64(32)) | psub.astype(np.uint64)
-        if base is None:
-            base = keys_i
-        else:
-            # keys_i ascends (docs ascend; positions ascend within a doc)
-            # and base+i ascends, so sorted membership applies here too;
-            # keys_i may repeat a value only across docs, never within, so
-            # the searchsorted probe stays exact
-            probe = base + np.uint64(i)
-            pos = np.searchsorted(keys_i, probe)
-            ok = np.minimum(pos, len(keys_i) - 1)
-            base = base[keys_i[ok] == probe]
-        if len(base) == 0:
+    # (A bit-parallel shift-AND over per-doc 128-bit position bitsets was
+    # prototyped here and measured FASTER per split warm (0.058 vs 0.148 s)
+    # but SLOWER end-to-end on local mode: building a term's full bitmap
+    # costs a whole-payload decode, and Spark's python workers have no
+    # task stickiness, so the per-worker bitmap cache re-missed forever
+    # (p50 4.1 vs 2.4 s on the 41M merged layout).  On a real cluster,
+    # executor-sticky bins (preferredLocations) would make it pay; an
+    # index-time bitmap column with column-pruned postings reads is the
+    # principled form.  Until then: anchored decode below.)
+    # Exact phrase, ANCHORED on the term with the fewest candidate
+    # positions: a stopword-heavy phrase ("the error") otherwise probes
+    # with the STOPWORD's millions of packed keys at every step.  The
+    # anchor's occurrences become candidate phrase STARTS (key - i), and
+    # every other term — processed rarest-first — is checked by probing
+    # ITS keys with the (shrinking) start set: probe cost is O(|starts|)
+    # per term instead of O(|hot term|), and each term's positions are
+    # decoded/fetched only for docs still alive (candidate-gated chunk
+    # fetch extends into the verify loop; 3+-term phrases decode strictly
+    # less of their later terms).  Semantics identical: a start p
+    # survives iff (doc, p+i) is an occurrence of term i for every i.
+    tf_cand = []
+    for i in range(len(keys)):
+        d, t, _ = doclists[i]
+        tf_cand.append(int(t[np.searchsorted(d, cand_u32)].sum()))
+    order2 = sorted(range(len(keys)), key=lambda i: tf_cand[i])
+    a = order2[0]
+    d, t, vs = doclists[a]
+    idx = np.searchsorted(d, cand_u32)
+    psub = postings.positions_at(keys[a], vs[idx], t[idx])
+    doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
+    akeys = (doc_rep << np.uint64(32)) | psub.astype(np.uint64)
+    if a:
+        # a start needs p_anchor >= a (term a sits at start + a)
+        akeys = akeys[psub >= a]
+    starts = akeys - np.uint64(a)
+    for i in order2[1:]:
+        if len(starts) == 0:
             return np.empty(0, np.int64)
-    return np.unique((base >> np.uint64(32)).astype(np.int64))
+        alive = np.unique((starts >> np.uint64(32)).astype(np.int64))
+        alive_u32 = alive.astype(np.uint32)
+        d, t, vs = doclists[i]
+        idx = np.searchsorted(d, alive_u32)
+        psub = postings.positions_at(keys[i], vs[idx], t[idx])
+        doc_rep = np.repeat(alive.astype(np.uint64), t[idx].astype(np.int64))
+        keys_i = (doc_rep << np.uint64(32)) | psub.astype(np.uint64)
+        if len(keys_i) == 0:
+            return np.empty(0, np.int64)
+        # keys_i ascends (docs ascend; positions ascend within a doc) and
+        # starts+i ascends, so sorted membership applies; keys_i may
+        # repeat a value only across docs, never within, so the
+        # searchsorted probe stays exact
+        probe = starts + np.uint64(i)
+        pos = np.searchsorted(keys_i, probe)
+        ok = np.minimum(pos, len(keys_i) - 1)
+        starts = starts[keys_i[ok] == probe]
+    if len(starts) == 0:
+        return np.empty(0, np.int64)
+    return np.unique((starts >> np.uint64(32)).astype(np.int64))
 
 
 def _block_range(last_doc: np.ndarray, lo: int, hi: int) -> tuple[int, int]:
