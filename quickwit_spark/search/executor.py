@@ -1894,7 +1894,9 @@ def _leaf_hits_df(
         return empty, splits, ast, config
 
     sids = [s.split_id for s in splits]
-    runner = _make_leaf_runner(scorer, index_dir, terms, buckets)
+    runner = _make_leaf_runner(
+        scorer, index_dir, terms, buckets, need_positions=_contains_phrase(ast)
+    )
     # ZERO-shuffle, zero-scan leaf: ONE mapInPandas stage over a tiny
     # in-memory DataFrame of split ids (the SearchJob list, root.rs:280-284);
     # each task opens its splits' fastfields + needed postings itself with
@@ -2180,12 +2182,15 @@ def _read_split_postings_chunks(
 def _hotcache_read_postings(
     hc, st, buckets: list[int], terms: list[tuple[str, str]],
     chunk_ords: list[int] | None = None,
+    need_positions: bool = True,
 ) -> pd.DataFrame:
     """Postings rows for ``terms`` via the hotcache: row groups are pruned
     with the FOOTER-CACHED statistics (bucket ∧ field ∧ term min/max — the
     same superset the dataset filter path prunes with), selected groups are
     fetched as coalesced ranged reads, and rows are filtered exactly.
-    Zero LISTs, zero footer GETs."""
+    Zero LISTs, zero footer GETs.  ``need_positions=False`` skips the
+    positions COLUMN chunks entirely (column projection on the ranged
+    reads — the object-store byte saving is the point at scale)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -2226,7 +2231,14 @@ def _hotcache_read_postings(
                 groups.append(g)
             if not groups:
                 continue
-            tbl = pf.read_row_groups(groups)
+            read_cols = None
+            if not need_positions:
+                # TOP-LEVEL arrow names — md.schema flattens list columns
+                # into leaf paths, which read_row_groups would not match
+                names = pf.schema_arrow.names
+                if "positions" in names:
+                    read_cols = [c for c in names if c != "positions"]
+            tbl = pf.read_row_groups(groups, columns=read_cols)
         except (FileNotFoundError, OSError) as e:
             raise SplitVanishedError(
                 f"split vanished during postings read: {hc.split_id}"
@@ -2294,12 +2306,24 @@ def _postings_cache_put(key, pdf: pd.DataFrame, cap: int) -> None:
 
 
 def _read_split_postings(
-    index_dir: str, split_id: str, terms: list[tuple[str, str]], buckets: list[int]
+    index_dir: str,
+    split_id: str,
+    terms: list[tuple[str, str]],
+    buckets: list[int],
+    need_positions: bool = True,
 ) -> pd.DataFrame:
     """In-task warmup read (leaf.rs:125-193 analog): exactly the query
     terms' posting rows of one split, row-group pruned by the bucket column
     (files are bucket-sorted in 4k-row groups); per-term rows are cached
-    worker-side (see _WORKER_POSTINGS_CACHE)."""
+    worker-side (see _WORKER_POSTINGS_CACHE).
+
+    ``need_positions=False`` (no phrase in the query) drops the
+    ``positions`` COLUMN from the scan — 'read exactly what the query
+    needs' at the column level: a term query otherwise decompresses every
+    matched row group's position payloads just to ignore them (measured
+    21 -> 5 ms per merged 200k-doc split).  A cached positions-less row is
+    upgraded (re-fetched in full, replaced) the first time a phrase query
+    needs the same term."""
     import pyarrow.dataset as pads
 
     cap = _postings_cache_cap()
@@ -2315,14 +2339,15 @@ def _read_split_postings(
     missing: list[tuple[str, str]] = []
     for key in terms:
         hit = _WORKER_POSTINGS_CACHE.get((index_dir, split_id, epoch, *key)) if cap else None
-        if hit is not None:
+        if hit is not None and (not need_positions or "positions" in hit.columns):
             parts.append(hit)
         else:
             missing.append(key)
     if missing:
         if hc is not None:
             pdf = _hotcache_read_postings(
-                hc, storage_for(index_dir), buckets, missing
+                hc, storage_for(index_dir), buckets, missing,
+                need_positions=need_positions,
             )
         else:
             dset = _cached_postings_dataset(index_dir, split_id)
@@ -2343,8 +2368,11 @@ def _read_split_postings(
                         (pads.field("chunk_ord") == 0)
                         | pads.field("chunk_ord").is_null()
                     )
+                cols = None
+                if not need_positions:
+                    cols = [c for c in dset.schema.names if c != "positions"]
                 try:
-                    pdf = dset.to_table(filter=cond).to_pandas()
+                    pdf = dset.to_table(filter=cond, columns=cols).to_pandas()
                 except FileNotFoundError as e:
                     # listing→read race with a concurrent merge+GC: vanished-
                     # split protocol (the leaf runner yields __vanished__)
@@ -2561,6 +2589,7 @@ def _leaf_hit_rows(
     if not splits:
         return []
     sids = [s.split_id for s in splits]
+    need_pos = _contains_phrase(ast)  # column-pruned postings scan otherwise
 
     def run(it):
         _limit_arrow_threads()
@@ -2570,7 +2599,9 @@ def _leaf_hit_rows(
                 if ff_pdf is None:  # GC raced us — root re-plans (see below)
                     yield {"split_id": sid, "__vanished__": True}
                     continue
-                postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
+                postings_pdf = _read_split_postings(
+                    index_dir, sid, terms, buckets, need_positions=need_pos
+                )
                 out = scorer((sid,), postings_pdf, ff_pdf, u_lo, u_hi)
             except (FileNotFoundError, SplitVanishedError):
                 # mid-read race (listed files deleted by a concurrent
@@ -2830,6 +2861,7 @@ def multi_search(
     wanted = [sid_set for _, _, sid_set in plans]
     sids = list(all_sids)
     terms_sorted = sorted(all_terms)
+    need_pos = _contains_phrase([ast for _, ast, _ in plans])
 
     def run(it):
         _limit_arrow_threads()
@@ -2839,7 +2871,9 @@ def multi_search(
                 if ff_pdf is None:  # GC raced us — root re-plans (SplitVanishedError)
                     yield {"split_id": sid, "__vanished__": True}
                     continue
-                postings_pdf = _read_split_postings(index_dir, sid, terms_sorted, buckets)
+                postings_pdf = _read_split_postings(
+                    index_dir, sid, terms_sorted, buckets, need_positions=need_pos
+                )
                 outs = []
                 for qi, scorer in enumerate(scorers):
                     if sid not in wanted[qi]:
@@ -2916,7 +2950,13 @@ def multi_search(
     return responses
 
 
-def _make_leaf_runner(scorer, index_dir: str, terms: list[tuple[str, str]], buckets: list[int]):
+def _make_leaf_runner(
+    scorer,
+    index_dir: str,
+    terms: list[tuple[str, str]],
+    buckets: list[int],
+    need_positions: bool = True,
+):
     """mapInPandas wrapper: split-id batches → per-split scorer invocations
     with in-task fastfield + postings reads (hot splits stay in the OS page
     cache — the storage-cache analog, quickwit-storage/src/cache)."""
@@ -2931,7 +2971,9 @@ def _make_leaf_runner(scorer, index_dir: str, terms: list[tuple[str, str]], buck
                     # (the reference fails queries on failed splits,
                     # root.rs:179-188); the caller can rerun it
                     raise SplitVanishedError(f"split vanished during export: {sid}")
-                postings_pdf = _read_split_postings(index_dir, sid, terms, buckets)
+                postings_pdf = _read_split_postings(
+                    index_dir, sid, terms, buckets, need_positions=need_positions
+                )
                 out = scorer((sid,), postings_pdf, ff_pdf)
                 if len(out):
                     yield out
@@ -3408,7 +3450,10 @@ def _attach_score_explain(
         if ff_pdf is None:
             raise SplitVanishedError(f"split vanished during explain: {sid}")
         ff_pdf = ff_pdf.sort_values("seg_id")
-        postings_pdf = _read_split_postings(index_dir, sid, sorted(terms), buckets)
+        # tf/df probes only — score_explain never verifies positions
+        postings_pdf = _read_split_postings(
+            index_dir, sid, sorted(terms), buckets, need_positions=False
+        )
         postings = _SplitPostings(postings_pdf, None, None, source=(index_dir, sid))
         lens_cache: dict[str, np.ndarray | None] = {}
 
