@@ -42,7 +42,8 @@ CACHE_ROOT = "/tmp/qwspark_index_cache"
 # caches would silently mis-prune the postings scan)
 # v8: postings carry block_tf_cum positions skip data
 # v9: big positions payloads chunked into fetchable rows
-CONFIG_VERSION = "v10"  # v10: per-split term-presence Bloom sidecars
+# v10: per-split term-presence Bloom sidecars
+CONFIG_VERSION = "v11"  # v11: pos_bm position-bitmap column (hot terms)
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -670,6 +670,32 @@ def encode_positions(positions: np.ndarray, tfs: np.ndarray) -> bytes:
     return np.array([total], dtype="<u4").tobytes() + bytes([w]) + _pack(deltas, w)
 
 
+def encode_position_bitmaps(positions_blob: bytes, tfs: np.ndarray) -> bytes | None:
+    """Per-doc 128-bit position BITSETS of one posting list — the
+    bit-parallel phrase representation (Bitap/shift-AND): doc d's set bits
+    are exactly its term positions, packed as two little-endian uint64
+    words (lo = positions 0-63, hi = 64-127) at byte offset 16*d.
+
+    Returns None when any position is >= 128 (long/array docs — the
+    caller keeps the delta-coded payload as the only representation) or
+    the list is empty.  Derived losslessly from the positions payload, so
+    merge/rebuild paths can always recompute it."""
+    t64 = np.asarray(tfs, np.int64)
+    ps = decode_positions(positions_blob, t64)
+    if len(ps) == 0 or int(ps.max()) >= 128:
+        return None
+    doc_idx = np.repeat(np.arange(len(t64), dtype=np.int64), t64)
+    gkey = doc_idx * 2 + (ps >> np.uint32(6)).astype(np.int64)
+    vals = np.uint64(1) << (ps & np.uint32(63)).astype(np.uint64)
+    # positions ascend within a doc and docs ascend, so gkey is
+    # nondecreasing — one reduceat ORs each (doc, word) group
+    starts = np.flatnonzero(np.diff(gkey, prepend=-1))
+    ored = np.bitwise_or.reduceat(vals, starts)
+    words = np.zeros(2 * len(t64), np.uint64)
+    words[gkey[starts]] = ored
+    return words.astype("<u8").tobytes()
+
+
 def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
     """Inverse of :func:`encode_positions` → flat absolute position array."""
     total = int(np.frombuffer(blob, dtype="<u4", count=1)[0])

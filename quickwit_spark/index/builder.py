@@ -98,8 +98,42 @@ POSTINGS_SCHEMA = (
     "split_id string, bucket int, field string, term string, doc_freq long, "
     "total_tf long, blob binary, positions binary, lens binary, "
     "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>, "
-    "block_tf_cum array<long>, chunk_ord int, pos_chunk_blocks array<long>"
+    "block_tf_cum array<long>, chunk_ord int, pos_chunk_blocks array<long>, "
+    "pos_bm binary"
 )
+
+
+# High-tf terms additionally store per-doc 128-bit position BITSETS
+# (codec.encode_position_bitmaps): a stopword-led phrase then verifies
+# adjacency with a vectorized shift-AND instead of decoding millions of
+# delta-coded positions (the dominant merged-layout phrase cost).  Only
+# rows whose total_tf clears this floor pay the 16 B/doc storage — below
+# it the delta payload is smaller AND cheap to decode; rows with any
+# position >= 128 (long/array docs) never store one.
+def _posbm_min_total_tf() -> int:
+    return int(os.environ.get("QW_POSBM_MIN_TOTAL_TF", str(64 << 10)))
+
+
+def _attach_pos_bitmaps(pdf: pd.DataFrame, min_total_tf: int) -> pd.DataFrame:
+    """Derive the ``pos_bm`` column for qualifying PRIMARY rows (positions
+    still inline — call BEFORE _split_chunked_positions).  Adds the column
+    (None elsewhere) and returns the same frame."""
+    from ..functions.codec import decode_postings, encode_position_bitmaps
+
+    bms: list = [None] * len(pdf)
+    if min_total_tf >= 0 and len(pdf):
+        pos = pdf["positions"]
+        ttf = pdf["total_tf"]
+        blob = pdf["blob"]
+        for i in range(len(pdf)):
+            p = pos.iat[i]
+            if p is None or int(ttf.iat[i]) < min_total_tf:
+                continue
+            _, tfs = decode_postings(blob.iat[i])
+            bms[i] = encode_position_bitmaps(p, tfs)
+    pdf = pdf.copy()
+    pdf["pos_bm"] = bms
+    return pdf
 
 # positions payloads above this many bytes are split into chunk ROWS
 # (chunk_ord >= 1, cut at posting-block boundaries; codec.chunk_positions)
@@ -658,6 +692,7 @@ def _pa_schemas(config: IndexConfig):
             ("block_tf_cum", pa.list_(pa.int64())),
             ("chunk_ord", pa.int32()),
             ("pos_chunk_blocks", pa.list_(pa.int64())),
+            ("pos_bm", pa.binary()),
         ]
     )
     fastfields = pa.schema(
@@ -739,6 +774,7 @@ class _SplitAccumulator:
         write_hotcache: bool = True,
         write_termbloom: bool = True,
         embed_ff_max: int | None = None,
+        posbm_min_total_tf: int | None = None,
     ):
         self.split_id = split_id
         self.config = config
@@ -749,6 +785,11 @@ class _SplitAccumulator:
         self.write_hotcache = write_hotcache
         self.write_termbloom = write_termbloom
         self.embed_ff_max = embed_ff_max
+        self.posbm_min_total_tf = (
+            posbm_min_total_tf
+            if posbm_min_total_tf is not None
+            else _posbm_min_total_tf()
+        )
         self.doc_cols = config.doc_cols()
         self.text_fields = [
             (m.name, m.record == "position", m.tokenizer, m.is_array)
@@ -873,9 +914,11 @@ class _SplitAccumulator:
             self._spill_dir = tempfile.mkdtemp(prefix=f"qw-spill-{self.split_id}-")
         pdf = self._acc_run_pdf()
         # runs keep positions inline (bounded by the spill threshold);
-        # chunking happens once, on the final merged rows (flush_out)
+        # chunking + bitmap derivation happen once, on the final merged
+        # rows (flush_out)
         pdf["chunk_ord"] = 0
         pdf["pos_chunk_blocks"] = None
+        pdf["pos_bm"] = None
         _, postings_schema, _ = _pa_schemas(self.config)
         path = os.path.join(self._spill_dir, f"run-{len(self._spills):05d}.parquet")
         pq.write_table(
@@ -914,6 +957,7 @@ class _SplitAccumulator:
 
         _, postings_schema, _ = _pa_schemas(self.config)
         pdf = self._acc_run_pdf()
+        pdf = _attach_pos_bitmaps(pdf, self.posbm_min_total_tf)
         pdf, cpdf = _split_chunked_positions(pdf, self.pos_chunk_bytes)
         table = pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False)
         _atomic_write_table(table, self._split_file("postings"), row_group_size=4096)
@@ -994,6 +1038,7 @@ class _SplitAccumulator:
             if not out:
                 return
             opdf = pd.DataFrame(out, columns=POSTINGS_COLUMNS)
+            opdf = _attach_pos_bitmaps(opdf, self.posbm_min_total_tf)
             opdf, cpdf = _split_chunked_positions(opdf, self.pos_chunk_bytes)
             pw.write_table(
                 pa.Table.from_pandas(opdf, schema=postings_schema, preserve_index=False),
@@ -1387,6 +1432,7 @@ def make_split_builder(
     from .hotcache import _embed_ff_max
 
     embed_ff_max = _embed_ff_max()  # captured driver-side (env freeze)
+    posbm_min_total_tf = _posbm_min_total_tf()  # same env-freeze capture
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
@@ -1441,6 +1487,7 @@ def make_split_builder(
                         write_hotcache=write_hotcache,
                         write_termbloom=write_termbloom,
                         embed_ff_max=embed_ff_max,
+                        posbm_min_total_tf=posbm_min_total_tf,
                     )
                 cur.add(pdf.iloc[s:e])
         if cur is not None:

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..config import IndexConfig
 from ..functions.codec import BLOCK, merge_posting_groups
 from ..storage import storage_for
-from .builder import POSTINGS_SCHEMA, _paths, _pos_chunk_bytes
+from .builder import POSTINGS_SCHEMA, _paths, _pos_chunk_bytes, _posbm_min_total_tf
 from .catalog import MARKED_FOR_DELETION, PUBLISHED, STAGED, Catalog, SplitMetadata
 
 # scaled default of the reference's min_level_num_docs (merge_policy.rs:169)
@@ -116,15 +116,19 @@ def build_merge_operations(
     return ops
 
 
-def _make_merge_bucket_group(pos_chunk_bytes: int | None):
+def _make_merge_bucket_group(
+    pos_chunk_bytes: int | None, posbm_min_total_tf: int | None = None
+):
     def merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_bucket_group(pdf, pos_chunk_bytes)
+        return _merge_bucket_group(pdf, pos_chunk_bytes, posbm_min_total_tf)
 
     return merge_bucket_group
 
 
 def _merge_bucket_group(
-    pdf: pd.DataFrame, pos_chunk_bytes: int | None = None
+    pdf: pd.DataFrame,
+    pos_chunk_bytes: int | None = None,
+    posbm_min_total_tf: int | None = None,
 ) -> pd.DataFrame:
     """One term-hash bucket → merged rows for ALL its (field, term)s.
 
@@ -180,10 +184,23 @@ def _merge_bucket_group(
             "block_tf_cum",
         ],
     )
-    # merged payloads are where positions get BIG — re-chunk on the way out
-    # (the Spark writer's byte-bounded row groups then isolate chunk rows)
-    from .builder import _split_chunked_positions
+    # merged payloads are where positions get BIG — derive the merged rows'
+    # position bitmaps (from the reassembled inline payload, so mixed-
+    # vintage inputs need no per-input bitmap bookkeeping), then re-chunk
+    # on the way out (the Spark writer's byte-bounded row groups isolate
+    # chunk rows)
+    from .builder import (
+        _attach_pos_bitmaps,
+        _posbm_min_total_tf,
+        _split_chunked_positions,
+    )
 
+    out_pdf = _attach_pos_bitmaps(
+        out_pdf,
+        posbm_min_total_tf
+        if posbm_min_total_tf is not None
+        else _posbm_min_total_tf(),
+    )
     primary, chunks = _split_chunked_positions(out_pdf, pos_chunk_bytes)
     return primary if not len(chunks) else pd.concat(
         [primary, chunks], ignore_index=True
@@ -295,7 +312,11 @@ def execute_merge_round(
             # first-file-only schema would read chunk rows as broken
             # primary rows); absent entirely → add them as nulls
             df = reader.option("mergeSchema", "true").parquet(*dirs)
-            for c, t in (("chunk_ord", "int"), ("pos_chunk_blocks", "array<long>")):
+            for c, t in (
+                ("chunk_ord", "int"),
+                ("pos_chunk_blocks", "array<long>"),
+                ("pos_bm", "binary"),
+            ):
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(None).cast(t))
             return df
@@ -400,11 +421,11 @@ def execute_merge_round(
         postings.repartitionByRange(n_out * _fanout, "out_split", "bucket")
         .groupBy("out_split", "bucket")
         .applyInPandas(
-            # chunk threshold captured DRIVER-side (worker env is frozen
-            # at JVM start; see builder._pos_chunk_bytes).  A named
+            # chunk + bitmap thresholds captured DRIVER-side (worker env is
+            # frozen at JVM start; see builder._pos_chunk_bytes).  A named
             # closure rather than functools.partial: pyspark's eval-type
             # inference warns on partial objects
-            _make_merge_bucket_group(_pos_chunk_bytes()),
+            _make_merge_bucket_group(_pos_chunk_bytes(), _posbm_min_total_tf()),
             POSTINGS_SCHEMA,
         )
     )

@@ -1104,15 +1104,42 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         span = (cur & np.uint64(0xFFFFFFFF)) - (start & np.uint64(0xFFFFFFFF))
         hit = span <= np.uint64(node.slop + len(keys) - 1)
         return np.unique((cur[hit] >> np.uint64(32)).astype(np.int64))
-    # (A bit-parallel shift-AND over per-doc 128-bit position bitsets was
-    # prototyped here and measured FASTER per split warm (0.058 vs 0.148 s)
-    # but SLOWER end-to-end on local mode: building a term's full bitmap
-    # costs a whole-payload decode, and Spark's python workers have no
-    # task stickiness, so the per-worker bitmap cache re-missed forever
-    # (p50 4.1 vs 2.4 s on the 41M merged layout).  On a real cluster,
-    # executor-sticky bins (preferredLocations) would make it pay; an
-    # index-time bitmap column with column-pruned postings reads is the
-    # principled form.  Until then: anchored decode below.)
+    if postings.lo is None and len(keys) < 64:
+        # bit-parallel shift-AND over the INDEX-TIME per-doc 128-bit
+        # position bitsets (pos_bm column, codec.encode_position_bitmaps —
+        # stored for high-tf terms at build/merge): a start p survives iff
+        # every term i has bit p+i, i.e. AND over i of (bm_i >> i) is
+        # nonzero.  Zero position decode; whole-split leaves only (doc-
+        # range units' block-sliced views don't address full-list rows).
+        # (A query-time bitmap cache was prototyped first and reverted:
+        # local-mode python workers have no task stickiness, so building
+        # bitmaps per worker re-missed forever — storing them in the index
+        # is the principled form.)
+        words = []
+        for k in keys:
+            r = postings.rows.get(k)
+            bm = getattr(r, "pos_bm", None)
+            if (
+                bm is None
+                or isinstance(bm, float)
+                or len(bm) != 16 * int(r.doc_freq)
+            ):
+                words = None
+                break
+            words.append(np.frombuffer(bm, "<u8").reshape(-1, 2))
+        if words is not None:
+            acc_lo = np.full(len(cand), ~np.uint64(0), np.uint64)
+            acc_hi = np.full(len(cand), ~np.uint64(0), np.uint64)
+            for i, w in enumerate(words):
+                rows_i = np.searchsorted(doclists[i][0], cand_u32)
+                blo, bhi = w[rows_i, 0], w[rows_i, 1]
+                if i:
+                    s = np.uint64(i)
+                    blo = (blo >> s) | (bhi << np.uint64(64 - i))
+                    bhi = bhi >> s
+                acc_lo &= blo
+                acc_hi &= bhi
+            return cand[(acc_lo | acc_hi) != 0]
     # Exact phrase, ANCHORED on the term with the fewest candidate
     # positions: a stopword-heavy phrase ("the error") otherwise probes
     # with the STOPWORD's millions of packed keys at every step.  The
@@ -2285,9 +2312,15 @@ def _postings_cache_cap() -> int:
 
 def _postings_nbytes(pdf: pd.DataFrame) -> int:
     n = 256 * max(1, len(pdf))  # per-row metadata floor
-    for col in ("blob", "positions"):
+    for col in ("blob", "positions", "pos_bm"):
         if col in pdf.columns:
-            n += int(sum(len(v) for v in pdf[col] if v is not None))
+            n += int(
+                sum(
+                    len(v)
+                    for v in pdf[col]
+                    if v is not None and not isinstance(v, float)
+                )
+            )
     return n
 
 

@@ -1,0 +1,135 @@
+"""Index-time position bitmaps (pos_bm): hot-term phrase verification as a
+bit-parallel shift-AND with ZERO position decode — results must be
+bit-identical to the delta-decode path across fresh/merged layouts, and
+rows that cannot be represented (positions >= 128) must fall back."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from quickwit_spark.config import transcripts_config
+from quickwit_spark.fixtures.transcripts import generate_transcripts
+from quickwit_spark.functions.codec import (
+    decode_positions,
+    encode_position_bitmaps,
+    encode_positions,
+)
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.index.merge import garbage_collect, run_merge_pipeline
+from quickwit_spark.search.executor import search
+from quickwit_spark.search.request import SearchRequest
+
+CFG = transcripts_config(
+    split_num_docs_target=50_000, segment_num_docs_target=64,
+    merge_factor=3, max_merge_factor=4,
+)
+
+QUERIES = [
+    SearchRequest('"the deploy"'),
+    SearchRequest('"the error"'),
+    SearchRequest('"a deploy failure"'),
+    SearchRequest("deploy failure"),
+    SearchRequest('"the a"~2'),       # slop stays on the decode path
+    SearchRequest("zzznothing"),
+]
+
+
+def _key(resp):
+    return resp.num_hits, [
+        (h["conv_id"], h["turn_idx"], h["score"]) for h in resp.hits
+    ]
+
+
+def test_bitmap_roundtrip_unit():
+    rng = np.random.RandomState(7)
+    tfs = rng.randint(1, 9, size=200)
+    parts = [np.sort(rng.choice(127, size=t, replace=False)) for t in tfs]
+    ps = np.concatenate(parts).astype(np.uint32)
+    blob = encode_positions(ps, tfs)
+    bm = encode_position_bitmaps(blob, tfs)
+    assert bm is not None and len(bm) == 16 * len(tfs)
+    words = np.frombuffer(bm, "<u8").reshape(-1, 2)
+    for d, p_d in enumerate(parts):
+        have = {
+            b for w in (0, 1) for b in range(64)
+            if (int(words[d, w]) >> b) & 1
+            for b in [b + 64 * w]
+        }
+        assert have == set(int(x) for x in p_d), d
+
+
+def test_bitmap_refuses_large_positions():
+    tfs = np.array([2, 1])
+    ps = np.array([3, 130, 5], np.uint32)  # 130 >= 128
+    assert encode_position_bitmaps(encode_positions(ps, tfs), tfs) is None
+
+
+@pytest.fixture(scope="module")
+def twin(spark, tmp_path_factory, request):
+    base = tmp_path_factory.mktemp("posbm")
+    pdf = generate_transcripts(n_conversations=120, seed=9)
+    os.environ["QW_POSBM_MIN_TOTAL_TF"] = "1"   # bitmaps on every row
+    try:
+        build_index(spark, spark.createDataFrame(pdf), CFG, str(base / "bm"),
+                    n_splits=8)
+    finally:
+        os.environ["QW_POSBM_MIN_TOTAL_TF"] = str(1 << 60)  # none at all
+    try:
+        build_index(spark, spark.createDataFrame(pdf), CFG, str(base / "plain"),
+                    n_splits=8)
+    finally:
+        del os.environ["QW_POSBM_MIN_TOTAL_TF"]
+    return str(base / "bm"), str(base / "plain")
+
+
+def test_bitmap_phrase_identical_to_decode_path(spark, twin):
+    bm_dir, plain_dir = twin
+    # the bitmap index really carries the column
+    import pyarrow.dataset as pads
+
+    f = glob.glob(bm_dir + "/postings/split_id=*/part-0.parquet")[0]
+    p = pads.dataset(f).to_table(columns=["pos_bm", "chunk_ord"]).to_pandas()
+    assert p[p["chunk_ord"] == 0]["pos_bm"].notna().any()
+    for req in QUERIES:
+        assert _key(search(spark, bm_dir, req)) == _key(
+            search(spark, plain_dir, req)
+        ), req.query
+
+
+def test_bitmap_survives_merge(spark, twin):
+    """Merged rows re-derive pos_bm from the reassembled payload (mixed-
+    vintage inputs need no per-input bookkeeping); results stay identical
+    to the bitmap-less twin after BOTH merge."""
+    bm_dir, plain_dir = twin
+    before = {req.query: _key(search(spark, bm_dir, req)) for req in QUERIES}
+    os.environ["QW_POSBM_MIN_TOTAL_TF"] = "1"
+    try:
+        assert run_merge_pipeline(spark, bm_dir)
+    finally:
+        del os.environ["QW_POSBM_MIN_TOTAL_TF"]
+    garbage_collect(bm_dir, include_staged=False, deletion_grace_secs=0.0)
+    import pyarrow.dataset as pads
+
+    files = glob.glob(bm_dir + "/postings/split_id=*/*.parquet")
+    t = pads.dataset(files).to_table(columns=["pos_bm", "chunk_ord"]).to_pandas()
+    assert t[t["chunk_ord"] == 0]["pos_bm"].notna().any()
+    for req in QUERIES:
+        assert _key(search(spark, bm_dir, req)) == before[req.query], req.query
+
+
+def test_default_threshold_skips_low_tf_rows(spark, tmp_path):
+    """At the default 64k floor a tiny index stores NO bitmaps (the delta
+    payload is smaller and cheap there) and everything still works."""
+    pdf = generate_transcripts(n_conversations=10, seed=4)
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), CFG, d)
+    import pyarrow.dataset as pads
+
+    f = glob.glob(d + "/postings/split_id=*/part-0.parquet")[0]
+    p = pads.dataset(f).to_table(columns=["pos_bm"]).to_pandas()
+    assert not p["pos_bm"].notna().any()
+    assert search(spark, d, SearchRequest('"the deploy"')).num_hits >= 0
