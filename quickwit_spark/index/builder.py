@@ -114,20 +114,41 @@ def _posbm_min_total_tf() -> int:
     return int(os.environ.get("QW_POSBM_MIN_TOTAL_TF", str(64 << 10)))
 
 
-def _attach_pos_bitmaps(pdf: pd.DataFrame, min_total_tf: int) -> pd.DataFrame:
+# ...and a df CEILING: a hot term on a multi-M-doc split would store a
+# df*16-byte cell (82 MB for "the" at a 5.1M-doc split) that every leaf
+# task — and every carved doc-range unit — fetches whole, which measured
+# as worker OOM at the few-huge-splits shape.  Above the cap the row
+# keeps only the delta payload (chunked positions + the anchored verify
+# already serve that shape); the merged ~0.2-1M-doc split shape the
+# bitmap targets sits comfortably below it (3-16 MB cells, read once per
+# whole-split task).
+def _posbm_max_df() -> int:
+    return int(os.environ.get("QW_POSBM_MAX_DF", str(1 << 20)))
+
+
+def _attach_pos_bitmaps(
+    pdf: pd.DataFrame, min_total_tf: int, max_df: int | None = None
+) -> pd.DataFrame:
     """Derive the ``pos_bm`` column for qualifying PRIMARY rows (positions
     still inline — call BEFORE _split_chunked_positions).  Adds the column
     (None elsewhere) and returns the same frame."""
     from ..functions.codec import decode_postings, encode_position_bitmaps
 
+    if max_df is None:
+        max_df = _posbm_max_df()
     bms: list = [None] * len(pdf)
     if min_total_tf >= 0 and len(pdf):
         pos = pdf["positions"]
         ttf = pdf["total_tf"]
+        dfc = pdf["doc_freq"]
         blob = pdf["blob"]
         for i in range(len(pdf)):
             p = pos.iat[i]
-            if p is None or int(ttf.iat[i]) < min_total_tf:
+            if (
+                p is None
+                or int(ttf.iat[i]) < min_total_tf
+                or int(dfc.iat[i]) > max_df
+            ):
                 continue
             _, tfs = decode_postings(blob.iat[i])
             bms[i] = encode_position_bitmaps(p, tfs)

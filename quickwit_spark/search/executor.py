@@ -827,22 +827,28 @@ class _SplitPostings:
             return self.full(key)
         return decode_blocks(r.blob, last_doc.astype(np.uint32), blocks)
 
-    def phrase_view(self, key) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(docs, tfs, position-run starts) of the docs visible to this
-        view — the phrase path's input.  With a [lo, hi) doc range AND the
-        row's ``block_tf_cum`` skip data, ONLY the range's blocks decode:
-        run starts come from the block's stored position offset plus an
-        intra-block tf cumsum, so a doc-range leaf unit of a 10M-doc
-        merged split touches O(range) work instead of O(df) per unit
-        (tantivy's positions skip info analog).  Rows written before the
-        skip data existed fall back to the whole-row decode."""
+    def phrase_view(
+        self, key
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, tfs, position-run starts, GLOBAL doc ranks) of the docs
+        visible to this view — the phrase path's input.  Ranks are each
+        doc's index in the term's FULL posting list, which is what the
+        per-doc pos_bm bitmap rows are addressed by — a doc-range unit
+        can then take the bitmap fast path without decoding the full doc
+        list.  With a [lo, hi) doc range AND the row's ``block_tf_cum``
+        skip data, ONLY the range's blocks decode: run starts come from
+        the block's stored position offset plus an intra-block tf cumsum,
+        so a doc-range leaf unit of a 10M-doc merged split touches
+        O(range) work instead of O(df) per unit (tantivy's positions skip
+        info analog).  Rows written before the skip data existed fall
+        back to the whole-row decode."""
         r = self.rows.get(key)
-        if r is None:
-            z = np.empty(0, np.uint32)
-            return z, z, np.empty(0, np.int64)
-        if not self.has_positions(key):
-            z = np.empty(0, np.uint32)
-            return z, z, np.empty(0, np.int64)
+        empty = (
+            np.empty(0, np.uint32), np.empty(0, np.uint32),
+            np.empty(0, np.int64), np.empty(0, np.int64),
+        )
+        if r is None or not self.has_positions(key):
+            return empty
         tfc = getattr(r, "block_tf_cum", None)
         if tfc is None or isinstance(tfc, float):  # absent column → NaN row
             tfc = None
@@ -852,13 +858,14 @@ class _SplitPostings:
             t64 = t_all.astype(np.int64)
             starts_all = np.cumsum(t64) - t64
             s = self._off.get(key, 0)
-            return d, t, starts_all[s : s + len(d)]
+            return d, t, starts_all[s : s + len(d)], np.arange(
+                s, s + len(d), dtype=np.int64
+            )
         last_doc = np.asarray(r.block_last_doc, np.int64)
         b0 = int(np.searchsorted(last_doc, self.lo))
         b1 = min(int(np.searchsorted(last_doc, self.hi - 1)) + 1, len(last_doc))
         if b0 >= b1:
-            z = np.empty(0, np.uint32)
-            return z, z, np.empty(0, np.int64)
+            return empty
         blocks = np.arange(b0, b1)
         d, t = decode_blocks(r.blob, last_doc.astype(np.uint32), blocks)
         nblk, df = len(last_doc), int(r.doc_freq)
@@ -873,8 +880,10 @@ class _SplitPostings:
             - np.repeat(ex[bstart], sizes)
             + np.repeat(np.asarray(tfc, np.int64)[blocks], sizes)
         )
+        # whole blocks decode, so slice index j IS full-list row b0*128+j
+        ranks = b0 * BLOCK + np.arange(len(d), dtype=np.int64)
         mask = (d.astype(np.int64) >= self.lo) & (d.astype(np.int64) < self.hi)
-        return d[mask], t[mask], vstarts[mask]
+        return d[mask], t[mask], vstarts[mask], ranks[mask]
 
     def positions_at(self, key, vstarts: np.ndarray, counts: np.ndarray) -> np.ndarray:
         """Positions of the runs at explicit flat value offsets (from
@@ -1065,7 +1074,7 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     if any(not postings.has_positions(k) for k in keys):
         return np.empty(0, np.int64)
     doclists = [postings.phrase_view(k) for k in keys]
-    if any(len(d) == 0 for d, _, _ in doclists):
+    if any(len(d) == 0 for d, *_ in doclists):
         return np.empty(0, np.int64)
     order = sorted(range(len(keys)), key=lambda i: len(doclists[i][0]))
     cand = doclists[order[0]][0].astype(np.int64)
@@ -1080,7 +1089,7 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         start: np.ndarray | None = None
         cur: np.ndarray | None = None
         for i, k in enumerate(keys):
-            d, t, vs = doclists[i]
+            d, t, vs, _ = doclists[i]
             idx = np.searchsorted(d, cand_u32)
             psub = postings.positions_at(k, vs[idx], t[idx])
             doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
@@ -1104,13 +1113,13 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         span = (cur & np.uint64(0xFFFFFFFF)) - (start & np.uint64(0xFFFFFFFF))
         hit = span <= np.uint64(node.slop + len(keys) - 1)
         return np.unique((cur[hit] >> np.uint64(32)).astype(np.int64))
-    if postings.lo is None and len(keys) < 64:
+    if len(keys) < 64:
         # bit-parallel shift-AND over the INDEX-TIME per-doc 128-bit
         # position bitsets (pos_bm column, codec.encode_position_bitmaps —
         # stored for high-tf terms at build/merge): a start p survives iff
         # every term i has bit p+i, i.e. AND over i of (bm_i >> i) is
-        # nonzero.  Zero position decode; whole-split leaves only (doc-
-        # range units' block-sliced views don't address full-list rows).
+        # nonzero.  Zero position decode; doc-range units address the
+        # full-list bitmap rows via phrase_view's GLOBAL doc ranks.
         # (A query-time bitmap cache was prototyped first and reverted:
         # local-mode python workers have no task stickiness, so building
         # bitmaps per worker re-missed forever — storing them in the index
@@ -1131,7 +1140,8 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
             acc_lo = np.full(len(cand), ~np.uint64(0), np.uint64)
             acc_hi = np.full(len(cand), ~np.uint64(0), np.uint64)
             for i, w in enumerate(words):
-                rows_i = np.searchsorted(doclists[i][0], cand_u32)
+                d_i, _t, _v, ranks_i = doclists[i]
+                rows_i = ranks_i[np.searchsorted(d_i, cand_u32)]
                 blo, bhi = w[rows_i, 0], w[rows_i, 1]
                 if i:
                     s = np.uint64(i)
@@ -1153,11 +1163,11 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     # survives iff (doc, p+i) is an occurrence of term i for every i.
     tf_cand = []
     for i in range(len(keys)):
-        d, t, _ = doclists[i]
+        d, t, _, _ = doclists[i]
         tf_cand.append(int(t[np.searchsorted(d, cand_u32)].sum()))
     order2 = sorted(range(len(keys)), key=lambda i: tf_cand[i])
     a = order2[0]
-    d, t, vs = doclists[a]
+    d, t, vs, _ = doclists[a]
     idx = np.searchsorted(d, cand_u32)
     psub = postings.positions_at(keys[a], vs[idx], t[idx])
     doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
@@ -1171,7 +1181,7 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
             return np.empty(0, np.int64)
         alive = np.unique((starts >> np.uint64(32)).astype(np.int64))
         alive_u32 = alive.astype(np.uint32)
-        d, t, vs = doclists[i]
+        d, t, vs, _ = doclists[i]
         idx = np.searchsorted(d, alive_u32)
         psub = postings.positions_at(keys[i], vs[idx], t[idx])
         doc_rep = np.repeat(alive.astype(np.uint64), t[idx].astype(np.int64))

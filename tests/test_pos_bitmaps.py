@@ -133,3 +133,18 @@ def test_default_threshold_skips_low_tf_rows(spark, tmp_path):
     p = pads.dataset(f).to_table(columns=["pos_bm"]).to_pandas()
     assert not p["pos_bm"].notna().any()
     assert search(spark, d, SearchRequest('"the deploy"')).num_hits >= 0
+
+
+def test_range_unit_bitmap_path_identical(spark, twin, monkeypatch):
+    """Doc-range leaf units take the bitmap path via phrase_view's global
+    doc ranks: force carving (tiny range size, heavy threshold 1, RDD
+    leaf) and pin equality against the bitmap-less twin under the same
+    carving."""
+    bm_dir, plain_dir = twin
+    monkeypatch.setenv("QW_LEAF_RANGE_DOCS", "512")
+    monkeypatch.setenv("QW_LEAF_HEAVY_ROWS", "1")
+    monkeypatch.setenv("QW_DRIVER_LEAF_MAX_SPLITS", "0")  # force the RDD leaf
+    for req in QUERIES:
+        assert _key(search(spark, bm_dir, req)) == _key(
+            search(spark, plain_dir, req)
+        ), req.query
