@@ -2798,11 +2798,20 @@ def _leaf_bins(
             # posting rows are worker-cached.  Measured on the 2x5.1M
             # layout: factor sweep 1/2/3/4 → phrase min 4.16/3.32/3.15/
             # 2.90 s (best-of-5 each) — finer units keep winning until
-            # the range_docs floor stops them
+            # the range_docs floor stops them.  The factor applies ONLY
+            # when big splits fill at most half the cores (the genuinely
+            # few-huge-splits shape): at 29 merged splits on 32 cores the
+            # factor-4 carve re-fetched every unit's (now bitmap-laden)
+            # primary rows for nothing — measured 2.03 vs 0.84 s uncarved
+            # on the 10M soak's merged layout
+            factor = (
+                max(1, int(os.environ.get("QW_LEAF_CARVE_FACTOR", "4")))
+                if len(big) * 2 <= slots
+                else 1
+            )
             eff_range = max(
                 range_docs,
-                -(-sum(s.num_docs for s in big)
-                  // (slots * max(1, int(os.environ.get("QW_LEAF_CARVE_FACTOR", "4"))))),
+                -(-sum(s.num_docs for s in big) // (slots * factor)),
             )
     units: list[tuple[str, int | None, int | None, int]] = []
     for s in splits:
