@@ -43,7 +43,7 @@ CACHE_ROOT = "/tmp/qwspark_index_cache"
 # v8: postings carry block_tf_cum positions skip data
 # v9: big positions payloads chunked into fetchable rows
 # v10: per-split term-presence Bloom sidecars
-CONFIG_VERSION = "v11"  # v11: pos_bm position-bitmap column (hot terms)
+CONFIG_VERSION = "v12"  # v12: chunked pos_bm bitmaps (df ceiling lifted)
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -99,7 +99,7 @@ POSTINGS_SCHEMA = (
     "total_tf long, blob binary, positions binary, lens binary, "
     "block_last_doc array<long>, block_max_tf array<long>, block_min_len array<long>, "
     "block_tf_cum array<long>, chunk_ord int, pos_chunk_blocks array<long>, "
-    "pos_bm binary"
+    "pos_bm binary, bm_chunk_span int"
 )
 
 
@@ -114,16 +114,23 @@ def _posbm_min_total_tf() -> int:
     return int(os.environ.get("QW_POSBM_MIN_TOTAL_TF", str(64 << 10)))
 
 
-# ...and a df CEILING: a hot term on a multi-M-doc split would store a
-# df*16-byte cell (82 MB for "the" at a 5.1M-doc split) that every leaf
-# task — and every carved doc-range unit — fetches whole, which measured
-# as worker OOM at the few-huge-splits shape.  Above the cap the row
-# keeps only the delta payload (chunked positions + the anchored verify
-# already serve that shape); the merged ~0.2-1M-doc split shape the
-# bitmap targets sits comfortably below it (3-16 MB cells, read once per
-# whole-split task).
+# ...and an OPTIONAL df ceiling, default OFF.  Round 4 capped df at 1M
+# because a hot term on a multi-M-doc split stored a df*16-byte cell
+# (82 MB for "the" at a 5.1M-doc split) that every leaf task — and every
+# carved doc-range unit — fetched whole, which measured as worker OOM at
+# the few-huge-splits shape.  Bitmaps are now CHUNKED at posting-block
+# boundaries like positions (_split_chunked_positions), so a doc-range
+# unit fetches only its blocks' bitmap bytes and the ceiling is no
+# longer load-bearing; the knob stays for ops escape-hatch only.
 def _posbm_max_df() -> int:
-    return int(os.environ.get("QW_POSBM_MAX_DF", str(1 << 20)))
+    return int(os.environ.get("QW_POSBM_MAX_DF", str(1 << 62)))
+
+
+# bytes per posting BLOCK of a pos_bm payload: 128 docs x 16 B/doc.  The
+# bitmap layout is fixed-stride (rank-addressed), so chunking needs no
+# re-encode — chunk k of span S blocks is the byte slice
+# [k*S*BM_BLOCK_BYTES, (k+1)*S*BM_BLOCK_BYTES).
+BM_BLOCK_BYTES = 16 * 128
 
 
 def _attach_pos_bitmaps(
@@ -611,7 +618,17 @@ def _split_chunked_positions(
     (primary_pdf, chunks_pdf) — chunk rows are written into their OWN
     small row groups (a separate file in the builder, byte-bounded row
     groups in the Spark merge writer) so a term lookup never drags chunk
-    bytes along and a doc-range unit fetches only its chunks."""
+    bytes along and a doc-range unit fetches only its chunks.
+
+    pos_bm payloads above the same byte target are chunked too — as
+    NEGATIVE-ord chunk rows (chunk_ord = -k carries bitmap chunk k-1 in
+    its pos_bm column; positive ords stay positions chunks).  The bitmap
+    layout is fixed-stride (16 B per posting rank), so chunks are pure
+    byte slices of ``bm_chunk_span`` posting blocks each; the span is
+    stored on the primary row (pos_bm = None there) and the reader maps
+    candidate ranks -> chunk ords arithmetically.  This is what lets hot
+    terms (df above the old 1M ceiling) carry bitmaps at the reference's
+    10M-doc split shape without any task fetching an 80 MB cell whole."""
     from ..functions.codec import chunk_positions
 
     if target is None:
@@ -623,6 +640,8 @@ def _split_chunked_positions(
     if "chunk_ord" not in pdf.columns:
         pdf["chunk_ord"] = 0
         pdf["pos_chunk_blocks"] = None
+    if "bm_chunk_span" not in pdf.columns:
+        pdf["bm_chunk_span"] = None
     cols = list(pdf.columns)
     chunk_rows: list[dict] = []
     if target > 0 and len(pdf):
@@ -648,6 +667,27 @@ def _split_chunked_positions(
                         row[c] = r[c]
                 row["chunk_ord"] = ord_
                 row["positions"] = blob
+                chunk_rows.append(row)
+    if target > 0 and "pos_bm" in pdf.columns and len(pdf):
+        bmc = pdf["pos_bm"]
+        bmi = pdf.columns.get_loc("pos_bm")
+        si = pdf.columns.get_loc("bm_chunk_span")
+        span = max(target // BM_BLOCK_BYTES, 1)  # posting blocks per chunk
+        step = span * BM_BLOCK_BYTES
+        for i in range(len(pdf)):
+            bm = bmc.iat[i]
+            if bm is None or isinstance(bm, float) or len(bm) <= target:
+                continue
+            r = pdf.iloc[i]
+            pdf.iat[i, bmi] = None
+            pdf.iat[i, si] = span
+            for k in range(0, len(bm), step):
+                row = {c: None for c in cols}
+                for c in ("split_id", "bucket", "field", "term"):
+                    if c in row:
+                        row[c] = r[c]
+                row["chunk_ord"] = -(k // step) - 1
+                row["pos_bm"] = bm[k : k + step]
                 chunk_rows.append(row)
     cpdf = pd.DataFrame(chunk_rows, columns=cols)
     return pdf, cpdf
@@ -714,6 +754,7 @@ def _pa_schemas(config: IndexConfig):
             ("chunk_ord", pa.int32()),
             ("pos_chunk_blocks", pa.list_(pa.int64())),
             ("pos_bm", pa.binary()),
+            ("bm_chunk_span", pa.int32()),
         ]
     )
     fastfields = pa.schema(
@@ -796,6 +837,7 @@ class _SplitAccumulator:
         write_termbloom: bool = True,
         embed_ff_max: int | None = None,
         posbm_min_total_tf: int | None = None,
+        posbm_max_df: int | None = None,
     ):
         self.split_id = split_id
         self.config = config
@@ -810,6 +852,9 @@ class _SplitAccumulator:
             posbm_min_total_tf
             if posbm_min_total_tf is not None
             else _posbm_min_total_tf()
+        )
+        self.posbm_max_df = (
+            posbm_max_df if posbm_max_df is not None else _posbm_max_df()
         )
         self.doc_cols = config.doc_cols()
         self.text_fields = [
@@ -940,6 +985,7 @@ class _SplitAccumulator:
         pdf["chunk_ord"] = 0
         pdf["pos_chunk_blocks"] = None
         pdf["pos_bm"] = None
+        pdf["bm_chunk_span"] = None
         _, postings_schema, _ = _pa_schemas(self.config)
         path = os.path.join(self._spill_dir, f"run-{len(self._spills):05d}.parquet")
         pq.write_table(
@@ -978,7 +1024,7 @@ class _SplitAccumulator:
 
         _, postings_schema, _ = _pa_schemas(self.config)
         pdf = self._acc_run_pdf()
-        pdf = _attach_pos_bitmaps(pdf, self.posbm_min_total_tf)
+        pdf = _attach_pos_bitmaps(pdf, self.posbm_min_total_tf, self.posbm_max_df)
         pdf, cpdf = _split_chunked_positions(pdf, self.pos_chunk_bytes)
         table = pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False)
         _atomic_write_table(table, self._split_file("postings"), row_group_size=4096)
@@ -1059,7 +1105,7 @@ class _SplitAccumulator:
             if not out:
                 return
             opdf = pd.DataFrame(out, columns=POSTINGS_COLUMNS)
-            opdf = _attach_pos_bitmaps(opdf, self.posbm_min_total_tf)
+            opdf = _attach_pos_bitmaps(opdf, self.posbm_min_total_tf, self.posbm_max_df)
             opdf, cpdf = _split_chunked_positions(opdf, self.pos_chunk_bytes)
             pw.write_table(
                 pa.Table.from_pandas(opdf, schema=postings_schema, preserve_index=False),
@@ -1454,6 +1500,7 @@ def make_split_builder(
 
     embed_ff_max = _embed_ff_max()  # captured driver-side (env freeze)
     posbm_min_total_tf = _posbm_min_total_tf()  # same env-freeze capture
+    posbm_max_df = _posbm_max_df()
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
@@ -1509,6 +1556,7 @@ def make_split_builder(
                         write_termbloom=write_termbloom,
                         embed_ff_max=embed_ff_max,
                         posbm_min_total_tf=posbm_min_total_tf,
+                        posbm_max_df=posbm_max_df,
                     )
                 cur.add(pdf.iloc[s:e])
         if cur is not None:

@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 from ..config import IndexConfig
 from ..functions.codec import BLOCK, merge_posting_groups
 from ..storage import storage_for
-from .builder import POSTINGS_SCHEMA, _paths, _pos_chunk_bytes, _posbm_min_total_tf
+from .builder import (
+    POSTINGS_SCHEMA,
+    _paths,
+    _pos_chunk_bytes,
+    _posbm_max_df,
+    _posbm_min_total_tf,
+)
 from .catalog import MARKED_FOR_DELETION, PUBLISHED, STAGED, Catalog, SplitMetadata
 
 # scaled default of the reference's min_level_num_docs (merge_policy.rs:169)
@@ -117,10 +123,14 @@ def build_merge_operations(
 
 
 def _make_merge_bucket_group(
-    pos_chunk_bytes: int | None, posbm_min_total_tf: int | None = None
+    pos_chunk_bytes: int | None,
+    posbm_min_total_tf: int | None = None,
+    posbm_max_df: int | None = None,
 ):
     def merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_bucket_group(pdf, pos_chunk_bytes, posbm_min_total_tf)
+        return _merge_bucket_group(
+            pdf, pos_chunk_bytes, posbm_min_total_tf, posbm_max_df
+        )
 
     return merge_bucket_group
 
@@ -129,6 +139,7 @@ def _merge_bucket_group(
     pdf: pd.DataFrame,
     pos_chunk_bytes: int | None = None,
     posbm_min_total_tf: int | None = None,
+    posbm_max_df: int | None = None,
 ) -> pd.DataFrame:
     """One term-hash bucket → merged rows for ALL its (field, term)s.
 
@@ -200,6 +211,7 @@ def _merge_bucket_group(
         posbm_min_total_tf
         if posbm_min_total_tf is not None
         else _posbm_min_total_tf(),
+        posbm_max_df,
     )
     primary, chunks = _split_chunked_positions(out_pdf, pos_chunk_bytes)
     return primary if not len(chunks) else pd.concat(
@@ -215,10 +227,14 @@ def _reassemble_chunked_positions(pdf: pd.DataFrame) -> pd.DataFrame:
     if "chunk_ord" not in pdf.columns:
         return pdf
     co = pd.to_numeric(pdf["chunk_ord"], errors="coerce").fillna(0)
-    if not (co > 0).any():
+    if not (co != 0).any():
         return pdf
     from ..functions.codec import reassemble_position_chunks
 
+    # bitmap chunk rows (chunk_ord < 0) are simply DROPPED by the co == 0
+    # selection: merged bitmaps re-derive from the merged positions, so
+    # input bitmap bytes are never reassembled (the scan already filters
+    # them out; this guards direct callers)
     primary = pdf[co == 0].copy()
     chunks = pdf[co > 0]
     grouped: dict = {}
@@ -316,9 +332,17 @@ def execute_merge_round(
                 ("chunk_ord", "int"),
                 ("pos_chunk_blocks", "array<long>"),
                 ("pos_bm", "binary"),
+                ("bm_chunk_span", "int"),
             ):
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(None).cast(t))
+            # bitmap payloads are RE-DERIVED from the merged positions
+            # (mixed-vintage safe), so neither inline pos_bm bytes nor
+            # bitmap chunk rows (chunk_ord < 0) ride the shuffle — for a
+            # hot-term-heavy corpus that is 10-20% of postings bytes
+            df = df.filter(
+                (F.col("chunk_ord") >= 0) | F.col("chunk_ord").isNull()
+            ).withColumn("pos_bm", F.lit(None).cast("binary"))
             return df
         return reader.parquet(*dirs)
 
@@ -425,7 +449,9 @@ def execute_merge_round(
             # frozen at JVM start; see builder._pos_chunk_bytes).  A named
             # closure rather than functools.partial: pyspark's eval-type
             # inference warns on partial objects
-            _make_merge_bucket_group(_pos_chunk_bytes(), _posbm_min_total_tf()),
+            _make_merge_bucket_group(
+                _pos_chunk_bytes(), _posbm_min_total_tf(), _posbm_max_df()
+            ),
             POSTINGS_SCHEMA,
         )
     )

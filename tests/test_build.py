@@ -232,7 +232,14 @@ def test_multichunk_build_identical(spark, small_corpus, tmp_path_factory, monke
         a = spark.read.parquet(f"{d1}/{table}").toPandas().sort_values(key).reset_index(drop=True)
         b = spark.read.parquet(f"{d2}/{table}").toPandas().sort_values(key).reset_index(drop=True)
         assert list(a.columns) == list(b.columns), table
-        norm = lambda s: [x.tolist() if hasattr(x, "tolist") else x for x in s]  # noqa: E731
+        # nullable int columns (bm_chunk_span) read back as float NaN,
+        # and NaN != NaN — normalize to None before the list compare
+        norm = lambda s: [  # noqa: E731
+            None
+            if (isinstance(x, float) and x != x)
+            else (x.tolist() if hasattr(x, "tolist") else x)
+            for x in s
+        ]
         for col in a.columns:
             assert norm(a[col]) == norm(b[col]), f"{table}.{col} differs"
 
@@ -273,7 +280,14 @@ def test_spilled_build_identical(spark, small_corpus, tmp_path_factory, monkeypa
         a = spark.read.parquet(f"{d1}/{table}").toPandas().sort_values(key).reset_index(drop=True)
         b = spark.read.parquet(f"{d2}/{table}").toPandas().sort_values(key).reset_index(drop=True)
         assert list(a.columns) == list(b.columns), table
-        norm = lambda s: [x.tolist() if hasattr(x, "tolist") else x for x in s]  # noqa: E731
+        # nullable int columns (bm_chunk_span) read back as float NaN,
+        # and NaN != NaN — normalize to None before the list compare
+        norm = lambda s: [  # noqa: E731
+            None
+            if (isinstance(x, float) and x != x)
+            else (x.tolist() if hasattr(x, "tolist") else x)
+            for x in s
+        ]
         for col in a.columns:
             assert norm(a[col]) == norm(b[col]), f"{table}.{col} differs"
 

@@ -237,3 +237,29 @@ def test_big_sidecar_externalizes_fastfields(spark, tmp_path, monkeypatch):
         assert _hits_key(search(spark, sim_dir, req)) == _hits_key(
             search(spark, local_dir, req)
         ), req.query
+
+
+def test_hotcache_serves_chunked_bitmaps(spark, tmp_path_factory, monkeypatch):
+    """Chunked pos_bm bitmaps read THROUGH the hotcache (column-projected
+    ranged reads of the bm chunk rows) give bit-identical phrase results
+    to a bitmap-less local twin, and the chunked path really runs."""
+    base = tmp_path_factory.mktemp("hc_bm")
+    pdf = generate_transcripts(n_conversations=60, seed=11)
+    sim_dir = f"qwsim://{base}/sim_bm"
+    plain_dir = str(base / "plain")
+    monkeypatch.setenv("QW_POSBM_MIN_TOTAL_TF", "1")
+    monkeypatch.setenv("QW_POS_CHUNK_BYTES", "4096")
+    build_index(spark, spark.createDataFrame(pdf), CFG, sim_dir, build_id="b0")
+    monkeypatch.setenv("QW_POSBM_MIN_TOTAL_TF", str(1 << 60))
+    build_index(spark, spark.createDataFrame(pdf), CFG, plain_dir, build_id="b0")
+    monkeypatch.delenv("QW_POSBM_MIN_TOTAL_TF")
+    monkeypatch.delenv("QW_POS_CHUNK_BYTES")
+    monkeypatch.setenv("QW_DRIVER_LEAF_MAX_SPLITS", "64")
+    _clear_worker_caches()
+    saw_chunked = False
+    for req in (SearchRequest('"the deploy"'), SearchRequest('"the error"')):
+        got = _hits_key(search(spark, sim_dir, req))
+        ctr = ex.take_phrase_counters()
+        saw_chunked = saw_chunked or ctr.get("bitmap_rows_chunked", 0) > 0
+        assert got == _hits_key(search(spark, plain_dir, req)), req.query
+    assert saw_chunked, "hotcache phrase never took the chunked-bitmap path"

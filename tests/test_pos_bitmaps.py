@@ -148,3 +148,132 @@ def test_range_unit_bitmap_path_identical(spark, twin, monkeypatch):
         assert _key(search(spark, bm_dir, req)) == _key(
             search(spark, plain_dir, req)
         ), req.query
+
+
+@pytest.fixture(scope="module")
+def chunked_twin(spark, tmp_path_factory):
+    """Same corpus indexed three ways: bitmaps CHUNKED (tiny byte target
+    forces bm chunk rows on every df > 256 term), bitmaps inline, and no
+    bitmaps at all — the bit-identical-twin harness for the chunked
+    layout (the shape that lets hot terms above the retired 1M-df
+    ceiling carry bitmaps at the reference's 10M-doc split target)."""
+    base = tmp_path_factory.mktemp("posbm_chunked")
+    pdf = generate_transcripts(n_conversations=120, seed=9)
+    os.environ["QW_POSBM_MIN_TOTAL_TF"] = "1"
+    os.environ["QW_POS_CHUNK_BYTES"] = "4096"
+    try:
+        build_index(spark, spark.createDataFrame(pdf), CFG, str(base / "chunked"),
+                    n_splits=8)
+    finally:
+        del os.environ["QW_POS_CHUNK_BYTES"]
+    try:
+        build_index(spark, spark.createDataFrame(pdf), CFG, str(base / "inline"),
+                    n_splits=8)
+    finally:
+        os.environ["QW_POSBM_MIN_TOTAL_TF"] = str(1 << 60)
+    try:
+        build_index(spark, spark.createDataFrame(pdf), CFG, str(base / "plain"),
+                    n_splits=8)
+    finally:
+        del os.environ["QW_POSBM_MIN_TOTAL_TF"]
+    return {k: str(base / k) for k in ("chunked", "inline", "plain")}
+
+
+def _postings_pdf(index_dir, cols):
+    import pyarrow.dataset as pads
+
+    files = glob.glob(index_dir + "/postings/split_id=*/*.parquet")
+    return pads.dataset(files).to_table(columns=cols).to_pandas()
+
+
+def test_chunked_bitmap_layout_written(chunked_twin):
+    p = _postings_pdf(chunked_twin["chunked"],
+                      ["chunk_ord", "pos_bm", "bm_chunk_span", "doc_freq"])
+    bm_chunks = p[p["chunk_ord"] < 0]
+    assert len(bm_chunks) > 0, "no bitmap chunk rows written"
+    assert bm_chunks["pos_bm"].notna().all()
+    assert bm_chunks["positions"].isna().all() if "positions" in p else True
+    spanned = p[(p["chunk_ord"] == 0) & p["bm_chunk_span"].notna()]
+    assert len(spanned) > 0, "no primary row carries bm_chunk_span"
+    # the chunked rows' primary cells are empty (span replaces the payload)
+    assert spanned["pos_bm"].isna().all()
+    # every chunked primary's byte total reassembles to exactly 16*df
+    # (checked PER SPLIT — ranks are split-local)
+    import pyarrow.dataset as pads
+
+    split_dirs = glob.glob(chunked_twin["chunked"] + "/postings/split_id=*")
+    checked = 0
+    for sd in split_dirs:
+        full = pads.dataset(glob.glob(sd + "/*.parquet")).to_table(
+            columns=["field", "term", "chunk_ord", "pos_bm",
+                     "bm_chunk_span", "doc_freq"]
+        ).to_pandas()
+        prim = full[(full["chunk_ord"] == 0) & full["bm_chunk_span"].notna()]
+        for r in prim.head(5).itertuples(index=False):
+            chunks = full[(full["field"] == r.field) & (full["term"] == r.term)
+                          & (full["chunk_ord"] < 0)]
+            total = sum(len(b) for b in chunks["pos_bm"])
+            assert total == 16 * int(r.doc_freq), (sd, r.field, r.term)
+            checked += 1
+    assert checked > 0
+
+
+def test_chunked_bitmap_phrase_identical(spark, chunked_twin):
+    from quickwit_spark.search.executor import take_phrase_counters
+
+    saw_bitmap = False
+    for req in QUERIES:
+        k_chunked = _key(search(spark, chunked_twin["chunked"], req))
+        ctr = take_phrase_counters()  # counters of the CHUNKED query
+        saw_bitmap = saw_bitmap or ctr.get("bitmap_rows_chunked", 0) > 0
+        k_inline = _key(search(spark, chunked_twin["inline"], req))
+        k_plain = _key(search(spark, chunked_twin["plain"], req))
+        assert k_chunked == k_inline == k_plain, req.query
+    assert saw_bitmap, "no query exercised the chunked-bitmap path"
+
+
+def test_chunked_bitmap_range_units_identical(spark, chunked_twin, monkeypatch):
+    """Doc-range leaf units fetch only their candidates' bitmap chunks —
+    results must stay identical under forced carving + the RDD leaf."""
+    monkeypatch.setenv("QW_LEAF_RANGE_DOCS", "512")
+    monkeypatch.setenv("QW_LEAF_HEAVY_ROWS", "1")
+    monkeypatch.setenv("QW_DRIVER_LEAF_MAX_SPLITS", "0")
+    for req in QUERIES:
+        a = _key(search(spark, chunked_twin["chunked"], req))
+        b = _key(search(spark, chunked_twin["plain"], req))
+        assert a == b, req.query
+
+
+def test_explain_reports_phrase_term_storage(spark, chunked_twin):
+    from quickwit_spark.search.executor import explain
+
+    rep = explain(spark, chunked_twin["chunked"], SearchRequest('"the deploy"'))
+    paths = {e["term"]: e["path"] for e in rep["phrase_term_storage"]}
+    assert paths["the"] == "bitmap_chunked"
+    assert all(p in ("bitmap_chunked", "bitmap_inline") for p in paths.values())
+    chunks = {e["term"]: e["bm_chunks"] for e in rep["phrase_term_storage"]}
+    assert chunks["the"] >= 2
+    rep2 = explain(spark, chunked_twin["plain"], SearchRequest('"the deploy"'))
+    assert all(e["path"] == "decode" for e in rep2["phrase_term_storage"])
+    rep3 = explain(spark, chunked_twin["chunked"], SearchRequest("deploy"))
+    assert rep3["phrase_term_storage"] == []
+
+
+def test_chunked_bitmap_survives_merge(spark, chunked_twin):
+    """Merged rows re-derive bitmaps from the merged positions and re-chunk
+    on the way out; bitmap chunk rows and inline cells never ride the
+    merge shuffle (scan-filtered), and results stay identical."""
+    d = chunked_twin["chunked"]
+    before = {req.query: _key(search(spark, d, req)) for req in QUERIES}
+    os.environ["QW_POSBM_MIN_TOTAL_TF"] = "1"
+    os.environ["QW_POS_CHUNK_BYTES"] = "4096"
+    try:
+        assert run_merge_pipeline(spark, d)
+    finally:
+        del os.environ["QW_POSBM_MIN_TOTAL_TF"]
+        del os.environ["QW_POS_CHUNK_BYTES"]
+    garbage_collect(d, include_staged=False, deletion_grace_secs=0.0)
+    p = _postings_pdf(d, ["chunk_ord", "pos_bm", "bm_chunk_span"])
+    assert (p["chunk_ord"] < 0).any(), "merged split lost its bitmap chunks"
+    for req in QUERIES:
+        assert _key(search(spark, d, req)) == before[req.query], req.query
