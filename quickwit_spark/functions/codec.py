@@ -611,19 +611,26 @@ def decode_blocks(
     n, nblocks, w_doc, w_tf, counts, doc_bytes, starts = _parse_header(blob)
     if n == 0 or len(block_indices) == 0:
         return np.empty(0, np.uint32), np.empty(0, np.uint32)
+    # ONE vectorized segment pass per distinct width instead of a python
+    # iteration per block: a doc-range unit of a 5M-doc split decodes
+    # ~500 contiguous blocks per term, and the per-block loop measured
+    # 80 ms where this kernel takes ~2 (the same overhead economics as
+    # the merge-side batched decoders this reuses).
+    bi = np.unique(np.asarray(block_indices, np.int64))
     buf = np.frombuffer(blob, dtype=np.uint8)
-    out_docs, out_tfs = [], []
-    for b in sorted(int(x) for x in block_indices):
-        c = int(counts[b])
-        s = int(starts[b])
-        db = int(doc_bytes[b])
-        gaps = _unpack(buf[s : s + db], c, int(w_doc[b]))
-        tfs = _unpack(buf[s + db : s + db + ((c * int(w_tf[b]) + 7) // 8)], c, int(w_tf[b]))
-        anchor = np.uint64(block_last_doc[b - 1]) if b > 0 else np.uint64(0)
-        docs = (np.cumsum(gaps.astype(np.uint64)) + anchor).astype(np.uint32)
-        out_docs.append(docs)
-        out_tfs.append(tfs)
-    return np.concatenate(out_docs), np.concatenate(out_tfs)
+    cnt = counts[bi]
+    gaps = _decode_segments(buf, starts[bi], w_doc[bi], cnt)
+    tfs = _decode_segments(buf, starts[bi] + doc_bytes[bi], w_tf[bi], cnt)
+    # each selected block's delta chain re-anchors at the PREVIOUS
+    # block's last doc: segmented cumsum + per-block anchor broadcast
+    anchors = np.zeros(len(bi), np.uint64)
+    nz = bi > 0
+    anchors[nz] = np.asarray(block_last_doc, np.uint64)[bi[nz] - 1]
+    seg_starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    base = np.repeat(csum[seg_starts] - gaps[seg_starts], cnt)
+    docs = (csum - base + np.repeat(anchors, cnt)).astype(np.uint32)
+    return docs, tfs
 
 
 # ---------------------------------------------------------------------------

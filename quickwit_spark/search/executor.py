@@ -768,6 +768,16 @@ def take_phrase_counters() -> dict:
     return dict(LAST_PHRASE_COUNTERS)
 
 
+def _phrase_ctr() -> dict:
+    """The LIVE counter dict, resolved through the module.  Leaf-task
+    closures must use this accessor, not the global directly: cloudpickle
+    captures plain globals BY VALUE into a nested function's pickled
+    namespace, so a closure reading ``_PHRASE_CTR`` would diff its own
+    frozen copy while the (by-reference) module functions increment the
+    real one — measured as permanently-zero counters on the RDD leaf."""
+    return _PHRASE_CTR
+
+
 class _SplitPostings:
     """Decoded-on-demand posting lists of one split for the query terms.
 
@@ -1709,12 +1719,23 @@ def make_split_scorer(
         if len(ff_pdf) == 0:
             return empty
         split_id = key[0]
+        # Decoded-lens memo: parked on the CACHED fastfields DataFrame's
+        # attrs, so its lifetime (and invalidation) is exactly the worker
+        # FF cache entry's — no separate epoch bookkeeping.  Decoding the
+        # whole doc_lens column measured 113 ms on a 5.1M-doc split and
+        # was paid per scorer invocation: every doc-range UNIT of every
+        # query re-decoded it, the single largest per-unit fixed cost at
+        # the few-huge-splits shape (and a real slice of the per-split
+        # constant at high split counts).
+        lens_cache: dict = ff_pdf.attrs.setdefault("_qw_decoded_lens", {})
         ff_pdf = ff_pdf.sort_values("seg_id")
         # fast fields: exact doc lengths (fieldnorm analog) + timestamps
-        lens = np.concatenate(
-            [decode_u32_column(b) for b in ff_pdf["doc_lens"]]
-        ).astype(np.int64)
-        lens_cache: dict[str, np.ndarray | None] = {}
+        lens = lens_cache.get("text")
+        if lens is None:
+            lens = np.concatenate(
+                [decode_u32_column(b) for b in ff_pdf["doc_lens"]]
+            ).astype(np.int64)
+            lens_cache["text"] = lens
 
         def field_lens(field: str) -> np.ndarray | None:
             """Exact per-doc field lengths (the fieldnorm store): token
@@ -1845,7 +1866,7 @@ def make_split_scorer(
             return empty
 
         if sort_field is not None:
-            sv = _fast_field_values(sort_field, ff_pdf, lens, docs)
+            sv = _fast_field_values(sort_field, ff_pdf, lens, docs, lens_cache)
         else:
             sv = np.zeros(len(docs), np.int64)
 
@@ -1903,7 +1924,7 @@ def make_split_scorer(
         )
         for name, f in zip(mf_names, mf_fields):
             # stream mode: take is the identity, so this is vals-by-doc
-            out[name] = _fast_field_values(f, ff_pdf, lens, docs)[take]
+            out[name] = _fast_field_values(f, ff_pdf, lens, docs, lens_cache)[take]
         if fetch:
             fields = _fetch_doc_fields(index_dir, split_id, docs[take], f_cols)
             out = out.merge(fields, on="doc_id", how="left")
@@ -1966,24 +1987,39 @@ def sort_key_to_f64(key: int) -> float:
     return float(np.array(u0, np.uint64).view(np.float64)[()])
 
 
-def _fast_field_values(field: str, ff_pdf: pd.DataFrame, lens: np.ndarray, docs: np.ndarray) -> np.ndarray:
+def _fast_field_values(
+    field: str,
+    ff_pdf: pd.DataFrame,
+    lens: np.ndarray,
+    docs: np.ndarray,
+    memo: dict | None = None,
+) -> np.ndarray:
+    """``memo`` (the split's decoded-lens attrs dict, score_split) keeps
+    the whole-column decode one-per-worker instead of one-per-unit — a
+    sort-by-ts unit on a 5.1M-doc split otherwise re-decodes 5.1M values
+    per invocation, same economics as the doc_lens memo."""
     if field == "doc_len":
         return lens[docs]
+    mkey = f"ffv_{field}"
+    if memo is not None and mkey in memo:
+        return memo[mkey][docs]
     if field == "ts":
-        ts = np.concatenate([decode_u32_column(b) for b in ff_pdf["ts"]]).astype(np.int64)
-        return ts[docs]
-    col = f"ff_{field}"  # generic fast i64/u64/f64 columns
-    if col in ff_pdf.columns:
+        vals = np.concatenate([decode_u32_column(b) for b in ff_pdf["ts"]]).astype(np.int64)
+    else:
+        col = f"ff_{field}"  # generic fast i64/u64/f64 columns
+        if col not in ff_pdf.columns:
+            raise ValueError(f"unsupported sort fast field: {field}")
         vals_raw = [np.asarray(v) for v in ff_pdf[col]]
         if any(v.dtype.kind == "f" for v in vals_raw):
             # f64 fast fields sort via the monotonic int64 key (tantivy
             # stores f64 fast fields as monotonic u64 the same way); the
             # root converts keys back to doubles for display
             vals = f64_sort_keys(np.concatenate([v.astype(np.float64) for v in vals_raw]))
-            return vals[docs]
-        vals = np.concatenate([v.astype(np.int64) for v in vals_raw])
-        return vals[docs]
-    raise ValueError(f"unsupported sort fast field: {field}")
+        else:
+            vals = np.concatenate([v.astype(np.int64) for v in vals_raw])
+    if memo is not None:
+        memo[mkey] = vals
+    return vals[docs]
 
 
 # ---------------------------------------------------------------------------
@@ -2750,7 +2786,8 @@ def _leaf_hit_rows(
 
     def run(it):
         _limit_arrow_threads()
-        base = dict(_PHRASE_CTR)
+        ctr = _phrase_ctr()  # live module dict (see _phrase_ctr docstring)
+        base = dict(ctr)
         for sid, u_lo, u_hi in it:
             try:
                 ff_pdf = _cached_fastfields(index_dir, sid)
@@ -2772,7 +2809,7 @@ def _leaf_hit_rows(
         # phrase-path observability: one tiny record per task with the
         # counter DELTAS this task produced (zero for term queries — no
         # record, no cost); the root aggregates them
-        delta = {k: _PHRASE_CTR[k] - base[k] for k in _PHRASE_CTR}
+        delta = {k: ctr[k] - base[k] for k in ctr}
         if any(delta.values()):
             yield {"__counters__": delta}
 
@@ -2882,7 +2919,10 @@ def _leaf_bins(
 
     HEAVY queries with ``ranged_ok`` (position-verifying, see
     _contains_phrase) additionally carve splits above QW_LEAF_RANGE_DOCS
-    (default 256k) into contiguous doc ranges — the sub-split parallelism
+    (default 512k; a 256k..1M sweep at the 2x5.1M-doc shape measured
+    512k best for BOTH phrase and single-term — smaller units duplicate
+    per-unit fixed work (whole-column memo warm-up, bitmap-chunk fetch)
+    faster than they buy parallelism) into contiguous doc ranges — the sub-split parallelism
     analog of tantivy's segment-parallel search: a post-merge index of a
     few 1M-doc splits would otherwise cap a query at num_splits tasks no
     matter how many cores the cluster has.  Every query class slices its
@@ -2904,7 +2944,7 @@ def _leaf_bins(
     per-split work clearly dominates it."""
     per = int(os.environ.get("QW_LEAF_SPLITS_PER_TASK", "4"))
     heavy_rows = float(os.environ.get("QW_LEAF_HEAVY_ROWS", "100000"))
-    range_docs = int(os.environ.get("QW_LEAF_RANGE_DOCS", "262144"))
+    range_docs = int(os.environ.get("QW_LEAF_RANGE_DOCS", "524288"))
     heavy = est_rows_per_split > heavy_rows
     # Adaptive carving: a doc-range unit pays the split's posting-ROW fetch
     # again (a hot phrase term's positions cell is MBs — every unit of the
