@@ -133,6 +133,20 @@ def _posbm_max_df() -> int:
 BM_BLOCK_BYTES = 16 * 128
 
 
+# bitmaps CHUNK only above this size; below it they stay INLINE on the
+# primary row.  Separate from the positions chunk target on purpose: an
+# inline cell rides the term's row-group fetch and the worker's posting
+# cache (one read, amortized), while chunk rows cost an extra fetch
+# round per (worker, split, term) — at 156 merged 262k-doc splits the
+# 2 MB stopword bitmaps chunked under the 1 MB positions target and
+# phrase paid ~1,100 chunk fetches per query (local workers have no
+# task stickiness), 2.6 s vs the inline layout's 1.7.  16 MB is the
+# biggest cell the round-4 inline layout shipped safely; only the
+# few-huge-splits shape (82 MB cells, the OOM case) chunks.
+def _bm_chunk_bytes() -> int:
+    return int(os.environ.get("QW_BM_CHUNK_BYTES", str(16 << 20)))
+
+
 def _attach_pos_bitmaps(
     pdf: pd.DataFrame, min_total_tf: int, max_df: int | None = None
 ) -> pd.DataFrame:
@@ -606,7 +620,7 @@ POSTINGS_COLUMNS = [
 ]
 
 def _split_chunked_positions(
-    pdf: pd.DataFrame, target: int | None = None
+    pdf: pd.DataFrame, target: int | None = None, bm_target: int | None = None
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Write-time positions chunking: rows whose positions payload exceeds
     QW_POS_CHUNK_BYTES become (primary row with positions=None +
@@ -668,7 +682,9 @@ def _split_chunked_positions(
                 row["chunk_ord"] = ord_
                 row["positions"] = blob
                 chunk_rows.append(row)
-    if target > 0 and "pos_bm" in pdf.columns and len(pdf):
+    if bm_target is None:
+        bm_target = _bm_chunk_bytes()
+    if target > 0 and bm_target > 0 and "pos_bm" in pdf.columns and len(pdf):
         bmc = pdf["pos_bm"]
         bmi = pdf.columns.get_loc("pos_bm")
         si = pdf.columns.get_loc("bm_chunk_span")
@@ -676,7 +692,7 @@ def _split_chunked_positions(
         step = span * BM_BLOCK_BYTES
         for i in range(len(pdf)):
             bm = bmc.iat[i]
-            if bm is None or isinstance(bm, float) or len(bm) <= target:
+            if bm is None or isinstance(bm, float) or len(bm) <= bm_target:
                 continue
             r = pdf.iloc[i]
             pdf.iat[i, bmi] = None
@@ -838,6 +854,7 @@ class _SplitAccumulator:
         embed_ff_max: int | None = None,
         posbm_min_total_tf: int | None = None,
         posbm_max_df: int | None = None,
+        bm_chunk_bytes: int | None = None,
     ):
         self.split_id = split_id
         self.config = config
@@ -855,6 +872,9 @@ class _SplitAccumulator:
         )
         self.posbm_max_df = (
             posbm_max_df if posbm_max_df is not None else _posbm_max_df()
+        )
+        self.bm_chunk_bytes = (
+            bm_chunk_bytes if bm_chunk_bytes is not None else _bm_chunk_bytes()
         )
         self.doc_cols = config.doc_cols()
         self.text_fields = [
@@ -1025,7 +1045,7 @@ class _SplitAccumulator:
         _, postings_schema, _ = _pa_schemas(self.config)
         pdf = self._acc_run_pdf()
         pdf = _attach_pos_bitmaps(pdf, self.posbm_min_total_tf, self.posbm_max_df)
-        pdf, cpdf = _split_chunked_positions(pdf, self.pos_chunk_bytes)
+        pdf, cpdf = _split_chunked_positions(pdf, self.pos_chunk_bytes, self.bm_chunk_bytes)
         table = pa.Table.from_pandas(pdf, schema=postings_schema, preserve_index=False)
         _atomic_write_table(table, self._split_file("postings"), row_group_size=4096)
         if len(cpdf):
@@ -1106,7 +1126,7 @@ class _SplitAccumulator:
                 return
             opdf = pd.DataFrame(out, columns=POSTINGS_COLUMNS)
             opdf = _attach_pos_bitmaps(opdf, self.posbm_min_total_tf, self.posbm_max_df)
-            opdf, cpdf = _split_chunked_positions(opdf, self.pos_chunk_bytes)
+            opdf, cpdf = _split_chunked_positions(opdf, self.pos_chunk_bytes, self.bm_chunk_bytes)
             pw.write_table(
                 pa.Table.from_pandas(opdf, schema=postings_schema, preserve_index=False),
                 row_group_size=4096,
@@ -1501,6 +1521,7 @@ def make_split_builder(
     embed_ff_max = _embed_ff_max()  # captured driver-side (env freeze)
     posbm_min_total_tf = _posbm_min_total_tf()  # same env-freeze capture
     posbm_max_df = _posbm_max_df()
+    bm_chunk_bytes = _bm_chunk_bytes()
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
@@ -1557,6 +1578,7 @@ def make_split_builder(
                         embed_ff_max=embed_ff_max,
                         posbm_min_total_tf=posbm_min_total_tf,
                         posbm_max_df=posbm_max_df,
+                        bm_chunk_bytes=bm_chunk_bytes,
                     )
                 cur.add(pdf.iloc[s:e])
         if cur is not None:

@@ -41,6 +41,7 @@ from ..functions.codec import BLOCK, merge_posting_groups
 from ..storage import storage_for
 from .builder import (
     POSTINGS_SCHEMA,
+    _bm_chunk_bytes,
     _paths,
     _pos_chunk_bytes,
     _posbm_max_df,
@@ -126,10 +127,12 @@ def _make_merge_bucket_group(
     pos_chunk_bytes: int | None,
     posbm_min_total_tf: int | None = None,
     posbm_max_df: int | None = None,
+    bm_chunk_bytes: int | None = None,
 ):
     def merge_bucket_group(pdf: pd.DataFrame) -> pd.DataFrame:
         return _merge_bucket_group(
-            pdf, pos_chunk_bytes, posbm_min_total_tf, posbm_max_df
+            pdf, pos_chunk_bytes, posbm_min_total_tf, posbm_max_df,
+            bm_chunk_bytes,
         )
 
     return merge_bucket_group
@@ -140,6 +143,7 @@ def _merge_bucket_group(
     pos_chunk_bytes: int | None = None,
     posbm_min_total_tf: int | None = None,
     posbm_max_df: int | None = None,
+    bm_chunk_bytes: int | None = None,
 ) -> pd.DataFrame:
     """One term-hash bucket → merged rows for ALL its (field, term)s.
 
@@ -213,7 +217,7 @@ def _merge_bucket_group(
         else _posbm_min_total_tf(),
         posbm_max_df,
     )
-    primary, chunks = _split_chunked_positions(out_pdf, pos_chunk_bytes)
+    primary, chunks = _split_chunked_positions(out_pdf, pos_chunk_bytes, bm_chunk_bytes)
     return primary if not len(chunks) else pd.concat(
         [primary, chunks], ignore_index=True
     )
@@ -450,7 +454,8 @@ def execute_merge_round(
             # closure rather than functools.partial: pyspark's eval-type
             # inference warns on partial objects
             _make_merge_bucket_group(
-                _pos_chunk_bytes(), _posbm_min_total_tf(), _posbm_max_df()
+                _pos_chunk_bytes(), _posbm_min_total_tf(), _posbm_max_df(),
+                _bm_chunk_bytes(),
             ),
             POSTINGS_SCHEMA,
         )

@@ -249,11 +249,13 @@ def test_hotcache_serves_chunked_bitmaps(spark, tmp_path_factory, monkeypatch):
     plain_dir = str(base / "plain")
     monkeypatch.setenv("QW_POSBM_MIN_TOTAL_TF", "1")
     monkeypatch.setenv("QW_POS_CHUNK_BYTES", "4096")
+    monkeypatch.setenv("QW_BM_CHUNK_BYTES", "4096")
     build_index(spark, spark.createDataFrame(pdf), CFG, sim_dir, build_id="b0")
     monkeypatch.setenv("QW_POSBM_MIN_TOTAL_TF", str(1 << 60))
     build_index(spark, spark.createDataFrame(pdf), CFG, plain_dir, build_id="b0")
     monkeypatch.delenv("QW_POSBM_MIN_TOTAL_TF")
     monkeypatch.delenv("QW_POS_CHUNK_BYTES")
+    monkeypatch.delenv("QW_BM_CHUNK_BYTES")
     monkeypatch.setenv("QW_DRIVER_LEAF_MAX_SPLITS", "64")
     _clear_worker_caches()
     saw_chunked = False

@@ -161,11 +161,13 @@ def chunked_twin(spark, tmp_path_factory):
     pdf = generate_transcripts(n_conversations=120, seed=9)
     os.environ["QW_POSBM_MIN_TOTAL_TF"] = "1"
     os.environ["QW_POS_CHUNK_BYTES"] = "4096"
+    os.environ["QW_BM_CHUNK_BYTES"] = "4096"
     try:
         build_index(spark, spark.createDataFrame(pdf), CFG, str(base / "chunked"),
                     n_splits=8)
     finally:
         del os.environ["QW_POS_CHUNK_BYTES"]
+        del os.environ["QW_BM_CHUNK_BYTES"]
     try:
         build_index(spark, spark.createDataFrame(pdf), CFG, str(base / "inline"),
                     n_splits=8)
@@ -267,11 +269,13 @@ def test_chunked_bitmap_survives_merge(spark, chunked_twin):
     before = {req.query: _key(search(spark, d, req)) for req in QUERIES}
     os.environ["QW_POSBM_MIN_TOTAL_TF"] = "1"
     os.environ["QW_POS_CHUNK_BYTES"] = "4096"
+    os.environ["QW_BM_CHUNK_BYTES"] = "4096"
     try:
         assert run_merge_pipeline(spark, d)
     finally:
         del os.environ["QW_POSBM_MIN_TOTAL_TF"]
         del os.environ["QW_POS_CHUNK_BYTES"]
+        del os.environ["QW_BM_CHUNK_BYTES"]
     garbage_collect(d, include_staged=False, deletion_grace_secs=0.0)
     p = _postings_pdf(d, ["chunk_ord", "pos_bm", "bm_chunk_span"])
     assert (p["chunk_ord"] < 0).any(), "merged split lost its bitmap chunks"
