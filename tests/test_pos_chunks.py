@@ -159,7 +159,7 @@ def test_chunked_ranged_units_identical(spark, twin_builds, monkeypatch):
     monkeypatch.setenv("QW_DRIVER_LEAF_MAX_SPLITS", "0")
     monkeypatch.setenv("QW_LEAF_HEAVY_ROWS", "0")
     monkeypatch.setenv("QW_LEAF_RANGE_DOCS", "64")
-    monkeypatch.setattr(ex, "_contains_phrase", lambda asts: True)
+    monkeypatch.setattr(ex.root, "_contains_phrase", lambda asts: True)
     _clear_worker_caches()
     for req in QUERIES:
         assert _hits_key(search(spark, chunked, req)) == baseline[req.query], req.query

@@ -516,7 +516,7 @@ def test_ranged_leaf_units_result_identical(spark, built, monkeypatch):
     # production gates ranges to position-verifying queries; force them on
     # for every class so the ranged WAND/MaxScore/AND/NOT/ts/sort paths all
     # stay covered
-    monkeypatch.setattr(ex, "_contains_phrase", lambda asts: True)
+    monkeypatch.setattr(ex.root, "_contains_phrase", lambda asts: True)
 
     ranged = [search(spark, index_dir, r) for r in reqs]
     batched = multi_search(spark, index_dir, reqs)
@@ -711,10 +711,10 @@ def test_match_all_count_is_metadata_only(spark, built, monkeypatch):
     def boom(*a, **k):
         raise AssertionError("leaf ran for a metadata-answerable count")
 
-    monkeypatch.setattr(ex, "_leaf_hit_rows", boom)
+    monkeypatch.setattr(ex.root, "_leaf_hit_rows", boom)
     resp = ex.search(spark, index_dir, SearchRequest("*", max_hits=0))
     assert resp.num_hits == len(docs) and resp.hits == []
-    monkeypatch.setattr(ex, "_leaf_hit_rows", real_leaf)
+    monkeypatch.setattr(ex.root, "_leaf_hit_rows", real_leaf)
 
     # a range that slices through split boundaries: metadata + boundary leaf
     ts0 = 1767225600 + 13 * 86400
