@@ -555,12 +555,20 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         span = (cur & np.uint64(0xFFFFFFFF)) - (start & np.uint64(0xFFFFFFFF))
         hit = span <= np.uint64(node.slop + len(keys) - 1)
         return np.unique((cur[hit] >> np.uint64(32)).astype(np.int64))
-    if len(keys) < 64 and all(postings.has_bitmap(k) for k in keys):
+    # Per-term verification mode: index-time bitmap where one exists,
+    # anchored position decode for the rest.  MIXED phrases — a hot
+    # stopword (bitmap) next to a sub-threshold rare term (no bitmap) —
+    # previously forfeited the bitmap entirely and decoded the hot
+    # term's candidate runs; now each term takes its own cheap path.
+    use_bm = [len(keys) < 64 and postings.has_bitmap(k) for k in keys]
+    bm_terms = [i for i, u in enumerate(use_bm) if u]
+    starts: np.ndarray | None = None  # packed (doc<<32 | start), sorted
+    if bm_terms:
         # bit-parallel shift-AND over the INDEX-TIME per-doc 128-bit
         # position bitsets (pos_bm column, codec.encode_position_bitmaps —
         # stored for high-tf terms at build/merge): a start p survives iff
-        # every term i has bit p+i, i.e. AND over i of (bm_i >> i) is
-        # nonzero.  Zero position decode; doc-range units address the
+        # every bitmap term i has bit p+i, i.e. AND over i of (bm_i >> i)
+        # is nonzero.  Zero position decode; doc-range units address the
         # full-list bitmap rows via phrase_view's GLOBAL doc ranks, and
         # big lists' bitmaps are CHUNK rows fetched candidate-gated
         # (bitmap_words), so no task ever reads a hot term's whole cell.
@@ -569,27 +577,53 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
         # bitmaps per worker re-missed forever — storing them in the index
         # is the principled form.)
         gathered: list | None = []
-        for i, k in enumerate(keys):
+        for i in bm_terms:
             d_i, _t, _v, ranks_i = doclists[i]
             rows_i = ranks_i[np.searchsorted(d_i, cand_u32)]
-            w = postings.bitmap_words(k, rows_i)
+            w = postings.bitmap_words(keys[i], rows_i)
             if w is None:
                 gathered = None
                 break
-            gathered.append(w)
-        if gathered is not None:
-            _PHRASE_CTR["phrase_terms_bitmap"] += len(keys)
+            gathered.append((i, w))
+        if gathered is None:  # short/garbled cell: decode is authoritative
+            bm_terms, use_bm = [], [False] * len(keys)
+        else:
+            _PHRASE_CTR["phrase_terms_bitmap"] += len(bm_terms)
             acc_lo = np.full(len(cand), ~np.uint64(0), np.uint64)
             acc_hi = np.full(len(cand), ~np.uint64(0), np.uint64)
-            for i, (blo, bhi) in enumerate(gathered):
+            for i, (blo, bhi) in gathered:
                 if i:
                     s = np.uint64(i)
                     blo = (blo >> s) | (bhi << np.uint64(64 - i))
                     bhi = bhi >> s
                 acc_lo &= blo
                 acc_hi &= bhi
-            return cand[(acc_lo | acc_hi) != 0]
-    _PHRASE_CTR["phrase_terms_decode"] += len(keys)
+            ok = (acc_lo | acc_hi) != 0
+            if len(bm_terms) == len(keys):
+                return cand[ok]  # pure-bitmap fast path
+            # extract the surviving (doc, start) pairs: the set bits of
+            # the AND'd words are exactly the starts valid w.r.t. every
+            # bitmap term; the decode terms verify them below.  Rows
+            # ascend (cand order) and bits ascend within a row, so the
+            # packed keys come out sorted — the probe loop's contract.
+            docs_s = cand[ok].astype(np.uint64)
+            if len(docs_s) == 0:
+                return np.empty(0, np.int64)
+            bits = np.concatenate(
+                [
+                    np.unpackbits(
+                        acc_lo[ok].astype("<u8").view(np.uint8).reshape(-1, 8),
+                        axis=1, bitorder="little",
+                    ),
+                    np.unpackbits(
+                        acc_hi[ok].astype("<u8").view(np.uint8).reshape(-1, 8),
+                        axis=1, bitorder="little",
+                    ),
+                ],
+                axis=1,
+            )  # (n, 128), column j = start position j
+            row_idx, bit_idx = np.nonzero(bits)
+            starts = (docs_s[row_idx] << np.uint64(32)) | bit_idx.astype(np.uint64)
     # Exact phrase, ANCHORED on the term with the fewest candidate
     # positions: a stopword-heavy phrase ("the error") otherwise probes
     # with the STOPWORD's millions of packed keys at every step.  The
@@ -601,22 +635,28 @@ def _eval_phrase(node: PhraseQuery, postings: _SplitPostings) -> np.ndarray:
     # fetch extends into the verify loop; 3+-term phrases decode strictly
     # less of their later terms).  Semantics identical: a start p
     # survives iff (doc, p+i) is an occurrence of term i for every i.
-    tf_cand = []
-    for i in range(len(keys)):
+    # With bitmap-derived ``starts`` every decode term probes directly —
+    # no anchor decode needed.
+    dec_terms = [i for i in range(len(keys)) if not use_bm[i]]
+    _PHRASE_CTR["phrase_terms_decode"] += len(dec_terms)
+    tf_cand = {}
+    for i in dec_terms:
         d, t, _, _ = doclists[i]
-        tf_cand.append(int(t[np.searchsorted(d, cand_u32)].sum()))
-    order2 = sorted(range(len(keys)), key=lambda i: tf_cand[i])
-    a = order2[0]
-    d, t, vs, _ = doclists[a]
-    idx = np.searchsorted(d, cand_u32)
-    psub = postings.positions_at(keys[a], vs[idx], t[idx])
-    doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
-    akeys = (doc_rep << np.uint64(32)) | psub.astype(np.uint64)
-    if a:
-        # a start needs p_anchor >= a (term a sits at start + a)
-        akeys = akeys[psub >= a]
-    starts = akeys - np.uint64(a)
-    for i in order2[1:]:
+        tf_cand[i] = int(t[np.searchsorted(d, cand_u32)].sum())
+    order2 = sorted(dec_terms, key=lambda i: tf_cand[i])
+    if starts is None:
+        a = order2[0]
+        d, t, vs, _ = doclists[a]
+        idx = np.searchsorted(d, cand_u32)
+        psub = postings.positions_at(keys[a], vs[idx], t[idx])
+        doc_rep = np.repeat(cand.astype(np.uint64), t[idx].astype(np.int64))
+        akeys = (doc_rep << np.uint64(32)) | psub.astype(np.uint64)
+        if a:
+            # a start needs p_anchor >= a (term a sits at start + a)
+            akeys = akeys[psub >= a]
+        starts = akeys - np.uint64(a)
+        order2 = order2[1:]
+    for i in order2:
         if len(starts) == 0:
             return np.empty(0, np.int64)
         alive = np.unique((starts >> np.uint64(32)).astype(np.int64))

@@ -281,3 +281,38 @@ def test_chunked_bitmap_survives_merge(spark, chunked_twin):
     assert (p["chunk_ord"] < 0).any(), "merged split lost its bitmap chunks"
     for req in QUERIES:
         assert _key(search(spark, d, req)) == before[req.query], req.query
+
+
+def test_mixed_mode_phrase_identical(spark, tmp_path_factory):
+    """MIXED verification: a threshold that gives ONLY the hot terms
+    bitmaps ("the", "a", ...) while the rarer phrase terms stay on the
+    decode path — results must be bit-identical to the all-decode twin,
+    and the counters must show BOTH paths in one query."""
+    from quickwit_spark.search.executor import take_phrase_counters
+
+    base = tmp_path_factory.mktemp("posbm_mixed")
+    pdf = generate_transcripts(n_conversations=120, seed=9)
+    os.environ["QW_POSBM_MIN_TOTAL_TF"] = "1500"  # hot terms only
+    try:
+        build_index(spark, spark.createDataFrame(pdf), CFG,
+                    str(base / "mixed"), n_splits=8)
+    finally:
+        os.environ["QW_POSBM_MIN_TOTAL_TF"] = str(1 << 60)
+    try:
+        build_index(spark, spark.createDataFrame(pdf), CFG,
+                    str(base / "plain"), n_splits=8)
+    finally:
+        del os.environ["QW_POSBM_MIN_TOTAL_TF"]
+    # the mixed index really is mixed: some text rows carry pos_bm, not all
+    p = _postings_pdf(str(base / "mixed"), ["field", "pos_bm", "chunk_ord"])
+    prim = p[(p["chunk_ord"] == 0) & (p["field"] == "text")]
+    n_bm = int(prim["pos_bm"].notna().sum())
+    assert 0 < n_bm < len(prim), (n_bm, len(prim))
+    saw_mixed = False
+    for req in QUERIES:
+        got = _key(search(spark, str(base / "mixed"), req))
+        ctr = take_phrase_counters()
+        if ctr.get("phrase_terms_bitmap", 0) and ctr.get("phrase_terms_decode", 0):
+            saw_mixed = True
+        assert got == _key(search(spark, str(base / "plain"), req)), req.query
+    assert saw_mixed, "no query exercised the mixed bitmap+decode path"
